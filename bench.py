@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Each query is executed twice: a warm-up collect is NOT done (cold numbers
+are what the driver records); timing covers plan + execution + collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from geocube_spark import registry  # noqa: E402
+from geocube_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    # relational core (the FindDatasets/GetCube surface)
+    "find_datasets_core",
+    "find_datasets_tags",
+    "cube_headers_by_record",
+    "mosaic_rank_latest",
+    "impact_count",
+    "events_hourly_rollup",
+    "events_latest_per_user",
+    # TPC-H classics (scan/join/agg throughput)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    # pipeline operators
+    "dedup_exact_groups",
+    "dedup_keep_first",
+    "minhash_lsh_candidates",
+    "embedding_topk",
+    "embedding_near_dup_exact",
+    "text_quality",
+    "text_langid",
+    # raster plane (fixture tables)
+    "cast_tiles_checksum",
+    "mosaic_latest_first",
+    "pyramid_level1",
+    "cover_regular_grid",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("geocube-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.ensure_fixtures()
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # collect (not count): count() would let Catalyst prune the computed
+        # columns and skip the actual operator work
+        n = len(df.collect())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "geocube_spark_headline_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""Deterministic synthetic catalog + tile fixtures (FIXTURES.md, seed=42).
+
+Generated with pyarrow directly (no Spark dependency) so pytest and the
+DuckDB oracle read the exact same bytes.  Pixel values are closed-form
+(FIXTURES.md §tiles) so cast/mosaic/pyramid results are computable in SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from geocube_spark.functions.geometry import geom_hash, multipolygon_wkb, rect_wkb
+
+SEED = 42
+BLOCK_W = BLOCK_H = 64
+BLOCKS = 2  # 2×2 blocks per image (keep fixtures light; reference uses 4×4)
+MODULUS = 9973.0
+
+DMAPPINGS = [
+    # (dtype, no_data, min, max, real_min, real_max, exponent)
+    ("Int16", -32768.0, 0.0, 10000.0, 0.0, 1.0, 1.0),
+    ("UInt8", 0.0, 1.0, 255.0, 0.0, 1.0, 1.0),
+    ("Float32", float("nan"), 0.0, 1.0, 0.0, 1.0, 1.0),
+    ("Int16", -32768.0, 0.0, 10000.0, 0.0, 1.0, 2.0),
+]
+
+
+def _uuid(kind: str, i: int) -> str:
+    return str(uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-fixture:{kind}:{i}"))
+
+
+def default_dir() -> str:
+    return os.environ.get(
+        "GEOCUBE_FIXTURE_DIR", os.path.join(os.path.dirname(__file__), "..", ".fixtures")
+    )
+
+
+def generate(out_dir: str | None = None, n_records: int = 200) -> str:
+    out_dir = os.path.abspath(out_dir or default_dir())
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+
+    # ---- aoi: rectangles marching east, 10% antimeridian-spanning, 5% dups
+    n_aoi = max(n_records // 4, 1)
+    aoi_rows = []
+    for i in range(n_aoi):
+        if i % 10 == 9:  # antimeridian-spanning, pre-split (F14)
+            wkb = multipolygon_wkb(
+                [
+                    [(179.8, 10.0), (180.0, 10.0), (180.0, 11.0), (179.8, 11.0)],
+                    [(-180.0, 10.0), (-179.8, 10.0), (-179.8, 11.0), (-180.0, 11.0)],
+                ]
+            )
+            bbox = (-180.0, 10.0, 180.0, 11.0)
+        else:
+            j = i - (i % 20 == 19)  # 5% duplicate the previous geometry
+            x0 = -170.0 + 0.5 * j
+            y0 = -40.0 + 0.3 * (j % 100)
+            wkb = multipolygon_wkb([[(x0, y0), (x0 + 1.0, y0), (x0 + 1.0, y0 + 1.0), (x0, y0 + 1.0)]])
+            bbox = (x0, y0, x0 + 1.0, y0 + 1.0)
+        aoi_rows.append(
+            {
+                "id": _uuid("aoi", i),
+                "hash": geom_hash(wkb),
+                "geom_wkb": wkb,
+                "bbox": {"xmin": bbox[0], "ymin": bbox[1], "xmax": bbox[2], "ymax": bbox[3]},
+            }
+        )
+
+    # ---- records
+    t0 = datetime(2018, 1, 1)
+    tag_vals = {
+        "CONSTELLATION": ["SENTINEL2", "SENTINEL1", "LANDSAT8"],
+        "ORBIT": ["ASC", "DESC"],
+        "PROC": ["L1C", "L2A"],
+    }
+    record_rows = []
+    for i in range(n_records):
+        dt = t0 + timedelta(days=i if i % 33 != 32 else i - 1)  # ~3% duplicate times
+        tags = {}
+        for k, vals in tag_vals.items():
+            if rng.rand() >= 0.2:  # ~20% missing each key
+                # zipfian-ish: first value most common
+                z = min(int(rng.zipf(2.0)) - 1, len(vals) - 1)
+                tags[k] = vals[z]
+        record_rows.append(
+            {
+                "id": _uuid("record", i),
+                "name": f"S2A_{i - (1 if i % 10 == 9 else 0):06d}",
+                "datetime": dt,
+                "tags": tags,
+                "aoi_id": aoi_rows[i % n_aoi]["id"],
+            }
+        )
+
+    # ---- variables + instances
+    variable_rows, instance_rows = [], []
+    resampling = ["NEAR", "BILINEAR", "AVERAGE"]
+    for i in range(6):
+        dm = DMAPPINGS[i % len(DMAPPINGS)]
+        variable_rows.append(
+            {
+                "id": _uuid("variable", i),
+                "name": f"var_{i}",
+                "unit": "unit",
+                "description": "synthetic",
+                "bands": ["B1"] if i % 2 == 0 else ["R", "G", "B"],
+                "dformat": {
+                    "dtype": dm[0],
+                    "no_data": dm[1],
+                    "min_value": dm[2],
+                    "max_value": dm[3],
+                },
+                "palette": "ramp" if i == 0 else None,
+                "resampling_alg": resampling[i % 3],
+            }
+        )
+        for j in range(2):
+            instance_rows.append(
+                {
+                    "id": _uuid("instance", i * 2 + j),
+                    "name": f"var_{i}/inst_{j}",
+                    "metadata": {"proc": f"v{j}"},
+                    "variable_id": variable_rows[-1]["id"],
+                }
+            )
+
+    # ---- containers + datasets (fact table)
+    container_rows, dataset_rows = [], []
+    statuses = ["ACTIVE"] * 18 + ["INACTIVE"] + ["TODELETE"]
+    di = 0
+    for i, rec in enumerate(record_rows):
+        n_inst = 1 + (i % 3)  # each record has datasets for 1-3 instances
+        for k in range(n_inst):
+            inst = instance_rows[(i + k * 5) % len(instance_rows)]
+            dm = DMAPPINGS[di % len(DMAPPINGS)]
+            uri = f"file:///synth/{di}.tif"
+            container_rows.append(
+                {
+                    "uri": uri,
+                    "managed": di % 2 == 0,
+                    "storage_class": ["STANDARD", "INFREQUENT", "ARCHIVE", "DEEPARCHIVE"][di % 4],
+                }
+            )
+            a = next(x for x in aoi_rows if x["id"] == rec["aoi_id"])
+            bb = a["bbox"]
+            # dataset geom = record AOI buffered ±0.05°
+            bbox = {
+                "xmin": bb["xmin"] - 0.05,
+                "ymin": bb["ymin"] - 0.05,
+                "xmax": bb["xmax"] + 0.05,
+                "ymax": bb["ymax"] + 0.05,
+            }
+            wkb = rect_wkb(bbox["xmin"], bbox["ymin"], bbox["xmax"], bbox["ymax"])
+            dataset_rows.append(
+                {
+                    "id": _uuid("dataset", di),
+                    "record_id": rec["id"],
+                    "instance_id": inst["id"],
+                    "container_uri": uri,
+                    "subdir": "" if di % 5 else f"GTIFF_DIR:{di % 3 + 1}",
+                    "bands": [1] if di % 2 == 0 else [1, 2, 3],
+                    "status": statuses[di % len(statuses)],
+                    "dmapping": {
+                        "dtype": dm[0],
+                        "no_data": dm[1],
+                        "min_value": dm[2],
+                        "max_value": dm[3],
+                        "real_min_value": dm[4],
+                        "real_max_value": dm[5],
+                        "exponent": dm[6],
+                    },
+                    "geom_wkb": wkb,
+                    "bbox": bbox,
+                    "shape_srid": 32631 if 0.0 <= bbox["xmin"] <= 6.0 else 4326,
+                    "overviews": di % 3 == 0,
+                    "locked_by_job_id": "job-0" if di % 29 == 0 else None,
+                }
+            )
+            di += 1
+
+    # ---- tiles: closed-form pixels for the first 12 datasets, 1 band,
+    # 2×2 blocks, plus a nodata stripe every 7th row (FIXTURES.md §tiles)
+    tile_rows = []
+    tile_datasets = dataset_rows[:12]
+    for ridx, ds in enumerate(tile_datasets):
+        nd = ds["dmapping"]["no_data"]
+        for band in (1,):
+            for by in range(BLOCKS):
+                for bx in range(BLOCKS):
+                    rows_idx = np.arange(BLOCK_H)[:, None]
+                    cols_idx = np.arange(BLOCK_W)[None, :]
+                    px = (
+                        ridx * 1e4
+                        + band * 1e3
+                        + by * BLOCK_H * BLOCK_W
+                        + rows_idx * BLOCK_W
+                        + cols_idx
+                    ) % MODULUS
+                    px = px.astype(np.float64)
+                    px[::7, :] = nd  # deterministic nodata stripe
+                    tile_rows.append(
+                        {
+                            "container_uri": ds["container_uri"],
+                            "band": band,
+                            "level": 0,
+                            "block_x": bx,
+                            "block_y": by,
+                            "px": px.ravel().tolist(),
+                            "crs_srid": ds["shape_srid"],
+                            "pix_to_crs": {
+                                "a": 10.0, "b": 0.0, "c": ds["bbox"]["xmin"],
+                                "d": 0.0, "e": -10.0, "f": ds["bbox"]["ymax"],
+                            },
+                        }
+                    )
+
+    # ---- jobs / tasks / locked_datasets
+    job_states = ["NEW", "CREATED", "CONSOLIDATIONINPROGRESS", "DONE", "FAILED"]
+    job_rows = [
+        {
+            "id": f"job-{i}",
+            "name": f"consolidation-{i}",
+            "type": "consolidation" if i % 2 == 0 else "deletion",
+            "state": job_states[i],
+            "payload": "{}",
+            "active_tasks": i,
+            "failed_tasks": i % 2,
+            "execution_level": i % 4,
+            "waiting": i % 2 == 1,
+            "creation_ts": t0 + timedelta(hours=i),
+            "last_update_ts": t0 + timedelta(hours=i, minutes=30),
+        }
+        for i in range(5)
+    ]
+    task_states = ["NEW", "PENDING", "DONE", "FAILED", "CANCELLED"]
+    task_rows = [
+        {
+            "id": _uuid("task", i),
+            "job_id": f"job-{i % 5}",
+            "state": task_states[(i * 7) % 5],
+            "payload": bytes([i % 256]),
+        }
+        for i in range(20)
+    ]
+    locked_rows = [
+        {"dataset_id": d["id"], "job_id": "job-0", "flag": i % 2}
+        for i, d in enumerate(dataset_rows)
+        if d["locked_by_job_id"] == "job-0"
+    ]
+
+    tables = {
+        "aoi": aoi_rows,
+        "records": record_rows,
+        "variables": variable_rows,
+        "instances": instance_rows,
+        "containers": container_rows,
+        "datasets": dataset_rows,
+        "tiles": tile_rows,
+        "jobs": job_rows,
+        "tasks": task_rows,
+        "locked_datasets": locked_rows,
+    }
+    # explicit arrow schemas where pylist inference is wrong (maps -> structs)
+    str_map = pa.map_(pa.string(), pa.string())
+    explicit = {
+        "records": pa.schema(
+            [
+                ("id", pa.string()),
+                ("name", pa.string()),
+                ("datetime", pa.timestamp("us")),
+                ("tags", str_map),
+                ("aoi_id", pa.string()),
+            ]
+        ),
+        "instances": pa.schema(
+            [
+                ("id", pa.string()),
+                ("name", pa.string()),
+                ("metadata", str_map),
+                ("variable_id", pa.string()),
+            ]
+        ),
+    }
+    for name, rows in tables.items():
+        if name in explicit:
+            rows = [
+                {**r, **{k: list(r[k].items()) for k in r if isinstance(r[k], dict)}}
+                for r in rows
+            ]
+            table = pa.Table.from_pylist(rows, schema=explicit[name])
+        else:
+            table = pa.Table.from_pylist(rows)
+        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    return out_dir
+
+
+if __name__ == "__main__":
+    print(generate())

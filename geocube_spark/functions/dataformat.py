@@ -1,0 +1,189 @@
+"""DataFormat / DataMapping cast — the engine's core scalar semantics.
+
+Reference: internal/image/image.go:137-162 (castValue / castValueBF),
+internal/geocube/dataformat.go:19-26, SURVEY.md C1.
+
+A DataMapping maps internal pixel values to external ("real") values:
+
+    ve = real_min + (real_max - real_min) * ((vi - min)/(max - min)) ** exponent
+
+Casting from mapping A to mapping B goes internal_A -> external -> internal_B
+(the external ranges must agree for the cast to be meaningful — checked by
+``check_castable``), then clamps to the target dtype bounds and remaps nodata.
+NaN nodata is honoured (C14, bitmap.go:153-193): comparisons are NaN-aware.
+
+Two implementations, same closed form:
+- ``cast_expr``: pure Column expression over ``array<double>`` pixels — runs
+  JVM-side inside whole-stage codegen via ``F.transform`` (no Python in the
+  hot path).
+- ``cast_numpy``: vectorized numpy kernel for pandas-UDF pipelines (mosaic).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geocube_spark.schemas import DTYPE_BOUNDS, INT_DTYPES
+
+
+class CastError(ValueError):
+    """Equivalent of the reference's ErrUnableToCast (image.go:203-218)."""
+
+
+def is_identity(src: dict, dst: dict) -> bool:
+    """ErrNoCastToPerform short-circuit (image.go:167-169): identical
+    mappings mean the cast is the identity."""
+    keys = (
+        "dtype",
+        "no_data",
+        "min_value",
+        "max_value",
+        "real_min_value",
+        "real_max_value",
+        "exponent",
+    )
+
+    def eq(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+        return a == b
+
+    return all(eq(src[k], dst[k]) for k in keys)
+
+
+def check_castable(src: dict, dst: dict) -> None:
+    """The chained cast src->ext->dst is only a single power-law transform
+    when the external ranges line up; mirror image.go:166-219's equivalence
+    algebra by requiring equal external ranges (the fixture invariant)."""
+    if (src["real_min_value"], src["real_max_value"]) != (
+        dst["real_min_value"],
+        dst["real_max_value"],
+    ):
+        raise CastError(
+            "cannot cast between mappings with different external ranges: "
+            f"{src} -> {dst}"
+        )
+
+
+def _nan_safe_eq(col: Column, value: float) -> Column:
+    if isinstance(value, float) and math.isnan(value):
+        return F.isnan(col)
+    return col == F.lit(float(value))
+
+
+def _to_external(col: Column, m: dict) -> Column:
+    """ve = rmin + (rmax-rmin) * ((vi-min)/(max-min))^exp"""
+    lo, hi = float(m["min_value"]), float(m["max_value"])
+    rlo, rhi = float(m["real_min_value"]), float(m["real_max_value"])
+    exp = float(m["exponent"])
+    norm = (col - F.lit(lo)) / F.lit(hi - lo)
+    if exp != 1.0:
+        norm = F.pow(norm, F.lit(exp))
+    return F.lit(rlo) + F.lit(rhi - rlo) * norm
+
+
+def _from_external(col: Column, m: dict) -> Column:
+    """Inverse of _to_external: vi = min + (max-min) * ((ve-rmin)/(rmax-rmin))^(1/exp)"""
+    lo, hi = float(m["min_value"]), float(m["max_value"])
+    rlo, rhi = float(m["real_min_value"]), float(m["real_max_value"])
+    exp = float(m["exponent"])
+    norm = (col - F.lit(rlo)) / F.lit(rhi - rlo)
+    if exp != 1.0:
+        norm = F.pow(norm, F.lit(1.0 / exp))
+    return F.lit(lo) + F.lit(hi - lo) * norm
+
+
+def cast_value_expr(col: Column, src: dict, dst: dict) -> Column:
+    """Scalar cast of one value column from mapping ``src`` to ``dst``.
+
+    nodata in src maps to dst.no_data; everything else goes through the
+    power-law chain then clamps to the target dtype bounds; integer targets
+    round half-away like GDAL's scale path.
+    """
+    check_castable(src, dst)
+    v = _from_external(_to_external(col, src), dst)
+    blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
+    v = F.greatest(F.lit(blo), F.least(F.lit(bhi), v))
+    if dst["dtype"] in INT_DTYPES:
+        v = F.round(v, 0)
+    return F.when(_nan_safe_eq(col, src["no_data"]), F.lit(float(dst["no_data"]))).otherwise(v)
+
+
+def cast_expr(px: Column, src: dict, dst: dict) -> Column:
+    """Cast an ``array<double>`` pixel block — F.transform keeps this inside
+    whole-stage codegen (no Python)."""
+    if is_identity(src, dst):
+        return px
+    return F.transform(px, lambda v: cast_value_expr(v, src, dst))
+
+
+def map_to_external_expr(px: Column, m: dict) -> Column:
+    """Map a pixel block to external/physical values; nodata becomes NULL so
+    downstream aggregations are nodata-safe by construction."""
+    return F.transform(
+        px,
+        lambda v: F.when(_nan_safe_eq(v, m["no_data"]), F.lit(None)).otherwise(
+            _to_external(v, m)
+        ),
+    )
+
+
+# ---------------------------------------------------------------- numpy twin
+
+
+def cast_numpy(arr: np.ndarray, src: dict, dst: dict) -> np.ndarray:
+    """Vectorized numpy implementation with identical semantics, for use
+    inside pandas UDFs (mosaic/regrid pipelines)."""
+    if is_identity(src, dst):
+        return arr
+    check_castable(src, dst)
+    a = arr.astype(np.float64, copy=True)
+    nd = src["no_data"]
+    mask = np.isnan(a) if (isinstance(nd, float) and math.isnan(nd)) else (a == nd)
+
+    lo, hi = src["min_value"], src["max_value"]
+    rlo, rhi = src["real_min_value"], src["real_max_value"]
+    ve = rlo + (rhi - rlo) * ((a - lo) / (hi - lo)) ** src["exponent"]
+
+    dlo, dhi = dst["min_value"], dst["max_value"]
+    drlo, drhi = dst["real_min_value"], dst["real_max_value"]
+    vi = dlo + (dhi - dlo) * ((ve - drlo) / (drhi - drlo)) ** (1.0 / dst["exponent"])
+
+    blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
+    np.clip(vi, blo, bhi, out=vi)
+    if dst["dtype"] in INT_DTYPES:
+        # round half away from zero, matching Spark's F.round
+        vi = np.sign(vi) * np.floor(np.abs(vi) + 0.5)
+    vi[mask] = dst["no_data"]
+    return vi
+
+
+def cast_sql(px_col: str, src: dict, dst: dict) -> str:
+    """DuckDB list_transform twin of cast_expr, for oracle queries."""
+    if is_identity(src, dst):
+        return px_col
+    check_castable(src, dst)
+    lo, hi = src["min_value"], src["max_value"]
+    rlo, rhi = src["real_min_value"], src["real_max_value"]
+    e = src["exponent"]
+    dlo, dhi = dst["min_value"], dst["max_value"]
+    drlo, drhi = dst["real_min_value"], dst["real_max_value"]
+    de = dst["exponent"]
+    blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
+
+    ext = f"({rlo} + ({rhi} - {rlo}) * pow((v - {lo}) / ({hi} - {lo}), {e}))"
+    inv = f"({dlo} + ({dhi} - {dlo}) * pow(({ext} - {drlo}) / ({drhi} - {drlo}), {1.0 / de}))"
+    clamped = f"greatest({blo}, least({bhi}, {inv}))"
+    if dst["dtype"] in INT_DTYPES:
+        clamped = f"round({clamped}, 0)"
+    nd = src["no_data"]
+    nd_pred = "isnan(v)" if (isinstance(nd, float) and math.isnan(nd)) else f"v = {nd}"
+    return (
+        f"list_transform({px_col}, v -> CASE WHEN {nd_pred} "
+        f"THEN {dst['no_data']} ELSE {clamped} END)"
+    )

@@ -1,0 +1,185 @@
+"""Vector kernels for similarity search & near-dup detection.
+
+Hot-path math stays JVM-side: dot products and norms via F.zip_with +
+F.aggregate over array<float> columns (whole-stage codegen), with numpy
+pandas-UDF variants for batch-heavy paths (brute-force top-k over many
+query vectors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """sum(a[i]*b[i]) via zip_with+aggregate — no Python, no explode."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def dot_sql(a: str, b: str) -> str:
+    return f"list_dot_product({a}, {b})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+def normalize_udf():
+    """pandas UDF: L2-normalize an embedding column (pre-normalizing turns
+    cosine top-k into dot-product top-k — half the math at query time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def l2_normalize(vec: pd.Series) -> pd.Series:
+        def f(v):
+            a = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(a)
+            return (a / n).tolist() if n > 0 else a.tolist()
+
+        return vec.apply(f)
+
+    return l2_normalize
+
+
+# ------------------------------------------------------------------- MinHash
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod p — deterministic seeds
+# so Spark and any oracle reimplementation agree bit-for-bit.  p = 2^31-1
+# keeps a*h + b < 2^63 (Spark 4 runs ANSI mode: long overflow raises).
+_MERSENNE_P = (1 << 31) - 1
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE_P - 1)), int(rng.randint(0, _MERSENNE_P - 1)))
+        for _ in range(num_hashes)
+    ]
+
+
+def shingles_expr(col: Column, k: int = 5) -> Column:
+    """Character k-shingle set of normalized text as array<string> (distinct).
+
+    Built from sequence+transform+substring — JVM-side, no Python.
+    """
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    n = F.greatest(F.length(normalized) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(normalized, i, F.lit(k)))
+    )
+
+
+def word_shingles_expr(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingles as array<string> (distinct) — JVM-side via
+    sequence + slice + concat_ws."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), n)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def word_shingles_sql(c: str, k: int = 3) -> str:
+    toks = f"regexp_split_to_array(regexp_replace(lower(trim({c})), '\\s+', ' ', 'g'), ' ')"
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def _affine_hasher(a: int, b: int):
+    """1-arg HOF lambda: h -> (a*h + b) mod p over pre-reduced hashes."""
+    return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))
+
+
+def minhash_signature_expr(shingles: Column, params: list[tuple[int, int]]) -> Column:
+    """MinHash signature as array<bigint>: for each (a,b), min over shingles
+    of (a * xxhash64(s) + b) mod p.  Entirely F.transform/F.aggregate —
+    executes in codegen, no Python per row."""
+    def _hasher(a: int, b: int):
+        # closure factory: a 1-arg lambda (default-arg capture would make
+        # PySpark treat it as a multi-arg HOF lambda)
+        return lambda s: F.pmod(
+            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)) + F.lit(b),
+            F.lit(_MERSENNE_P),
+        )
+
+    sig_parts = [
+        F.array_min(F.transform(shingles, _hasher(a, b))) for a, b in params
+    ]
+    return F.array(*sig_parts)
+
+
+def band_keys_expr(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to a bucket key.
+    Returns array<struct<band:int, key:bigint>> ready to explode."""
+    parts = []
+    for band in range(bands):
+        band_slice = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+        key = F.xxhash64(F.concat_ws(",", F.transform(band_slice, lambda v: v.cast("string"))))
+        parts.append(F.struct(F.lit(band).alias("band"), key.alias("key")))
+    return F.array(*parts)
+
+
+# -------------------------------------------------------------------- SimHash
+
+
+def simhash_expr(tokens: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over a token array: sum per-bit +/-1 weighted by token
+    hash bits, sign-threshold.  Expressed with aggregate over bit positions —
+    JVM-side.  Returns bigint."""
+    # per-token 64-bit hash
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    # For each bit position, count tokens with that bit set, compare to half.
+    bit_cols = []
+    for i in range(bits):
+        ones = F.size(F.filter(hashes, _bit_set(i)))
+        bit = (ones * 2 > F.size(hashes)).cast("long")
+        bit_cols.append(F.shiftleft(bit, i))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def hamming_distance_expr(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ------------------------------------------------------------ numpy batch ops
+
+
+def topk_dot_numpy(query: np.ndarray, matrix: np.ndarray, k: int):
+    """Brute-force top-k by dot product, vectorized (one GEMV per batch)."""
+    scores = matrix @ query
+    if k >= len(scores):
+        idx = np.argsort(-scores)
+    else:
+        part = np.argpartition(-scores, k)[:k]
+        idx = part[np.argsort(-scores[part])]
+    return idx, scores[idx]

@@ -1,0 +1,177 @@
+"""Grid cover / TileAOI (R8) — AOI -> stream of cells.
+
+Reference: internal/utils/grid/regulargrid.go:169-261 (rasterized cover),
+singlecellgrid.go:53-105, customgrid.go:70-108, dispatch abstractgrid.go:53-66,
+dedup layout.go:73-113 (L3).
+
+Spark-first: the reference rasterizes the AOI to find covered cells; at Spark
+scale the same output contract (unique cell URIs; cells may overlap the AOI
+boundary, all-touched semantics) falls out of integer range arithmetic on the
+AOI bbox + an exact intersect filter, exploded into a DataFrame.  The custom
+grid is the J5 spatial join against a cells table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.geometry import clip_convex, decode_wkb
+
+
+@dataclass
+class RegularGridSpec:
+    """grid_parameters of a 'regular' layout (FIXTURES.md layouts)."""
+
+    crs: str
+    cell_size: int  # pixels per cell edge
+    resolution: float  # CRS units per pixel
+    ox: float = 0.0
+    oy: float = 0.0
+
+    @property
+    def cell_span(self) -> float:
+        return self.cell_size * self.resolution
+
+
+def cover_regular(
+    spark: SparkSession,
+    aoi_rects: list[tuple[float, float, float, float]],
+    spec: RegularGridSpec,
+) -> DataFrame:
+    """Regular-grid cover: candidate (i,j) ranges from each rect's bbox,
+    exploded distributively, exact-filtered, deduped by cell URI (L3).
+
+    The candidate enumeration is a DataFrame sequence-explode, so a huge AOI
+    never materializes on the driver (contrast the reference's in-memory
+    rasterization bounded by RAM/10 — svc/service.go:515).
+    """
+    rects_df = spark.createDataFrame(
+        [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
+        "rect_id INT, xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE",
+    )
+    span = spec.cell_span
+    i0 = F.floor((F.col("xmin") - spec.ox) / span).cast("long")
+    i1 = F.ceil((F.col("xmax") - spec.ox) / span).cast("long") - 1
+    j0 = F.floor((F.col("ymin") - spec.oy) / span).cast("long")
+    j1 = F.ceil((F.col("ymax") - spec.oy) / span).cast("long") - 1
+    cells = (
+        rects_df.select(
+            "rect_id",
+            "xmin",
+            "ymin",
+            "xmax",
+            "ymax",
+            F.explode(F.sequence(i0, F.greatest(i1, i0))).alias("i"),
+            j0.alias("j0"),
+            j1.alias("j1"),
+        )
+        .select(
+            "rect_id",
+            "xmin",
+            "ymin",
+            "xmax",
+            "ymax",
+            "i",
+            F.explode(F.sequence(F.col("j0"), F.greatest(F.col("j1"), F.col("j0")))).alias("j"),
+        )
+        .withColumn("cell_xmin", spec.ox + F.col("i") * span)
+        .withColumn("cell_ymin", spec.oy + F.col("j") * span)
+        .withColumn("cell_xmax", F.col("cell_xmin") + span)
+        .withColumn("cell_ymax", F.col("cell_ymin") + span)
+        # exact phase: cell rect ∩ aoi rect non-empty (all-touched: >= on edges)
+        .filter(
+            (F.col("cell_xmin") < F.col("xmax"))
+            & (F.col("cell_xmax") > F.col("xmin"))
+            & (F.col("cell_ymin") < F.col("ymax"))
+            & (F.col("cell_ymax") > F.col("ymin"))
+        )
+    )
+    return (
+        cells.select(
+            F.concat_ws("/", F.lit("cell"), F.col("i"), F.col("j")).alias("cell_uri"),
+            "i",
+            "j",
+            "cell_xmin",
+            "cell_ymin",
+            "cell_xmax",
+            "cell_ymax",
+        )
+        .dropDuplicates(["cell_uri"])  # L3 dedup (layout.go:82-101)
+    )
+
+
+def cover_singlecell(
+    aoi_rects: list[tuple[float, float, float, float]], spec: RegularGridSpec
+) -> tuple[float, float, int, int]:
+    """Singlecell grid (singlecellgrid.go:53-105): the AOI bbox becomes ONE
+    cell — origin snapped to resolution, size in pixels."""
+    xmin = min(r[0] for r in aoi_rects)
+    ymin = min(r[1] for r in aoi_rects)
+    xmax = max(r[2] for r in aoi_rects)
+    ymax = max(r[3] for r in aoi_rects)
+    ox = spec.ox + ((xmin - spec.ox) // spec.resolution) * spec.resolution
+    oy = spec.oy + ((ymin - spec.oy) // spec.resolution) * spec.resolution
+    w = int(-(-(xmax - ox) // spec.resolution))
+    h = int(-(-(ymax - oy) // spec.resolution))
+    return ox, oy, w, h
+
+
+def cover_custom(
+    aoi_rects: list[tuple[float, float, float, float]],
+    cells: DataFrame,
+) -> DataFrame:
+    """Custom grid (J5, pg_grids.go:113-151): spatial join AOI × cells table
+    returning the intersection geometry per cell; empty/degenerate
+    intersections dropped (dimension filter pg_grids.go:126).
+
+    Two-phase: bbox prune (pushdown-friendly) then exact convex clip UDF.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    spark = cells.sparkSession
+    rects_df = spark.createDataFrame(
+        [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
+        "rect_id INT, q_xmin DOUBLE, q_ymin DOUBLE, q_xmax DOUBLE, q_ymax DOUBLE",
+    )
+    # broadcast the (tiny) query-rect list; bbox range predicate is the join
+    # condition, so only bbox survivors reach the exact clip UDF (O3)
+    pruned = cells.join(
+        F.broadcast(rects_df),
+        (F.col("bbox.xmin") <= F.col("q_xmax"))
+        & (F.col("bbox.xmax") >= F.col("q_xmin"))
+        & (F.col("bbox.ymin") <= F.col("q_ymax"))
+        & (F.col("bbox.ymax") >= F.col("q_ymin")),
+        "inner",
+    )
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def clip_bounds(
+        wkb: pd.Series, qxmin: pd.Series, qymin: pd.Series, qxmax: pd.Series, qymax: pd.Series
+    ) -> pd.Series:
+        out = []
+        for b, x0, y0, x1, y1 in zip(wkb, qxmin, qymin, qxmax, qymax):
+            best: list[float] | None = None
+            for ring in decode_wkb(bytes(b)):
+                clipped = clip_convex(ring, (x0, y0, x1, y1))
+                if len(clipped) >= 3:
+                    xs = [p[0] for p in clipped]
+                    ys = [p[1] for p in clipped]
+                    best = [min(xs), min(ys), max(xs), max(ys)]
+                    break
+            out.append(best)
+        return pd.Series(out)
+
+    clipped = pruned.withColumn(
+        "isect_bounds",
+        clip_bounds(
+            F.col("geom_wkb"), F.col("q_xmin"), F.col("q_ymin"), F.col("q_xmax"), F.col("q_ymax")
+        ),
+    ).filter(F.col("isect_bounds").isNotNull())
+    return clipped.select(
+        "id", "grid", "crs", "srid", "isect_bounds"
+    ).dropDuplicates(["id"])

@@ -1,0 +1,216 @@
+"""Deduplication operators over the documents table.
+
+Five strategies, scale-ordered:
+
+- exact: hash-groupBy on normalized text (one shuffle on a 16-byte key)
+- minhash_lsh: shingle -> minhash signature -> banded buckets -> candidate
+  pairs within buckets only (no O(n²) cross join) -> exact Jaccard verify
+- simhash: 64-bit fingerprint, near-dups = small Hamming distance within
+  prefix buckets
+- ngram_jaccard: exact Jaccard via shingle explode + self-join on shingle
+  (the verification oracle for the sketch-based paths)
+- embedding near-dup: cosine > threshold via the similarity module
+
+All heavy math is JVM-side (xxhash64, higher-order array functions); Python
+never touches row data.  At 100 TB the LSH path shuffles only
+(doc_id, band_key) pairs — the documents' text stays columnar and pruned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.text import normalized_md5
+from geocube_spark.functions.vectors import (
+    _MERSENNE_P,
+    _affine_hasher,
+    band_keys_expr,
+    minhash_params,
+    simhash_expr,
+    word_shingles_expr,
+)
+
+
+def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized) documents: fingerprint ->
+    groupBy -> keep groups of size > 1.  Returns (fp, n_docs, doc_ids)."""
+    return (
+        documents.select(F.col("doc_id"), normalized_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id of each exact-duplicate group — the scalable
+    keep-first dedup (min aggregation, no window over the full table)."""
+    keep = (
+        documents.select(normalized_md5(F.col(text_col)).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return documents.join(keep, "doc_id", "left_semi")
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    params = minhash_params(num_hashes, seed)
+    # materialize shingles first so the (expensive) shingle expression is
+    # evaluated once per row, not re-inlined into all num_hashes min-hash
+    # expressions by projection collapse
+    base = documents.select(
+        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+    )
+    # pre-hash each shingle once; the per-function (a,b) transforms then run
+    # over small ints (num_hashes × |shingles| cheap long ops).  Catalyst's
+    # CollapseProject keeps multi-referenced non-cheap expressions in their
+    # own projection, so `hs` is computed once per row.
+    hashed = base.select(
+        "doc_id",
+        "shingles",
+        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias(
+            "hs"
+        ),
+    )
+    sig = [F.array_min(F.transform("hs", _affine_hasher(a, b))) for a, b in params]
+    return hashed.select("doc_id", "shingles", F.array(*sig).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding.
+
+    Plan shape: signatures (narrow) -> explode to (band,key) -> self-join on
+    the bucket key (equi-join => hash shuffle on band keys, never a cross
+    join) -> distinct pairs.  Bucket skew is bounded because band keys are
+    64-bit hashes; AQE skew-join covers pathological buckets.
+    """
+    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_k, seed)
+    rows_per_band = num_hashes // bands
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(band_keys_expr(F.col("signature"), bands, rows_per_band)).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard on the shingle sets.
+    Returns (doc_a, doc_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_k, seed)
+    cands = minhash_lsh_candidates(documents, text_col, num_hashes, bands, shingle_k, seed)
+    sh = sigs.select("doc_id", "shingles")
+    joined = (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            (inter / F.greatest(union, F.lit(1))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join (the oracle-checkable dedup).
+
+    Explode shingles -> self-join on shingle (equi) -> count shared ->
+    |A∩B| / (|A|+|B|-|A∩B|).  Shuffles (doc_id, shingle-hash) pairs; for
+    100 TB use minhash_lsh first and this only on candidates.
+    """
+    sh = documents.select(
+        "doc_id",
+        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    return documents.select("doc_id", simhash_expr(toks).alias("simhash"))
+
+
+def simhash_near_duplicates(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dups: bucket by the top ``prefix_bits`` bits (near-dups
+    agreeing on the prefix collide), verify Hamming distance within buckets.
+    One equi-join shuffle; rotate prefixes for higher recall if needed."""
+    fp = simhash_fingerprints(documents, text_col)
+    bucketed = fp.withColumn("bucket", F.shiftrightunsigned("simhash", 64 - prefix_bits))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,102 @@
+"""Mosaic (A7), valid-pixel count/filter (A9/F12) over the tile table.
+
+Reference: internal/image/image.go:321-422 (MergeDatasets) — GDAL warp
+paints inputs in record-time order so the LATEST record wins per pixel,
+skipping nodata (docs/user-guide/access.md:33-37); valid-pixel check
+image.go:372-381 + bitmap.go:153-207.
+
+Spark-first design: tiles keyed by (container, band, level, block) join to
+their dataset's record time; the mosaic is a single groupBy per output block
+with a JVM-side array reduce — newest-first coalesce per pixel index.  No
+Python in the loop, no explode of 4096-wide arrays, map-side partial
+aggregation applies.  At 100 TB this shuffles exactly one array per
+(block, record) — the minimum possible — and AQE handles skewed cells.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _nodata_pred(v: Column, nodata: Column) -> Column:
+    """NaN-aware nodata comparison (C14, bitmap.go:153-193)."""
+    return F.when(F.isnan(nodata), F.isnan(v)).otherwise(v == nodata)
+
+
+def valid_count_expr(px: Column, nodata: Column) -> Column:
+    """A9: count of non-nodata pixels in a block."""
+    return F.size(F.filter(px, lambda v: ~_nodata_pred(v, nodata)))
+
+
+def mosaic_blocks(
+    tiles_with_time: DataFrame,
+    nodata: float,
+    out_prefix: str = "",
+) -> DataFrame:
+    """A7 latest-wins mosaic.
+
+    Input: tile rows + ``record_datetime``/``record_id`` columns (from the
+    datasets join), all on the SAME aligned grid (the reference's post-warp
+    state).  Output: one row per (band, level, block_x, block_y) whose ``px``
+    is the per-pixel newest non-nodata value.
+
+    Implementation: sort each group's blocks newest-first (array_sort on a
+    (datetime, record_id) struct — W1/W2 tie-break), then a single
+    ``aggregate``+``zip_with`` fold: acc[i] = first non-nodata from the top.
+    All higher-order functions -> whole-stage codegen.
+    """
+    nd = F.lit(float(nodata))
+    grouped = tiles_with_time.groupBy("band", "level", "block_x", "block_y").agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("record_datetime").alias("t"),
+                        F.col("record_id").alias("rid"),
+                        F.col("px").alias("px"),
+                    )
+                )
+            )
+        ).alias("stack")
+    )
+
+    # newest-first fold: start from the newest block, fill nodata holes from
+    # older blocks one zip_with at a time.
+    merged_px = F.aggregate(
+        F.slice(F.col("stack"), 2, F.greatest(F.size("stack") - 1, F.lit(0))),
+        F.element_at(F.col("stack"), 1)["px"],
+        lambda acc, s: F.zip_with(
+            acc, s["px"], lambda a, b: F.when(_nodata_pred(a, nd), b).otherwise(a)
+        ),
+    )
+    out = grouped.select(
+        "band",
+        "level",
+        "block_x",
+        "block_y",
+        merged_px.alias(f"{out_prefix}px"),
+        F.size("stack").alias("n_inputs"),
+    )
+    return out
+
+
+def filter_valid_slices(
+    mosaic: DataFrame,
+    nodata: float,
+    min_valid_fraction: float,
+    px_col: str = "px",
+    block_pixels: int = 4096,
+) -> DataFrame:
+    """F12: drop output blocks whose valid-pixel fraction < threshold.
+
+    The reference applies this per merged SLICE; per-block filtering plus a
+    grouped sum reproduces the slice-level decision when needed.
+    """
+    if min_valid_fraction <= 0:
+        return mosaic
+    nd = F.lit(float(nodata))
+    k = int(math.ceil(min_valid_fraction * block_pixels))
+    return mosaic.filter(valid_count_expr(F.col(px_col), nd) >= k)

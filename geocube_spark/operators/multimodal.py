@@ -1,0 +1,168 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media assets are opaque ``binary`` columns with a typed metadata struct —
+the same pattern as the tile table's pixel payloads.  Decode/resize/frame-
+sample kernels run as Arrow-batched ``mapInPandas`` so each task streams
+batches without materializing a partition; the actual codec step is STUBBED
+(no image/audio libs in this container) behind ``set_decoder`` with a
+deterministic fake, while every Spark-side concern — schema, batch shape,
+partitioning, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), False),
+        StructField("meta", StructType(
+            [
+                StructField("width", IntegerType(), True),
+                StructField("height", IntegerType(), True),
+                StructField("channels", IntegerType(), True),
+                StructField("sample_rate", IntegerType(), True),
+                StructField("duration_ms", IntegerType(), True),
+                StructField("codec", StringType(), True),
+            ]
+        ), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("feature", ArrayType(DoubleType()), False),
+        StructField("payload_sha1", StringType(), False),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in for a real codec: payload bytes -> pseudo pixel
+    array seeded by the payload hash.  Replace via ``set_decoder`` when a
+    real library (PIL/ffmpeg) is available."""
+    h = int.from_bytes(hashlib.sha1(payload).digest()[:8], "big")
+    rng = np.random.RandomState(h % (2**32))
+    w = int(meta.get("width") or 16)
+    hgt = int(meta.get("height") or 16)
+    c = int(meta.get("channels") or 3)
+    return rng.randint(0, 256, size=(hgt, w, c)).astype(np.float64)
+
+
+_DECODER: Callable[[bytes, dict], np.ndarray] = _fake_decode
+
+
+def set_decoder(fn: Callable[[bytes, dict], np.ndarray]) -> None:
+    """Install a real decoder (e.g. PIL-based).  The default deterministic
+    fake keeps the pipeline testable in this container."""
+    global _DECODER
+    _DECODER = fn
+
+
+def real_decoder_stub(payload: bytes, meta: dict) -> np.ndarray:
+    """Where a real implementation would go — PIL.Image.open / soundfile /
+    pyav frame sampling.  Not available in this environment."""
+    raise NotImplementedError("media codecs are not installed in this container")
+
+
+def extract_features(media: DataFrame, pool: int = 4) -> DataFrame:
+    """Decode + pooled-feature extraction via mapInPandas.
+
+    Output feature = ``pool``×``pool``-mean-pooled grayscale grid (image) or
+    windowed energy (audio) — cheap, deterministic, and shaped exactly like a
+    real embedding extractor's output.  Arrow batches stream through each
+    task; nothing driver-side.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                arr = _DECODER(payload, meta)
+                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                h, w = gray.shape
+                ph, pw = max(h // pool, 1), max(w // pool, 1)
+                feat = [
+                    float(gray[i * ph : (i + 1) * ph, j * pw : (j + 1) * pw].mean())
+                    for i in range(pool)
+                    for j in range(pool)
+                ]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "feature": feat,
+                        "payload_sha1": hashlib.sha1(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: nearest-neighbor index remap on the decoded array —
+    the same affine-index pattern the raster regrid (R2) uses."""
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType(), False),
+            StructField("px", ArrayType(DoubleType()), False),
+            StructField("width", IntegerType(), False),
+            StructField("height", IntegerType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                arr = _DECODER(bytes(row["payload"]), meta)
+                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                sh, sw = gray.shape
+                yi = (np.arange(height) * sh // height).clip(0, sh - 1)
+                xi = (np.arange(width) * sw // width).clip(0, sw - 1)
+                resized = gray[np.ix_(yi, xi)]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "px": resized.ravel().tolist(),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.mapInPandas(run, out_schema)
+
+
+def media_dedup_exact(media: DataFrame) -> DataFrame:
+    """Exact media dedup by payload hash — JVM-side sha1 over the binary
+    column, no decode needed."""
+    return (
+        media.select("media_id", F.sha1(F.col("payload")).alias("payload_sha1"))
+        .groupBy("payload_sha1")
+        .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("media_id")).alias("media_ids"))
+        .filter(F.col("n") > 1)
+    )

@@ -1,0 +1,1021 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark callable ``(spark, sf_dir) -> DataFrame`` with an
+equivalent DuckDB oracle SQL string over the driver's parquet views
+(region nation customer supplier part orders lineitem events documents
+embeddings).  The TPC-H-ish tables exercise the geocube catalog operators
+through the SAME code paths (plans.find_datasets etc.) by aliasing them to
+the canonical entity schema — per FIXTURES.md §"Relational correctness
+harness".  Spatial/raster operators run on the deterministic fixture tables
+(geocube_spark.fixtures) and their oracles read the same parquet files.
+
+DuckDB 1.0 dialect notes (tested):
+- map extract ``m['k']`` returns a LIST -> use ``m['k'][1]``
+- existence -> ``list_contains(map_keys(m), 'k')``
+- ``sum(BIGINT)`` -> HUGEINT -> always CAST to BIGINT
+- array sums -> ``list_aggregate(l, 'sum')``
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.dataformat import cast_expr, cast_sql
+from geocube_spark.functions.text import (
+    bpe_ish_token_count,
+    bpe_ish_token_count_sql,
+    lang_guess,
+    lang_guess_sql,
+    normalized_md5,
+    normalized_md5_sql,
+    punct_ratio,
+    punct_ratio_sql,
+    quality_score,
+    quality_score_sql,
+    token_count,
+    token_count_sql,
+)
+from geocube_spark.functions.vectors import cosine_expr, cosine_sql
+from geocube_spark.operators import dedup as dd
+from geocube_spark.operators import similarity as sim
+from geocube_spark.operators.cover import RegularGridSpec, cover_regular
+from geocube_spark.operators.mosaic import mosaic_blocks, valid_count_expr
+from geocube_spark.operators.pyramid import build_level
+from geocube_spark.plans.cube import group_by_record
+from geocube_spark.plans.find_datasets import DatasetFilters, find_datasets
+from geocube_spark.plans.find_records import RecordFilters, find_records
+
+FIXTURE_DIR = "/root/repo/.fixtures"
+
+# fixture dmappings used by the cast query (fixtures.DMAPPINGS[0] -> UInt8)
+_SRC_DM = {
+    "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0,
+    "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+}
+_DST_DM = {
+    "dtype": "UInt8", "no_data": 0.0, "min_value": 1.0, "max_value": 255.0,
+    "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+}
+
+
+def ensure_fixtures() -> str:
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "datasets.parquet")):
+        from geocube_spark import fixtures
+
+        fixtures.generate(FIXTURE_DIR, n_records=200)
+    return FIXTURE_DIR
+
+
+# ------------------------------------------------------------ entity mapping
+# TPC-H -> canonical catalog schema, so the driver tables flow through the
+# real plan builders (the relational-correctness harness of FIXTURES.md).
+
+
+def datasets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        F.concat_ws(
+            "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+        ).alias("id"),
+        F.col("l_orderkey").cast("string").alias("record_id"),
+        F.col("l_suppkey").cast("string").alias("instance_id"),
+        F.concat(
+            F.lit("file:///synth/"), F.col("l_partkey").cast("string"), F.lit(".tif")
+        ).alias("container_uri"),
+        F.col("l_returnflag").alias("status"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+
+
+_DATASETS_SQL = """
+    SELECT l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS id,
+           l_orderkey::VARCHAR AS record_id,
+           l_suppkey::VARCHAR AS instance_id,
+           'file:///synth/' || l_partkey::VARCHAR || '.tif' AS container_uri,
+           l_returnflag AS status,
+           l_quantity AS quantity,
+           l_extendedprice AS extendedprice,
+           l_discount AS discount
+    FROM lineitem
+"""
+
+
+def records_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_orderdate").alias("datetime"),
+        F.concat(F.lit("ORD_"), F.col("o_orderkey").cast("string")).alias("name"),
+        F.create_map(
+            F.lit("STATUS"), F.col("o_orderstatus"),
+            F.lit("PRIORITY"), F.col("o_orderpriority"),
+        ).alias("tags"),
+        F.col("o_custkey").cast("string").alias("aoi_id"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+_RECORDS_SQL = """
+    SELECT o_orderkey::VARCHAR AS id,
+           o_orderdate AS datetime,
+           'ORD_' || o_orderkey::VARCHAR AS name,
+           o_orderstatus AS status_tag,
+           o_orderpriority AS priority_tag,
+           o_custkey::VARCHAR AS aoi_id,
+           o_totalprice AS totalprice
+    FROM orders
+"""
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read under the legacy nanos-as-long conf and expose both the
+    exact ``ts_ns`` (long) and a µs-precision ``ts`` timestamp."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        ev = ev.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    else:
+        ev = ev.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+    return ev
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    )
+
+
+_EMB_SQL = "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding, label FROM embeddings"
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# =============================================================== catalog ops
+
+# F1+F2+F3+J1+W1: the FindDatasets core — status filter, instance IN-list,
+# time range, conditional records join, global (datetime, id) order.
+@q(
+    "find_datasets_core",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), r AS ({_RECORDS_SQL})
+    SELECT d.id, d.record_id, d.instance_id,
+           strftime(r.datetime, '%Y-%m-%d') AS record_date
+    FROM d JOIN r ON d.record_id = r.id
+    WHERE d.status = 'N'
+      AND d.instance_id IN ('1','2','3','4','5','6','7')
+      AND r.datetime >= TIMESTAMP '1996-01-01'
+      AND r.datetime <= TIMESTAMP '1998-12-31'
+    """,
+)
+def find_datasets_core(spark, sf_dir):
+    from datetime import datetime
+
+    flt = DatasetFilters(
+        status="N",
+        instance_ids=[str(i) for i in range(1, 8)],
+        time_from=datetime(1996, 1, 1),
+        time_to=datetime(1998, 12, 31),
+    )
+    out = find_datasets(datasets_view(spark, sf_dir), records_view(spark, sf_dir), flt)
+    return out.select(
+        "id",
+        "record_id",
+        "instance_id",
+        F.date_format("record_datetime", "yyyy-MM-dd").alias("record_date"),
+    )
+
+
+# F4: tag predicates — equality, existence, glob on tag values.
+@q(
+    "find_datasets_tags",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), r AS ({_RECORDS_SQL})
+    SELECT d.id, r.status_tag AS tag_status, r.priority_tag AS tag_priority
+    FROM d JOIN r ON d.record_id = r.id
+    WHERE d.status = 'A'
+      AND r.status_tag = 'F'
+      AND r.priority_tag LIKE '1-%'
+    """,
+)
+def find_datasets_tags(spark, sf_dir):
+    flt = DatasetFilters(status="A", tags={"STATUS": "F", "PRIORITY": "1-*"}, order=False)
+    out = find_datasets(datasets_view(spark, sf_dir), records_view(spark, sf_dir), flt)
+    return out.select(
+        "id",
+        F.element_at("record_tags", "STATUS").alias("tag_status"),
+        F.element_at("record_tags", "PRIORITY").alias("tag_priority"),
+    )
+
+
+# F5/F9: record-name glob translation (?, *, trailing (?i)).
+@q(
+    "find_datasets_name_glob",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), r AS ({_RECORDS_SQL})
+    SELECT d.id, r.name AS record_name
+    FROM d JOIN r ON d.record_id = r.id
+    WHERE r.name LIKE 'ORD\\_1??' ESCAPE '\\'
+      AND d.status = 'R'
+    """.replace("??", "__"),
+)
+def find_datasets_name_glob(spark, sf_dir):
+    flt = DatasetFilters(status="R", record_name_glob="ORD_1??", order=False)
+    out = find_datasets(datasets_view(spark, sf_dir), records_view(spark, sf_dir), flt)
+    return out.select("id", F.col("record_name"))
+
+
+# F6: container URI pattern buckets (equality + LIKE + ILIKE, OR-ed).
+@q(
+    "find_datasets_uri_globs",
+    f"""
+    WITH d AS ({_DATASETS_SQL})
+    SELECT d.id, d.container_uri FROM d
+    WHERE d.container_uri LIKE 'file:///synth/12%.tif'
+       OR d.container_uri = 'file:///synth/777.tif'
+       OR lower(d.container_uri) LIKE lower('FILE:///SYNTH/99_.TIF')
+    """,
+)
+def find_datasets_uri_globs(spark, sf_dir):
+    flt = DatasetFilters(
+        status=None,
+        container_uri_globs=["file:///synth/12*.tif", "file:///synth/777.tif", "FILE:///SYNTH/99?.TIF(?i)"],
+        order=False,
+    )
+    out = find_datasets(datasets_view(spark, sf_dir), None, flt)
+    return out.select("id", "container_uri")
+
+
+# F3/C9: zero-time = unbounded (only an upper bound here).
+@q(
+    "find_datasets_unbounded_time",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), r AS ({_RECORDS_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_datasets,
+           CAST(count(DISTINCT d.record_id) AS BIGINT) AS n_records
+    FROM d JOIN r ON d.record_id = r.id
+    WHERE r.datetime <= TIMESTAMP '1995-06-30' AND d.status = 'A'
+    """,
+)
+def find_datasets_unbounded_time(spark, sf_dir):
+    from datetime import datetime
+
+    flt = DatasetFilters(status="A", time_to=datetime(1995, 6, 30), order=False)
+    out = find_datasets(datasets_view(spark, sf_dir), records_view(spark, sf_dir), flt)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_datasets"),
+        F.countDistinct("record_id").alias("n_records"),
+    )
+
+
+# L1: deterministic pagination (order by datetime, id-string — W1 key).
+@q(
+    "list_records_paginated",
+    f"""
+    WITH r AS ({_RECORDS_SQL})
+    SELECT r.id, strftime(r.datetime, '%Y-%m-%d') AS record_date, r.name
+    FROM r
+    ORDER BY r.datetime, r.id
+    LIMIT 50 OFFSET 100
+    """,
+)
+def list_records_paginated(spark, sf_dir):
+    flt = RecordFilters(offset=100, limit=50)
+    out = find_records(records_view(spark, sf_dir), None, flt)
+    return out.select(
+        "id", F.date_format("datetime", "yyyy-MM-dd").alias("record_date"), "name"
+    )
+
+
+# A3/R12: headers-only cube — slices grouped by record, ordered by time.
+@q(
+    "cube_headers_by_record",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), r AS ({_RECORDS_SQL})
+    SELECT d.record_id,
+           strftime(r.datetime, '%Y-%m-%d') AS record_date,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           min(d.id) AS first_dataset_id
+    FROM d JOIN r ON d.record_id = r.id
+    WHERE d.status = 'A'
+      AND r.datetime >= TIMESTAMP '1997-01-01' AND r.datetime <= TIMESTAMP '1997-03-31'
+    GROUP BY d.record_id, r.datetime
+    """,
+)
+def cube_headers_by_record(spark, sf_dir):
+    from datetime import datetime
+
+    flt = DatasetFilters(
+        status="A", time_from=datetime(1997, 1, 1), time_to=datetime(1997, 3, 31)
+    )
+    d = find_datasets(datasets_view(spark, sf_dir), records_view(spark, sf_dir), flt)
+    grouped = group_by_record(d)
+    return grouped.select(
+        "record_id",
+        F.date_format("record_datetime", "yyyy-MM-dd").alias("record_date"),
+        "n_datasets",
+        F.array_min(F.transform("datasets", lambda s: s["id"])).alias("first_dataset_id"),
+    )
+
+
+# A5: UpdateDatasets dry-run impact count — group by the 7-scalar mapping
+# (here: the distinct flag pairs stand in for the dmapping struct).
+@q(
+    "impact_count",
+    """
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def impact_count(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"), F.col("l_linestatus").alias("linestatus")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# J7: TidyDB pending-cleanup anti-join (customers no order references).
+@q(
+    "tidy_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def tidy_anti_join(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# W4: latest-first mosaic rank — newest row per group with (time, id)
+# tie-break, the per-pixel winner rule of A7 expressed relationally.
+@q(
+    "mosaic_rank_latest",
+    """
+    SELECT record_id, dataset_id, ship_date FROM (
+        SELECT l_orderkey::VARCHAR AS record_id,
+               l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR AS dataset_id,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+               row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_shipdate DESC, l_linenumber DESC
+               ) AS rk
+        FROM lineitem
+    ) WHERE rk = 1
+    """,
+)
+def mosaic_rank_latest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("l_orderkey").cast("string").alias("record_id"),
+            F.concat_ws(
+                "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+            ).alias("dataset_id"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        )
+    )
+
+
+# L6: reconsolidation union — two overlapping dataset selections unioned and
+# deduped by id.
+@q(
+    "union_reconsolidation",
+    f"""
+    WITH d AS ({_DATASETS_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT DISTINCT id FROM (
+            SELECT id FROM d WHERE quantity > 40
+            UNION ALL
+            SELECT id FROM d WHERE discount >= 0.08
+        )
+    )
+    """,
+)
+def union_reconsolidation(spark, sf_dir):
+    d = datasets_view(spark, sf_dir)
+    a = d.filter(F.col("quantity") > 40)
+    b = d.filter(F.col("discount") >= 0.08)
+    return (
+        a.unionByName(b)
+        .dropDuplicates(["id"])
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# A10: task counters pivot (events stand in for tasks).
+@q(
+    "task_counters_pivot",
+    """
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def task_counters_pivot(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select("user_id", "event_type")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+# J6: container_layouts join — DISTINCT + per-layout grouping.
+@q(
+    "container_layouts",
+    """
+    SELECT p.p_brand AS layout_name,
+           CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_containers,
+           CAST(count(*) AS BIGINT) AS n_datasets
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def container_layouts(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("layout_name"))
+        .agg(
+            F.countDistinct("l_partkey").alias("n_containers"),
+            F.count(F.lit(1)).alias("n_datasets"),
+        )
+    )
+
+
+# ================================================================ TPC-H core
+
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
+           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
+           CAST(avg(l_extendedprice) AS DOUBLE) AS avg_price,
+           CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3",
+    """
+    SELECT l_orderkey,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-03-15'
+      AND l.l_shipdate > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o["o_custkey"] == c["c_custkey"])
+        .filter((F.col("o_orderdate") < "1997-03-15") & (F.col("l_shipdate") > "1997-03-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5(spark, sf_dir):
+    t = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")
+    }
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"])
+        .join(t["customer"], t["orders"]["o_custkey"] == t["customer"]["c_custkey"])
+        .join(
+            t["supplier"],
+            (t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+            & (t["customer"]["c_nationkey"] == t["supplier"]["s_nationkey"]),
+        )
+        .join(F.broadcast(t["nation"]), t["supplier"]["s_nationkey"] == t["nation"]["n_nationkey"])
+        .join(F.broadcast(t["region"]), t["nation"]["n_regionkey"] == t["region"]["r_regionkey"])
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q6",
+    """
+    SELECT CAST(sum(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# ======================================================== dedup / similarity
+
+
+@q(
+    "dedup_exact_groups",
+    f"""
+    SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM (SELECT doc_id, {normalized_md5_sql('text')} AS fp FROM documents)
+    GROUP BY fp HAVING count(*) > 1
+    """,
+)
+def dedup_exact_groups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", normalized_md5(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@q(
+    "dedup_keep_first",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents d
+    WHERE doc_id = (
+        SELECT min(doc_id) FROM documents d2
+        WHERE {normalized_md5_sql('d2.text')} = {normalized_md5_sql('d.text')}
+    )
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    kept = dd.dedup_exact(_docs(spark, sf_dir))
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@q("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(spark, sf_dir):
+    out = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=3, threshold=0.2)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# build the real oracle for ngram_jaccard_pairs from the shared SQL helpers
+from geocube_spark.functions.vectors import word_shingles_sql  # noqa: E402
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+"""
+
+
+# rows-only (sketches are hash-seeded; no SQL twin): LSH candidates + simhash
+@q("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark, sf_dir):
+    return dd.minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=32, bands=8)
+
+
+@q("minhash_near_duplicates")
+def minhash_near_duplicates(spark, sf_dir):
+    out = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q("simhash_near_duplicates")
+def simhash_near_duplicates(spark, sf_dir):
+    return dd.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8)
+
+
+@q(
+    "embedding_topk",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    q0 AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, round({cosine_sql('e.embedding', 'q0.qv')}, 6) AS score
+    FROM e, q0
+    ORDER BY {cosine_sql('e.embedding', 'q0.qv')} DESC, e.vec_id
+    LIMIT 20
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", cosine_expr(F.col("embedding"), F.col("qv")).alias("raw_score")
+    )
+    return (
+        scored.orderBy(F.col("raw_score").desc(), F.col("vec_id"))
+        .limit(20)
+        .select("vec_id", F.round("raw_score", 6).alias("score"))
+    )
+
+
+# All-pairs exact near-dup: broadcast-GEMM sieve + sequential-scalar
+# recompute for oracle parity (operators.similarity.embedding_all_pairs_exact).
+@q(
+    "embedding_near_dup_exact",
+    f"""
+    WITH e AS ({_EMB_SQL})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def embedding_near_dup_exact(spark, sf_dir):
+    out = sim.embedding_all_pairs_exact(_emb(spark, sf_dir), threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@q("embedding_lsh_topk")
+def embedding_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    return sim.lsh_topk(emb, list(qrow["embedding"]), k=20, bits=6)
+
+
+@q("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark, sf_dir):
+    return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, bits=4)
+
+
+# ============================================================= text analysis
+
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST({token_count_sql('text')} AS BIGINT) AS n_tokens,
+           round({punct_ratio_sql('text')}, 6) AS punct_ratio,
+           round({quality_score_sql('text')}, 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+@q(
+    "text_langid",
+    f"""
+    SELECT doc_id, {lang_guess_sql('text')} AS lang_guess, lang AS lang_label
+    FROM documents
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", lang_guess(F.col("text")).alias("lang_guess"), F.col("lang").alias("lang_label")
+    )
+
+
+@q(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           CAST({token_count_sql('text')} AS BIGINT) AS ws_tokens,
+           CAST({bpe_ish_token_count_sql('text')} AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@q("doc_fingerprints")
+def doc_fingerprints(spark, sf_dir):
+    from geocube_spark.functions.text import fingerprint64
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp64"))
+
+
+# ======================================================== events / streaming
+
+
+@q(
+    "events_hourly_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark, sf_dir):
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "events_latest_per_user",
+    """
+    SELECT user_id, event_id, event_type FROM (
+        SELECT user_id, event_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rk
+        FROM events
+    ) WHERE rk = 1
+    """,
+)
+def events_latest_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_ns").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+# ==================================================== spatial / raster (fx)
+
+
+@q(
+    "spatial_bbox_refine",
+    f"""
+    SELECT id FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    WHERE status = 'ACTIVE'
+      AND bbox.xmin <= -160.0 AND bbox.xmax >= -168.0
+      AND bbox.ymin <= -25.0 AND bbox.ymax >= -40.0
+      AND (shape_srid != 4326 OR
+           (bbox.xmin < -160.0 AND bbox.xmax > -168.0
+            AND bbox.ymin < -25.0 AND bbox.ymax > -40.0))
+    """,
+)
+def spatial_bbox_refine(spark, sf_dir):
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    flt = DatasetFilters(
+        status="ACTIVE", extent=(-168.0, -40.0, -160.0, -25.0), refine_srid=4326, order=False
+    )
+    return find_datasets(datasets, None, flt).select("id")
+
+
+@q(
+    "cast_tiles_checksum",
+    f"""
+    SELECT t.container_uri, t.block_x, t.block_y,
+           round(list_aggregate({cast_sql('t.px', _SRC_DM, _DST_DM)}, 'sum'), 6) AS px_sum,
+           CAST(len(list_filter({cast_sql('t.px', _SRC_DM, _DST_DM)}, v -> v = 0.0)) AS BIGINT) AS n_nodata
+    FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') t
+    JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d ON t.container_uri = d.container_uri
+    WHERE d.dmapping.dtype = 'Int16' AND d.dmapping.exponent = 1.0 AND t.level = 0
+    """,
+)
+def cast_tiles_checksum(spark, sf_dir):
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    src = tiles.join(
+        datasets.select("container_uri", "dmapping").filter(
+            (F.col("dmapping.dtype") == "Int16") & (F.col("dmapping.exponent") == 1.0)
+        ),
+        "container_uri",
+    ).filter(F.col("level") == 0)
+    casted = src.select(
+        "container_uri",
+        "block_x",
+        "block_y",
+        cast_expr(F.col("px"), _SRC_DM, _DST_DM).alias("cpx"),
+    )
+    return casted.select(
+        "container_uri",
+        "block_x",
+        "block_y",
+        F.round(F.aggregate("cpx", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
+        F.size(F.filter("cpx", lambda v: v == 0.0)).cast("long").alias("n_nodata"),
+    )
+
+
+@q("mosaic_latest_first")
+def mosaic_latest_first(spark, sf_dir):
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    records = spark.read.parquet(f"{fd}/records.parquet")
+    joined = (
+        tiles.join(datasets.select("container_uri", "record_id"), "container_uri")
+        .join(
+            F.broadcast(
+                records.select(
+                    F.col("id").alias("record_id"), F.col("datetime").alias("record_datetime")
+                )
+            ),
+            "record_id",
+        )
+        .filter(F.col("level") == 0)
+    )
+    out = mosaic_blocks(joined, nodata=-32768.0)
+    return out.select(
+        "band",
+        "block_x",
+        "block_y",
+        "n_inputs",
+        F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
+        valid_count_expr(F.col("px"), F.lit(-32768.0)).cast("long").alias("n_valid"),
+    )
+
+
+@q("pyramid_level1")
+def pyramid_level1(spark, sf_dir):
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+    lvl1 = build_level(tiles, level=1, alg="AVERAGE", nodata=-32768.0)
+    return lvl1.select(
+        "container_uri",
+        "band",
+        "block_x",
+        "block_y",
+        F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 4).alias("px_sum"),
+    )
+
+
+@q(
+    "cover_regular_grid",
+    """
+    WITH cells AS (
+        SELECT i.range AS i, j.range AS j
+        FROM range(CAST(floor(-10.0 / 2.56) AS BIGINT), CAST(ceil(12.0 / 2.56) AS BIGINT)) i,
+             range(CAST(floor(-5.0 / 2.56) AS BIGINT), CAST(ceil(7.0 / 2.56) AS BIGINT)) j
+        WHERE (i.range * 2.56) < 12.0 AND (i.range * 2.56 + 2.56) > -10.0
+          AND (j.range * 2.56) < 7.0 AND (j.range * 2.56 + 2.56) > -5.0
+    )
+    SELECT 'cell/' || i::VARCHAR || '/' || j::VARCHAR AS cell_uri,
+           CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+    FROM cells
+    """,
+)
+def cover_regular_grid(spark, sf_dir):
+    spec = RegularGridSpec(crs="epsg:32631", cell_size=256, resolution=0.01)
+    out = cover_regular(spark, [(-10.0, -5.0, 12.0, 7.0)], spec)
+    return out.select("cell_uri", "i", "j")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,120 @@
+"""Catalog table IO: entity writers with reference-parity validation.
+
+Reference: bulk COPY ingest (pg_records.go:19-55, pg_containers.go:170-230)
+-> parquet append; entity validation ported from record.go:174-214,
+variable.go:286-328, dataset.go:191-220; AOI dedup-by-hash record.go:33-58.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geocube_spark import schemas
+from geocube_spark.functions.geometry import geom_hash, wkb_bounds
+
+_URN = re.compile(r"^[a-zA-Z0-9_\-.:]+$")  # urn.go:43 name charset
+
+TABLES = {
+    "aoi": schemas.AOI,
+    "records": schemas.RECORD,
+    "variables": schemas.VARIABLE,
+    "instances": schemas.INSTANCE,
+    "containers": schemas.CONTAINER,
+    "datasets": schemas.DATASET,
+    "layouts": schemas.LAYOUT,
+    "cells": schemas.CELL,
+    "tiles": schemas.TILE,
+    "jobs": schemas.JOB,
+    "tasks": schemas.TASK,
+    "locked_datasets": schemas.LOCKED_DATASET,
+}
+
+
+class Catalog:
+    """A directory of parquet tables, one per entity."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def path(self, name: str) -> str:
+        return f"{self.root}/{name}.parquet"
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(name))
+
+
+def validate_record_name(name: str) -> None:
+    if not _URN.match(name):
+        raise ValueError(f"invalid record URN name: {name!r}")
+
+
+def make_aoi_rows(geoms_wkb: list[bytes]) -> list[dict]:
+    """AOI rows with dedup-by-hash: identical geometry -> identical id
+    (record.go:33-58, pg_records.go:228-253)."""
+    seen: dict[str, dict] = {}
+    for wkb in geoms_wkb:
+        h = geom_hash(wkb)
+        if h in seen:
+            continue
+        xmin, ymin, xmax, ymax = wkb_bounds(wkb)
+        seen[h] = {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, "aoi:" + h)),
+            "hash": h,
+            "geom_wkb": wkb,
+            "bbox": {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax},
+        }
+    return list(seen.values())
+
+
+def validate_dmapping(dm: dict) -> None:
+    """dataformat.go:53-93 invariants: min<max, real_min<real_max when
+    exponent != 1 the internal range must start at 0 is NOT required by the
+    reference — it requires Range valid and exponent > 0."""
+    if not dm["min_value"] < dm["max_value"]:
+        raise ValueError("dmapping: min_value must be < max_value")
+    if not dm["real_min_value"] < dm["real_max_value"]:
+        raise ValueError("dmapping: real_min_value must be < real_max_value")
+    if dm["exponent"] <= 0:
+        raise ValueError("dmapping: exponent must be > 0")
+    if dm["dtype"] not in schemas.DTYPE_BOUNDS:
+        raise ValueError(f"dmapping: unknown dtype {dm['dtype']}")
+
+
+def tidy_catalog(catalog: Catalog) -> dict[str, int]:
+    """TidyDB (J7 anti-joins, pg_records.go:176-191,323-333;
+    pg_containers.go:100-109): delete records/AOIs/containers no dataset
+    references.  Returns per-table removed counts."""
+    datasets = catalog.read("datasets")
+    records = catalog.read("records")
+    aoi = catalog.read("aoi")
+    containers = catalog.read("containers")
+
+    live_records = records.join(
+        datasets.select("record_id").distinct(),
+        records["id"] == F.col("record_id"),
+        "left_semi",
+    )
+    live_aoi = aoi.join(
+        live_records.select("aoi_id").distinct(),
+        aoi["id"] == F.col("aoi_id"),
+        "left_semi",
+    )
+    live_containers = containers.join(
+        datasets.select("container_uri").distinct(),
+        containers["uri"] == F.col("container_uri"),
+        "left_semi",
+    )
+    removed = {
+        "records": records.count() - live_records.count(),
+        "aoi": aoi.count() - live_aoi.count(),
+        "containers": containers.count() - live_containers.count(),
+    }
+    return removed

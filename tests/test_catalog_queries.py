@@ -1,0 +1,231 @@
+"""find_datasets / find_records / cube-plan correctness vs a DuckDB oracle
+over the deterministic fixture tables."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.plans.cube import get_cube_headers, group_by_record, merge_tags
+from geocube_spark.plans.find_datasets import DatasetFilters, find_datasets
+from geocube_spark.plans.find_records import RecordFilters, find_records
+
+
+@pytest.fixture(scope="module")
+def fx(spark, fixture_dir):
+    return {
+        "datasets": spark.read.parquet(f"{fixture_dir}/datasets.parquet"),
+        "records": spark.read.parquet(f"{fixture_dir}/records.parquet"),
+        "aoi": spark.read.parquet(f"{fixture_dir}/aoi.parquet"),
+        "tiles": spark.read.parquet(f"{fixture_dir}/tiles.parquet"),
+    }
+
+
+@pytest.fixture(scope="module")
+def fduck(fixture_dir):
+    con = duckdb.connect()
+    for t in ("aoi", "records", "datasets", "tiles", "jobs", "tasks"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{fixture_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def ids(df, col="id"):
+    return sorted(r[col] for r in df.select(col).collect())
+
+
+class TestFindDatasets:
+    def test_status_filter(self, fx, fduck):
+        out = find_datasets(fx["datasets"], None, DatasetFilters(status="ACTIVE", order=False))
+        expect = fduck.sql("SELECT count(*) c FROM datasets WHERE status='ACTIVE'").fetchone()[0]
+        assert out.count() == expect
+
+    def test_time_range_and_order(self, fx, fduck):
+        flt = DatasetFilters(
+            time_from=datetime(2018, 2, 1), time_to=datetime(2018, 4, 1), status="ACTIVE"
+        )
+        out = find_datasets(fx["datasets"], fx["records"], flt)
+        got = [r["id"] for r in out.select("id", "record_datetime", "record_id").collect()]
+        expect = [
+            r[0]
+            for r in fduck.sql(
+                """
+                SELECT d.id FROM datasets d JOIN records r ON d.record_id = r.id
+                WHERE d.status='ACTIVE'
+                  AND r.datetime >= TIMESTAMP '2018-02-01'
+                  AND r.datetime <= TIMESTAMP '2018-04-01'
+                ORDER BY r.datetime, r.id, d.id
+                """
+            ).fetchall()
+        ]
+        assert sorted(got) == sorted(expect)
+        # W1 order: datetime then record id (our output may tie-break
+        # differently inside a record; compare the (datetime, record) chain)
+        times = [r["record_datetime"] for r in out.select("record_datetime").collect()]
+        assert times == sorted(times)
+
+    def test_tag_filters(self, fx, fduck):
+        flt = DatasetFilters(status=None, tags={"CONSTELLATION": "SENTINEL2", "ORBIT": ""}, order=False)
+        out = find_datasets(fx["datasets"], fx["records"], flt)
+        expect = fduck.sql(
+            """
+            SELECT count(*) FROM datasets d JOIN records r ON d.record_id = r.id
+            WHERE r.tags['CONSTELLATION'][1] = 'SENTINEL2'
+              AND list_contains(map_keys(r.tags), 'ORBIT')
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_tag_glob(self, fx, fduck):
+        flt = DatasetFilters(status=None, tags={"CONSTELLATION": "SENTINEL*"}, order=False)
+        out = find_datasets(fx["datasets"], fx["records"], flt)
+        expect = fduck.sql(
+            """
+            SELECT count(*) FROM datasets d JOIN records r ON d.record_id = r.id
+            WHERE r.tags['CONSTELLATION'][1] LIKE 'SENTINEL%'
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_record_name_glob(self, fx, fduck):
+        flt = DatasetFilters(status=None, record_name_glob="S2A_00000?", order=False)
+        out = find_datasets(fx["datasets"], fx["records"], flt)
+        expect = fduck.sql(
+            r"""
+            SELECT count(*) FROM datasets d JOIN records r ON d.record_id = r.id
+            WHERE r.name LIKE 'S2A\_00000_' ESCAPE '\'
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_container_uri_globs(self, fx, fduck):
+        flt = DatasetFilters(
+            status=None, container_uri_globs=["file:///synth/1*.tif", "file:///synth/2.tif"],
+            order=False,
+        )
+        out = find_datasets(fx["datasets"], None, flt)
+        expect = fduck.sql(
+            r"""
+            SELECT count(*) FROM datasets
+            WHERE container_uri LIKE 'file:///synth/1%.tif' ESCAPE '\'
+               OR container_uri = 'file:///synth/2.tif'
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_spatial_two_phase(self, fx, fduck):
+        rect = (0.0, -40.0, 5.0, -20.0)
+        flt = DatasetFilters(status=None, extent=rect, refine_srid=4326, order=False)
+        out = find_datasets(fx["datasets"], None, flt)
+        # oracle: bbox arithmetic (rect fixtures make bbox == exact shape);
+        # interior-intersects = strict inequalities for same-SRID shapes
+        expect = fduck.sql(
+            f"""
+            SELECT count(*) FROM datasets
+            WHERE bbox.xmin <= {rect[2]} AND bbox.xmax >= {rect[0]}
+              AND bbox.ymin <= {rect[3]} AND bbox.ymax >= {rect[1]}
+              AND (shape_srid != 4326 OR
+                   (bbox.xmin < {rect[2]} AND bbox.xmax > {rect[0]}
+                    AND bbox.ymin < {rect[3]} AND bbox.ymax > {rect[1]}))
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_pagination(self, fx):
+        flt = DatasetFilters(status=None, limit=10, offset=5)
+        p0 = find_datasets(fx["datasets"], fx["records"], flt).collect()
+        flt2 = DatasetFilters(status=None, limit=15, offset=0)
+        p1 = find_datasets(fx["datasets"], fx["records"], flt2).collect()
+        assert [r["id"] for r in p0] == [r["id"] for r in p1[5:15]]
+
+    def test_locked_by_job(self, fx, fduck):
+        out = find_datasets(fx["datasets"], None, DatasetFilters(status=None, locked_by_job_id="job-0", order=False))
+        expect = fduck.sql("SELECT count(*) FROM datasets WHERE locked_by_job_id='job-0'").fetchone()[0]
+        assert out.count() == expect
+
+
+class TestFindRecords:
+    def test_name_and_time(self, fx, fduck):
+        flt = RecordFilters(name_glob="S2A_*", time_to=datetime(2018, 3, 1))
+        out = find_records(fx["records"], None, flt)
+        expect = fduck.sql(
+            r"""SELECT count(*) FROM records
+            WHERE name LIKE 'S2A\_%' ESCAPE '\' AND datetime <= TIMESTAMP '2018-03-01'"""
+        ).fetchone()[0]
+        assert out.count() == expect
+
+    def test_aoi_join(self, fx, fduck):
+        flt = RecordFilters(aoi_extent=(-170.0, -40.0, -160.0, 0.0), order=False)
+        out = find_records(fx["records"], fx["aoi"], flt)
+        expect = fduck.sql(
+            """
+            SELECT count(*) FROM records r JOIN aoi a ON r.aoi_id = a.id
+            WHERE a.bbox.xmin <= -160.0 AND a.bbox.xmax >= -170.0
+              AND a.bbox.ymin <= 0.0 AND a.bbox.ymax >= -40.0
+            """
+        ).fetchone()[0]
+        assert out.count() == expect
+
+
+class TestCubePlan:
+    def test_group_by_record(self, fx, fduck):
+        d = find_datasets(fx["datasets"], fx["records"], DatasetFilters())
+        grouped = group_by_record(d)
+        rows = grouped.collect()
+        expect = fduck.sql(
+            """
+            SELECT d.record_id, count(*) n FROM datasets d JOIN records r ON d.record_id=r.id
+            WHERE d.status='ACTIVE' GROUP BY d.record_id
+            """
+        ).fetchall()
+        assert {r["record_id"]: r["n_datasets"] for r in rows} == {a: b for a, b in expect}
+        # slice order is (datetime, record_id)
+        keys = [(r["record_datetime"], r["record_id"]) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_group_by_record_groups_order(self, fx):
+        recs = [r["id"] for r in fx["records"].select("id").limit(6).collect()]
+        groups = [[recs[4], recs[1]], [recs[0]], [recs[2], recs[3], recs[5]]]
+        d = find_datasets(fx["datasets"], fx["records"], DatasetFilters(status=None))
+        out = get_cube_headers(fx["datasets"], fx["records"], DatasetFilters(status=None), groups)
+        rows = out.collect()
+        assert [r["group_idx"] for r in rows] == [0, 1, 2]
+        # in-group order preserved via member_idx sort (hard part #5)
+        g0 = rows[0]["members"]
+        assert [m["member_idx"] for m in g0] == sorted(m["member_idx"] for m in g0)
+        _ = d
+
+    def test_merge_tags(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, [{"A": "x", "B": "y"}, {"A": "x", "B": "z"}]),
+            ],
+            "g INT, tags_list ARRAY<MAP<STRING,STRING>>",
+        )
+        out = merge_tags(df).collect()[0]["merged_tags"]
+        # A agrees -> kept; B diverges -> suffixed per source index (A6)
+        assert out["A"] == "x"
+        assert out["B.0"] == "y" and out["B.1"] == "z"
+        assert "B" not in out
+
+
+class TestHeadersOnlyCube:
+    def test_end_to_end(self, fx):
+        flt = DatasetFilters(
+            status="ACTIVE",
+            time_from=datetime(2018, 1, 1),
+            time_to=datetime(2018, 6, 1),
+            tags={"CONSTELLATION": "SENTINEL2"},
+            extent=(-170.0, -40.0, -150.0, 10.0),
+        )
+        out = get_cube_headers(fx["datasets"], fx["records"], flt)
+        rows = out.collect()
+        assert len(rows) > 0
+        assert all(r["n_datasets"] >= 1 for r in rows)
+        keys = [(r["record_datetime"], r["record_id"]) for r in rows]
+        assert keys == sorted(keys)

@@ -1,0 +1,218 @@
+"""Beyond-reference pipeline operators: dedup family, similarity search,
+text analysis, multimodal plumbing, streaming."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.operators import dedup as dd
+from geocube_spark.operators import multimodal as mm
+from geocube_spark.operators import similarity as sim
+from geocube_spark.streaming.jobs import task_counters
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "  The Quick  Brown Fox jumps over the lazy dog  "),  # normalized dup of 0
+        (5, "another unrelated document mentioning nothing similar"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+class TestExactDedup:
+    def test_groups(self, docs):
+        groups = dd.exact_duplicates(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["doc_ids"] == [0, 1, 4]
+
+    def test_keep_first(self, docs):
+        kept = dd.dedup_exact(docs)
+        ids = sorted(r["doc_id"] for r in kept.collect())
+        assert ids == [0, 2, 3, 5]
+
+
+class TestMinHash:
+    def test_near_dups_found(self, docs):
+        out = dd.minhash_near_duplicates(docs, threshold=0.5, num_hashes=32, bands=16)
+        pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+        # 0/1/4 identical after normalization; 2 is one word off
+        assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+        assert (0, 2) in pairs or (2, 4) in pairs or (1, 2) in pairs
+        assert not any(3 in p or 5 in p for p in pairs)
+
+    def test_jaccard_exact_on_identical(self, docs):
+        out = dd.minhash_near_duplicates(docs, threshold=0.99)
+        exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+        assert exact[(0, 1)] == 1.0
+
+    def test_signature_deterministic(self, docs):
+        s1 = dd.minhash_signatures(docs).collect()
+        s2 = dd.minhash_signatures(docs).collect()
+        assert {r["doc_id"]: r["signature"] for r in s1} == {
+            r["doc_id"]: r["signature"] for r in s2
+        }
+
+
+class TestNgramJaccard:
+    def test_identical_docs_score_one(self, docs):
+        out = dd.ngram_jaccard_pairs(docs, threshold=0.9)
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+        assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0
+
+    def test_threshold_excludes(self, docs):
+        out = dd.ngram_jaccard_pairs(docs, threshold=0.3)
+        assert not any(
+            3 in (r["doc_a"], r["doc_b"]) or 5 in (r["doc_a"], r["doc_b"])
+            for r in out.collect()
+        )
+
+
+class TestSimHash:
+    def test_identical_same_fingerprint(self, docs):
+        fp = {r["doc_id"]: r["simhash"] for r in dd.simhash_fingerprints(docs).collect()}
+        assert fp[0] == fp[1] == fp[4]
+
+    def test_near_dup_small_hamming(self, docs):
+        out = dd.simhash_near_duplicates(docs, max_hamming=16, prefix_bits=4)
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+        assert pairs.get((0, 1)) == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal(8)
+        rows = [(0, base.tolist(), 0)]
+        for i in range(1, 30):
+            noise = rng.standard_normal(8) * (0.05 if i < 5 else 1.5)
+            rows.append((i, (base + noise).tolist(), i % 3))
+        return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+
+    def test_brute_force_topk_matches_numpy(self, emb):
+        rows = emb.orderBy("vec_id").collect()
+        mat = np.array([r["embedding"] for r in rows])
+        q = mat[0]
+        sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        want = list(np.argsort(-sims)[:5])
+        got = [
+            r["vec_id"]
+            for r in sim.brute_force_topk(emb, q.tolist(), k=5).collect()
+        ]
+        assert got == want
+
+    def test_all_pairs_exact_matches_bruteforce(self, emb):
+        out = sim.embedding_all_pairs_exact(emb, threshold=0.9)
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+        rows = emb.orderBy("vec_id").collect()
+        mat = np.array([r["embedding"] for r in rows])
+        n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = n @ n.T
+        want = {
+            (i, j)
+            for i in range(len(rows))
+            for j in range(i + 1, len(rows))
+            if sims[i, j] >= 0.9
+        }
+        assert got == want
+
+    def test_lsh_topk_contains_close_neighbours(self, emb):
+        q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        got = {r["vec_id"] for r in sim.lsh_topk(emb, list(q), k=5, bits=4).collect()}
+        # the 4 tight neighbours (i=1..4, small noise) share the bucket
+        assert 0 in got
+        assert len(got & {1, 2, 3, 4}) >= 2
+
+    def test_pairwise_topk_join(self, emb):
+        queries = emb.filter(F.col("vec_id") < 2)
+        out = sim.pairwise_topk_join(queries, emb, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == {0, 1}
+        for rows in by_q.values():
+            assert len(rows) == 3
+            scores = [r["score"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            ("m0", "image", b"payload-zero", (16, 16, 3, None, None, "fake")),
+            ("m1", "image", b"payload-one", (32, 16, 3, None, None, "fake")),
+            ("m2", "image", b"payload-zero", (16, 16, 3, None, None, "fake")),  # dup payload
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id STRING, kind STRING, payload BINARY, "
+            "meta STRUCT<width:INT,height:INT,channels:INT,sample_rate:INT,duration_ms:INT,codec:STRING>",
+        )
+
+    def test_feature_extraction_shape_and_determinism(self, media):
+        out1 = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+        out2 = {r["media_id"]: r["feature"] for r in mm.extract_features(media).collect()}
+        assert len(out1["m0"]) == 16  # 4×4 pooled grid
+        assert out1 == out2  # deterministic fake decoder
+        assert out1["m0"] == out1["m2"]  # same payload -> same features
+
+    def test_resize_plumbing(self, media):
+        out = {r["media_id"]: r for r in mm.resize_images(media, 8, 8).collect()}
+        assert all(len(r["px"]) == 64 for r in out.values())
+        assert out["m1"]["width"] == 8
+
+    def test_exact_media_dedup(self, media):
+        groups = mm.media_dedup_exact(media).collect()
+        assert len(groups) == 1
+        assert groups[0]["media_ids"] == ["m0", "m2"]
+
+    def test_real_decoder_stub_raises(self):
+        with pytest.raises(NotImplementedError):
+            mm.real_decoder_stub(b"x", {})
+
+
+class TestStreaming:
+    def test_task_counters(self, spark, fixture_dir):
+        tasks = spark.read.parquet(f"{fixture_dir}/tasks.parquet")
+        out = {r["job_id"]: r for r in task_counters(tasks).collect()}
+        total = sum(
+            r["NEW"] + r["PENDING"] + r["DONE"] + r["FAILED"] + r["CANCELLED"]
+            for r in out.values()
+        )
+        assert total == tasks.count()
+
+    def test_windowed_stream_matches_batch(self, spark, fixture_dir, tmp_path):
+        """Structured Streaming windowed agg == the equivalent batch agg."""
+        from geocube_spark.streaming.jobs import stream_events_windowed
+
+        # fixture 'jobs' table has creation_ts; reuse events-shaped data: write
+        # a tiny events dir from the records fixture
+        src = spark.read.parquet(f"{fixture_dir}/records.parquet").select(
+            F.col("id").alias("event_id"),
+            F.col("datetime").alias("ts"),
+            F.lit(1).alias("user_id"),
+            F.element_at("tags", "CONSTELLATION").alias("event_type"),
+            F.lit(1.0).alias("value"),
+        ).filter(F.col("event_type").isNotNull())
+        path = str(tmp_path / "events_stream")
+        src.write.parquet(path)
+
+        stream_df = stream_events_windowed(spark, path, window="24 hours", watermark="48 hours")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName("win_agg")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT sum(n_events) AS n FROM win_agg").first()["n"]
+        assert got == src.count()

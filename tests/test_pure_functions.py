@@ -1,0 +1,190 @@
+"""Pure-function units: glob→LIKE (pg_test.go:15-26 parity), geometry kernel,
+affine-free utilities, job state machine."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from geocube_spark.functions.dataformat import CastError, cast_numpy, check_castable
+from geocube_spark.functions.geometry import (
+    clip_convex,
+    decode_wkb,
+    densify_ring,
+    geom_hash,
+    multipolygon_wkb,
+    polygon_interior_intersects_rect,
+    polygon_wkb,
+    rect_wkb,
+    split_antimeridian_rect,
+    wkb_bounds,
+)
+from geocube_spark.functions.globs import glob_to_like, like_sql
+from geocube_spark.streaming.jobs import advance_job_state
+
+
+class TestGlobToLike:
+    """Mirror of the reference's parseLike unit table (pg.go:241-277)."""
+
+    @pytest.mark.parametrize(
+        "glob,pattern,op",
+        [
+            ("exact", "exact", "eq"),
+            ("sta*", "sta%", "like"),
+            ("sta?", "sta_", "like"),
+            ("*mid*", "%mid%", "like"),
+            ("with_underscore", "with_underscore", "eq"),
+            ("wild*_end", "wild%\\_end", "like"),
+            ("CASE*(?i)", "CASE%", "ilike"),
+            ("exact(?i)", "exact", "ieq"),
+            ("100%", "100%", "eq"),  # literal % escaped, no wildcard -> eq on original
+        ],
+    )
+    def test_translation(self, glob, pattern, op):
+        spec = glob_to_like(glob)
+        assert (spec.pattern, spec.op) == (pattern, op)
+
+    def test_sql_fragment(self):
+        assert like_sql("name", "S2A_*") == "name LIKE 'S2A\\_%'"
+        assert like_sql("name", "abc") == "name = 'abc'"
+
+
+class TestWKB:
+    def test_roundtrip_polygon(self):
+        ring = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0)]
+        rings = decode_wkb(polygon_wkb(ring))
+        assert rings[0][:-1] == ring  # closed on encode
+
+    def test_roundtrip_multipolygon(self):
+        wkb = multipolygon_wkb([[(0, 0), (1, 0), (1, 1)], [(5, 5), (6, 5), (6, 6)]])
+        rings = decode_wkb(wkb)
+        assert len(rings) == 2
+
+    def test_hash_dedup_collision(self):
+        # identical geometry -> identical hash (record.go:33-58)
+        a = rect_wkb(0, 0, 1, 1)
+        b = rect_wkb(0, 0, 1, 1)
+        assert geom_hash(a) == geom_hash(b)
+        assert geom_hash(a) != geom_hash(rect_wkb(0, 0, 1, 2))
+
+    def test_bounds(self):
+        assert wkb_bounds(rect_wkb(-1, -2, 3, 4)) == (-1, -2, 3, 4)
+
+
+class TestClip:
+    def test_full_overlap(self):
+        ring = [(0, 0), (4, 0), (4, 4), (0, 4)]
+        out = clip_convex(ring, (1, 1, 3, 3))
+        assert sorted(out) == [(1, 1), (1, 3), (3, 1), (3, 3)]
+
+    def test_disjoint(self):
+        assert clip_convex([(0, 0), (1, 0), (1, 1), (0, 1)], (5, 5, 6, 6)) == []
+
+    def test_interior_intersects_touching_edge_is_false(self):
+        # ST_Relate 'T********' = interiors must overlap (hard part #7)
+        wkb = rect_wkb(0, 0, 1, 1)
+        assert not polygon_interior_intersects_rect(wkb, (1.0, 0.0, 2.0, 1.0))
+        assert polygon_interior_intersects_rect(wkb, (0.5, 0.5, 2.0, 2.0))
+
+
+class TestAntimeridian:
+    def test_no_split(self):
+        assert split_antimeridian_rect(10, 0, 20, 5) == [(10, 0, 20, 5)]
+
+    def test_split(self):
+        parts = split_antimeridian_rect(179, 0, -179, 5)
+        assert parts == [(179, 0, 180.0, 5), (-180.0, 0, -179, 5)]
+
+    def test_densify(self):
+        ring = densify_ring([(0, 0), (10, 0), (10, 10), (0, 10)], max_step=1.0)
+        xs = np.diff([p[0] for p in ring])
+        ys = np.diff([p[1] for p in ring])
+        assert max(np.maximum(abs(xs), abs(ys))) <= 1.0 + 1e-12
+
+
+class TestCastNumpy:
+    INT16 = {
+        "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    UINT8 = {
+        "dtype": "UInt8", "no_data": 0.0, "min_value": 1.0, "max_value": 255.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    FLOAT = {
+        "dtype": "Float32", "no_data": float("nan"), "min_value": 0.0, "max_value": 1.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+
+    def test_linear_cast(self):
+        arr = np.array([0.0, 5000.0, 10000.0])
+        out = cast_numpy(arr, self.INT16, self.UINT8)
+        # 0 -> ext 0 -> 1; 5000 -> ext .5 -> 128; 10000 -> 255
+        assert out.tolist() == [1.0, 128.0, 255.0]
+
+    def test_nodata_remap(self):
+        arr = np.array([-32768.0, 10000.0])
+        out = cast_numpy(arr, self.INT16, self.UINT8)
+        assert out.tolist() == [0.0, 255.0]
+
+    def test_nan_nodata(self):
+        arr = np.array([np.nan, 1.0])
+        out = cast_numpy(arr, self.FLOAT, self.UINT8)
+        assert out.tolist() == [0.0, 255.0]
+
+    def test_clamp(self):
+        # values below internal min extrapolate below dtype bound -> clamped
+        src = dict(self.INT16, min_value=0.0, max_value=100.0)
+        arr = np.array([-1000.0])
+        out = cast_numpy(arr, src, self.UINT8)
+        assert out.tolist() == [0.0]  # clamped to the UInt8 dtype bound (datatype.go:29-41)
+
+    def test_exponent_roundtrip(self):
+        src = dict(self.INT16, exponent=2.0)
+        arr = np.array([2500.0])
+        # ext = (2500/10000)^2 = 0.0625 ; identity external range back to itself
+        out = cast_numpy(arr, src, self.FLOAT)
+        assert out[0] == pytest.approx(0.0625)
+
+    def test_identity_shortcircuit(self):
+        arr = np.array([1.0, 2.0])
+        out = cast_numpy(arr, self.INT16, dict(self.INT16))
+        assert out.tolist() == arr.tolist()
+
+    def test_incompatible_ranges_raise(self):
+        bad = dict(self.UINT8, real_min_value=0.0, real_max_value=2.0)
+        with pytest.raises(CastError):
+            check_castable(self.INT16, bad)
+
+
+class TestJobStateMachine:
+    def test_happy_path(self):
+        s = "NEW"
+        for _ in range(5):
+            s = advance_job_state(s, "ok")
+        assert s == "CONSOLIDATIONEFFECTIVE"
+
+    def test_retry_arc(self):
+        s = advance_job_state("CONSOLIDATIONINPROGRESS", "error")
+        assert s == "CONSOLIDATIONRETRYING"
+        assert advance_job_state(s, "ok") == "CONSOLIDATIONINPROGRESS"
+
+    def test_illegal(self):
+        with pytest.raises(ValueError):
+            advance_job_state("DONE", "ok")
+
+
+def test_clamp_below_dtype():
+    src = {
+        "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    dst = {
+        "dtype": "UInt8", "no_data": 255.0, "min_value": 0.0, "max_value": 255.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    out = cast_numpy(np.array([-5000.0]), src, dst)
+    assert out.tolist() == [0.0]
+    assert math.isfinite(out[0])

@@ -1,0 +1,161 @@
+"""Raster-plane operators vs closed-form numpy references: cast (C1),
+mosaic latest-wins (A7), valid-count (A9/F12), pyramid (A8), cover (R8)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.dataformat import cast_expr, cast_numpy
+from geocube_spark.operators.cover import (
+    RegularGridSpec,
+    cover_regular,
+    cover_singlecell,
+)
+from geocube_spark.operators.mosaic import filter_valid_slices, mosaic_blocks
+from geocube_spark.operators.pyramid import build_level
+
+SRC = {
+    "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0,
+    "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+}
+DST = {
+    "dtype": "UInt8", "no_data": 0.0, "min_value": 1.0, "max_value": 255.0,
+    "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+}
+DST_EXP = dict(DST, exponent=2.0)
+
+
+class TestCastExpr:
+    def test_matches_numpy(self, spark):
+        vals = [0.0, 1.0, 2500.0, 5000.0, 9999.0, 10000.0, -32768.0]
+        df = spark.createDataFrame([(vals,)], "px ARRAY<DOUBLE>")
+        got = df.select(cast_expr(F.col("px"), SRC, DST).alias("c")).first()["c"]
+        want = cast_numpy(np.array(vals), SRC, DST).tolist()
+        assert got == want
+
+    def test_exponent_chain(self, spark):
+        src = dict(SRC, exponent=2.0)
+        vals = [100.0, 2500.0, 10000.0]
+        df = spark.createDataFrame([(vals,)], "px ARRAY<DOUBLE>")
+        got = df.select(cast_expr(F.col("px"), src, DST_EXP).alias("c")).first()["c"]
+        want = cast_numpy(np.array(vals), src, DST_EXP).tolist()
+        assert got == pytest.approx(want)
+
+    def test_identity_is_noop(self, spark):
+        df = spark.createDataFrame([([1.0, 2.0],)], "px ARRAY<DOUBLE>")
+        out = df.select(cast_expr(F.col("px"), SRC, dict(SRC)).alias("c"))
+        assert out.first()["c"] == [1.0, 2.0]
+
+
+class TestMosaic:
+    def _tiles(self, spark):
+        """3 records stacked on one block; newer records painted over older,
+        nodata (=-1) holes let older values show through."""
+        from datetime import datetime
+
+        rows = [
+            # (record_id, t, px)
+            ("r1", datetime(2018, 1, 1), [1.0, 1.0, 1.0, 1.0]),
+            ("r2", datetime(2018, 1, 2), [2.0, -1.0, 2.0, -1.0]),
+            ("r3", datetime(2018, 1, 3), [-1.0, -1.0, 3.0, 3.0]),
+        ]
+        return spark.createDataFrame(
+            [(rid, t, 1, 0, 0, 0, px) for rid, t, px in rows],
+            "record_id STRING, record_datetime TIMESTAMP, band INT, level INT,"
+            " block_x INT, block_y INT, px ARRAY<DOUBLE>",
+        )
+
+    def test_latest_wins_with_holes(self, spark):
+        out = mosaic_blocks(self._tiles(spark), nodata=-1.0).collect()
+        assert len(out) == 1
+        # px0: r3 nodata -> r2=2; px1: r3,r2 nodata -> r1=1; px2: r3=3; px3: r3=3
+        assert out[0]["px"] == [2.0, 1.0, 3.0, 3.0]
+        assert out[0]["n_inputs"] == 3
+
+    def test_tie_break_on_record_id(self, spark):
+        from datetime import datetime
+
+        t = datetime(2018, 1, 1)
+        df = spark.createDataFrame(
+            [
+                ("rA", t, 1, 0, 0, 0, [10.0, 10.0]),
+                ("rB", t, 1, 0, 0, 0, [20.0, -1.0]),
+            ],
+            "record_id STRING, record_datetime TIMESTAMP, band INT, level INT,"
+            " block_x INT, block_y INT, px ARRAY<DOUBLE>",
+        )
+        out = mosaic_blocks(df, nodata=-1.0).collect()[0]
+        # same datetime -> larger record_id wins (W1 tie-break: datetime, id)
+        assert out["px"] == [20.0, 10.0]
+
+    def test_valid_filter(self, spark):
+        out = mosaic_blocks(self._tiles(spark), nodata=-1.0)
+        kept = filter_valid_slices(out, nodata=-1.0, min_valid_fraction=0.5, block_pixels=4)
+        assert kept.count() == 1
+        none = filter_valid_slices(out, nodata=-1.0, min_valid_fraction=1.1, block_pixels=4)
+        assert none.count() == 0
+
+    def test_nan_nodata(self, spark):
+        from datetime import datetime
+
+        df = spark.createDataFrame(
+            [
+                ("r1", datetime(2018, 1, 1), 1, 0, 0, 0, [7.0, 8.0]),
+                ("r2", datetime(2018, 1, 2), 1, 0, 0, 0, [float("nan"), 9.0]),
+            ],
+            "record_id STRING, record_datetime TIMESTAMP, band INT, level INT,"
+            " block_x INT, block_y INT, px ARRAY<DOUBLE>",
+        )
+        out = mosaic_blocks(df, nodata=float("nan")).collect()[0]
+        assert out["px"] == [7.0, 9.0]
+
+
+class TestPyramid:
+    def test_average_2x2(self, spark, fixture_dir):
+        tiles = spark.read.parquet(f"{fixture_dir}/tiles.parquet")
+        one = tiles.filter(
+            (F.col("container_uri") == "file:///synth/0.tif") & (F.col("level") == 0)
+        )
+        lvl1 = build_level(one, level=1, alg="AVERAGE", nodata=-32768.0)
+        rows = lvl1.collect()
+        assert len(rows) == 1  # 2×2 blocks -> 1 parent block
+        got = np.array(rows[0]["px"]).reshape(64, 64)
+
+        # numpy reference: assemble the 128×128 image, nodata-aware 2×2 mean
+        src = {(r["block_x"], r["block_y"]): np.array(r["px"]).reshape(64, 64) for r in one.collect()}
+        img = np.block([[src[(0, 0)], src[(1, 0)]], [src[(0, 1)], src[(1, 1)]]])
+        want = np.empty((64, 64))
+        for i in range(64):
+            for j in range(64):
+                w = img[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].ravel()
+                valid = w[w != -32768.0]
+                want[i, j] = valid.mean() if valid.size else -32768.0
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+class TestCover:
+    def test_regular_grid_closed_form(self, spark):
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=100, resolution=0.01)  # 1° cells
+        out = cover_regular(spark, [(0.5, 0.5, 2.5, 1.5)], spec).collect()
+        cells = {(r["i"], r["j"]) for r in out}
+        assert cells == {(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)}
+
+    def test_boundary_cells_not_included(self, spark):
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=100, resolution=0.01)
+        # AOI exactly on cell edges: only interior-overlapping cells count
+        out = cover_regular(spark, [(1.0, 1.0, 2.0, 2.0)], spec).collect()
+        assert {(r["i"], r["j"]) for r in out} == {(1, 1)}
+
+    def test_dedup_across_rects(self, spark):
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=100, resolution=0.01)
+        out = cover_regular(spark, [(0.2, 0.2, 0.8, 0.8), (0.4, 0.4, 1.6, 0.9)], spec)
+        uris = [r["cell_uri"] for r in out.collect()]
+        assert len(uris) == len(set(uris))  # L3 dedup
+
+    def test_singlecell(self):
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=1, resolution=0.5)
+        ox, oy, w, h = cover_singlecell([(0.3, 0.2, 2.4, 1.9)], spec)
+        assert (ox, oy) == (0.0, 0.0)
+        assert (w, h) == (5, 4)  # ceil(2.4/0.5)=5, ceil(1.9/0.5)=4
