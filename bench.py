@@ -56,6 +56,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry.ensure_fixtures()
 
+    # JVM warm-up (codegen compiler, parquet reader init, broadcast machinery)
+    # so the first timed query doesn't carry one-time startup cost
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for t in ("lineitem", "orders", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").limit(1).collect()
+
     qs = registry.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geocube_spark.functions.geometry import clip_convex, decode_wkb
+from geocube_spark.functions.localdf import values_df
 
 
 @dataclass
@@ -49,9 +50,12 @@ def cover_regular(
     never materializes on the driver (contrast the reference's in-memory
     rasterization bounded by RAM/10 — svc/service.go:515).
     """
-    rects_df = spark.createDataFrame(
+    # LocalRelation literal (no Python-RDD bridge); for very large AOI lists
+    # a repartition after the explode spreads the work
+    rects_df = values_df(
+        spark,
         [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
-        "rect_id INT, xmin DOUBLE, ymin DOUBLE, xmax DOUBLE, ymax DOUBLE",
+        ["rect_id", "xmin", "ymin", "xmax", "ymax"],
     )
     span = spec.cell_span
     i0 = F.floor((F.col("xmin") - spec.ox) / span).cast("long")
@@ -134,9 +138,10 @@ def cover_custom(
     from pyspark.sql.types import ArrayType, DoubleType
 
     spark = cells.sparkSession
-    rects_df = spark.createDataFrame(
+    rects_df = values_df(
+        spark,
         [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
-        "rect_id INT, q_xmin DOUBLE, q_ymin DOUBLE, q_xmax DOUBLE, q_ymax DOUBLE",
+        ["rect_id", "q_xmin", "q_ymin", "q_xmax", "q_ymax"],
     )
     # broadcast the (tiny) query-rect list; bbox range predicate is the join
     # condition, so only bbox survivors reach the exact clip UDF (O3)

@@ -32,6 +32,17 @@ from geocube_spark.functions.vectors import (
 )
 
 
+def _parallelize(df: DataFrame) -> DataFrame:
+    """Small single-file inputs arrive as one partition; heavy per-row text
+    kernels (shingling, hashing) then run on one core.  Repartition up to the
+    session's parallelism — at real scale inputs are already many-partitioned
+    and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(target // 2, 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_duplicates(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint ->
     groupBy -> keep groups of size > 1.  Returns (fp, n_docs, doc_ids)."""
@@ -65,6 +76,7 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     params = minhash_params(num_hashes, seed)
+    documents = _parallelize(documents)
     # materialize shingles first so the (expensive) shingle expression is
     # evaluated once per row, not re-inlined into all num_hashes min-hash
     # expressions by projection collapse
@@ -163,7 +175,7 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|).  Shuffles (doc_id, shingle-hash) pairs; for
     100 TB use minhash_lsh first and this only on candidates.
     """
-    sh = documents.select(
+    sh = _parallelize(documents).select(
         "doc_id",
         F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
     )
@@ -189,7 +201,7 @@ def ngram_jaccard_pairs(
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    return documents.select("doc_id", simhash_expr(toks).alias("simhash"))
+    return _parallelize(documents).select("doc_id", simhash_expr(toks).alias("simhash"))
 
 
 def simhash_near_duplicates(

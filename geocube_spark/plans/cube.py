@@ -48,14 +48,17 @@ def group_by_record_groups(
     broadcast-joined; group_idx preserves user order, member_idx preserves
     in-group order (hard part #5 in SURVEY §7).
     """
+    from geocube_spark.functions.localdf import values_df
+
     spark = datasets_with_records.sparkSession
-    mapping = spark.createDataFrame(
+    mapping = values_df(
+        spark,
         [
             (gi, mi, rid)
             for gi, group in enumerate(groups)
             for mi, rid in enumerate(group)
         ],
-        "group_idx INT, member_idx INT, record_id STRING",
+        ["group_idx", "member_idx", "record_id"],
     )
     joined = datasets_with_records.join(F.broadcast(mapping), "record_id", "inner")
     return (
@@ -127,6 +130,57 @@ def merge_tags(grouped: DataFrame, tags_col: str = "tags_list") -> DataFrame:
     )
     merged = F.map_from_entries(F.concat(consensus_entries, divergent_entries))
     return grouped.withColumn("merged_tags", merged)
+
+
+def get_cube(
+    datasets: DataFrame,
+    records: DataFrame,
+    tiles: DataFrame,
+    flt: DatasetFilters,
+    nodata: float,
+    min_valid_fraction: float = 0.0,
+    block_pixels: int = 4096,
+) -> DataFrame:
+    """Full GetCube read path (§3.1 steps 1-8): catalog plan -> tile join ->
+    per-slice latest-wins mosaic -> valid-pixel filter.
+
+    One slice per record datetime group; output rows are mosaicked blocks
+    keyed by (record slice, band, block).  The catalog side is the same
+    ``find_datasets`` plan as headers-only; the pixel side joins the tile
+    table on container_uri (shuffle on the tile side only — the dataset list
+    is broadcast) and reduces per block.
+
+    Slices here = one per record (A3); pass the result through the caller's
+    grouping for A4 record-groups.
+    """
+    from geocube_spark.operators.mosaic import filter_valid_slices, mosaic_blocks
+
+    d = find_datasets(datasets, records, flt)
+    if "record_datetime" not in d.columns:
+        # the mosaic needs record time even when no time/tag predicate forced
+        # the records join (O5 join-avoidance skipped it)
+        d = d.join(
+            F.broadcast(
+                records.select(
+                    F.col("id").alias("record_id"),
+                    F.col("datetime").alias("record_datetime"),
+                )
+            ),
+            "record_id",
+        )
+    slim = d.select(
+        "container_uri",
+        "record_id",
+        "record_datetime",
+        F.col("dmapping.no_data").alias("ds_nodata"),
+    )
+    joined = tiles.join(F.broadcast(slim), "container_uri")
+    # mosaic per (record-slice is implicit: each record is its own slice in
+    # headers; the cube's pixel plane merges ALL matching records per block)
+    merged = mosaic_blocks(joined, nodata=nodata)
+    return filter_valid_slices(
+        merged, nodata=nodata, min_valid_fraction=min_valid_fraction, block_pixels=block_pixels
+    )
 
 
 def get_cube_headers(

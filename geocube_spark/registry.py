@@ -1318,6 +1318,71 @@ def consolidation_work_skipping(spark, sf_dir):
     )
 
 
+# Full GetCube read path over the fixture catalog: find_datasets -> tile
+# join -> latest-wins mosaic -> valid filter, checksummed per block.  The
+# oracle re-derives the same plan in SQL (catalog filter + window winner).
+@q(
+    "get_cube_pixels",
+    f"""
+    WITH d AS (
+        SELECT * FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE status = 'ACTIVE' AND dmapping.no_data = -32768.0
+    ),
+    t AS (
+        SELECT ti.band, ti.block_x, ti.block_y, ti.px, r.datetime AS rt, d.record_id
+        FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') ti
+        JOIN d ON ti.container_uri = d.container_uri
+        JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r ON d.record_id = r.id
+        WHERE ti.level = 0
+          AND r.datetime >= TIMESTAMP '2018-01-01' AND r.datetime <= TIMESTAMP '2018-03-01'
+    ),
+    px AS (
+        SELECT band, block_x, block_y, i.range AS i,
+               list_extract(px, i.range + 1) AS v, rt, record_id
+        FROM t, range(0, 4096) i
+    ),
+    ranked AS (
+        SELECT band, block_x, block_y, i, v,
+               row_number() OVER (
+                   PARTITION BY band, block_x, block_y, i
+                   ORDER BY (v = -32768.0) ASC, rt DESC, record_id DESC
+               ) AS rk
+        FROM px
+    )
+    SELECT band, block_x, block_y,
+           round(sum(v), 6) AS px_sum,
+           CAST(count(*) FILTER (v != -32768.0) AS BIGINT) AS n_valid
+    FROM ranked WHERE rk = 1
+    GROUP BY band, block_x, block_y
+    """,
+)
+def get_cube_pixels(spark, sf_dir):
+    from datetime import datetime
+
+    from geocube_spark.plans.cube import get_cube
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet").filter(
+        F.col("dmapping.no_data") == -32768.0
+    )
+    records = spark.read.parquet(f"{fd}/records.parquet")
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet").filter(F.col("level") == 0)
+    flt = DatasetFilters(
+        status="ACTIVE",
+        time_from=datetime(2018, 1, 1),
+        time_to=datetime(2018, 3, 1),
+        order=False,
+    )
+    cube = get_cube(datasets, records, tiles, flt, nodata=-32768.0)
+    return cube.select(
+        "band",
+        "block_x",
+        "block_y",
+        F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
+        valid_count_expr(F.col("px"), F.lit(-32768.0)).cast("long").alias("n_valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
