@@ -23,6 +23,41 @@ from geocube_spark.functions.geometry import clip_convex, decode_wkb
 from geocube_spark.functions.localdf import values_df
 
 
+def cover_for_layout(
+    spark: SparkSession,
+    layout_row,
+    aoi_rects: list[tuple[float, float, float, float]],
+    cells: DataFrame | None = None,
+):
+    """Grid dispatch (abstractgrid.go:53-66, §2.10 plugin surface): pick the
+    cover strategy from a layout row's grid_parameters.
+
+    regular -> DataFrame of cells; singlecell -> one (ox, oy, w, h) tuple;
+    custom -> J5 spatial join against the cells table.
+    """
+    params = dict(layout_row["grid_parameters"])
+    grid = params.get("grid", "regular")
+    if grid == "regular":
+        spec = RegularGridSpec(
+            crs=params.get("crs", "epsg:4326"),
+            cell_size=int(params.get("cell_size", "256")),
+            resolution=float(params.get("resolution", "1")),
+            ox=float(params.get("ox", "0")),
+            oy=float(params.get("oy", "0")),
+        )
+        return cover_regular(spark, aoi_rects, spec)
+    if grid == "singlecell":
+        spec = RegularGridSpec(
+            crs=params.get("crs", "epsg:4326"),
+            cell_size=1,
+            resolution=float(params.get("resolution", "1")),
+        )
+        return cover_singlecell(aoi_rects, spec)
+    if cells is None:
+        raise ValueError(f"custom grid {grid!r} needs a cells table")
+    return cover_custom(aoi_rects, cells.filter(F.col("grid") == grid))
+
+
 @dataclass
 class RegularGridSpec:
     """grid_parameters of a 'regular' layout (FIXTURES.md layouts)."""

@@ -75,27 +75,31 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
+    """doc_id -> minhash signature.
+
+    Shingle STRINGS are never materialized: each k-gram is hashed straight
+    out of the token array (min is idempotent, so duplicate shingles don't
+    need dedup).  Projection steps keep each intermediate (toks, hs)
+    evaluated once per row — Catalyst's CollapseProject leaves multi-
+    referenced non-cheap expressions in their own projection.
+    """
     params = minhash_params(num_hashes, seed)
     documents = _parallelize(documents)
-    # materialize shingles first so the (expensive) shingle expression is
-    # evaluated once per row, not re-inlined into all num_hashes min-hash
-    # expressions by projection collapse
-    base = documents.select(
-        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
-    )
-    # pre-hash each shingle once; the per-function (a,b) transforms then run
-    # over small ints (num_hashes × |shingles| cheap long ops).  Catalyst's
-    # CollapseProject keeps multi-referenced non-cheap expressions in their
-    # own projection, so `hs` is computed once per row.
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    base = documents.select("doc_id", toks.alias("toks"))
+    n = F.greatest(F.size("toks") - F.lit(shingle_k - 1), F.lit(1))
     hashed = base.select(
         "doc_id",
-        "shingles",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))).alias(
-            "hs"
-        ),
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.pmod(
+                F.xxhash64(F.concat_ws(" ", F.slice("toks", i, shingle_k))),
+                F.lit(_MERSENNE_P),
+            ),
+        ).alias("hs"),
     )
     sig = [F.array_min(F.transform("hs", _affine_hasher(a, b))) for a, b in params]
-    return hashed.select("doc_id", "shingles", F.array(*sig).alias("signature"))
+    return hashed.select("doc_id", F.array(*sig).alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -144,9 +148,17 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the shingle sets.
     Returns (doc_a, doc_b, jaccard >= threshold)."""
-    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_k, seed)
     cands = minhash_lsh_candidates(documents, text_col, num_hashes, bands, shingle_k, seed)
-    sh = sigs.select("doc_id", "shingles")
+    # exact-verify shingles are computed ONLY for docs that appear in a
+    # candidate pair (a tiny fraction of the corpus): semi-join first
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = documents.join(cand_ids, "doc_id", "left_semi").select(
+        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+    )
     joined = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")

@@ -1383,6 +1383,59 @@ def get_cube_pixels(spark, sf_dir):
     )
 
 
+# A5 on the real catalog: UpdateDatasets dry-run impact grouped by the
+# 7-scalar DataMapping.
+@q(
+    "update_datasets_impact",
+    f"""
+    SELECT dmapping.dtype AS dtype, dmapping.no_data AS no_data,
+           dmapping.min_value AS min_value, dmapping.max_value AS max_value,
+           dmapping.real_min_value AS real_min_value,
+           dmapping.real_max_value AS real_max_value,
+           dmapping.exponent AS exponent,
+           CAST(count(*) AS BIGINT) AS n_datasets
+    FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    WHERE status = 'ACTIVE'
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def update_datasets_impact(spark, sf_dir):
+    from geocube_spark.operators.admin import update_datasets_impact as impact
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    return impact(datasets, DatasetFilters(status="ACTIVE", order=False))
+
+
+# J7 on the real catalog: TidyDB anti-join cleanup counts.
+@q(
+    "tidy_db_counts",
+    f"""
+    WITH live_records AS (
+        SELECT r.* FROM read_parquet('{FIXTURE_DIR}/records.parquet') r
+        WHERE EXISTS (
+            SELECT 1 FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+            WHERE d.record_id = r.id
+        )
+    )
+    SELECT CAST((SELECT count(*) FROM read_parquet('{FIXTURE_DIR}/records.parquet')) AS BIGINT) AS n_records,
+           CAST((SELECT count(*) FROM live_records) AS BIGINT) AS n_live_records
+    """,
+)
+def tidy_db_counts(spark, sf_dir):
+    fd = ensure_fixtures()
+    records = spark.read.parquet(f"{fd}/records.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    live = records.join(
+        datasets.select("record_id").distinct(),
+        records["id"] == F.col("record_id"),
+        "left_semi",
+    )
+    return records.agg(F.count(F.lit(1)).alias("n_records")).crossJoin(
+        live.agg(F.count(F.lit(1)).alias("n_live_records"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,159 @@
+"""Admin operations: TidyDB, UpdateDatasets (impact + apply),
+DeleteDatasets with managed-container GC, DownloadCube, grid dispatch,
+catalog writers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.geometry import rect_wkb
+from geocube_spark.operators.admin import (
+    delete_datasets,
+    get_cube_from_metadatas,
+    update_datasets,
+    update_datasets_impact,
+)
+from geocube_spark.operators.cover import cover_for_layout
+from geocube_spark.plans.find_datasets import DatasetFilters
+from geocube_spark.sources.catalog import (
+    Catalog,
+    make_aoi_rows,
+    tidy_catalog,
+    validate_dmapping,
+    validate_record_name,
+)
+
+
+class TestCatalogWriters:
+    def test_aoi_dedup_by_hash(self):
+        a = rect_wkb(0, 0, 1, 1)
+        b = rect_wkb(0, 0, 1, 1)
+        c = rect_wkb(0, 0, 2, 2)
+        rows = make_aoi_rows([a, b, c])
+        assert len(rows) == 2  # identical geometry deduped (record.go:33-58)
+        assert rows[0]["id"] != rows[1]["id"]
+        # deterministic ids: same geometry -> same uuid5
+        again = make_aoi_rows([a])
+        assert again[0]["id"] == rows[0]["id"]
+
+    def test_record_name_validation(self):
+        validate_record_name("S2A_MSIL1C_2018:tile-31")
+        with pytest.raises(ValueError):
+            validate_record_name("bad name with spaces")
+
+    @pytest.mark.parametrize(
+        "patch",
+        [
+            {"min_value": 5.0, "max_value": 1.0},
+            {"real_min_value": 2.0, "real_max_value": 1.0},
+            {"exponent": 0.0},
+            {"dtype": "Complex64"},
+        ],
+    )
+    def test_dmapping_validation(self, patch):
+        dm = {
+            "dtype": "Int16", "no_data": 0.0, "min_value": 0.0, "max_value": 100.0,
+            "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+        }
+        dm.update(patch)
+        with pytest.raises(ValueError):
+            validate_dmapping(dm)
+
+    def test_tidy_catalog(self, spark, fixture_dir, tmp_path):
+        cat = Catalog(spark, str(tmp_path))
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet").limit(50)
+        cat.write("datasets", datasets)
+        for t in ("records", "aoi", "containers"):
+            cat.write(t, spark.read.parquet(f"{fixture_dir}/{t}.parquet"))
+        removed = tidy_catalog(cat)
+        # limiting datasets orphans some records/containers -> nonzero cleanup
+        assert removed["records"] > 0
+        assert removed["containers"] > 0
+
+
+class TestUpdateDatasets:
+    def test_impact_groups_by_mapping(self, spark, fixture_dir):
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        impact = update_datasets_impact(datasets, DatasetFilters(status="ACTIVE", order=False))
+        rows = impact.collect()
+        assert sum(r["n_datasets"] for r in rows) == datasets.filter(
+            F.col("status") == "ACTIVE"
+        ).count()
+        assert len(rows) >= 2  # several distinct mappings in fixtures
+
+    def test_apply_update(self, spark, fixture_dir):
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        new_dm = {
+            "dtype": "Float32", "no_data": -1.0, "min_value": 0.0, "max_value": 1.0,
+            "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+        }
+        flt = DatasetFilters(status="TODELETE", order=False)
+        out = update_datasets(datasets, flt, new_dm)
+        assert out.count() == datasets.count()  # row-preserving
+        changed = out.filter(
+            (F.col("status") == "TODELETE") & (F.col("dmapping.no_data") == -1.0)
+        ).count()
+        assert changed == datasets.filter(F.col("status") == "TODELETE").count()
+        untouched = out.filter(
+            (F.col("status") != "TODELETE") & (F.col("dmapping.no_data") == -1.0)
+        ).count()
+        assert untouched == 0
+
+
+class TestDeleteDatasets:
+    def test_delete_with_container_gc(self, spark, fixture_dir):
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        containers = spark.read.parquet(f"{fixture_dir}/containers.parquet")
+        flt = DatasetFilters(status="INACTIVE", order=False)
+        survivors, dead = delete_datasets(datasets, containers, flt)
+        n_doomed = datasets.filter(F.col("status") == "INACTIVE").count()
+        assert survivors.count() == datasets.count() - n_doomed
+        # every GC'd container is managed and has no surviving dataset
+        dead_uris = {r["uri"] for r in dead.collect()}
+        live_uris = {r["container_uri"] for r in survivors.collect()}
+        assert dead_uris.isdisjoint(live_uris)
+        managed = {
+            r["uri"] for r in containers.filter(F.col("managed")).collect()
+        }
+        assert dead_uris <= managed
+
+
+class TestDownloadCube:
+    def test_cube_from_caller_metadata(self, spark, fixture_dir):
+        tiles = spark.read.parquet(f"{fixture_dir}/tiles.parquet").filter(F.col("level") == 0)
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+        meta = (
+            datasets.filter(F.col("dmapping.no_data") == -32768.0)
+            .join(
+                records.select(F.col("id").alias("record_id"), F.col("datetime").alias("record_datetime")),
+                "record_id",
+            )
+            .select("container_uri", "record_id", "record_datetime")
+        )
+        cube = get_cube_from_metadatas(meta, tiles, nodata=-32768.0)
+        rows = cube.collect()
+        assert len(rows) == 4 and all(len(r["px"]) == 4096 for r in rows)
+
+
+class TestGridDispatch:
+    def test_dispatch_all_grids(self, spark, fixture_dir):
+        layouts = {r["name"]: r for r in spark.read.parquet(f"{fixture_dir}/layouts.parquet").collect()}
+        cells = spark.read.parquet(f"{fixture_dir}/cells.parquet")
+        rects = [(-165.0, -38.0, -150.0, -20.0)]
+
+        regular = cover_for_layout(spark, layouts["regular_256"], rects)
+        assert regular.count() > 0
+
+        single = cover_for_layout(spark, layouts["singlecell"], rects)
+        ox, oy, w, h = single
+        assert w > 0 and h > 0
+
+        custom = cover_for_layout(spark, layouts["mgrs_like"], rects, cells)
+        assert custom.count() == 25
+
+    def test_custom_without_cells_raises(self, spark, fixture_dir):
+        layouts = {r["name"]: r for r in spark.read.parquet(f"{fixture_dir}/layouts.parquet").collect()}
+        with pytest.raises(ValueError):
+            cover_for_layout(spark, layouts["mgrs_like"], [(0.0, 0.0, 1.0, 1.0)], None)
