@@ -1,0 +1,126 @@
+"""Minimal CRS kernel (C6, R4, R5) — no pyproj in this environment.
+
+Reference: internal/utils/proj/proj.go:26-73 (CRS parse + lon/lat<->CRS),
+image.go:453-478 (WarpedExtent R4), handler_consolidation.go:502-526
+(optimizeTransform R5).
+
+Supported CRSs: EPSG:4326 (lon/lat) and EPSG:3857 (WebMercator) with exact
+closed-form transforms, plus a plugin registry for custom transforms (the
+C6 extension point).  This covers the engine's query-side needs (XYZ tiles,
+extent warping, grid math); full projection support would plug pyproj into
+``register_transform`` unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Callable
+
+import numpy as np
+
+WGS84_A = 6378137.0
+_MERC_LIMIT_LAT = 85.051128779806604  # atan(sinh(pi)) in degrees
+
+Transform = Callable[[np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray]]
+_REGISTRY: dict[tuple[int, int], Transform] = {}
+
+
+class CRSError(ValueError):
+    pass
+
+
+def parse_crs(text: str | int) -> int:
+    """Parse user CRS input -> EPSG srid (proj.go:47-73 accepts EPSG codes,
+    'epsg:NNNN', plain integers; WKT/proj4 would go through the registry)."""
+    if isinstance(text, int):
+        return text
+    m = re.fullmatch(r"(?i)\s*(?:epsg\s*:)?\s*(\d+)\s*", text)
+    if not m:
+        raise CRSError(f"unsupported CRS spec: {text!r}")
+    return int(m.group(1))
+
+
+def register_transform(src: int, dst: int, fn: Transform) -> None:
+    _REGISTRY[(src, dst)] = fn
+
+
+def _lonlat_to_webmercator(x, y):
+    lat = np.clip(y, -_MERC_LIMIT_LAT, _MERC_LIMIT_LAT)
+    mx = np.radians(x) * WGS84_A
+    my = np.log(np.tan(np.pi / 4 + np.radians(lat) / 2)) * WGS84_A
+    return mx, my
+
+
+def _webmercator_to_lonlat(x, y):
+    lon = np.degrees(x / WGS84_A)
+    lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2)
+    return lon, lat
+
+
+register_transform(4326, 3857, _lonlat_to_webmercator)
+register_transform(3857, 4326, _webmercator_to_lonlat)
+
+
+def transform_points(
+    src: int, dst: int, xs: np.ndarray, ys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    if src == dst:
+        return xs, ys
+    fn = _REGISTRY.get((src, dst))
+    if fn is None:
+        raise CRSError(f"no transform registered for {src} -> {dst}")
+    return fn(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
+
+
+def warped_extent(
+    src: int,
+    dst: int,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    densify: int = 21,
+) -> tuple[float, float, float, float]:
+    """R4 WarpedExtent: transform the DENSIFIED boundary of the rect (not
+    just corners — curved projections bow edges outward) and take min/max,
+    the same contract as GDAL's suggested warp output bounds."""
+    t = np.linspace(0.0, 1.0, densify)
+    edge_x = np.concatenate(
+        [
+            xmin + (xmax - xmin) * t,  # bottom
+            np.full(densify, xmax),  # right
+            xmax + (xmin - xmax) * t,  # top
+            np.full(densify, xmin),  # left
+        ]
+    )
+    edge_y = np.concatenate(
+        [
+            np.full(densify, ymin),
+            ymin + (ymax - ymin) * t,
+            np.full(densify, ymax),
+            ymax + (ymin - ymax) * t,
+        ]
+    )
+    wx, wy = transform_points(src, dst, edge_x, edge_y)
+    return float(wx.min()), float(wy.min()), float(wx.max()), float(wy.max())
+
+
+def snap_transform(
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    resolution: float,
+    block: int,
+    origin: tuple[float, float] = (0.0, 0.0),
+) -> tuple[float, float, int, int]:
+    """R5 optimizeTransform (handler_consolidation.go:502-526): snap an
+    extent to the block grid — origin aligned down to a block multiple,
+    size rounded up to whole blocks.  Returns (ox, oy_top, width, height)."""
+    step = resolution * block
+    ox = origin[0] + math.floor((xmin - origin[0]) / step) * step
+    oy = origin[1] + math.ceil((ymax - origin[1]) / step) * step  # top edge
+    w_blocks = math.ceil((xmax - ox) / step)
+    h_blocks = math.ceil((oy - ymin) / step)
+    return ox, oy, w_blocks * block, h_blocks * block

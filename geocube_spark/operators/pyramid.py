@@ -40,15 +40,62 @@ def _pool2x2(children: Column, bw: int, bh: int, alg: str, nodata: float) -> Col
         valid = F.filter(
             vals, lambda v: ~(F.when(F.isnan(nd), F.isnan(v)).otherwise(v == nd))
         )
+        n_valid = F.size(valid)
         if alg == "AVERAGE":
-            agg = F.aggregate(valid, F.lit(0.0), lambda a, v: a + v) / F.size(valid)
+            agg = F.aggregate(valid, F.lit(0.0), lambda a, v: a + v) / n_valid
         elif alg == "MIN":
             agg = F.array_min(valid)
         elif alg == "MAX":
             agg = F.array_max(valid)
+        elif alg in ("MED", "Q1", "Q3"):
+            # order statistics over the (≤4-element) sorted valid window;
+            # MED averages the two middles for even counts (GDAL semantics)
+            s = F.array_sort(valid)
+            if alg == "MED":
+                lo_i = ((n_valid + 1) / 2).cast("int")
+                hi_i = (n_valid / 2 + 1).cast("int")
+                agg = (F.element_at(s, lo_i) + F.element_at(s, hi_i)) / 2.0
+            elif alg == "Q1":
+                agg = F.element_at(s, F.greatest((n_valid / 4).cast("int"), F.lit(1)))
+            else:  # Q3
+                agg = F.element_at(
+                    s, F.least(((n_valid * 3 + 3) / 4).cast("int"), n_valid)
+                )
+        elif alg == "MODE":
+            # most frequent value; ties -> smallest (deterministic)
+            s = F.array_sort(valid)
+            agg = F.aggregate(
+                s,
+                F.struct(
+                    F.lit(None).cast("double").alias("best"),
+                    F.lit(0).alias("best_n"),
+                    F.lit(None).cast("double").alias("cur"),
+                    F.lit(0).alias("cur_n"),
+                ),
+                lambda acc, v: F.struct(
+                    F.when(
+                        (acc["cur"] == v) & (acc["cur_n"] + 1 > acc["best_n"]), v
+                    )
+                    .when(acc["best"].isNull(), v)
+                    .otherwise(acc["best"])
+                    .alias("best"),
+                    F.when(
+                        (acc["cur"] == v) & (acc["cur_n"] + 1 > acc["best_n"]),
+                        acc["cur_n"] + 1,
+                    )
+                    .when(acc["best"].isNull(), F.lit(1))
+                    .otherwise(acc["best_n"])
+                    .alias("best_n"),
+                    v.alias("cur"),
+                    F.when(acc["cur"] == v, acc["cur_n"] + 1).otherwise(F.lit(1)).alias(
+                        "cur_n"
+                    ),
+                ),
+                lambda acc: acc["best"],
+            )
         else:  # NEAR: top-left source pixel
             agg = F.element_at(vals, 1)
-        return F.when(F.size(valid) == 0, nd).otherwise(agg)
+        return F.when(n_valid == 0, nd).otherwise(agg)
 
     return F.transform(F.sequence(F.lit(0), F.lit(bw * bh - 1)), pooled)
 

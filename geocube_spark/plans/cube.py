@@ -140,6 +140,7 @@ def get_cube(
     nodata: float,
     min_valid_fraction: float = 0.0,
     block_pixels: int = 4096,
+    bands: list[int] | None = None,
 ) -> DataFrame:
     """Full GetCube read path (§3.1 steps 1-8): catalog plan -> tile join ->
     per-slice latest-wins mosaic -> valid-pixel filter.
@@ -174,6 +175,8 @@ def get_cube(
         "record_datetime",
         F.col("dmapping.no_data").alias("ds_nodata"),
     )
+    if bands is not None:  # F13 band-subset projection (image.go:221-231)
+        tiles = tiles.filter(F.col("band").isin(bands))
     joined = tiles.join(F.broadcast(slim), "container_uri")
     # mosaic per (record-slice is implicit: each record is its own slice in
     # headers; the cube's pixel plane merges ALL matching records per block)

@@ -1436,6 +1436,90 @@ def tidy_db_counts(spark, sf_dir):
     )
 
 
+# J3: datasets ⋈ records ⋈ aoi three-way join (FindContainerLayouts shape).
+@q(
+    "datasets_records_aoi_join",
+    f"""
+    SELECT d.id AS dataset_id, r.name AS record_name, a.hash AS aoi_hash
+    FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+    JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r ON d.record_id = r.id
+    JOIN read_parquet('{FIXTURE_DIR}/aoi.parquet') a ON r.aoi_id = a.id
+    WHERE d.status = 'ACTIVE'
+    """,
+)
+def datasets_records_aoi_join(spark, sf_dir):
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet").filter(
+        F.col("status") == "ACTIVE"
+    )
+    records = spark.read.parquet(f"{fd}/records.parquet")
+    aoi = spark.read.parquet(f"{fd}/aoi.parquet")
+    return (
+        datasets.join(
+            F.broadcast(
+                records.select(
+                    F.col("id").alias("record_id"),
+                    F.col("name").alias("record_name"),
+                    "aoi_id",
+                )
+            ),
+            "record_id",
+        )
+        .join(
+            F.broadcast(aoi.select(F.col("id").alias("aoi_id"), F.col("hash").alias("aoi_hash"))),
+            "aoi_id",
+        )
+        .select(F.col("id").alias("dataset_id"), "record_name", "aoi_hash")
+    )
+
+
+# J8: datasets ⋈ locked_datasets lock bookkeeping.
+@q(
+    "locked_datasets_join",
+    f"""
+    SELECT l.job_id, l.flag, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT d.container_uri) AS BIGINT) AS n_containers
+    FROM read_parquet('{FIXTURE_DIR}/locked_datasets.parquet') l
+    JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d ON l.dataset_id = d.id
+    GROUP BY l.job_id, l.flag
+    """,
+)
+def locked_datasets_join(spark, sf_dir):
+    fd = ensure_fixtures()
+    locked = spark.read.parquet(f"{fd}/locked_datasets.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    return (
+        locked.join(datasets, locked["dataset_id"] == datasets["id"])
+        .groupBy("job_id", "flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("container_uri").alias("n_containers"),
+        )
+    )
+
+
+# A10 on the real jobs/tasks tables: per-job task-state counters via pivot.
+@q(
+    "job_task_counters",
+    f"""
+    SELECT job_id,
+           CAST(count(*) FILTER (state = 'NEW') AS BIGINT) AS "NEW",
+           CAST(count(*) FILTER (state = 'PENDING') AS BIGINT) AS "PENDING",
+           CAST(count(*) FILTER (state = 'DONE') AS BIGINT) AS "DONE",
+           CAST(count(*) FILTER (state = 'FAILED') AS BIGINT) AS "FAILED",
+           CAST(count(*) FILTER (state = 'CANCELLED') AS BIGINT) AS "CANCELLED"
+    FROM read_parquet('{FIXTURE_DIR}/tasks.parquet')
+    GROUP BY job_id
+    """,
+)
+def job_task_counters(spark, sf_dir):
+    from geocube_spark.streaming.jobs import task_counters
+
+    fd = ensure_fixtures()
+    tasks = spark.read.parquet(f"{fd}/tasks.parquet")
+    return task_counters(tasks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -88,6 +88,32 @@ def validate_dmapping(dm: dict) -> None:
         raise ValueError(f"dmapping: unknown dtype {dm['dtype']}")
 
 
+def update_record_tags(
+    records: DataFrame,
+    record_ids: list[str],
+    add: dict[str, str] | None = None,
+    remove: list[str] | None = None,
+) -> DataFrame:
+    """C11 tag map ops (pg_records.go:336-377): ``tags || hstore`` merge for
+    adds/overwrites, key deletion for removes — JVM-side map_concat /
+    map_filter, applied only to the selected records."""
+    hit = F.col("id").isin(record_ids)
+    tags = F.col("tags")
+    if add:
+        new_map = F.create_map(
+            *[x for k, v in sorted(add.items()) for x in (F.lit(k), F.lit(v))]
+        )
+        # map_concat raises on duplicate keys: drop overwritten keys first
+        add_keys = list(add)
+        tags = F.map_concat(
+            F.map_filter(tags, lambda k, _: ~k.isin(*add_keys)), new_map
+        )
+    if remove:
+        rm = list(remove)
+        tags = F.map_filter(tags, lambda k, _: ~k.isin(*rm))
+    return records.withColumn("tags", F.when(hit, tags).otherwise(F.col("tags")))
+
+
 def tidy_catalog(catalog: Catalog) -> dict[str, int]:
     """TidyDB (J7 anti-joins, pg_records.go:176-191,323-333;
     pg_containers.go:100-109): delete records/AOIs/containers no dataset
