@@ -122,6 +122,82 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iterations: int = 10,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Coarse quantizer for IVF: Lloyd's k-means on a driver-side sample
+    (deterministic seed).  At 100 TB the sample fraction makes this a
+    bounded collect; centroids are tiny and broadcast into codegen."""
+    df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    mat = np.array([r["v"] for r in df.collect()], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iterations):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids.tolist()
+
+
+def ivf_assign_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cluster id = argmin ||v - c||² = argmax (v·c - ||c||²/2) — JVM-side
+    dot products against literal centroid arrays."""
+    scores = []
+    for c in centroids:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        half_norm = sum(x * x for x in c) / 2.0
+        scores.append(dot_expr(vec, carr) - F.lit(half_norm))
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    out = F.lit(0)
+    for i in range(len(scores) - 1, -1, -1):
+        out = F.when(scores[i] == best, F.lit(i)).otherwise(out)
+    return out
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: probe only the ``nprobe`` clusters nearest the query.
+
+    In a real deployment the cluster id is a persisted partition column so
+    the probe is a partition-pruned scan; here it is computed on the fly.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_clusters, vec_col, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+
+    assigned = embeddings.withColumn(
+        "_cluster", ivf_assign_expr(F.col(vec_col).cast("array<double>"), centroids)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("_cluster").isin(probe))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_all_pairs_exact(
     embeddings: DataFrame,
     threshold: float,

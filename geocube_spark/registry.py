@@ -773,6 +773,13 @@ def embedding_near_dup_lsh(spark, sf_dir):
     return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, bits=4)
 
 
+@q("embedding_ivf_topk")
+def embedding_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    return sim.ivf_topk(emb, list(qrow["embedding"]), k=20, n_clusters=8, nprobe=3)
+
+
 # ============================================================= text analysis
 
 

@@ -216,3 +216,53 @@ class TestStreaming:
         q.awaitTermination(120)
         got = spark.sql("SELECT sum(n_events) AS n FROM win_agg").first()["n"]
         assert got == src.count()
+
+
+class TestIVF:
+    def test_ivf_topk_recall_vs_bruteforce(self, spark):
+        rng = np.random.RandomState(11)
+        # 4 well-separated clusters of 25 vectors
+        centers = rng.standard_normal((4, 16)) * 10
+        rows = []
+        for i in range(100):
+            c = i % 4
+            rows.append((i, (centers[c] + rng.standard_normal(16) * 0.3).tolist(), c))
+        emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT")
+        q = rows[0][1]
+        exact = [r["vec_id"] for r in sim.brute_force_topk(emb, q, k=10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in sim.ivf_topk(emb, q, k=10, n_clusters=4, nprobe=1).collect()
+        ]
+        # same cluster -> full recall on well-separated data
+        assert set(approx) == set(exact)
+
+    def test_centroids_deterministic(self, spark):
+        rng = np.random.RandomState(3)
+        emb = spark.createDataFrame(
+            [(i, rng.standard_normal(8).tolist(), 0) for i in range(50)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+        )
+        c1 = sim.kmeans_centroids(emb, 4)
+        c2 = sim.kmeans_centroids(emb, 4)
+        assert c1 == c2
+
+
+class TestSkewUtils:
+    def test_salted_count_matches_plain(self, spark):
+        from geocube_spark.operators.skew import salted_count
+
+        df = spark.range(10000).withColumn("k", (F.col("id") % 3).cast("string"))
+        plain = {r["k"]: r["n"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+        salted = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+        assert plain == salted
+
+    def test_salted_join_matches_plain(self, spark):
+        from geocube_spark.operators.skew import salted_join
+
+        fact = spark.range(5000).withColumn("k", (F.col("id") % 4).cast("string"))
+        dim = spark.createDataFrame(
+            [(str(i), f"v{i}") for i in range(4)], "k STRING, v STRING"
+        )
+        plain = fact.join(dim, "k").count()
+        assert salted_join(fact, dim, "k").count() == plain
