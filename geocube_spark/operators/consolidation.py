@@ -138,6 +138,47 @@ def plan_consolidation(
     )
 
 
+def valid_shape_per_cell(
+    datasets_with_cells: DataFrame,
+    cell_bounds_cols: tuple[str, str, str, str] = (
+        "cell_xmin",
+        "cell_ymin",
+        "cell_xmax",
+        "cell_ymax",
+    ),
+) -> DataFrame:
+    """A2 (pg_containers.go:409-430): per (cell, record), the intersection
+    of the union of dataset shapes with the cell ring.
+
+    Rect fixtures make union-of-shapes == bbox envelope, so the operator is
+    exact in the bbox domain: groupBy -> envelope -> clamp to cell bounds;
+    empty intersections (zero area) are dropped like the reference's
+    dimension filter (pg_grids.go:126).
+    """
+    cx0, cy0, cx1, cy1 = cell_bounds_cols
+    env = datasets_with_cells.groupBy(
+        "cell_uri", "record_id", cx0, cy0, cx1, cy1
+    ).agg(
+        F.min("bbox.xmin").alias("u_xmin"),
+        F.min("bbox.ymin").alias("u_ymin"),
+        F.max("bbox.xmax").alias("u_xmax"),
+        F.max("bbox.ymax").alias("u_ymax"),
+        F.count(F.lit(1)).alias("n_datasets"),
+    )
+    clamped = env.select(
+        "cell_uri",
+        "record_id",
+        "n_datasets",
+        F.greatest(F.col("u_xmin"), F.col(cx0)).alias("v_xmin"),
+        F.greatest(F.col("u_ymin"), F.col(cy0)).alias("v_ymin"),
+        F.least(F.col("u_xmax"), F.col(cx1)).alias("v_xmax"),
+        F.least(F.col("u_ymax"), F.col(cy1)).alias("v_ymax"),
+    )
+    return clamped.filter(
+        (F.col("v_xmin") < F.col("v_xmax")) & (F.col("v_ymin") < F.col("v_ymax"))
+    )
+
+
 def exclude_full_containers(
     per_cell_members: DataFrame,
     container_stats: DataFrame,

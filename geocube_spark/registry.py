@@ -1527,6 +1527,64 @@ def job_task_counters(spark, sf_dir):
     return task_counters(tasks)
 
 
+# A2: valid-shape per (cell, record) — union envelope of dataset shapes
+# clamped to the cell ring, empty intersections dropped.
+@q(
+    "valid_shape_per_cell",
+    f"""
+    WITH cells(cell_uri, cx0, cy0, cx1, cy1) AS (
+        VALUES ('cell/a', -168.0, -40.0, -160.0, -30.0),
+               ('cell/b', -160.0, -40.0, -152.0, -30.0)
+    ),
+    joined AS (
+        SELECT c.cell_uri, d.record_id, c.cx0, c.cy0, c.cx1, c.cy1, d.bbox
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+        JOIN cells c
+          ON d.bbox.xmin <= c.cx1 AND d.bbox.xmax >= c.cx0
+         AND d.bbox.ymin <= c.cy1 AND d.bbox.ymax >= c.cy0
+        WHERE d.status = 'ACTIVE'
+    ),
+    env AS (
+        SELECT cell_uri, record_id, cx0, cy0, cx1, cy1,
+               min(bbox.xmin) u_xmin, min(bbox.ymin) u_ymin,
+               max(bbox.xmax) u_xmax, max(bbox.ymax) u_ymax,
+               CAST(count(*) AS BIGINT) n_datasets
+        FROM joined GROUP BY cell_uri, record_id, cx0, cy0, cx1, cy1
+    )
+    SELECT cell_uri, record_id, n_datasets,
+           greatest(u_xmin, cx0) AS v_xmin, greatest(u_ymin, cy0) AS v_ymin,
+           least(u_xmax, cx1) AS v_xmax, least(u_ymax, cy1) AS v_ymax
+    FROM env
+    WHERE greatest(u_xmin, cx0) < least(u_xmax, cx1)
+      AND greatest(u_ymin, cy0) < least(u_ymax, cy1)
+    """,
+)
+def valid_shape_per_cell_q(spark, sf_dir):
+    from geocube_spark.functions.localdf import values_df
+    from geocube_spark.operators.consolidation import valid_shape_per_cell
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet").filter(
+        F.col("status") == "ACTIVE"
+    )
+    cells = values_df(
+        spark,
+        [
+            ("cell/a", -168.0, -40.0, -160.0, -30.0),
+            ("cell/b", -160.0, -40.0, -152.0, -30.0),
+        ],
+        ["cell_uri", "cell_xmin", "cell_ymin", "cell_xmax", "cell_ymax"],
+    )
+    joined = datasets.join(
+        F.broadcast(cells),
+        (F.col("bbox.xmin") <= F.col("cell_xmax"))
+        & (F.col("bbox.xmax") >= F.col("cell_xmin"))
+        & (F.col("bbox.ymin") <= F.col("cell_ymax"))
+        & (F.col("bbox.ymax") >= F.col("cell_ymin")),
+    )
+    return valid_shape_per_cell(joined)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

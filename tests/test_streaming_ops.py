@@ -1,0 +1,162 @@
+"""Streaming surface: stateful sessionization (applyInPandasWithState),
+task-queue micro-batch loop, ordered streaming contract (W3), bucketed
+co-located joins."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.streaming.jobs import run_task_queue_stream
+from geocube_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+
+@pytest.fixture(scope="module")
+def session_events(spark):
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    # user 1: two sessions (45-minute gap between event 2 and 3)
+    for i, off in enumerate([0, 5, 10, 55, 60]):
+        rows.append((1, t0 + timedelta(minutes=off), 1.0 + i))
+    # user 2: one session
+    for i, off in enumerate([0, 20]):
+        rows.append((2, t0 + timedelta(minutes=off), 10.0 + i))
+    return spark.createDataFrame(rows, "user_id LONG, ts TIMESTAMP, value DOUBLE")
+
+
+class TestSessionization:
+    def test_batch_semantics(self, session_events):
+        out = {
+            (r["user_id"], r["session_start"]): r
+            for r in sessionize_batch(session_events, gap_minutes=30).collect()
+        }
+        assert len(out) == 3  # user1 ×2, user2 ×1
+        u1_first = out[(1, datetime(2024, 1, 1, 8, 0))]
+        assert u1_first["n_events"] == 3 and u1_first["sum_value"] == 6.0
+        u1_second = out[(1, datetime(2024, 1, 1, 8, 55))]
+        assert u1_second["n_events"] == 2
+
+    def test_stream_converges_to_batch(self, spark, session_events, tmp_path):
+        """Closed input through the stateful operator == batch sessionizer
+        for all CLOSED sessions (open tails stay in state)."""
+        src_dir = str(tmp_path / "events")
+        session_events.write.parquet(src_dir)
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(src_dir)
+        out = sessionize_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"]): r
+            for r in spark.sql("SELECT * FROM sessions_out").collect()
+        }
+        batch = sessionize_batch(session_events, gap_minutes=30).collect()
+        # closed sessions (all but the last per user) must match exactly
+        last_per_user = {}
+        for r in batch:
+            cur = last_per_user.get(r["user_id"])
+            if cur is None or r["session_start"] > cur["session_start"]:
+                last_per_user[r["user_id"]] = r
+        closed_expected = [
+            r for r in batch if r is not last_per_user[r["user_id"]]
+        ]
+        for r in closed_expected:
+            g = got[(r["user_id"], r["session_start"])]
+            assert g["n_events"] == r["n_events"]
+            assert g["sum_value"] == r["sum_value"]
+            assert g["session_end"] == r["session_end"]
+
+
+class TestTaskQueue:
+    def test_micro_batch_handler(self, spark, fixture_dir, tmp_path):
+        # file-stream sources need a DIRECTORY (the landing zone); stage the
+        # fixture tasks into one
+        queue_dir = str(tmp_path / "task_queue")
+        spark.read.parquet(f"{fixture_dir}/tasks.parquet").write.parquet(queue_dir)
+        processed = []
+
+        def handler(batch_df, batch_id):
+            processed.append((batch_id, batch_df.count()))
+
+        q = run_task_queue_stream(
+            spark, queue_dir, handler, checkpoint=str(tmp_path / "ckpt")
+        )
+        q.awaitTermination(120)
+        assert sum(n for _, n in processed) == 20  # all fixture tasks seen once
+
+        # idempotent re-entry: restarting with the same checkpoint replays nothing
+        q2 = run_task_queue_stream(
+            spark, queue_dir, handler, checkpoint=str(tmp_path / "ckpt")
+        )
+        q2.awaitTermination(120)
+        assert sum(n for _, n in processed) == 20
+
+
+class TestOrderedStreaming:
+    def test_to_local_iterator_preserves_order(self, spark, fixture_dir):
+        """W3: a sorted DataFrame iterated with toLocalIterator yields
+        global (datetime, id) order — the reference's orderResults."""
+        records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+        ordered = records.orderBy("datetime", "id").select("datetime", "id")
+        seen = [(r["datetime"], r["id"]) for r in ordered.toLocalIterator()]
+        assert seen == sorted(seen)
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, fixture_dir, tmp_path):
+        """SCALING.md's bucketing plan: two tables bucketed on the join key
+        -> sort-merge join with zero Exchange in the physical plan."""
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+            records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+            datasets.write.bucketBy(4, "record_id").sortBy("record_id").mode(
+                "overwrite"
+            ).saveAsTable("b_datasets")
+            records.withColumnRenamed("id", "record_id").write.bucketBy(
+                4, "record_id"
+            ).sortBy("record_id").mode("overwrite").saveAsTable("b_records")
+            joined = spark.table("b_datasets").join(
+                spark.table("b_records"), "record_id"
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:2000]
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS b_datasets")
+            spark.sql("DROP TABLE IF EXISTS b_records")
+
+
+class TestValidShapePerCell:
+    def test_a2_envelope_clamp(self, spark):
+        rows = [
+            # two datasets of one record overlapping cell (0,0,10,10)
+            ("c1", "r1", 0.0, 0.0, 10.0, 10.0, {"xmin": -2.0, "ymin": 1.0, "xmax": 4.0, "ymax": 5.0}),
+            ("c1", "r1", 0.0, 0.0, 10.0, 10.0, {"xmin": 3.0, "ymin": 2.0, "xmax": 12.0, "ymax": 6.0}),
+            # dataset fully outside its cell -> dropped
+            ("c2", "r2", 0.0, 0.0, 1.0, 1.0, {"xmin": 5.0, "ymin": 5.0, "xmax": 6.0, "ymax": 6.0}),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "cell_uri STRING, record_id STRING, cell_xmin DOUBLE, cell_ymin DOUBLE,"
+            " cell_xmax DOUBLE, cell_ymax DOUBLE,"
+            " bbox STRUCT<xmin:DOUBLE,ymin:DOUBLE,xmax:DOUBLE,ymax:DOUBLE>",
+        )
+        from geocube_spark.operators.consolidation import valid_shape_per_cell
+
+        out = {r["cell_uri"]: r for r in valid_shape_per_cell(df).collect()}
+        assert set(out) == {"c1"}
+        r = out["c1"]
+        # union envelope (-2,1,12,6) clamped to cell (0,0,10,10)
+        assert (r["v_xmin"], r["v_ymin"], r["v_xmax"], r["v_ymax"]) == (0.0, 1.0, 10.0, 6.0)
+        assert r["n_datasets"] == 2
