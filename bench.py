@@ -37,15 +37,22 @@ BENCH_QUERIES = [
     "dedup_exact_groups",
     "dedup_keep_first",
     "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
     "embedding_topk",
     "embedding_near_dup_exact",
+    "embedding_ivf_topk",
     "text_quality",
     "text_langid",
     # raster plane (fixture tables)
     "cast_tiles_checksum",
     "mosaic_latest_first",
+    "get_cube_pixels",
     "pyramid_level1",
+    "valid_pixel_filter",
     "cover_regular_grid",
+    "cover_custom_cells",
+    "union_geometry_job",
+    "datasets_records_aoi_join",
 ]
 
 
@@ -66,12 +73,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        # collect (not count): count() would let Catalyst prune the computed
-        # columns and skip the actual operator work
-        n = len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the first run carries per-query codegen compilation
+        # and is noisy on shared machines; the min is the reproducible cost
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            # collect (not count): count() would let Catalyst prune the
+            # computed columns and skip the actual operator work
+            n = len(df.collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -1,0 +1,97 @@
+"""Plan-quality regression tests: the physical plans the engine promises in
+SCALING.md, asserted against .explain output so optimizations can't silently
+regress.  These are the '.explain and iterate' loop, frozen as CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.dataformat import cast_expr
+from geocube_spark.operators.mosaic import mosaic_blocks
+from geocube_spark.plans.find_datasets import DatasetFilters, find_datasets
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture(scope="module")
+def fx(spark, fixture_dir):
+    return {
+        "datasets": spark.read.parquet(f"{fixture_dir}/datasets.parquet"),
+        "records": spark.read.parquet(f"{fixture_dir}/records.parquet"),
+        "tiles": spark.read.parquet(f"{fixture_dir}/tiles.parquet"),
+    }
+
+
+class TestFindDatasetsPlan:
+    def test_status_filter_pushed_to_scan(self, fx):
+        out = find_datasets(fx["datasets"], None, DatasetFilters(status="ACTIVE", order=False))
+        plan = formatted_plan(out)
+        assert "PushedFilters" in plan
+        assert "EqualTo(status,ACTIVE)" in plan
+
+    def test_records_join_is_broadcast(self, fx):
+        from datetime import datetime
+
+        flt = DatasetFilters(status="ACTIVE", time_from=datetime(2018, 1, 1))
+        out = find_datasets(fx["datasets"], fx["records"], flt)
+        assert "BroadcastHashJoin" in physical_plan(out)
+
+    def test_join_avoidance_no_join_without_predicates(self, fx):
+        out = find_datasets(
+            fx["datasets"], fx["records"], DatasetFilters(status="ACTIVE", order=False)
+        )
+        plan = physical_plan(out)
+        assert "Join" not in plan  # O5: records join elided
+
+    def test_column_pruning_reaches_scan(self, fx):
+        out = find_datasets(
+            fx["datasets"], None, DatasetFilters(status="ACTIVE", order=False)
+        ).select("id", "record_id")
+        plan = formatted_plan(out)
+        # ReadSchema carries only the needed columns, not geom_wkb/px blobs
+        read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+        assert "geom_wkb" not in read_schema
+        assert "id" in read_schema
+
+
+class TestPixelPlanePlans:
+    def test_cast_stays_jvm_side(self, fx):
+        src = {
+            "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0,
+            "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+        }
+        dst = dict(src, dtype="UInt8", no_data=0.0, min_value=1.0, max_value=255.0)
+        out = fx["tiles"].select(cast_expr(F.col("px"), src, dst).alias("c"))
+        plan = physical_plan(out)
+        # no Python evaluation nodes: the cast runs entirely JVM-side
+        # (HOF lambdas sit outside WholeStageCodegen spans by design)
+        assert "EvalPython" not in plan
+        assert "ReadSchema: struct<px:array<double>>" in plan  # pruned scan
+
+    def test_mosaic_single_shuffle(self, fx, spark):
+        joined = fx["tiles"].join(
+            F.broadcast(
+                fx["datasets"].select("container_uri", "record_id").limit(10)
+            ),
+            "container_uri",
+        ).withColumn("record_datetime", F.current_timestamp())
+        out = mosaic_blocks(joined, nodata=-32768.0)
+        plan = physical_plan(out)
+        # exactly one hash-partition exchange: the groupBy on block keys
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan[:1500]
+
+    def test_tile_band_filter_pushed(self, fx):
+        out = fx["tiles"].filter(F.col("band") == 1).select("px")
+        plan = formatted_plan(out)
+        assert "PushedFilters" in plan and "EqualTo(band,1)" in plan
