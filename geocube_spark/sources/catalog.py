@@ -7,6 +7,7 @@ variable.go:286-328, dataset.go:191-220; AOI dedup-by-hash record.go:33-58.
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 
@@ -48,7 +49,25 @@ class Catalog:
         return self.spark.read.parquet(self.path(name))
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.path(name))
+        """Read-modify-OVERWRITE safe: materialize to a temp dir first, then
+        swap — Spark cannot overwrite a path that one of the plan's inputs
+        is still lazily reading (Delta's MERGE would replace this dance)."""
+        import shutil
+        import uuid as _uuid
+
+        target = self.path(name)
+        tmp = f"{self.root}/.tmp_{name}_{_uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        backup = f"{target}.bak"
+        if os.path.exists(target):
+            os.rename(target, backup)
+        try:
+            os.rename(tmp, target)
+        finally:
+            if os.path.exists(backup):
+                shutil.rmtree(backup, ignore_errors=True) if os.path.isdir(
+                    backup
+                ) else os.remove(backup)
 
 
 def validate_record_name(name: str) -> None:

@@ -1,0 +1,152 @@
+"""GeocubeClient facade: the reference's API surface end-to-end over a
+scratch catalog — create entities, index datasets, query cubes, manage
+jobs."""
+
+from __future__ import annotations
+
+import shutil
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.client import GeocubeClient
+from geocube_spark.functions.geometry import rect_wkb
+from geocube_spark.plans.find_datasets import DatasetFilters
+from geocube_spark.plans.find_records import RecordFilters
+
+
+@pytest.fixture(scope="module")
+def client(spark, fixture_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("client_catalog")
+    # seed with the fixture catalog so query methods have data
+    for t in ("aoi", "records", "variables", "instances", "containers",
+              "datasets", "tiles", "layouts", "cells", "jobs", "tasks"):
+        shutil.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+    return GeocubeClient(spark, str(root))
+
+
+class TestEntityLifecycle:
+    def test_create_aoi_dedup(self, client):
+        n_before = client.catalog.read("aoi").count()
+        ids = client.create_aoi([rect_wkb(100, 0, 101, 1), rect_wkb(100, 0, 101, 1)])
+        assert len(ids) == 1  # deduped within the call
+        assert client.catalog.read("aoi").count() == n_before + 1
+        # re-creating the same geometry adds nothing
+        again = client.create_aoi([rect_wkb(100, 0, 101, 1)])
+        assert again == ids
+        assert client.catalog.read("aoi").count() == n_before + 1
+
+    def test_create_records_and_tags(self, client):
+        aoi_ids = client.create_aoi([rect_wkb(102, 0, 103, 1)])
+        rids = client.create_records(
+            ["CLIENT_0001", "CLIENT_0002"],
+            {"CONSTELLATION": "TEST"},
+            [datetime(2020, 1, 1), datetime(2020, 1, 2)],
+            aoi_ids * 2,
+        )
+        assert len(rids) == 2
+        client.add_records_tags(rids, {"PROC": "L2A"})
+        got = client.list_records(RecordFilters(name_glob="CLIENT_*")).collect()
+        assert len(got) == 2
+        assert all(r["tags"]["PROC"] == "L2A" for r in got)
+        client.remove_records_tags(rids, ["PROC"])
+        got = client.list_records(RecordFilters(name_glob="CLIENT_*")).collect()
+        assert all("PROC" not in r["tags"] for r in got)
+
+    def test_bad_record_name_rejected(self, client):
+        with pytest.raises(ValueError):
+            client.create_records(["bad name"], {}, [datetime(2020, 1, 1)], ["x"])
+
+    def test_variable_and_instance(self, client):
+        vid = client.create_variable(
+            "client_var", ["B1"],
+            {"dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0},
+        )
+        iid = client.instantiate_variable(vid, "client_var/default")
+        vs = client.list_variables("client_*").collect()
+        assert len(vs) == 1 and vs[0]["id"] == vid
+        assert iid
+
+    def test_index_and_delete_datasets(self, client):
+        aoi_ids = client.create_aoi([rect_wkb(104, 0, 105, 1)])
+        rids = client.create_records(
+            ["CLIENT_0003"], {}, [datetime(2020, 2, 1)], aoi_ids
+        )
+        n = client.index_datasets(
+            [
+                {
+                    "record_id": rids[0],
+                    "instance_id": "inst-x",
+                    "container_uri": "file:///client/0.tif",
+                    "subdir": "",
+                    "bands": [1],
+                    "status": "ACTIVE",
+                    "dmapping": {
+                        "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0,
+                        "max_value": 10000.0, "real_min_value": 0.0,
+                        "real_max_value": 1.0, "exponent": 1.0,
+                    },
+                    "geom_wkb": rect_wkb(104, 0, 105, 1),
+                    "shape_srid": 4326,
+                    "overviews": False,
+                    "locked_by_job_id": None,
+                }
+            ]
+        )
+        assert n == 1
+        found = client.list_datasets(
+            DatasetFilters(status="ACTIVE", record_ids=rids, order=False)
+        ).collect()
+        assert len(found) == 1
+        # records still referenced cannot be deleted
+        with pytest.raises(ValueError):
+            client.delete_records(rids)
+        n_deleted, _ = client.delete_datasets(
+            DatasetFilters(status=None, record_ids=rids, order=False)
+        )
+        assert n_deleted == 1
+        assert client.delete_records(rids) == 1
+
+
+class TestCubeSurface:
+    def test_headers_and_pixels(self, client):
+        flt = DatasetFilters(
+            status="ACTIVE",
+            time_from=datetime(2018, 1, 1),
+            time_to=datetime(2018, 3, 1),
+        )
+        headers = client.get_cube_headers(flt).collect()
+        assert len(headers) > 0
+        pix_flt = DatasetFilters(
+            status="ACTIVE", time_from=datetime(2018, 1, 1), time_to=datetime(2018, 3, 1),
+            order=False,
+            extra_dataset_predicates=[F.col("dmapping.no_data") == -32768.0],
+        )
+        cube = client.get_cube(pix_flt, nodata=-32768.0).collect()
+        assert len(cube) == 4
+
+    def test_dry_run_impact(self, client):
+        impact = client.update_datasets_dry_run(DatasetFilters(status="ACTIVE", order=False))
+        assert impact.count() >= 2
+
+    def test_tile_aoi(self, client):
+        cells = client.tile_aoi([(-165.0, -38.0, -150.0, -20.0)], "mgrs_like")
+        assert cells.count() == 25
+        with pytest.raises(KeyError):
+            client.tile_aoi([(0.0, 0.0, 1.0, 1.0)], "nope")
+
+
+class TestJobSurface:
+    def test_job_listing_and_transition(self, client):
+        jobs = client.list_jobs().collect()
+        assert len(jobs) == 5
+        counters = client.job_task_counters().collect()
+        assert len(counters) == 5
+        new_state = client.advance_job("job-0", "ok")  # NEW -> CREATED
+        assert new_state == "CREATED"
+        assert (
+            client.list_jobs().filter(F.col("id") == "job-0").first()["state"] == "CREATED"
+        )
+        with pytest.raises(ValueError):
+            client.advance_job("job-3", "ok")  # DONE has no ok-arc
