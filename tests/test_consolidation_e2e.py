@@ -1,0 +1,147 @@
+"""Consolidation end-to-end: plan -> rewrite -> swap -> re-read equivalence
+(the reference's handler_consolidation_test analogue, table-shaped), plus
+ingest validation (S4) and chunk/compress utils (S8/C12/L2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.operators.consolidation import (
+    consolidate_tiles,
+    plan_consolidation,
+    swap_datasets,
+)
+from geocube_spark.operators.cover import RegularGridSpec
+from geocube_spark.operators.mosaic import mosaic_blocks
+from geocube_spark.sources.ingest import (
+    chunk_bytes,
+    compress_chunks,
+    decompress_chunks,
+    validate_datasets_against_tiles,
+)
+
+
+class TestConsolidationEndToEnd:
+    def test_plan_rewrite_swap_preserves_reads(self, spark, fixture_dir, tmp_path):
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+        tiles = spark.read.parquet(f"{fixture_dir}/tiles.parquet")
+
+        # 1. PLAN: cells + chunked task list for the locked job
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=400, resolution=0.01)
+        plan = plan_consolidation(datasets, records, "job-0", spec, max_records=4)
+        tasks = plan.collect()
+        assert len(tasks) > 0
+
+        # 2. REWRITE: tiles of the planned datasets -> partitioned, sorted
+        planned_ids = {m["dataset_id"] for t in tasks for m in t["datasets"]}
+        cell_of = {
+            m["container_uri"]: t["cell_uri"] for t in tasks for m in t["datasets"]
+        }
+        cell_map = spark.createDataFrame(
+            list(cell_of.items()), "container_uri STRING, cell_uri STRING"
+        )
+        job_tiles = (
+            tiles.join(F.broadcast(cell_map), "container_uri")
+            .join(
+                F.broadcast(
+                    datasets.select("container_uri", "record_id").dropDuplicates(
+                        ["container_uri"]
+                    )
+                ),
+                "container_uri",
+            )
+            .join(
+                F.broadcast(
+                    records.select(
+                        F.col("id").alias("record_id"),
+                        F.col("datetime").alias("record_datetime"),
+                    )
+                ),
+                "record_id",
+            )
+        )
+        out = str(tmp_path / "consolidated")
+        consolidate_tiles(job_tiles, "Z=0>T>R>B", out)
+        back = spark.read.parquet(out)
+        assert back.count() == job_tiles.count()
+
+        # 3. SWAP: old actives of the job flip to TODELETE, new rows ACTIVE
+        new_rows = (
+            datasets.filter(F.col("id").isin(list(planned_ids)))
+            .withColumn("id", F.concat(F.col("id"), F.lit("-cons")))
+            .withColumn("locked_by_job_id", F.lit(None).cast("string"))
+        )
+        swapped = swap_datasets(datasets, "job-0", new_rows)
+        assert swapped.filter(F.col("id").endswith("-cons")).count() == len(planned_ids)
+
+        # 4. READ equivalence: mosaic over rewritten tiles == over originals
+        nodata = -32768.0
+        int16 = datasets.filter(F.col("dmapping.no_data") == nodata).select(
+            "container_uri"
+        )
+        orig = job_tiles.join(F.broadcast(int16), "container_uri", "left_semi")
+        rewritten = back.join(F.broadcast(int16), "container_uri", "left_semi")
+        m_orig = {
+            (r["band"], r["block_x"], r["block_y"]): r["px"]
+            for r in mosaic_blocks(orig, nodata).collect()
+        }
+        m_new = {
+            (r["band"], r["block_x"], r["block_y"]): r["px"]
+            for r in mosaic_blocks(rewritten, nodata).collect()
+        }
+        assert m_orig == m_new
+
+
+class TestIngestValidation:
+    def test_fixture_catalog_is_clean_for_tiled_datasets(self, spark, fixture_dir):
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        tiles = spark.read.parquet(f"{fixture_dir}/tiles.parquet")
+        tiled = datasets.join(
+            tiles.select("container_uri").distinct(), "container_uri", "left_semi"
+        )
+        # fixture pixel values are % 9973 which EXCEEDS some mappings'
+        # max_value (Float32 [0,1]); restrict to the Int16 [0,10000] ones
+        clean = tiled.filter(
+            (F.col("dmapping.max_value") >= 9973.0)
+            & (F.col("bands") == F.array(F.lit(1).cast("smallint")))
+        )
+        problems = validate_datasets_against_tiles(clean, tiles).collect()
+        assert problems == []
+
+    def test_detects_missing_band_and_range(self, spark):
+        datasets = spark.createDataFrame(
+            [
+                ("d1", "c1", [1, 2], {"dtype": "UInt8", "no_data": 0.0,
+                 "min_value": 0.0, "max_value": 10.0, "real_min_value": 0.0,
+                 "real_max_value": 1.0, "exponent": 1.0}),
+            ],
+            "id STRING, container_uri STRING, bands ARRAY<INT>,"
+            " dmapping STRUCT<dtype:STRING,no_data:DOUBLE,min_value:DOUBLE,max_value:DOUBLE,"
+            "real_min_value:DOUBLE,real_max_value:DOUBLE,exponent:DOUBLE>",
+        )
+        tiles = spark.createDataFrame(
+            [("c1", 1, 0, 0, 0, [5.0, 99.0])],  # band 2 missing; 99 > max 10
+            "container_uri STRING, band INT, level INT, block_x INT, block_y INT, px ARRAY<DOUBLE>",
+        )
+        problems = {
+            (r["band"], r["problem"])
+            for r in validate_datasets_against_tiles(datasets, tiles).collect()
+        }
+        assert (2, "missing_band") in problems
+        assert (1, "value_out_of_range") in problems
+
+
+class TestChunkStream:
+    def test_chunk_compress_roundtrip(self):
+        data = bytes(range(256)) * 5000  # 1.28 MB
+        chunks = chunk_bytes(data, 512 * 1024)
+        assert len(chunks) == 3
+        assert max(len(c) for c in chunks) <= 512 * 1024
+        comp = compress_chunks(chunks, level=6)
+        assert decompress_chunks(comp) == data
+
+    def test_negative_level_and_empty(self):
+        assert decompress_chunks(compress_chunks([b""], level=-2)) == b""
+        assert chunk_bytes(b"") == [b""]
