@@ -1585,6 +1585,27 @@ def valid_shape_per_cell_q(spark, sf_dir):
     return valid_shape_per_cell(joined)
 
 
+# F14/O4: antimeridian-crossing query extent (xmin > xmax) split into two
+# plain rects before the bbox filter — hits the fixtures' ±179.8° AOIs.
+@q(
+    "spatial_antimeridian",
+    f"""
+    SELECT id FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    WHERE status = 'ACTIVE'
+      AND ((bbox.xmin <= 180.0 AND bbox.xmax >= 179.0
+            AND bbox.ymin <= 12.0 AND bbox.ymax >= 9.0)
+        OR (bbox.xmin <= -179.0 AND bbox.xmax >= -180.0
+            AND bbox.ymin <= 12.0 AND bbox.ymax >= 9.0))
+    """,
+)
+def spatial_antimeridian(spark, sf_dir):
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    # extent with xmin > xmax = crosses the antimeridian
+    flt = DatasetFilters(status="ACTIVE", extent=(179.0, 9.0, -179.0, 12.0), order=False)
+    return find_datasets(datasets, None, flt).select("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
