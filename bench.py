@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q12",
+    "tpch_q18",
     # pipeline operators
     "dedup_exact_groups",
     "dedup_keep_first",
