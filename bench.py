@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "embedding_near_dup_exact",
     "embedding_ivf_topk",
     "text_quality",
+    "curation_pipeline",
+    "stratified_sample",
     "text_langid",
     # raster plane (fixture tables)
     "cast_tiles_checksum",

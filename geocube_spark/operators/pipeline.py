@@ -1,0 +1,88 @@
+"""Training-data pipeline composition: the operators a 100 TB corpus run
+chains together — deterministic sampling, quality gating, dedup, budget
+accounting — each individually oracle-checkable and composable into one
+Catalyst plan (no materialization between stages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.text import normalized_md5, quality_score, token_count
+from geocube_spark.operators.dedup import dedup_exact
+
+
+def deterministic_sample_expr(key: Column, fraction: float) -> Column:
+    """Deterministic, seedless, engine-portable sampling predicate: keep a
+    row when the first two hex digits of md5(key) fall below the fraction
+    cutoff.  Unlike rand()-based sampling this is reproducible across
+    engines and retries — the property a resumable 100 TB pipeline needs.
+
+    Granularity is 1/256; fraction is rounded down to that grid.
+    """
+    cutoff = int(fraction * 256)
+    threshold = format(cutoff, "02x")
+    return F.substring(F.md5(key.cast("string")), 1, 2) < F.lit(threshold)
+
+
+def deterministic_sample_sql(key_sql: str, fraction: float) -> str:
+    cutoff = int(fraction * 256)
+    return f"substr(md5(CAST({key_sql} AS VARCHAR)), 1, 2) < '{cutoff:02x}'"
+
+
+def stratified_sample(
+    documents: DataFrame, stratum_col: str, fractions: dict[str, float], key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing):
+    each stratum keeps its own md5-threshold fraction."""
+    pred = F.lit(False)
+    for stratum, frac in sorted(fractions.items()):
+        pred = pred | (
+            (F.col(stratum_col) == stratum)
+            & deterministic_sample_expr(F.col(key_col), frac)
+        )
+    return documents.filter(pred)
+
+
+def curate(
+    documents: DataFrame,
+    min_quality: float = 0.5,
+    langs: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """The canonical curation chain: quality gate -> language filter ->
+    exact dedup (keep-first) -> token accounting.  One declarative plan:
+    Catalyst fuses the filters into the scan and the dedup is the only
+    shuffle."""
+    out = documents.withColumn("quality", F.round(quality_score(F.col(text_col)), 6))
+    out = out.filter(F.col("quality") >= min_quality)
+    if langs:
+        out = out.filter(F.col("lang").isin(langs))
+    out = dedup_exact(out, text_col)
+    return out.withColumn("n_tokens", token_count(F.col(text_col)).cast("long"))
+
+
+def token_budget_report(curated: DataFrame) -> DataFrame:
+    """Per-language token accounting of a curated corpus — the numbers a
+    data-mixture plan is built from."""
+    return (
+        curated.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("median_tokens"),
+        )
+    )
+
+
+def dedup_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level dedup accounting: total docs, unique fingerprints,
+    duplicate count — the before/after numbers of a dedup pass."""
+    fp = documents.select(normalized_md5(F.col(text_col)).alias("fp"))
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_duplicates"),
+    )

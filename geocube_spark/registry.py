@@ -1716,6 +1716,96 @@ def spatial_antimeridian(spark, sf_dir):
     return find_datasets(datasets, None, flt).select("id")
 
 
+# ---------------------------------------------- pipeline composition queries
+
+from geocube_spark.functions.text import quality_score_sql as _qss  # noqa: E402
+from geocube_spark.functions.text import token_count_sql as _tcs  # noqa: E402
+from geocube_spark.operators.pipeline import (  # noqa: E402
+    curate,
+    deterministic_sample_sql,
+    dedup_report,
+    stratified_sample,
+    token_budget_report,
+)
+
+
+# Deterministic md5-threshold sampling — reproducible across engines/retries.
+@q(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {deterministic_sample_sql('doc_id', 0.25)}
+    """,
+)
+def deterministic_sample_q(spark, sf_dir):
+    from geocube_spark.operators.pipeline import deterministic_sample_expr
+
+    docs = _docs(spark, sf_dir)
+    return docs.filter(deterministic_sample_expr(F.col("doc_id"), 0.25)).select(
+        "doc_id", "lang"
+    )
+
+
+# Per-language stratified rebalancing.
+@q(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE (lang = 'en' AND {deterministic_sample_sql('doc_id', 0.75)})
+       OR (lang = 'de' AND {deterministic_sample_sql('doc_id', 0.25)})
+    """,
+)
+def stratified_sample_q(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, "lang", {"en": 0.75, "de": 0.25}).select(
+        "doc_id", "lang"
+    )
+
+
+# The full curation chain as ONE plan: quality gate -> lang filter -> exact
+# dedup keep-first -> per-language token budget.
+@q(
+    "curation_pipeline",
+    f"""
+    WITH scored AS (
+        SELECT *, round({_qss('text')}, 6) AS quality,
+               {normalized_md5_sql('text')} AS fp,
+               CAST({_tcs('text')} AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    gated AS (
+        SELECT * FROM scored WHERE quality >= 0.5 AND lang IN ('en','de','fr')
+    ),
+    deduped AS (
+        SELECT * FROM gated g
+        WHERE doc_id = (SELECT min(doc_id) FROM gated g2 WHERE g2.fp = g.fp)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    curated = curate(_docs(spark, sf_dir), min_quality=0.5, langs=["en", "de", "fr"])
+    return token_budget_report(curated)
+
+
+# Corpus dedup accounting (before/after numbers).
+@q(
+    "dedup_report",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT {normalized_md5_sql('text')}) AS BIGINT) AS n_unique,
+           CAST(count(*) - count(DISTINCT {normalized_md5_sql('text')}) AS BIGINT) AS n_duplicates
+    FROM documents
+    """,
+)
+def dedup_report_q(spark, sf_dir):
+    return dedup_report(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

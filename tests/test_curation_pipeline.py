@@ -1,0 +1,72 @@
+"""Curation pipeline composition: deterministic sampling, stratified
+rebalancing, quality-gated dedup chain, budget accounting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.operators.pipeline import (
+    curate,
+    dedup_report,
+    deterministic_sample_expr,
+    stratified_sample,
+    token_budget_report,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+class TestDeterministicSample:
+    def test_reproducible(self, corpus):
+        a = {r["doc_id"] for r in corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.3)).collect()}
+        b = {r["doc_id"] for r in corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.3)).collect()}
+        assert a == b and len(a) > 0
+
+    def test_fraction_monotone(self, corpus):
+        small = corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.1)).count()
+        big = corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.5)).count()
+        n = corpus.count()
+        assert small < big < n
+        # ±50% tolerance around the target fraction at this corpus size
+        assert 0.05 * n < small < 0.2 * n
+
+    def test_subset_property(self, corpus):
+        """A smaller fraction's sample is a SUBSET of a larger one — the
+        property that makes scaling a pipeline down/up consistent."""
+        small = {r["doc_id"] for r in corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.1)).collect()}
+        big = {r["doc_id"] for r in corpus.filter(deterministic_sample_expr(F.col("doc_id"), 0.5)).collect()}
+        assert small <= big
+
+
+class TestStratified:
+    def test_per_stratum_fractions(self, corpus):
+        out = stratified_sample(corpus, "lang", {"en": 1.0, "de": 0.0})
+        langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+        assert langs == {"en"}  # de fraction 0 -> dropped; others not listed
+
+
+class TestCurationChain:
+    def test_chain_and_budget(self, corpus):
+        curated = curate(corpus, min_quality=0.4, langs=["en", "de"])
+        rows = curated.collect()
+        assert all(r["quality"] >= 0.4 for r in rows)
+        assert {r["lang"] for r in rows} <= {"en", "de"}
+        report = {r["lang"]: r for r in token_budget_report(curated).collect()}
+        for lang, r in report.items():
+            assert r["total_tokens"] > 0 and r["avg_tokens"] > 0
+            docs_of_lang = [x for x in rows if x["lang"] == lang]
+            assert r["n_docs"] == len(docs_of_lang)
+
+    def test_single_plan_no_intermediate_python(self, corpus):
+        curated = curate(corpus, min_quality=0.4)
+        plan = curated._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan  # whole chain stays JVM-side
+
+    def test_dedup_report_consistency(self, corpus):
+        r = dedup_report(corpus).first()
+        assert r["n_docs"] == corpus.count()
+        assert r["n_docs"] == r["n_unique"] + r["n_duplicates"]
