@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "text_langid",
     # raster plane (fixture tables)
     "cast_tiles_checksum",
+    "timeseries_block_read",
     "mosaic_latest_first",
     "get_cube_pixels",
     "pyramid_level1",

@@ -70,6 +70,41 @@ def ensure_fixtures() -> str:
     return FIXTURE_DIR
 
 
+def ensure_consolidated(spark: SparkSession) -> str:
+    """Materialize the consolidated (MuCOG-equivalent) tile layout once:
+    partitioned by cell, physically sorted by the interlacing pattern, so a
+    time-series read of one block is a contiguous partition-pruned scan —
+    the reference's docs/architecture/mucog.md benchmark restated."""
+    out = os.path.join(FIXTURE_DIR, "consolidated_tiles")
+    if not os.path.exists(out):
+        from geocube_spark.operators.consolidation import consolidate_tiles
+
+        fd = ensure_fixtures()
+        tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+        datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+        records = spark.read.parquet(f"{fd}/records.parquet")
+        joined = (
+            tiles.join(
+                datasets.select("container_uri", "record_id").dropDuplicates(
+                    ["container_uri"]
+                ),
+                "container_uri",
+            )
+            .join(
+                F.broadcast(
+                    records.select(
+                        F.col("id").alias("record_id"),
+                        F.col("datetime").alias("record_datetime"),
+                    )
+                ),
+                "record_id",
+            )
+            .withColumn("cell_uri", F.concat_ws("_", "block_x", "block_y"))
+        )
+        consolidate_tiles(joined, "Z=0>T>R>B", out)
+    return out
+
+
 # ------------------------------------------------------------ entity mapping
 # TPC-H -> canonical catalog schema, so the driver tables flow through the
 # real plan builders (the relational-correctness harness of FIXTURES.md).
@@ -1714,6 +1749,32 @@ def spatial_antimeridian(spark, sf_dir):
     # extent with xmin > xmax = crosses the antimeridian
     flt = DatasetFilters(status="ACTIVE", extent=(179.0, 9.0, -179.0, 12.0), order=False)
     return find_datasets(datasets, None, flt).select("id")
+
+
+# The reference's published benchmark restated (docs/architecture/mucog.md:
+# time-series block read from a consolidated layout): one block's full
+# record stack from the cell-partitioned, interlacing-sorted tile table —
+# partition pruning + contiguous row groups stand in for MuCOG's contiguous
+# byte ranges.
+@q(
+    "timeseries_block_read",
+    f"""
+    SELECT record_id, band,
+           round(list_aggregate(px, 'sum'), 6) AS px_sum
+    FROM read_parquet('{FIXTURE_DIR}/consolidated_tiles/*/*.parquet', hive_partitioning = 1)
+    WHERE cell_uri = '0_0' AND band = 1 AND level = 0
+    """,
+)
+def timeseries_block_read(spark, sf_dir):
+    path = ensure_consolidated(spark)
+    stack = spark.read.parquet(path).filter(
+        (F.col("cell_uri") == "0_0") & (F.col("band") == 1) & (F.col("level") == 0)
+    )
+    return stack.select(
+        "record_id",
+        "band",
+        F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
+    )
 
 
 # ---------------------------------------------- pipeline composition queries
