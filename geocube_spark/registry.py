@@ -527,13 +527,13 @@ def container_layouts(spark, sf_dir):
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-           CAST(sum(l_extendedprice) AS DOUBLE) AS sum_base_price,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS sum_disc_price,
-           CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE) AS sum_charge,
-           CAST(avg(l_quantity) AS DOUBLE) AS avg_qty,
-           CAST(avg(l_extendedprice) AS DOUBLE) AS avg_price,
-           CAST(avg(l_discount) AS DOUBLE) AS avg_disc,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS sum_base_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(avg(l_quantity) AS DOUBLE), 4) AS avg_qty,
+           round(CAST(avg(l_extendedprice) AS DOUBLE), 4) AS avg_price,
+           round(CAST(avg(l_discount) AS DOUBLE), 4) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
@@ -546,15 +546,16 @@ def tpch_q1(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            F.sum(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+                2,
             ).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -564,7 +565,7 @@ def tpch_q1(spark, sf_dir):
     "tpch_q3",
     """
     SELECT l_orderkey,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue,
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -585,7 +586,7 @@ def tpch_q3(spark, sf_dir):
         .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")), o["o_custkey"] == c["c_custkey"])
         .filter((F.col("o_orderdate") < "1997-03-15") & (F.col("l_shipdate") > "1997-03-15"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -600,7 +601,7 @@ def tpch_q3(spark, sf_dir):
     "tpch_q5",
     """
     SELECT n_name,
-           CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS revenue
+           round(CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE), 2) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -635,14 +636,14 @@ def tpch_q5(spark, sf_dir):
             & (F.col("o_orderdate") < "1997-01-01")
         )
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
 
 
 @q(
     "tpch_q6",
     """
-    SELECT CAST(sum(l_extendedprice * l_discount) AS DOUBLE) AS revenue
+    SELECT round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -659,7 +660,7 @@ def tpch_q6(spark, sf_dir):
             & (F.col("l_discount").between(0.05, 0.07))
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
 
 
@@ -667,7 +668,7 @@ def tpch_q6(spark, sf_dir):
     "tpch_q10",
     """
     SELECT c.c_custkey, c.c_name,
-           CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE) AS revenue,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2) AS revenue,
            n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -697,7 +698,7 @@ def tpch_q10(spark, sf_dir):
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
@@ -737,7 +738,7 @@ def tpch_q12(spark, sf_dir):
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            CAST(o.o_totalprice AS DOUBLE) AS totalprice,
-           CAST(sum(l.l_quantity) AS DOUBLE) AS sum_qty
+           round(CAST(sum(l.l_quantity) AS DOUBLE), 2) AS sum_qty
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE o.o_orderkey IN (
@@ -761,7 +762,7 @@ def tpch_q18(spark, sf_dir):
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
         .select(
             "c_name",
             "c_custkey",
