@@ -245,15 +245,31 @@ class GeocubeClient:
         return cover_for_layout(self.spark, layouts[layout_name], aoi_rects, cells)
 
     def find_container_layouts(self, flt: DatasetFilters) -> DataFrame:
-        """J6: which layout's containers hold the selected datasets."""
+        """J6 (pg_layouts.go:84-120): layouts of the selected datasets'
+        containers — DISTINCT container set per layout, ordered by layout."""
         d = find_datasets(self.catalog.read("datasets"), None, flt)
-        layouts = self.catalog.read("layouts").select("name", "interlacing_pattern")
-        # fixture container URIs don't carry layouts; group by URI prefix
+        cl = self.catalog.read("container_layouts")
         return (
             d.select("container_uri")
             .dropDuplicates()
-            .crossJoin(F.broadcast(layouts.limit(1)))
+            .join(F.broadcast(cl), "container_uri")
+            .groupBy("layout_name")
+            .agg(
+                F.countDistinct("container_uri").alias("n_containers"),
+                F.sort_array(F.collect_list("container_uri")).alias("containers"),
+            )
+            .orderBy("layout_name")
         )
+
+    def get_consolidation_params(self, variable_id: str):
+        row = (
+            self.catalog.read("consolidation_params")
+            .filter(F.col("variable_id") == variable_id)
+            .first()
+        )
+        if row is None:
+            raise KeyError(f"no consolidation params for variable {variable_id!r}")
+        return row.asDict(recursive=True)
 
     # ----------------------------------------------------------------- jobs
 

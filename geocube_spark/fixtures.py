@@ -268,6 +268,28 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         },
     ]
 
+    # ---- container_layouts (J6: which layout produced which container) +
+    # consolidation_params (per-variable storage recipe, create.sql:154-166)
+    container_layout_rows = [
+        {
+            "container_uri": c["uri"],
+            "layout_name": layout_rows[i % len(layout_rows)]["name"],
+        }
+        for i, c in enumerate(container_rows)
+    ]
+    consolidation_params_rows = [
+        {
+            "variable_id": v["id"],
+            "dformat": v["dformat"],
+            "exponent": 1.0 if i % 2 == 0 else 2.0,
+            "compression": ["NONE", "LOSSLESS", "LOSSY"][i % 3],
+            "resampling_alg": v["resampling_alg"],
+            "storage_class": ["STANDARD", "INFREQUENT"][i % 2],
+            "creation_params": {"COMPRESS": "ZSTD"} if i % 2 else {},
+        }
+        for i, v in enumerate(variable_rows)
+    ]
+
     # ---- jobs / tasks / locked_datasets
     job_states = ["NEW", "CREATED", "CONSOLIDATIONINPROGRESS", "DONE", "FAILED"]
     job_rows = [
@@ -312,6 +334,8 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "tiles": tile_rows,
         "cells": cell_rows,
         "layouts": layout_rows,
+        "container_layouts": container_layout_rows,
+        "consolidation_params": consolidation_params_rows,
         "jobs": job_rows,
         "tasks": task_rows,
         "locked_datasets": locked_rows,
@@ -334,6 +358,27 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 ("name", pa.string()),
                 ("metadata", str_map),
                 ("variable_id", pa.string()),
+            ]
+        ),
+        "consolidation_params": pa.schema(
+            [
+                ("variable_id", pa.string()),
+                (
+                    "dformat",
+                    pa.struct(
+                        [
+                            ("dtype", pa.string()),
+                            ("no_data", pa.float64()),
+                            ("min_value", pa.float64()),
+                            ("max_value", pa.float64()),
+                        ]
+                    ),
+                ),
+                ("exponent", pa.float64()),
+                ("compression", pa.string()),
+                ("resampling_alg", pa.string()),
+                ("storage_class", pa.string()),
+                ("creation_params", str_map),
             ]
         ),
         "layouts": pa.schema(

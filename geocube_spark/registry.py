@@ -1778,6 +1778,38 @@ def timeseries_block_read(spark, sf_dir):
     )
 
 
+# J6 on the real catalog: distinct containers of the selected datasets per
+# layout (FindContainerLayouts, pg_layouts.go:84-120).
+@q(
+    "find_container_layouts",
+    f"""
+    SELECT cl.layout_name,
+           CAST(count(DISTINCT d.container_uri) AS BIGINT) AS n_containers
+    FROM (
+        SELECT DISTINCT container_uri FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE status = 'ACTIVE'
+    ) d
+    JOIN read_parquet('{FIXTURE_DIR}/container_layouts.parquet') cl
+      ON d.container_uri = cl.container_uri
+    GROUP BY cl.layout_name
+    """,
+)
+def find_container_layouts_q(spark, sf_dir):
+    fd = ensure_fixtures()
+    d = (
+        spark.read.parquet(f"{fd}/datasets.parquet")
+        .filter(F.col("status") == "ACTIVE")
+        .select("container_uri")
+        .dropDuplicates()
+    )
+    cl = spark.read.parquet(f"{fd}/container_layouts.parquet")
+    return (
+        d.join(F.broadcast(cl), "container_uri")
+        .groupBy("layout_name")
+        .agg(F.countDistinct("container_uri").alias("n_containers"))
+    )
+
+
 # ---------------------------------------------- pipeline composition queries
 
 from geocube_spark.functions.text import quality_score_sql as _qss  # noqa: E402

@@ -21,7 +21,8 @@ def client(spark, fixture_dir, tmp_path_factory):
     root = tmp_path_factory.mktemp("client_catalog")
     # seed with the fixture catalog so query methods have data
     for t in ("aoi", "records", "variables", "instances", "containers",
-              "datasets", "tiles", "layouts", "cells", "jobs", "tasks"):
+              "datasets", "tiles", "layouts", "cells", "jobs", "tasks",
+              "container_layouts", "consolidation_params"):
         shutil.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
     return GeocubeClient(spark, str(root))
 
@@ -150,3 +151,24 @@ class TestJobSurface:
         )
         with pytest.raises(ValueError):
             client.advance_job("job-3", "ok")  # DONE has no ok-arc
+
+
+class TestLayoutSurface:
+    def test_find_container_layouts(self, client):
+        from geocube_spark.plans.find_datasets import DatasetFilters
+
+        out = client.find_container_layouts(DatasetFilters(status="ACTIVE", order=False)).collect()
+        assert len(out) == 3  # fixture containers round-robin over 3 layouts
+        assert all(r["n_containers"] > 0 for r in out)
+        names = [r["layout_name"] for r in out]
+        assert names == sorted(names)
+
+    def test_consolidation_params(self, client):
+        vid = client.catalog.read("variables").first()["id"]
+        params = client.get_consolidation_params(vid)
+        assert params["compression"] in {"NONE", "LOSSLESS", "LOSSY"}
+        assert params["dformat"]["dtype"]
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            client.get_consolidation_params("nope")
