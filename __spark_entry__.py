@@ -9,11 +9,18 @@ SURVEY.md §2 plus the beyond-reference pipeline operators.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from geocube_spark import registry
+# robust to any driver cwd: the package lives next to this file
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from geocube_spark import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
