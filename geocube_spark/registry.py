@@ -1810,6 +1810,88 @@ def find_container_layouts_q(spark, sf_dir):
     )
 
 
+# As-of join: each purchase matched to the user's most recent prior click
+# (sort-based carry-forward, one shuffle).  Oracle: DuckDB's native ASOF.
+@q(
+    "asof_join_events",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      epoch_ns(ts) // 1000 AS ts_us FROM events),
+    purchases AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           coalesce(c.event_id, -1) AS asof_event_id,
+           round(coalesce(c.value, -1.0), 4) AS asof_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    from geocube_spark.operators.asof import as_of_join
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = as_of_join(
+        purchases,
+        clicks.withColumnRenamed("event_id", "c_event_id"),
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["c_event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_c_event_id"), F.lit(-1)).alias("asof_event_id"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 4).alias("asof_value"),
+    )
+
+
+# Range join: click -> purchase by the same user within 30 minutes —
+# bucketed equi-join plan vs DuckDB's inequality join.
+@q(
+    "range_join_events",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000 AS ts_us FROM events),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND p.ts_us >= c.ts_us
+     AND p.ts_us <= c.ts_us + 1800000000
+    """,
+)
+def range_join_events(spark, sf_dir):
+    from geocube_spark.operators.asof import range_join_buckets
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("event_id").alias("purchase_id")
+    )
+    out = range_join_buckets(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        lower=0.0,
+        upper=1_800_000_000.0,  # 30 min in µs
+        payload_cols=["purchase_id"],
+    )
+    return out.select("click_id", F.col("r_purchase_id").alias("purchase_id"), "user_id")
+
+
 # ---------------------------------------------- pipeline composition queries
 
 from geocube_spark.functions.text import quality_score_sql as _qss  # noqa: E402

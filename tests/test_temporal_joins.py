@@ -1,0 +1,87 @@
+"""As-of join and bucketed range join vs straightforward references."""
+
+from __future__ import annotations
+
+import pytest
+
+from geocube_spark.operators.asof import as_of_join, range_join_buckets
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [("u1", 100, "L1"), ("u1", 250, "L2"), ("u2", 50, "L3"), ("u3", 10, "L4")],
+        "user STRING, lts LONG, lid STRING",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, "R1", 1.0), ("u1", 200, "R2", 2.0), ("u1", 240, "R3", 3.0),
+         ("u2", 50, "R4", 4.0)],
+        "user STRING, rts LONG, rid STRING, v DOUBLE",
+    )
+    return left, right
+
+
+class TestAsOf:
+    def test_backward_matches(self, sides):
+        left, right = sides
+        out = {
+            r["lid"]: (r["asof_rid"], r["asof_v"])
+            for r in as_of_join(
+                left, right, "user", "lts", "rts", ["rid", "v"]
+            ).collect()
+        }
+        assert out["L1"] == ("R1", 1.0)  # 90 <= 100, newest
+        assert out["L2"] == ("R3", 3.0)  # 240 <= 250 beats 200
+        assert out["L3"] == ("R4", 4.0)  # equal ts included (<=)
+        assert out["L4"] == (None, None)  # no prior right row
+
+    def test_forward_not_implemented(self, sides):
+        left, right = sides
+        with pytest.raises(NotImplementedError):
+            as_of_join(left, right, "user", "lts", "rts", ["rid"], direction="forward")
+
+
+class TestRangeJoin:
+    def test_interval_pairs_match_naive(self, sides):
+        left, right = sides
+        out = {
+            (r["lid"], r["r_rid"])
+            for r in range_join_buckets(
+                left, right, "user", "lts", "rts", lower=0.0, upper=100.0,
+                payload_cols=["rid"],
+            ).collect()
+        }
+        # naive reference: rts in [lts, lts+100]
+        l_rows = left.collect()
+        r_rows = right.collect()
+        want = {
+            (lr["lid"], rr["rid"])
+            for lr in l_rows
+            for rr in r_rows
+            if lr["user"] == rr["user"] and lr["lts"] <= rr["rts"] <= lr["lts"] + 100
+        }
+        assert out == want
+        assert ("L1", "R2") in out  # 200 within [100, 200]
+
+    def test_negative_window(self, sides):
+        left, right = sides
+        out = {
+            (r["lid"], r["r_rid"])
+            for r in range_join_buckets(
+                left, right, "user", "lts", "rts", lower=-50.0, upper=0.0,
+                payload_cols=["rid"],
+            ).collect()
+        }
+        l_rows, r_rows = left.collect(), right.collect()
+        want = {
+            (lr["lid"], rr["rid"])
+            for lr in l_rows
+            for rr in r_rows
+            if lr["user"] == rr["user"] and lr["lts"] - 50 <= rr["rts"] <= lr["lts"]
+        }
+        assert out == want
+
+    def test_bad_interval_raises(self, sides):
+        left, right = sides
+        with pytest.raises(ValueError):
+            range_join_buckets(left, right, "user", "lts", "rts", 5.0, 5.0, ["rid"])
