@@ -51,21 +51,34 @@ class GeocubeClient:
         self.spark = spark
         self.catalog = Catalog(spark, catalog_root)
 
+    def _append(self, name: str, df: DataFrame) -> None:
+        """Append rows to a catalog table, bootstrapping it if absent.
+
+        Existence is checked explicitly (not a bare try/except around the
+        read+union+write): a transient read or write failure must propagate,
+        never silently fall back to replacing the table with only new rows.
+        """
+        if self.catalog.exists(name):
+            self.catalog.write(name, self.catalog.read(name).unionByName(df))
+        else:
+            self.catalog.write(name, df)
+
     # ------------------------------------------------------------- records
 
     def create_aoi(self, geoms_wkb: list[bytes]) -> list[str]:
         """CreateAOI: dedup-by-hash against the existing table
-        (pg_records.go:228-253)."""
+        (pg_records.go:228-253).  Dedup is a left_anti join on hash — no
+        driver-side set of known hashes, so it holds at 10^9 stored AOIs.
+        Returned ids are deterministic (uuid5 of geometry hash), so they are
+        correct whether or not a row was newly inserted."""
         rows = make_aoi_rows(geoms_wkb)
-        try:
+        new_df = self.spark.createDataFrame(rows, schemas.AOI)
+        if self.catalog.exists("aoi"):
             existing = self.catalog.read("aoi")
-            known = {r["hash"] for r in existing.select("hash").collect()}
-            fresh = [r for r in rows if r["hash"] not in known]
-            if fresh:
-                new_df = self.spark.createDataFrame(fresh, schemas.AOI)
-                self.catalog.write("aoi", existing.unionByName(new_df))
-        except Exception:
-            self.catalog.write("aoi", self.spark.createDataFrame(rows, schemas.AOI))
+            fresh = new_df.join(existing.select("hash"), "hash", "left_anti")
+            self.catalog.write("aoi", existing.unionByName(fresh.select(*existing.columns)))
+        else:
+            self.catalog.write("aoi", new_df)
         return [r["id"] for r in rows]
 
     def create_records(
@@ -78,10 +91,7 @@ class GeocubeClient:
             for n, dt, a in zip(names, datetimes, aoi_ids)
         ]
         new_df = self.spark.createDataFrame(rows, schemas.RECORD)
-        try:
-            self.catalog.write("records", self.catalog.read("records").unionByName(new_df))
-        except Exception:
-            self.catalog.write("records", new_df)
+        self._append("records", new_df)
         return [r["id"] for r in rows]
 
     def list_records(self, flt: RecordFilters | None = None, with_aoi: bool = False) -> DataFrame:
@@ -125,19 +135,13 @@ class GeocubeClient:
             "resampling_alg": resampling_alg,
         }
         df = self.spark.createDataFrame([row], schemas.VARIABLE)
-        try:
-            self.catalog.write("variables", self.catalog.read("variables").unionByName(df))
-        except Exception:
-            self.catalog.write("variables", df)
+        self._append("variables", df)
         return row["id"]
 
     def instantiate_variable(self, variable_id: str, name: str, metadata: dict | None = None) -> str:
         row = {"id": _uuid(), "name": name, "metadata": metadata or {}, "variable_id": variable_id}
         df = self.spark.createDataFrame([row], schemas.INSTANCE)
-        try:
-            self.catalog.write("instances", self.catalog.read("instances").unionByName(df))
-        except Exception:
-            self.catalog.write("instances", df)
+        self._append("instances", df)
         return row["id"]
 
     def list_variables(self, name_glob: str | None = None) -> DataFrame:
@@ -158,10 +162,7 @@ class GeocubeClient:
             r.setdefault("bbox", {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
             r.setdefault("id", _uuid())
         df = self.spark.createDataFrame(dataset_rows, schemas.DATASET)
-        try:
-            self.catalog.write("datasets", self.catalog.read("datasets").unionByName(df))
-        except Exception:
-            self.catalog.write("datasets", df)
+        self._append("datasets", df)
         return len(dataset_rows)
 
     def list_datasets(self, flt: DatasetFilters | None = None) -> DataFrame:
@@ -237,11 +238,7 @@ class GeocubeClient:
         layouts = {r["name"]: r for r in self.catalog.read("layouts").collect()}
         if layout_name not in layouts:
             raise KeyError(f"unknown layout {layout_name!r}")
-        cells = None
-        try:
-            cells = self.catalog.read("cells")
-        except Exception:
-            pass
+        cells = self.catalog.read("cells") if self.catalog.exists("cells") else None
         return cover_for_layout(self.spark, layouts[layout_name], aoi_rects, cells)
 
     def find_container_layouts(self, flt: DatasetFilters) -> DataFrame:

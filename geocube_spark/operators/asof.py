@@ -30,48 +30,62 @@ def as_of_join(
 ) -> DataFrame:
     """Left rows + the payload of the as-of-matching right row (or nulls).
 
-    direction='backward': newest right with right_ts <= left_ts (the only
-    direction the reference pattern needs; 'forward' mirrors with a
-    following-window).
-    """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of is implemented")
+    direction='backward': newest right with right_ts <= left_ts.
+    direction='forward': oldest right with right_ts >= left_ts (the
+    mirrored following-window; oracle = DuckDB ``ASOF JOIN ... >=``).
 
-    l_tag = left.select(
-        F.col(key).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),  # left sorts AFTER right at equal ts (<=)
-        F.struct(*left.columns).alias("_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_p_{c}") for c in payload_cols],
-    )
+    The payload travels as ONE struct per right row and a single
+    last/first(ignorenulls) carries that struct — so every asof_* output
+    column comes from the SAME matched right row, and a genuinely-NULL
+    field inside the matched row stays NULL (per-column carry would let an
+    older row's value leak in).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    backward = direction == "backward"
+
+    # left sorts AFTER right at equal ts for backward (match is <=), BEFORE
+    # right for forward (match is >=)
+    left_side = 1 if backward else 0
     r_tag = right.select(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(
-            l_tag.schema["_left"].dataType
-        ).alias("_left"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(1 - left_side).alias("_side"),
+        F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
     )
-    unioned = l_tag.unionByName(r_tag)
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(left_side).alias("_side"),
+        F.struct(*left.columns).alias("_left"),
+        F.lit(None).cast(r_tag.schema["_p"].dataType).alias("_p"),
     )
-    carried = unioned.select(
+    r_tag = r_tag.select(
         "_k",
         "_ts",
         "_side",
-        "_left",
-        *[
-            F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in payload_cols
-        ],
+        F.lit(None).cast(l_tag.schema["_left"].dataType).alias("_left"),
+        "_p",
     )
-    out = carried.filter(F.col("_side") == 1).select(
+    unioned = l_tag.unionByName(r_tag)
+    if backward:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last("_p", ignorenulls=True).over(w)
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy("_ts", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first("_p", ignorenulls=True).over(w)
+    carried = unioned.select("_side", "_left", carry.alias("_c"))
+    out = carried.filter(F.col("_side") == left_side).select(
         F.col("_left.*"),
-        *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col("_c")[c].alias(f"asof_{c}") for c in payload_cols],
     )
     return out
 

@@ -1853,6 +1853,50 @@ def asof_join_events(spark, sf_dir):
     )
 
 
+# Forward as-of: each click matched to the user's NEXT purchase (oldest
+# right with right_ts >= left_ts) — the mirrored following-window carry.
+@q(
+    "asof_join_events_forward",
+    """
+    WITH e AS (SELECT event_id, user_id, event_type, value,
+                      epoch_ns(ts) // 1000 AS ts_us FROM events),
+    clicks AS (SELECT * FROM e WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM e WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id,
+           coalesce(p.event_id, -1) AS asof_event_id,
+           round(coalesce(p.value, -1.0), 4) AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+    """,
+)
+def asof_join_events_forward(spark, sf_dir):
+    from geocube_spark.operators.asof import as_of_join
+
+    ev = read_events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_us", F.col("event_id").alias("p_event_id"), "value"
+    )
+    out = as_of_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload_cols=["p_event_id", "value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof_p_event_id"), F.lit(-1)).alias("asof_event_id"),
+        F.round(F.coalesce("asof_value", F.lit(-1.0)), 4).alias("asof_value"),
+    )
+
+
 # Range join: click -> purchase by the same user within 30 minutes —
 # bucketed equi-join plan vs DuckDB's inequality join.
 @q(

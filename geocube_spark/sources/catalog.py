@@ -48,26 +48,55 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
 
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self.path(name))
+
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
         """Read-modify-OVERWRITE safe: materialize to a temp dir first, then
         swap — Spark cannot overwrite a path that one of the plan's inputs
-        is still lazily reading (Delta's MERGE would replace this dance)."""
+        is still lazily reading (Delta's MERGE would replace this dance).
+
+        Crash-safety of the swap (reference: the consolidater job state
+        machine guarantees atomic ACTIVE<->TODELETE, job.go:350-641): each
+        os.rename is atomic on POSIX, but the target->backup / tmp->target
+        pair is not jointly atomic.  The failure windows are:
+          * crash after target->backup, before tmp->target: ``target`` is
+            missing but ``target.bak`` holds the full previous table — we
+            restore it here on the error path, and a later write of the same
+            table would find no target and succeed fresh;
+          * crash after tmp->target, before backup delete: both the new
+            table and a stale ``.bak`` exist — the .bak is garbage-collected
+            on the next successful write.
+        The backup is only deleted AFTER the swap succeeded; on failure it
+        is restored so the table is never lost (a Delta/Iceberg commit-log
+        sink would make this a single atomic metadata swap).
+        """
         import shutil
         import uuid as _uuid
 
         target = self.path(name)
         tmp = f"{self.root}/.tmp_{name}_{_uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
+
+        def _rm(path: str) -> None:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            elif os.path.exists(path):
+                os.remove(path)
+
         backup = f"{target}.bak"
-        if os.path.exists(target):
+        _rm(backup)  # stale .bak from an earlier crashed swap
+        had_backup = os.path.exists(target)
+        if had_backup:
             os.rename(target, backup)
         try:
             os.rename(tmp, target)
-        finally:
-            if os.path.exists(backup):
-                shutil.rmtree(backup, ignore_errors=True) if os.path.isdir(
-                    backup
-                ) else os.remove(backup)
+        except BaseException:
+            if had_backup and not os.path.exists(target):
+                os.rename(backup, target)  # restore — never lose the table
+            _rm(tmp)
+            raise
+        _rm(backup)
 
 
 def validate_record_name(name: str) -> None:
@@ -133,10 +162,16 @@ def update_record_tags(
     return records.withColumn("tags", F.when(hit, tags).otherwise(F.col("tags")))
 
 
-def tidy_catalog(catalog: Catalog) -> dict[str, int]:
+def tidy_catalog(catalog: Catalog, dry_run: bool = False) -> dict[str, int]:
     """TidyDB (J7 anti-joins, pg_records.go:176-191,323-333;
     pg_containers.go:100-109): delete records/AOIs/containers no dataset
-    references.  Returns per-table removed counts."""
+    references.  Returns per-table removed counts; unless ``dry_run``, the
+    pruned tables are written back (the reference's TidyDB really deletes).
+
+    Write order matters: ``aoi`` first (its pruned plan reads the *current*
+    records table), then ``records``, then ``containers`` — each write only
+    depends on tables not yet swapped, so no plan re-reads a replaced path.
+    """
     datasets = catalog.read("datasets")
     records = catalog.read("records")
     aoi = catalog.read("aoi")
@@ -162,4 +197,11 @@ def tidy_catalog(catalog: Catalog) -> dict[str, int]:
         "aoi": aoi.count() - live_aoi.count(),
         "containers": containers.count() - live_containers.count(),
     }
+    if not dry_run:
+        if removed["aoi"]:
+            catalog.write("aoi", live_aoi)
+        if removed["records"]:
+            catalog.write("records", live_records)
+        if removed["containers"]:
+            catalog.write("containers", live_containers)
     return removed

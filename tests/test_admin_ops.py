@@ -37,6 +37,30 @@ class TestCatalogWriters:
         again = make_aoi_rows([a])
         assert again[0]["id"] == rows[0]["id"]
 
+    def test_write_swap_failure_restores_backup(self, spark, tmp_path, monkeypatch):
+        # the target->backup / tmp->target swap is not jointly atomic; a
+        # failed tmp->target rename must restore the backup so the table is
+        # never lost (ADVICE r1: .bak was deleted even on failure)
+        import os
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("t", spark.range(5).toDF("id"))
+        real_rename = os.rename
+
+        def failing(src, dst):
+            if ".tmp_t_" in str(src):
+                raise OSError("injected swap failure")
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", failing)
+        with pytest.raises(OSError, match="injected"):
+            cat.write("t", spark.range(9).toDF("id"))
+        monkeypatch.undo()
+        assert cat.read("t").count() == 5  # previous table intact
+        import os.path
+
+        assert not os.path.exists(f"{tmp_path}/t.parquet.bak")  # restored, not orphaned
+
     def test_record_name_validation(self):
         validate_record_name("S2A_MSIL1C_2018:tile-31")
         with pytest.raises(ValueError):
@@ -66,10 +90,18 @@ class TestCatalogWriters:
         cat.write("datasets", datasets)
         for t in ("records", "aoi", "containers"):
             cat.write(t, spark.read.parquet(f"{fixture_dir}/{t}.parquet"))
+        n_records_before = cat.read("records").count()
+        dry = tidy_catalog(cat, dry_run=True)
+        assert cat.read("records").count() == n_records_before  # dry run: no write
         removed = tidy_catalog(cat)
         # limiting datasets orphans some records/containers -> nonzero cleanup
         assert removed["records"] > 0
         assert removed["containers"] > 0
+        assert removed == dry
+        # the prune was persisted (reference TidyDB really deletes) ...
+        assert cat.read("records").count() == n_records_before - removed["records"]
+        # ... and tidy is idempotent: a second pass finds nothing to remove
+        assert tidy_catalog(cat) == {"records": 0, "aoi": 0, "containers": 0}
 
 
 class TestUpdateDatasets:

@@ -35,10 +35,40 @@ class TestAsOf:
         assert out["L3"] == ("R4", 4.0)  # equal ts included (<=)
         assert out["L4"] == (None, None)  # no prior right row
 
-    def test_forward_not_implemented(self, sides):
+    def test_forward_matches(self, sides):
         left, right = sides
-        with pytest.raises(NotImplementedError):
-            as_of_join(left, right, "user", "lts", "rts", ["rid"], direction="forward")
+        out = {
+            r["lid"]: (r["asof_rid"], r["asof_v"])
+            for r in as_of_join(
+                left, right, "user", "lts", "rts", ["rid", "v"], direction="forward"
+            ).collect()
+        }
+        assert out["L1"] == ("R2", 2.0)  # oldest rts >= 100 is 200
+        assert out["L2"] == (None, None)  # nothing at/after 250
+        assert out["L3"] == ("R4", 4.0)  # equal ts included (>=)
+        assert out["L4"] == (None, None)  # u3 has no right rows
+
+    def test_null_payload_field_preserved(self, sides):
+        # a NULL field inside the matched right row must stay NULL — not be
+        # back-filled from an older right row (single-struct carry)
+        left, right = sides
+        spark = left.sparkSession
+        right2 = spark.createDataFrame(
+            [("u1", 90, "R1", 1.0), ("u1", 240, "R3", None)],
+            "user STRING, rts LONG, rid STRING, v DOUBLE",
+        )
+        out = {
+            r["lid"]: (r["asof_rid"], r["asof_v"])
+            for r in as_of_join(
+                left, right2, "user", "lts", "rts", ["rid", "v"]
+            ).collect()
+        }
+        assert out["L2"] == ("R3", None)  # matched R3; its NULL v preserved
+
+    def test_bad_direction_raises(self, sides):
+        left, right = sides
+        with pytest.raises(ValueError):
+            as_of_join(left, right, "user", "lts", "rts", ["rid"], direction="sideways")
 
 
 class TestRangeJoin:
