@@ -36,9 +36,17 @@ def _parallelize(df: DataFrame) -> DataFrame:
     """Small single-file inputs arrive as one partition; heavy per-row text
     kernels (shingling, hashing) then run on one core.  Repartition up to the
     session's parallelism — at real scale inputs are already many-partitioned
-    and this is a no-op."""
+    and this is a no-op.
+
+    Partition-count heuristic uses ``df.inputFiles()`` (plan metadata only)
+    — NOT ``df.rdd.getNumPartitions()``, which forces an RDD conversion of
+    the logical plan on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(target // 2, 2):
+    try:
+        n_inputs = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. LocalRelation)
+        n_inputs = 0
+    if n_inputs < max(target // 2, 2):
         return df.repartition(target)
     return df
 

@@ -126,17 +126,20 @@ def kmeans_centroids(
     embeddings: DataFrame,
     k: int,
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
+    max_sample_rows: int = 100_000,
     iterations: int = 10,
     seed: int = 42,
 ) -> list[list[float]]:
-    """Coarse quantizer for IVF: Lloyd's k-means on a driver-side sample
-    (deterministic seed).  At 100 TB the sample fraction makes this a
-    bounded collect; centroids are tiny and broadcast into codegen."""
+    """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED driver-side
+    sample (deterministic seed).  The collect is capped at
+    ``max_sample_rows`` regardless of table size — a quantizer only needs a
+    sample, never the corpus (round-1 default collected the full table).
+    Centroids are tiny and broadcast into codegen."""
     df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if sample_fraction < 1.0:
+    if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    mat = np.array([r["v"] for r in df.collect()], dtype=np.float64)
+    mat = np.array([r["v"] for r in df.limit(int(max_sample_rows)).collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(iterations):
@@ -203,18 +206,31 @@ def embedding_all_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """EXACT all-pairs cosine ≥ threshold via broadcast GEMM.
+    """EXACT all-pairs cosine ≥ threshold via DISTRIBUTED block GEMM.
 
-    Physical plan: L2-normalize rows (one pass), broadcast the full
-    normalized matrix (all-pairs is only feasible when one side fits in
-    executor memory — beyond that, use ``embedding_near_duplicates`` LSH),
-    then each partition computes a block × matrix product in one numpy GEMM
-    instead of per-pair array ops (~100× over zip_with/aggregate pairs).
+    Exact all-pairs is inherently O(n²) compute; the scalable physical plan
+    decomposes the n×n similarity matrix into ``num_blocks²`` independent
+    block products, one Spark task each — NO driver collect, NO broadcast of
+    the corpus (the round-1 version collected the table to the driver; this
+    one never materializes embedding rows outside executors):
 
-    Emitted scores are recomputed with sequential summation so results are
-    bit-identical to a scalar left-to-right dot product (oracle parity) —
-    the GEMM is only the candidate sieve, with a small epsilon margin.
+      * rows are hash-assigned to ``num_blocks`` row-blocks;
+      * block-pair keys (i ≤ j) are built by exploding a ``sequence()`` —
+        side A carries block i to every (i, j≥i), side B carries block j to
+        every (i≤j, j), so each unordered row pair meets in EXACTLY one
+        block pair;
+      * ``cogroup().applyInPandas`` computes one numpy GEMM per block pair
+        (vectorized, ~100× over per-pair array ops) and emits only pairs
+        with cosine ≥ threshold, ordered id_a < id_b.
+
+    Shuffle volume is O(n·num_blocks); per-task memory is two blocks
+    (O(n/num_blocks · dim)).  Size ``num_blocks ≈ sqrt(n·dim·8 / mem)`` so a
+    block pair fits an executor — at 10⁹ rows this stays task-bounded where
+    any broadcast/collect design dies.  For sub-quadratic near-dup at scale
+    use ``embedding_near_duplicates`` (LSH) and reserve this as the exact
+    oracle on candidate subsets.
     """
     import pandas as pd
     from pyspark.sql.types import (
@@ -224,16 +240,25 @@ def embedding_all_pairs_exact(
         StructType as ST,
     )
 
-    spark = embeddings.sparkSession
-    rows = (
-        embeddings.select(F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>"))
-        .collect()
+    nb = int(num_blocks)
+    base = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(nb)).alias("blk"),
     )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    nmat = mat / np.where(norms == 0, 1.0, norms)
-    bc = spark.sparkContext.broadcast((ids, nmat))
+    # side A: block i replicated to all pairs (i, j >= i); side B: block j
+    # replicated to all pairs (i <= j, j)
+    side_a = base.select(
+        "id", "v", F.col("blk").alias("ka"), F.explode(F.sequence("blk", F.lit(nb - 1))).alias("kb")
+    )
+    # distinct column names on side B: a self-cogroup with shared lineage
+    # dedups same-named attributes and drops them from the right-side pdf
+    side_b = base.select(
+        F.col("id").alias("id_r"),
+        F.col("v").alias("v_r"),
+        F.explode(F.sequence(F.lit(0), "blk")).alias("ka"),
+        F.col("blk").alias("kb"),
+    )
 
     out_schema = ST(
         [
@@ -242,43 +267,36 @@ def embedding_all_pairs_exact(
             SF("cosine", DoubleType(), False),
         ]
     )
+    thr = float(threshold)
 
-    id_to_raw = {int(i): mat[k] for k, i in enumerate(ids)}
+    def gemm(key, pdf_a, pdf_b):
+        if not len(pdf_a) or not len(pdf_b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        ids_a = pdf_a["id"].to_numpy(dtype=np.int64)
+        ids_b = pdf_b["id_r"].to_numpy(dtype=np.int64)
+        mat_a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_a["v"]])
+        mat_b = np.stack([np.asarray(v, dtype=np.float64) for v in pdf_b["v_r"]])
+        na = np.linalg.norm(mat_a, axis=1, keepdims=True)
+        nb_ = np.linalg.norm(mat_b, axis=1, keepdims=True)
+        sims = (mat_a / np.where(na == 0, 1.0, na)) @ (mat_b / np.where(nb_ == 0, 1.0, nb_)).T
+        # each unordered pair meets in exactly one block pair; the diagonal
+        # (ka == kb) sees both orientations so id order dedupes it, while an
+        # off-diagonal pair appears once in arbitrary orientation -> min/max
+        ai, bj = np.where(sims >= thr)
+        if key[0] == key[1]:
+            keep = ids_a[ai] < ids_b[bj]
+            ai, bj = ai[keep], bj[keep]
+            lo, hi = ids_a[ai], ids_b[bj]
+        else:
+            lo = np.minimum(ids_a[ai], ids_b[bj])
+            hi = np.maximum(ids_a[ai], ids_b[bj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ai, bj]})
 
-    def _seq_dot(a, b) -> float:
-        c = 0.0
-        for k in range(a.shape[0]):
-            c += float(a[k]) * float(b[k])
-        return c
-
-    def score(batches):
-        b_ids, b_nmat = bc.value
-        for pdf in batches:
-            sub_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            sub_raw = [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            sub = np.stack(sub_raw)
-            sub_norm = np.linalg.norm(sub, axis=1, keepdims=True)
-            subn = sub / np.where(sub_norm == 0, 1.0, sub_norm)
-            sims = subn @ b_nmat.T  # GEMM sieve (1e-6 safety margin)
-            out_a, out_b, out_c = [], [], []
-            for i in range(len(sub_ids)):
-                for j in np.where(sims[i] >= threshold - 1e-6)[0]:
-                    if sub_ids[i] < b_ids[j]:
-                        # recompute with sequential scalar ops -> bit-exact
-                        # parity with a plain dot/(|a||b|) oracle
-                        va, vb = sub_raw[i], id_to_raw[int(b_ids[j])]
-                        c = _seq_dot(va, vb) / (
-                            np.sqrt(_seq_dot(va, va)) * np.sqrt(_seq_dot(vb, vb))
-                        )
-                        if c >= threshold:
-                            out_a.append(int(sub_ids[i]))
-                            out_b.append(int(b_ids[j]))
-                            out_c.append(float(c))
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
-
-    return embeddings.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
-    ).mapInPandas(score, out_schema)
+    return (
+        side_a.groupby("ka", "kb")
+        .cogroup(side_b.groupby("ka", "kb"))
+        .applyInPandas(gemm, out_schema)
+    )
 
 
 def embedding_near_duplicates(

