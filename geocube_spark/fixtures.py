@@ -15,7 +15,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from geocube_spark.functions.geometry import geom_hash, multipolygon_wkb, rect_wkb
+from geocube_spark.functions.geometry import (
+    geom_hash,
+    multipolygon_wkb,
+    polygon_wkb,
+    rect_wkb,
+)
 
 SEED = 42
 BLOCK_W = BLOCK_H = 64
@@ -324,8 +329,78 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         if d["locked_by_job_id"] == "job-0"
     ]
 
+    # ---- concave_aoi: concave / holed / multipolygon geometries assembled
+    # from axis-aligned component rects on a 0.5 grid (exact in binary fp),
+    # so DuckDB can verify interior-intersects ANALYTICALLY from the part
+    # columns while Spark runs the real WKB through the general geometry
+    # kernel.  Deliberately placed after all rng draws: adds no rng
+    # consumption, so every other table stays byte-identical.
+    conc_rows = []
+    for i in range(240):
+        x0 = -6.0 + 0.5 * (i % 23)
+        y0 = -4.0 + 0.5 * ((i * 7) % 17)
+        w = 0.5 + 0.5 * (i % 3)
+        h = 0.5 + 0.5 * ((i // 3) % 3)
+        kind = i % 4
+        hole = None
+        if kind == 0:  # L-shape (concave, 6 vertices)
+            ring = [
+                (x0, y0), (x0 + 2 * w, y0), (x0 + 2 * w, y0 + h),
+                (x0 + w, y0 + h), (x0 + w, y0 + 2 * h), (x0, y0 + 2 * h),
+            ]
+            parts = [(x0, y0, x0 + 2 * w, y0 + h), (x0, y0, x0 + w, y0 + 2 * h)]
+            wkb = polygon_wkb(ring)
+        elif kind == 1:  # U-shape (concave, 8 vertices)
+            ring = [
+                (x0, y0), (x0 + 3 * w, y0), (x0 + 3 * w, y0 + 2 * h),
+                (x0 + 2 * w, y0 + 2 * h), (x0 + 2 * w, y0 + h),
+                (x0 + w, y0 + h), (x0 + w, y0 + 2 * h), (x0, y0 + 2 * h),
+            ]
+            parts = [
+                (x0, y0, x0 + 3 * w, y0 + h),
+                (x0, y0, x0 + w, y0 + 2 * h),
+                (x0 + 2 * w, y0, x0 + 3 * w, y0 + 2 * h),
+            ]
+            wkb = polygon_wkb(ring)
+        elif kind == 2:  # rect with a rectangular hole
+            parts = [(x0, y0, x0 + 3 * w, y0 + 3 * h)]
+            hole = (x0 + w, y0 + h, x0 + 2 * w, y0 + 2 * h)
+            wkb = polygon_wkb(
+                [(x0, y0), (x0 + 3 * w, y0), (x0 + 3 * w, y0 + 3 * h), (x0, y0 + 3 * h)],
+                holes=[[
+                    (hole[0], hole[1]), (hole[2], hole[1]),
+                    (hole[2], hole[3]), (hole[0], hole[3]),
+                ]],
+            )
+        else:  # two disjoint rects as a MultiPolygon
+            parts = [
+                (x0, y0, x0 + w, y0 + h),
+                (x0 + 2 * w, y0 + 2 * h, x0 + 3 * w, y0 + 3 * h),
+            ]
+            wkb = multipolygon_wkb(
+                [
+                    [(p[0], p[1]), (p[2], p[1]), (p[2], p[3]), (p[0], p[3])]
+                    for p in parts
+                ]
+            )
+        xs = [p[0] for p in parts] + [p[2] for p in parts]
+        ys = [p[1] for p in parts] + [p[3] for p in parts]
+        row: dict = {
+            "id": i,
+            "geom_wkb": wkb,
+            "bbox": {"xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys)},
+        }
+        for pi in range(3):
+            part = parts[pi] if pi < len(parts) else (None, None, None, None)
+            for ci, cname in enumerate(("x0", "y0", "x1", "y1")):
+                row[f"p{pi + 1}_{cname}"] = part[ci]
+        for ci, cname in enumerate(("x0", "y0", "x1", "y1")):
+            row[f"h_{cname}"] = hole[ci] if hole else None
+        conc_rows.append(row)
+
     tables = {
         "aoi": aoi_rows,
+        "concave_aoi": conc_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

@@ -37,16 +37,18 @@ _WKB_MULTIPOLYGON = 6
 # ------------------------------------------------------------------ WKB codec
 
 
-def polygon_wkb(exterior: Ring) -> bytes:
-    """Encode a single-ring polygon as little-endian WKB.  The ring is closed
-    automatically (first point appended) like the reference's linear-ring
-    promotion (record.go:33-46)."""
-    pts = list(exterior)
-    if pts[0] != pts[-1]:
-        pts = pts + [pts[0]]
-    out = [struct.pack("<BII", 1, _WKB_POLYGON, 1), struct.pack("<I", len(pts))]
-    for x, y in pts:
-        out.append(struct.pack("<dd", float(x), float(y)))
+def polygon_wkb(exterior: Ring, holes: Iterable[Ring] | None = None) -> bytes:
+    """Encode a polygon (optionally with interior rings) as little-endian
+    WKB.  Rings are closed automatically (first point appended) like the
+    reference's linear-ring promotion (record.go:33-46)."""
+    rings = [list(exterior)] + [list(h) for h in (holes or [])]
+    out = [struct.pack("<BII", 1, _WKB_POLYGON, len(rings))]
+    for pts in rings:
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        out.append(struct.pack("<I", len(pts)))
+        for x, y in pts:
+            out.append(struct.pack("<dd", float(x), float(y)))
     return b"".join(out)
 
 
@@ -59,38 +61,50 @@ def rect_wkb(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
     return polygon_wkb([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)])
 
 
-def decode_wkb(buf: bytes) -> list[list[tuple[float, float]]]:
-    """Decode Polygon/MultiPolygon WKB -> list of exterior rings (interior
-    rings are parsed but dropped; fixtures have none)."""
+def decode_wkb_polygons(buf: bytes) -> list[list[np.ndarray]]:
+    """Decode Polygon/MultiPolygon WKB -> list of polygons, each a list of
+    CLOSED rings as (N,2) float arrays — ring 0 is the exterior, the rest
+    are interior rings (holes).  Nothing is dropped: concave and holed
+    geometries round-trip (reference handles arbitrary multipolygons,
+    pg_containers.go:302-310)."""
 
-    def read_polygon(off: int) -> tuple[list[tuple[float, float]], int]:
+    def read_polygon(off: int) -> tuple[list[np.ndarray], int]:
         byte_order, geom_type = struct.unpack_from("<BI", buf, off)
         assert byte_order == 1 and geom_type == _WKB_POLYGON, (byte_order, geom_type)
         off += 5
         (n_rings,) = struct.unpack_from("<I", buf, off)
         off += 4
-        exterior: list[tuple[float, float]] = []
-        for r in range(n_rings):
+        rings: list[np.ndarray] = []
+        for _ in range(n_rings):
             (n_pts,) = struct.unpack_from("<I", buf, off)
             off += 4
-            pts = list(struct.iter_unpack("<dd", buf[off : off + 16 * n_pts]))
+            arr = np.frombuffer(buf, dtype="<f8", count=2 * n_pts, offset=off).reshape(
+                n_pts, 2
+            )
             off += 16 * n_pts
-            if r == 0:
-                exterior = [(p[0], p[1]) for p in pts]
-        return exterior, off
+            rings.append(arr.copy())
+        return rings, off
 
     byte_order, geom_type = struct.unpack_from("<BI", buf, 0)
     if geom_type == _WKB_POLYGON:
-        ring, _ = read_polygon(0)
-        return [ring]
+        rings, _ = read_polygon(0)
+        return [rings]
     assert geom_type == _WKB_MULTIPOLYGON, geom_type
     (n,) = struct.unpack_from("<I", buf, 5)
     off = 9
-    rings = []
+    polys = []
     for _ in range(n):
-        ring, off = read_polygon(off)
-        rings.append(ring)
-    return rings
+        rings, off = read_polygon(off)
+        polys.append(rings)
+    return polys
+
+
+def decode_wkb(buf: bytes) -> list[list[tuple[float, float]]]:
+    """Exterior rings only, as point-tuple lists (back-compat shim over
+    ``decode_wkb_polygons``; use that for hole-aware processing)."""
+    return [
+        [(float(x), float(y)) for x, y in rings[0]] for rings in decode_wkb_polygons(buf)
+    ]
 
 
 def geom_hash(wkb: bytes) -> str:
@@ -134,63 +148,172 @@ def _ring_area(ring: np.ndarray) -> float:
     return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
 
 
+def _clip_halfplane(ring: np.ndarray, axis: int, bound: float, keep_ge: bool) -> np.ndarray:
+    """One Sutherland–Hodgman pass, fully vectorized: keep the side of
+    ``axis >= / <= bound``.  ``ring`` is an OPEN (N,2) array; returns the
+    open clipped ring.  The subject polygon may be arbitrarily concave (SH
+    only requires the CLIP region to be convex — a rect is); the output can
+    contain zero-width bridge edges, which contribute zero area."""
+    n = len(ring)
+    if n == 0:
+        return ring
+    vals = ring[:, axis]
+    inside = (vals >= bound) if keep_ge else (vals <= bound)
+    if inside.all():
+        return ring
+    if not inside.any():
+        return ring[:0]
+    nxt = np.roll(ring, -1, axis=0)
+    nxt_vals = vals if n == 1 else np.roll(vals, -1)
+    crossing = inside != np.roll(inside, -1)
+    denom = nxt_vals - vals
+    t = np.where(crossing, (bound - vals) / np.where(denom == 0.0, 1.0, denom), 0.0)
+    cross_pts = ring + (nxt - ring) * t[:, None]
+    cross_pts[:, axis] = bound  # exact on the clip line
+    # slot 2i = vertex i (kept if inside), slot 2i+1 = crossing on edge i->i+1
+    out = np.empty((2 * n, 2), dtype=np.float64)
+    out[0::2] = ring
+    out[1::2] = cross_pts
+    valid = np.empty(2 * n, dtype=bool)
+    valid[0::2] = inside
+    valid[1::2] = crossing
+    return out[valid]
+
+
+def clip_ring_rect(ring: np.ndarray, rect: tuple[float, float, float, float]) -> np.ndarray:
+    """Sutherland–Hodgman clip of an arbitrary simple (possibly concave)
+    ring by an axis-aligned rect — four vectorized half-plane passes.
+    Signed area of the result equals the true intersection area even when
+    degenerate bridges appear (they are zero-width)."""
+    xmin, ymin, xmax, ymax = rect
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) and np.array_equal(r[0], r[-1]):
+        r = r[:-1]
+    r = _clip_halfplane(r, 0, float(xmin), True)
+    r = _clip_halfplane(r, 0, float(xmax), False)
+    r = _clip_halfplane(r, 1, float(ymin), True)
+    r = _clip_halfplane(r, 1, float(ymax), False)
+    return r
+
+
 def clip_convex(subject: list[tuple[float, float]], clip_rect: tuple[float, float, float, float]):
-    """Sutherland–Hodgman clip of a polygon by an axis-aligned rect.
-    Exact for the convex fixture geometries; returns the clipped ring."""
-    xmin, ymin, xmax, ymax = clip_rect
-    edges = [
-        lambda p: p[0] >= xmin,
-        lambda p: p[0] <= xmax,
-        lambda p: p[1] >= ymin,
-        lambda p: p[1] <= ymax,
-    ]
-    intersect = [
-        lambda a, b: (xmin, a[1] + (b[1] - a[1]) * (xmin - a[0]) / (b[0] - a[0])),
-        lambda a, b: (xmax, a[1] + (b[1] - a[1]) * (xmax - a[0]) / (b[0] - a[0])),
-        lambda a, b: (a[0] + (b[0] - a[0]) * (ymin - a[1]) / (b[1] - a[1]), ymin),
-        lambda a, b: (a[0] + (b[0] - a[0]) * (ymax - a[1]) / (b[1] - a[1]), ymax),
-    ]
-    ring = [p for p in subject]
-    if ring and ring[0] == ring[-1]:
-        ring = ring[:-1]
-    for inside, cross in zip(edges, intersect):
-        if not ring:
-            return []
-        out = []
-        prev = ring[-1]
-        for cur in ring:
-            if inside(cur):
-                if not inside(prev):
-                    out.append(cross(prev, cur))
-                out.append(cur)
-            elif inside(prev):
-                out.append(cross(prev, cur))
-            prev = cur
-        ring = out
-    return ring
+    """Back-compat list API over ``clip_ring_rect`` (the name predates the
+    general kernel: the CLIP region must be convex, the subject need not)."""
+    out = clip_ring_rect(np.asarray(list(subject), dtype=np.float64).reshape(-1, 2), clip_rect)
+    return [(float(x), float(y)) for x, y in out]
+
+
+def rect_clip_area_wkb(wkb: bytes, rect: tuple[float, float, float, float]) -> float:
+    """Exact area of (polygon ∩ rect) for a general Polygon/MultiPolygon
+    with holes: per polygon, |area(exterior ∩ rect)| − Σ|area(hole ∩ rect)|
+    (valid-geometry assumption: holes nested in their exterior, polygons
+    disjoint — the same contract PostGIS ST_Area relies on)."""
+    total = 0.0
+    for rings in decode_wkb_polygons(wkb):
+        ext = clip_ring_rect(rings[0], rect)
+        if len(ext) < 3:
+            continue
+        area = abs(_ring_area(ext))
+        for hole in rings[1:]:
+            h = clip_ring_rect(hole, rect)
+            if len(h) >= 3:
+                area -= abs(_ring_area(h))
+        total += max(area, 0.0)
+    return total
 
 
 def polygon_interior_intersects_rect(
     wkb: bytes, rect: tuple[float, float, float, float]
 ) -> bool:
-    """Interior-intersects (the ST_Relate 'T********' refinement, F8): the
-    clipped region must have positive area, not just touching boundaries."""
-    for ring in decode_wkb(wkb):
-        clipped = clip_convex(ring, rect)
-        if len(clipped) >= 3 and abs(_ring_area(np.asarray(clipped))) > 1e-12:
-            return True
-    return False
+    """Interior-intersects (the ST_Relate 'T********' refinement, F8) for
+    GENERAL geometries — concave rings and interior rings (holes) included:
+    the clipped region net of holes must have positive area, not just
+    touching boundaries (reference: ST_Intersects(geog)/ST_Relate(shape),
+    pg_containers.go:302-310)."""
+    return rect_clip_area_wkb(wkb, rect) > 1e-12
+
+
+def points_in_rings_evenodd(points: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd (ray-casting) point-in-polygon, vectorized over points:
+    crossing parity over ALL rings, so interior rings punch holes naturally.
+    ``points`` is (M,2); returns a bool (M,) mask.  Boundary points are not
+    guaranteed either way (standard even-odd caveat)."""
+    pts = np.asarray(points, dtype=np.float64)
+    inside = np.zeros(len(pts), dtype=bool)
+    px = pts[:, 0][:, None]
+    py = pts[:, 1][:, None]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and np.array_equal(r[0], r[-1]):
+            r = r[:-1]
+        if len(r) < 3:
+            continue
+        x0 = r[:, 0][None, :]
+        y0 = r[:, 1][None, :]
+        x1 = np.roll(r[:, 0], -1)[None, :]
+        y1 = np.roll(r[:, 1], -1)[None, :]
+        # edge straddles the horizontal ray at py, crossing right of px
+        straddle = (y0 > py) != (y1 > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_at = x0 + (py - y0) * (x1 - x0) / np.where(y1 == y0, 1.0, y1 - y0)
+        crossings = (straddle & (x_at > px)).sum(axis=1)
+        inside ^= (crossings % 2).astype(bool)
+    return inside
+
+
+def points_in_wkb_evenodd(points: np.ndarray, wkb: bytes) -> np.ndarray:
+    """Even-odd PIP against a Polygon/MultiPolygon WKB (holes respected)."""
+    all_rings = [r for poly in decode_wkb_polygons(wkb) for r in poly]
+    return points_in_rings_evenodd(points, all_rings)
 
 
 def make_intersects_udf(rect: tuple[float, float, float, float]):
     """Arrow-batched pandas UDF: exact interior-intersects vs a fixed query
     rect.  Applied after the bbox prune, matching the reference's two-phase
-    evaluation order (O3)."""
+    evaluation order (O3).
+
+    Per-batch fast paths keep Python work off the common cases: the WKB
+    header/bbox shortcut resolves rings whose bounds are disjoint from or
+    entirely inside the rect without clipping; only boundary-crossing rings
+    pay the (numpy-vectorized) Sutherland–Hodgman passes."""
     from pyspark.sql.functions import pandas_udf
+
+    xmin, ymin, xmax, ymax = (float(v) for v in rect)
+
+    def one(b: bytes) -> bool:
+        total = 0.0
+        for rings in decode_wkb_polygons(b):
+            ext = rings[0]
+            ex0, ey0 = ext.min(axis=0)
+            ex1, ey1 = ext.max(axis=0)
+            if ex0 >= xmax or ex1 <= xmin or ey0 >= ymax or ey1 <= ymin:
+                continue  # disjoint or touching only: zero interior overlap
+            if not rings[1:] and len(ext) == 5 and np.isin(ext[:, 0], (ex0, ex1)).all() and np.isin(ext[:, 1], (ey0, ey1)).all():
+                # axis-aligned rectangle (the dominant catalog footprint):
+                # overlap area in closed form, no clipping
+                total += max(0.0, min(ex1, xmax) - max(ex0, xmin)) * max(
+                    0.0, min(ey1, ymax) - max(ey0, ymin)
+                )
+            elif not rings[1:] and ex0 >= xmin and ex1 <= xmax and ey0 >= ymin and ey1 <= ymax:
+                # hole-free ring fully inside the rect: area is the ring's own
+                total += abs(_ring_area(ext[:-1] if np.array_equal(ext[0], ext[-1]) else ext))
+            else:
+                clipped = clip_ring_rect(ext, rect)
+                if len(clipped) < 3:
+                    continue
+                area = abs(_ring_area(clipped))
+                for hole in rings[1:]:
+                    h = clip_ring_rect(hole, rect)
+                    if len(h) >= 3:
+                        area -= abs(_ring_area(h))
+                total += max(area, 0.0)
+            if total > 1e-12:
+                return True
+        return total > 1e-12
 
     @pandas_udf(BooleanType())
     def exact_intersects(wkb_s: pd.Series) -> pd.Series:
-        return wkb_s.apply(lambda b: polygon_interior_intersects_rect(bytes(b), rect))
+        return pd.Series([one(bytes(b)) for b in wkb_s], index=wkb_s.index)
 
     return exact_intersects
 

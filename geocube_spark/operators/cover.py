@@ -143,6 +143,49 @@ def cover_regular(
     )
 
 
+def cover_regular_wkb(
+    spark: SparkSession,
+    aoi_wkb: bytes,
+    spec: RegularGridSpec,
+) -> DataFrame:
+    """Regular-grid cover of a GENERAL polygon AOI (concave, holed,
+    multi-part — e.g. a country outline like the reference's France
+    test AOI, internal/utils/grid/regulargrid_test.go).
+
+    Two-phase like everything spatial here: candidate cells enumerate from
+    the polygon's bbox exactly as the rect cover does (distributed
+    sequence-explode), then an Arrow-batched exact filter keeps only cells
+    whose rect has positive-area overlap with the polygon — the declarative
+    analogue of the reference's rasterized cover, minus the driver-RAM
+    bound (regulargrid.go:169-261, svc/service.go:515)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BooleanType
+
+    from geocube_spark.functions.geometry import rect_clip_area_wkb, wkb_bounds
+
+    bounds = wkb_bounds(aoi_wkb)
+    candidates = cover_regular(spark, [bounds], spec)
+    wkb = bytes(aoi_wkb)
+
+    @pandas_udf(BooleanType())
+    def cell_hits_polygon(
+        x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            [
+                rect_clip_area_wkb(wkb, (a, b, c, d)) > 1e-12
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ],
+            index=x0.index,
+        )
+
+    return candidates.filter(
+        cell_hits_polygon(
+            F.col("cell_xmin"), F.col("cell_ymin"), F.col("cell_xmax"), F.col("cell_ymax")
+        )
+    )
+
+
 def cover_singlecell(
     aoi_rects: list[tuple[float, float, float, float]], spec: RegularGridSpec
 ) -> tuple[float, float, int, int]:
@@ -193,15 +236,24 @@ def cover_custom(
     def clip_bounds(
         wkb: pd.Series, qxmin: pd.Series, qymin: pd.Series, qxmax: pd.Series, qymax: pd.Series
     ) -> pd.Series:
+        from geocube_spark.functions.geometry import _ring_area, clip_ring_rect, decode_wkb_polygons
+
         out = []
         for b, x0, y0, x1, y1 in zip(wkb, qxmin, qymin, qxmax, qymax):
             best: list[float] | None = None
-            for ring in decode_wkb(bytes(b)):
-                clipped = clip_convex(ring, (x0, y0, x1, y1))
-                if len(clipped) >= 3:
-                    xs = [p[0] for p in clipped]
-                    ys = [p[1] for p in clipped]
-                    best = [min(xs), min(ys), max(xs), max(ys)]
+            rect = (x0, y0, x1, y1)
+            for rings in decode_wkb_polygons(bytes(b)):
+                ext = clip_ring_rect(rings[0], rect)
+                if len(ext) < 3:
+                    continue
+                area = abs(_ring_area(ext))
+                for hole in rings[1:]:
+                    h = clip_ring_rect(hole, rect)
+                    if len(h) >= 3:
+                        area -= abs(_ring_area(h))
+                if area > 1e-12:
+                    xs, ys = ext[:, 0], ext[:, 1]
+                    best = [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
                     break
             out.append(best)
         return pd.Series(out)

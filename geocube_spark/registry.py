@@ -1066,6 +1066,45 @@ def spatial_bbox_refine(spark, sf_dir):
     return find_datasets(datasets, None, flt).select("id")
 
 
+# General-geometry exact refine (F8 complete): the fixture AOIs are concave
+# (L/U shapes), holed, and multipolygon, assembled from axis-aligned
+# component rects — Spark runs the real WKB through the general
+# Sutherland–Hodgman/even-odd kernel, DuckDB verifies analytically from the
+# part columns (interior-intersects = strict overlap with any part, minus
+# full containment of the overlap in the hole).
+_CONC_RECT = (-2.0, -1.0, 2.5, 1.5)
+
+
+@q(
+    "spatial_concave_refine",
+    f"""
+    SELECT id FROM read_parquet('{FIXTURE_DIR}/concave_aoi.parquet')
+    WHERE ((p1_x0 < {_CONC_RECT[2]} AND p1_x1 > {_CONC_RECT[0]}
+            AND p1_y0 < {_CONC_RECT[3]} AND p1_y1 > {_CONC_RECT[1]})
+        OR (p2_x0 IS NOT NULL AND p2_x0 < {_CONC_RECT[2]} AND p2_x1 > {_CONC_RECT[0]}
+            AND p2_y0 < {_CONC_RECT[3]} AND p2_y1 > {_CONC_RECT[1]})
+        OR (p3_x0 IS NOT NULL AND p3_x0 < {_CONC_RECT[2]} AND p3_x1 > {_CONC_RECT[0]}
+            AND p3_y0 < {_CONC_RECT[3]} AND p3_y1 > {_CONC_RECT[1]}))
+      AND NOT (h_x0 IS NOT NULL
+               AND h_x0 <= greatest(p1_x0, {_CONC_RECT[0]})
+               AND least(p1_x1, {_CONC_RECT[2]}) <= h_x1
+               AND h_y0 <= greatest(p1_y0, {_CONC_RECT[1]})
+               AND least(p1_y1, {_CONC_RECT[3]}) <= h_y1)
+    """,
+)
+def spatial_concave_refine(spark, sf_dir):
+    from geocube_spark.functions.geometry import bbox_intersects, make_intersects_udf
+
+    fd = ensure_fixtures()
+    df = spark.read.parquet(f"{fd}/concave_aoi.parquet")
+    exact = make_intersects_udf(_CONC_RECT)
+    return (
+        df.filter(bbox_intersects(F.col("bbox"), *_CONC_RECT))
+        .filter(exact(F.col("geom_wkb")))
+        .select("id")
+    )
+
+
 @q(
     "cast_tiles_checksum",
     f"""

@@ -89,6 +89,73 @@ class TestClip:
         assert polygon_interior_intersects_rect(wkb, (0.5, 0.5, 2.0, 2.0))
 
 
+class TestGeneralGeometry:
+    """Concave rings, interior rings (holes), even-odd PIP — the round-2
+    general kernel (reference handles arbitrary multipolygons,
+    pg_containers.go:302-310)."""
+
+    U = [(0, 0), (4, 0), (4, 4), (3, 4), (3, 1), (1, 1), (1, 4), (0, 4)]
+
+    def test_concave_clip_area(self):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import _ring_area, clip_ring_rect
+
+        # clip the U by a band across the notch: only the two arms remain
+        out = clip_ring_rect(np.asarray(self.U, dtype=float), (0.5, 2.0, 3.5, 3.0))
+        assert abs(abs(_ring_area(out)) - 1.0) < 1e-12  # 2 arms × (0.5×1.0)
+
+    def test_concave_interior_intersects(self):
+        from geocube_spark.functions.geometry import polygon_interior_intersects_rect, polygon_wkb
+
+        wkb = polygon_wkb(self.U)
+        # rect entirely inside the notch: bboxes overlap, interiors don't
+        assert not polygon_interior_intersects_rect(wkb, (1.5, 2.0, 2.5, 3.0))
+        # rect spanning into an arm
+        assert polygon_interior_intersects_rect(wkb, (0.5, 2.0, 2.5, 3.0))
+
+    def test_hole_roundtrip_and_intersects(self):
+        from geocube_spark.functions.geometry import (
+            decode_wkb_polygons,
+            polygon_interior_intersects_rect,
+            polygon_wkb,
+            rect_clip_area_wkb,
+        )
+
+        wkb = polygon_wkb(
+            [(0, 0), (6, 0), (6, 6), (0, 6)], holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]
+        )
+        polys = decode_wkb_polygons(wkb)
+        assert len(polys) == 1 and len(polys[0]) == 2  # interior ring KEPT
+        # rect fully inside the hole: no interior intersection
+        assert not polygon_interior_intersects_rect(wkb, (2.5, 2.5, 3.5, 3.5))
+        # rect overlapping hole rim: area = rect area minus hole overlap
+        assert abs(rect_clip_area_wkb(wkb, (1, 1, 3, 3)) - 3.0) < 1e-12
+        # net polygon area
+        assert abs(rect_clip_area_wkb(wkb, (-1, -1, 7, 7)) - 32.0) < 1e-12
+
+    def test_even_odd_pip(self):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import points_in_wkb_evenodd, polygon_wkb
+
+        wkb = polygon_wkb(
+            [(0, 0), (6, 0), (6, 6), (0, 6)], holes=[[(2, 2), (4, 2), (4, 4), (2, 4)]]
+        )
+        pts = np.array([[1, 1], [3, 3], [5, 5], [7, 7], [2.5, 1.0]])
+        got = list(points_in_wkb_evenodd(pts, wkb))
+        assert got == [True, False, True, False, True]
+
+    def test_pip_concave(self):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import points_in_rings_evenodd
+
+        ring = np.asarray(self.U, dtype=float)
+        got = list(points_in_rings_evenodd(np.array([[2.0, 0.5], [2.0, 2.0], [0.5, 3.0]]), [ring]))
+        assert got == [True, False, True]  # notch interior is OUTSIDE
+
+
 class TestAntimeridian:
     def test_no_split(self):
         assert split_antimeridian_rect(10, 0, 20, 5) == [(10, 0, 20, 5)]

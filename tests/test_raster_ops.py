@@ -159,3 +159,47 @@ class TestCover:
         ox, oy, w, h = cover_singlecell([(0.3, 0.2, 2.4, 1.9)], spec)
         assert (ox, oy) == (0.0, 0.0)
         assert (w, h) == (5, 4)  # ceil(2.4/0.5)=5, ceil(1.9/0.5)=4
+
+    def test_concave_aoi_cover_excludes_notch(self, spark):
+        # France-like concave outline (the reference covers france.geojson in
+        # regulargrid_test.go): hexagon-ish ring with a deep Biscay-like bite.
+        # A bbox cover would include the bite; the polygon cover must not.
+        from geocube_spark.functions.geometry import polygon_wkb, rect_clip_area_wkb
+        from geocube_spark.operators.cover import cover_regular_wkb
+
+        outline = [
+            (0.0, 0.0), (8.0, 0.0), (10.0, 4.0), (8.0, 8.0), (4.0, 9.0),
+            (0.0, 8.0), (0.0, 6.0), (3.0, 5.0), (3.0, 3.0), (0.0, 2.0),
+        ]  # the (0,2)->(3,3)->(3,5)->(0,6) segment is a concave bite
+        wkb = polygon_wkb(outline)
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=100, resolution=0.01)  # 1° cells
+        got = {(r["i"], r["j"]) for r in cover_regular_wkb(spark, wkb, spec).collect()}
+        # bite interior cells excluded (e.g. (0..1, 3..4) region is outside)
+        assert (0, 3) not in got and (0, 4) not in got and (1, 3) not in got
+        # cells well inside the outline present
+        assert {(4, 4), (5, 5), (6, 2)} <= got
+        # every returned cell genuinely overlaps the polygon, and every
+        # candidate cell with positive overlap was returned (exact cover)
+        want = set()
+        for i in range(0, 10):
+            for j in range(0, 9):
+                if rect_clip_area_wkb(wkb, (i, j, i + 1.0, j + 1.0)) > 1e-12:
+                    want.add((i, j))
+        assert got == want
+        # independent oracle: dense interior point sample (matplotlib-free
+        # even-odd ray cast re-derived inline, not the kernel under test)
+        import numpy as np
+
+        def pip(px, py):
+            inside = False
+            pts = outline
+            for (ax, ay), (bx, by) in zip(pts, pts[1:] + pts[:1]):
+                if (ay > py) != (by > py):
+                    if px < ax + (py - ay) * (bx - ax) / (by - ay):
+                        inside = not inside
+            return inside
+
+        rng = np.random.RandomState(0)
+        for px, py in rng.uniform(0, 10, size=(400, 2)):
+            if pip(px, py):
+                assert (int(px), int(py)) in got, (px, py)
