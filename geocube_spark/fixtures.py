@@ -398,9 +398,41 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
             row[f"h_{cname}"] = hole[ci] if hole else None
         conc_rows.append(row)
 
+    # ---- warp_src: source tiles for the cross-CRS warp oracle.  2×2 blocks
+    # of 64² px in EPSG:4326, closed-form v(i,j) = (13i + 7j) mod 97 on
+    # GLOBAL pixel indices, resolution 2^-6 degrees (binary-exact so the
+    # inverse affine is bit-identical between numpy and DuckDB; see
+    # get_cube_pixels_webmercator).  No rng consumption.
+    warp_res = 0.015625  # 1/64 degree
+    warp_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            warp_rows.append(
+                {
+                    "container_uri": "warp://src",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 4326,
+                    "pix_to_crs": {
+                        "a": warp_res, "b": 0.0, "c": 0.0,
+                        "d": 0.0, "e": -warp_res, "f": 50.0,
+                    },
+                    "record_id": _uuid("warp-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     tables = {
         "aoi": aoi_rows,
         "concave_aoi": conc_rows,
+        "warp_src": warp_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

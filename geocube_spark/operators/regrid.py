@@ -5,13 +5,17 @@ single warp onto the output grid), resampling enum variable.go:18-61, XYZ
 tile math svc/catalog.go:386-506 (z -> resolution = 2πa/(256·2^z)).
 
 Spark-first: each source block is remapped onto target blocks by a numpy
-affine index map inside an Arrow-batched ``applyInPandas`` keyed by the
-OUTPUT block — so the shuffle moves each source tile to the output cells it
+index map inside an Arrow-batched ``applyInPandas`` keyed by the OUTPUT
+block — so the shuffle moves each source tile to the output cells it
 overlaps (bbox join), and each task assembles one output block from its
-gathered inputs.  For the aligned-grid case (same CRS, axis-aligned affines)
-the remap is a pure integer index shift — exact, no interpolation error.
-Cross-CRS warping would plug a pyproj transform into the same index-map slot
-(not available in this container; the affine path covers the fixtures).
+gathered inputs.  For the aligned-grid case (same CRS, axis-aligned
+affines) the remap is a pure integer index shift — exact, no interpolation
+error.  Cross-CRS warps plug the ``functions/crs.py`` transform registry
+into the same index-map slot (output pixel centers -> dst->src CRS ->
+inverse source affine -> continuous source pixel coords), and the
+continuous sample runs through ``functions/resample.sample_grid`` with any
+of NEAR / BILINEAR / CUBIC / CUBICSPLINE / LANCZOS (variable.go:18-61);
+a real pyproj would register additional (src, dst) pairs unchanged.
 """
 
 from __future__ import annotations
@@ -64,17 +68,36 @@ def regrid_to_grid(
     out_block: int = 64,
     nodata: float = float("nan"),
     resampling: str = "NEAR",
+    src_srid: int | None = None,
+    dst_srid: int | None = None,
 ) -> DataFrame:
     """Remap source tiles onto a north-up target grid (origin, resolution).
 
     Input rows: tile columns + record_id/record_datetime (for the downstream
     mosaic).  Each source block lands on the output blocks its footprint
-    intersects; gaps stay nodata.  NEAR semantics: output pixel center is
-    sampled from the enclosing source pixel.
+    intersects; gaps stay nodata.
+
+    Cross-CRS (image.go:321-422 MergeDatasets' warp): when src_srid !=
+    dst_srid, output pixel centers are transformed dst->src through the
+    ``functions/crs.py`` registry before the inverse source affine — the
+    full inverse-mapping warp.  ``resampling`` picks the continuous kernel
+    (NEAR / BILINEAR / CUBIC / CUBICSPLINE / LANCZOS); an output pixel is
+    owned by the source block whose index range contains its sample point,
+    and wider kernels edge-extend within the block (halo contract noted in
+    functions/resample.py).
     """
+    from geocube_spark.functions.crs import transform_points
+    from geocube_spark.functions.resample import INTERP_KERNELS, sample_grid
+
+    if resampling not in INTERP_KERNELS:
+        raise ValueError(
+            f"resampling {resampling!r} not in {INTERP_KERNELS} (pooling kernels "
+            "AVERAGE/MIN/MAX/MED/Q1/Q3/MODE belong to the pyramid/downsample path)"
+        )
     ox, oy = out_origin
     res = float(out_res)
     nd = float(nodata)
+    warp = src_srid is not None and dst_srid is not None and src_srid != dst_srid
 
     def remap(pdf: pd.DataFrame) -> pd.DataFrame:
         out_blocks: dict[tuple[int, int, str, int], np.ndarray] = {}
@@ -83,39 +106,65 @@ def regrid_to_grid(
             n = int(math.isqrt(len(row["px"])))
             src = np.asarray(row["px"], dtype=np.float64).reshape(n, n)
             bx, by = int(row["block_x"]), int(row["block_y"])
-            # source pixel (0,0) of this block in CRS coords
+            inv = gt.inverse()
+            # source block corner coords in SOURCE CRS
             gx0, gy0 = gt.apply(bx * n, by * n)
-            # footprint of the source block in output pixel space
-            x_lo = (gx0 - ox) / res
-            y_lo = (oy - gy0) / res  # north-up output: y grows downward
+            gx1, gy1 = gt.apply((bx + 1) * n, (by + 1) * n)
+            sxmin, sxmax = min(gx0, gx1), max(gx0, gx1)
+            symin, symax = min(gy0, gy1), max(gy0, gy1)
+            if warp:
+                # footprint in OUTPUT CRS via densified boundary (curved
+                # projections bow edges — same contract as warped_extent)
+                from geocube_spark.functions.crs import warped_extent
+
+                wx0, wy0, wx1, wy1 = warped_extent(
+                    src_srid, dst_srid, sxmin, symin, sxmax, symax
+                )
+            else:
+                wx0, wy0, wx1, wy1 = sxmin, symin, sxmax, symax
+            # footprint in output pixel space (north-up: y grows downward)
+            x_lo = (wx0 - ox) / res
+            x_hi = (wx1 - ox) / res
+            y_lo = (oy - wy1) / res
+            y_hi = (oy - wy0) / res
             for oby in range(
-                int(math.floor(y_lo / out_block)),
-                int(math.ceil((y_lo + n * abs(gt.e) / res) / out_block)),
+                int(math.floor(y_lo / out_block)), int(math.ceil(y_hi / out_block))
             ):
                 for obx in range(
-                    int(math.floor(x_lo / out_block)),
-                    int(math.ceil((x_lo + n * gt.a / res) / out_block)),
+                    int(math.floor(x_lo / out_block)), int(math.ceil(x_hi / out_block))
                 ):
+                    # output pixel centers of this block, in OUTPUT CRS
+                    cols = (np.arange(out_block) + obx * out_block + 0.5) * res + ox
+                    rows_ = oy - (np.arange(out_block) + oby * out_block + 0.5) * res
+                    if warp:
+                        cx, cy = np.meshgrid(cols, rows_)
+                        cx, cy = transform_points(dst_srid, src_srid, cx, cy)
+                        sx = inv.a * cx + inv.b * cy + inv.c
+                        sy = inv.d * cx + inv.e * cy + inv.f
+                    else:
+                        # axis-aligned affine (b=d=0): separable 1-D maps
+                        sx1 = inv.a * cols + inv.b * rows_.mean() + inv.c
+                        sy1 = inv.d * cols.mean() + inv.e * rows_ + inv.f
+                        sx, sy = np.meshgrid(sx1, sy1)
+                    # block-local continuous coords; this block owns the
+                    # output pixels whose sample point falls inside it
+                    sxl = sx - bx * n
+                    syl = sy - by * n
+                    own = (
+                        (np.floor(sxl) >= 0)
+                        & (np.floor(sxl) < n)
+                        & (np.floor(syl) >= 0)
+                        & (np.floor(syl) < n)
+                    )
+                    if not own.any():
+                        continue
+                    sampled = sample_grid(src, sxl, syl, method=resampling, nodata=nd)
                     key = (obx, oby, row["record_id"], int(row["record_datetime_us"]))
                     buf = out_blocks.get(key)
                     if buf is None:
                         buf = np.full((out_block, out_block), nd)
                         out_blocks[key] = buf
-                    # output pixel centers of this block, in CRS coords
-                    cols = (np.arange(out_block) + obx * out_block + 0.5) * res + ox
-                    rows_ = oy - (np.arange(out_block) + oby * out_block + 0.5) * res
-                    # invert source affine to source pixel indices
-                    inv = gt.inverse()
-                    sx = inv.a * cols + inv.b * rows_.mean() + inv.c  # axis-aligned: b=d=0
-                    sy = inv.d * cols.mean() + inv.e * rows_ + inv.f
-                    ix = np.floor(sx).astype(np.int64) - bx * n
-                    iy = np.floor(sy).astype(np.int64) - by * n
-                    mx = (ix >= 0) & (ix < n)
-                    my = (iy >= 0) & (iy < n)
-                    if not mx.any() or not my.any():
-                        continue
-                    sel = np.ix_(my, mx)
-                    buf[sel] = src[np.ix_(iy[my], ix[mx])]
+                    buf[own] = sampled[own]
         rows_out = [
             {
                 "out_block_x": k[0],

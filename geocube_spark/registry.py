@@ -1575,6 +1575,141 @@ def get_cube_pixels(spark, sf_dir):
     )
 
 
+# R2 cross-CRS warp (image.go:321-422): the warp_src fixture (EPSG:4326,
+# closed-form pixels, binary-exact 2^-6° grid) is reprojected onto a
+# WebMercator grid through the real regrid operator; DuckDB re-derives every
+# output pixel analytically (inverse mercator -> source index -> closed-form
+# value).  NEAR kernel so both engines agree bit-for-bit (the only libm
+# deltas are ulps in atan/exp, far from any floor boundary).
+@q(
+    "get_cube_pixels_webmercator",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(0, 2) obx, range(0, 4) oby, range(0, 4096) i
+    ),
+    ll AS (
+        SELECT obx, oby, idx,
+               degrees(((obx*64 + (idx % 64) + 0.5) * 1750.0 + 0.0)
+                       / 6378137.0) AS lon,
+               degrees(2*atan(exp((6447000.0 - (oby*64 + (idx // 64) + 0.5) * 1750.0)
+                                  / 6378137.0)) - pi()/2) AS lat
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor(lon / 0.015625) AS BIGINT) AS ix,
+               CAST(floor((50.0 - lat) / 0.015625) AS BIGINT) AS iy
+        FROM ll
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def get_cube_pixels_webmercator(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(0.0, 6447000.0),
+        out_res=1750.0,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=4326,
+        dst_srid=3857,
+    )
+    return out.groupBy("out_block_x", "out_block_y").agg(
+        F.round(
+            F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+        ).alias("px_sum"),
+        F.sum(F.size(F.filter("px", lambda v: v != -1.0))).cast("long").alias("n_valid"),
+    )
+
+
+# R3 continuous resampling kernels (variable.go:18-61): 2× upsample of the
+# warp_src interior through the real regrid path, one query per kernel.
+# Output pixel centers land at exact quarter-pixel phases (binary-exact
+# grid), so every kernel weight is a closed-form constant — the oracle
+# re-derives the separable convolution in SQL from inlined weight literals
+# and the closed-form pixel function.  Block (0,0) sits strictly inside the
+# source, so no edge clamping is involved on either side.
+def _upsample_weight_values(method: str) -> str:
+    import numpy as _np
+
+    from geocube_spark.functions.resample import kernel_weights_1d as _kw
+
+    rows = []
+    for parity, t in ((0, 0.75), (1, 0.25)):  # even out-px -> phase .75
+        offs, w = _kw(_np.array([t]), method)
+        for k, wv in zip(offs, w[0]):
+            rows.append(f"({parity}, {int(k)}, {float(wv)!r})")
+    return ", ".join(rows)
+
+
+def _register_upsample_query(method: str) -> None:
+    name = f"warp_upsample_{method.lower()}"
+    sql = f"""
+    WITH w(p, k, wt) AS (SELECT * FROM (VALUES {_upsample_weight_values(method)})),
+    pix AS (
+        SELECT gx.range AS gx, gy.range AS gy
+        FROM range(0, 64) gx, range(0, 64) gy
+    ),
+    conv AS (
+        SELECT p.gx, p.gy,
+               sum(wx.wt * wy.wt *
+                   CAST((13*((p.gx + 31)//2 + wx.k) + 7*((p.gy + 31)//2 + wy.k)) % 97
+                        AS DOUBLE)) AS val
+        FROM pix p
+        JOIN w wx ON wx.p = p.gx % 2
+        JOIN w wy ON wy.p = p.gy % 2
+        GROUP BY p.gx, p.gy
+    )
+    SELECT 0 AS out_block_x, 0 AS out_block_y,
+           round(sum(val), 4) AS px_sum,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM conv
+    """
+
+    @q(name, sql)
+    def _fn(spark, sf_dir, _m=method):
+        from geocube_spark.operators.regrid import regrid_to_grid
+
+        fd = ensure_fixtures()
+        tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+        out = regrid_to_grid(
+            tiles,
+            out_origin=(0.25, 49.75),  # 16 source px in from the corner
+            out_res=0.0078125,  # 2^-7 deg = source res / 2
+            out_block=64,
+            nodata=-1.0,
+            resampling=_m,
+        ).filter((F.col("out_block_x") == 0) & (F.col("out_block_y") == 0))
+        return out.select(
+            "out_block_x",
+            "out_block_y",
+            F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 4).alias("px_sum"),
+            F.size("px").cast("long").alias("n_px"),
+        )
+
+    _fn.__name__ = name
+
+
+for _method in ("BILINEAR", "CUBIC", "CUBICSPLINE", "LANCZOS"):
+    _register_upsample_query(_method)
+
+
 # A5 on the real catalog: UpdateDatasets dry-run impact grouped by the
 # 7-scalar DataMapping.
 @q(
