@@ -31,14 +31,40 @@ class CRSError(ValueError):
 
 
 def parse_crs(text: str | int) -> int:
-    """Parse user CRS input -> EPSG srid (proj.go:47-73 accepts EPSG codes,
-    'epsg:NNNN', plain integers; WKT/proj4 would go through the registry)."""
+    """Parse user CRS input -> EPSG srid.  Accepts the same spec families as
+    the reference (proj.go:47-73): EPSG codes ('epsg:NNNN', 'NNNN', ints),
+    WKT1/WKT2 (resolved via the outermost AUTHORITY/ID clause), and proj4
+    strings ('+init=epsg:NNNN', or recognized '+proj=' signatures for the
+    built-in CRSs).  A full pyproj would subsume this unchanged; anything
+    unrecognized raises CRSError rather than guessing."""
     if isinstance(text, int):
         return text
     m = re.fullmatch(r"(?i)\s*(?:epsg\s*:)?\s*(\d+)\s*", text)
-    if not m:
-        raise CRSError(f"unsupported CRS spec: {text!r}")
-    return int(m.group(1))
+    if m:
+        return int(m.group(1))
+    s = text.strip()
+    # WKT1 (GEOGCS/PROJCS ... AUTHORITY["EPSG","NNNN"]) / WKT2 (GEOGCRS/
+    # PROJCRS ... ID["EPSG",NNNN]): the OUTERMOST crs's authority is the
+    # last clause at the top level — take the final match
+    if re.match(r"(?i)^(GEOG|PROJ|GEOD)(CS|CRS)\s*\[", s):
+        ids = re.findall(
+            r'(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s
+        )
+        if ids:
+            return int(ids[-1])
+        raise CRSError(f"WKT without an EPSG authority: {s[:80]!r}")
+    if s.startswith("+"):
+        m = re.search(r"(?i)\+init\s*=\s*epsg\s*:\s*(\d+)", s)
+        if m:
+            return int(m.group(1))
+        if re.search(r"\+proj\s*=\s*longlat\b", s) and (
+            "+datum=WGS84" in s or "+ellps=WGS84" in s or "datum" not in s
+        ):
+            return 4326
+        if re.search(r"\+proj\s*=\s*merc\b", s) and "a=6378137" in s.replace(" ", ""):
+            return 3857
+        raise CRSError(f"unrecognized proj4 spec: {s!r}")
+    raise CRSError(f"unsupported CRS spec: {text!r}")
 
 
 def register_transform(src: int, dst: int, fn: Transform) -> None:

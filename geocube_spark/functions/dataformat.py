@@ -59,7 +59,16 @@ def is_identity(src: dict, dst: dict) -> bool:
 def check_castable(src: dict, dst: dict) -> None:
     """The chained cast src->ext->dst is only a single power-law transform
     when the external ranges line up; mirror image.go:166-219's equivalence
-    algebra by requiring equal external ranges (the fixture invariant)."""
+    algebra by requiring equal external ranges (the fixture invariant).
+    The dtype lattice (datatype.go:43-58) is enforced first: complex is
+    one-way (Complex64 casts only to Complex64, reals never to complex)."""
+    from geocube_spark.schemas import can_cast_to
+
+    if not can_cast_to(src["dtype"], dst["dtype"]):
+        raise CastError(
+            f"dtype lattice forbids cast {src['dtype']} -> {dst['dtype']} "
+            "(datatype.go:43-58: complex is one-way)"
+        )
     if (src["real_min_value"], src["real_max_value"]) != (
         dst["real_min_value"],
         dst["real_max_value"],

@@ -1710,6 +1710,39 @@ for _method in ("BILINEAR", "CUBIC", "CUBICSPLINE", "LANCZOS"):
     _register_upsample_query(_method)
 
 
+# C2 complete: Complex64 in the dtype lattice (datatype.go:16-27,43-58) —
+# complex tiles are interleaved (re, im) doubles; the identity complex cast
+# runs the real cast path (lattice check + short-circuit) and |z|² sums are
+# exact integers both engines agree on.
+@q(
+    "complex_cast_roundtrip",
+    f"""
+    SELECT block_x, block_y,
+           round(list_aggregate(list_transform(px, x -> x*x), 'sum'), 4) AS mag2_sum
+    FROM read_parquet('{FIXTURE_DIR}/warp_src.parquet')
+    """,
+)
+def complex_cast_roundtrip(spark, sf_dir):
+    from geocube_spark.functions.dataformat import cast_expr
+
+    fd = ensure_fixtures()
+    cm = {
+        "dtype": "Complex64", "no_data": float("nan"), "min_value": 0.0,
+        "max_value": 1.0, "real_min_value": 0.0, "real_max_value": 1.0,
+        "exponent": 1.0,
+    }
+    t = spark.read.parquet(f"{fd}/warp_src.parquet")
+    casted = t.select("block_x", "block_y", cast_expr(F.col("px"), cm, dict(cm)).alias("px"))
+    return casted.select(
+        "block_x",
+        "block_y",
+        F.round(
+            F.aggregate(F.transform("px", lambda v: v * v), F.lit(0.0), lambda a, v: a + v),
+            4,
+        ).alias("mag2_sum"),
+    )
+
+
 # A5 on the real catalog: UpdateDatasets dry-run impact grouped by the
 # 7-scalar DataMapping.
 @q(

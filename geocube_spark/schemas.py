@@ -206,6 +206,9 @@ LOCKED_DATASET = StructType(
 )
 
 # DType bounds, mirroring bitmap/datatype.go:29-41.  Used by the cast clamp.
+# Complex64 bounds are ±MaxFloat64 like the reference (datatype.go:29-33);
+# complex tile data is represented as interleaved (re, im) pairs in the px
+# array (the GDAL band-interleave convention).
 DTYPE_BOUNDS: dict[str, tuple[float, float]] = {
     "UInt8": (0.0, 255.0),
     "UInt16": (0.0, 65535.0),
@@ -215,13 +218,21 @@ DTYPE_BOUNDS: dict[str, tuple[float, float]] = {
     "Int32": (-2147483648.0, 2147483647.0),
     "Float32": (-3.4028234663852886e38, 3.4028234663852886e38),
     "Float64": (-1.7976931348623157e308, 1.7976931348623157e308),
+    "Complex64": (-1.7976931348623157e308, 1.7976931348623157e308),
 }
 
 INT_DTYPES = {"UInt8", "UInt16", "UInt32", "Int8", "Int16", "Int32"}
+COMPLEX_DTYPES = {"Complex64"}
 
 
 def can_cast_to(src: str, dst: str) -> bool:
-    """Cast lattice per datatype.go:43-58: everything casts to everything
-    except complex is one-way (complex only to complex).  We model no complex
-    dtype in the tile table, so only validate membership."""
-    return src in DTYPE_BOUNDS and dst in DTYPE_BOUNDS
+    """Cast lattice per datatype.go:43-58: identity always casts; complex is
+    ONE-WAY (complex only to complex, real never to complex); every real
+    type casts to every real type."""
+    if src not in DTYPE_BOUNDS or dst not in DTYPE_BOUNDS:
+        return False
+    if src == dst:
+        return True
+    if src in COMPLEX_DTYPES:
+        return dst in COMPLEX_DTYPES
+    return dst not in COMPLEX_DTYPES

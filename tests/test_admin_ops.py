@@ -72,7 +72,7 @@ class TestCatalogWriters:
             {"min_value": 5.0, "max_value": 1.0},
             {"real_min_value": 2.0, "real_max_value": 1.0},
             {"exponent": 0.0},
-            {"dtype": "Complex64"},
+            {"dtype": "Bool"},  # reserved/unsupported (datatype.go:16 comment)
         ],
     )
     def test_dmapping_validation(self, patch):

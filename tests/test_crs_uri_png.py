@@ -30,6 +30,30 @@ class TestCRS:
         with pytest.raises(CRSError):
             parse_crs("+proj=utm +zone=31")
 
+    def test_parse_wkt1_authority(self):
+        wkt = (
+            'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+            '298.257223563,AUTHORITY["EPSG","7030"]],AUTHORITY["EPSG","6326"]],'
+            'PRIMEM["Greenwich",0,AUTHORITY["EPSG","8901"]],UNIT["degree",'
+            '0.0174532925199433,AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]'
+        )
+        # outermost AUTHORITY (the last clause) wins, not the spheroid's
+        assert parse_crs(wkt) == 4326
+
+    def test_parse_wkt2_id(self):
+        wkt2 = 'GEOGCRS["WGS 84",DATUM["WGS 84"],CS[ellipsoidal,2],ID["EPSG",4326]]'
+        assert parse_crs(wkt2) == 4326
+        with pytest.raises(CRSError):
+            parse_crs('PROJCS["no authority here",UNIT["metre",1]]')
+
+    def test_parse_proj4(self):
+        assert parse_crs("+init=epsg:32631 +units=m") == 32631
+        assert parse_crs("+proj=longlat +datum=WGS84 +no_defs") == 4326
+        assert (
+            parse_crs("+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1")
+            == 3857
+        )
+
     def test_webmercator_roundtrip(self):
         xs = np.array([0.0, 10.0, -120.0])
         ys = np.array([0.0, 45.0, -60.0])

@@ -97,6 +97,70 @@ class TestPixelPlanePlans:
         assert "PushedFilters" in plan and "EqualTo(band,1)" in plan
 
 
+class TestScalingClaims:
+    """SCALING.md promises not yet frozen in CI (VERDICT r1 #9)."""
+
+    def test_curation_chain_bounded_shuffles(self, spark):
+        import os
+
+        from geocube_spark.operators.pipeline import curate
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        out = curate(docs, min_quality=0.3, langs=["en", "de"])
+        plan = physical_plan(out)
+        # dedup is the only shuffle-producing step: fingerprint groupBy plus
+        # the keep-first semi join — nothing else in the chain may add one
+        assert plan.count("Exchange hashpartitioning") <= 3, plan[:2000]
+        assert "CartesianProduct" not in plan
+        # the language filter is a scan-pushable predicate
+        fplan = formatted_plan(out)
+        assert "PushedFilters" in fplan and "In(lang" in fplan
+
+    def test_range_join_is_equi_join(self, spark):
+        from geocube_spark.operators.asof import range_join_buckets
+
+        left = spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k", "id * 10 AS lts")
+        right = spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k", "id * 9 AS rts", "id AS payload")
+        out = range_join_buckets(left, right, "k", "lts", "rts", 0.0, 100.0, ["payload"])
+        plan = physical_plan(out)
+        # the interval join must be the bucketed EQUI join, never an
+        # inequality nested-loop or cartesian plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+            "BroadcastHashJoin" in plan
+        )
+
+    def test_asof_join_single_shuffle(self, spark):
+        from geocube_spark.operators.asof import as_of_join
+
+        left = spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k", "id * 10 AS lts")
+        right = spark.range(100).selectExpr("CAST(id % 7 AS STRING) AS k", "id * 9 AS rts", "id AS v")
+        out = as_of_join(left, right, "k", "lts", "rts", ["v"])
+        plan = physical_plan(out)
+        # union -> ONE window shuffle on the key; no join at all
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "Join" not in plan
+
+    def test_timeseries_block_read_partition_pruned(self, spark):
+        from geocube_spark.registry import ensure_consolidated
+
+        root = ensure_consolidated(spark)
+        out = (
+            spark.read.parquet(root)
+            .filter((F.col("cell_uri") == "0_0") & (F.col("band") == 1) & (F.col("level") == 0))
+            .select("record_id", "px")
+        )
+        fplan = formatted_plan(out)
+        # cell_uri is the physical partition column: the filter must appear
+        # as a PartitionFilter (directory pruning), not a post-scan filter
+        pf_line = next(l for l in fplan.splitlines() if "PartitionFilters" in l)
+        assert "cell_uri" in pf_line
+        # and the non-partition predicates push into the parquet scan
+        assert "PushedFilters" in fplan and "EqualTo(band,1)" in fplan
+
+
 class TestSimilarityPlans:
     """VERDICT r1: embedding_all_pairs_exact must never materialize
     embedding rows on the driver — it is a distributed block GEMM."""

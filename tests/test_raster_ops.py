@@ -48,6 +48,22 @@ class TestCastExpr:
         out = df.select(cast_expr(F.col("px"), SRC, dict(SRC)).alias("c"))
         assert out.first()["c"] == [1.0, 2.0]
 
+    def test_complex_lattice_one_way(self):
+        # datatype.go:43-58: complex only to complex, real never to complex
+        from geocube_spark.functions.dataformat import CastError
+        from geocube_spark.schemas import can_cast_to
+
+        assert can_cast_to("Complex64", "Complex64")
+        assert not can_cast_to("Complex64", "Float64")
+        assert not can_cast_to("Int16", "Complex64")
+        assert can_cast_to("Int16", "UInt8") and can_cast_to("Float32", "Int32")
+        assert not can_cast_to("Bool", "UInt8")  # reserved, not modeled
+        cm = dict(SRC, dtype="Complex64")
+        with pytest.raises(CastError):
+            cast_expr(F.lit([1.0]), SRC, cm)  # Int16 -> Complex64
+        with pytest.raises(CastError):
+            cast_expr(F.lit([1.0]), cm, SRC)  # Complex64 -> Int16
+
 
 class TestMosaic:
     def _tiles(self, spark):
