@@ -59,6 +59,13 @@ BENCH_QUERIES = [
     "cover_custom_cells",
     "union_geometry_job",
     "datasets_records_aoi_join",
+    # round-2 additions: temporal joins, general geometry, cross-CRS warp
+    "asof_join_events",
+    "asof_join_events_forward",
+    "range_join_events",
+    "spatial_concave_refine",
+    "get_cube_pixels_webmercator",
+    "warp_upsample_cubic",
 ]
 
 
