@@ -78,15 +78,23 @@ def sample_grid(
     sy: np.ndarray,
     method: str = "NEAR",
     nodata: float = float("nan"),
+    src_nodata: float | None = None,
 ) -> np.ndarray:
     """Sample ``src`` (H,W) at continuous pixel coordinates (sx, sy) — edge
     convention: integer k is the LEFT/TOP edge of pixel k, its center is
     k+0.5 (the affine-transform convention the warp uses).
 
     Samples whose containing pixel falls outside the grid return ``nodata``;
-    neighborhoods of in-bounds samples clamp to the edge (edge-extend, the
-    per-block analogue of a halo — at cluster scale a halo-row shuffle
-    would feed the missing neighbors, same contract).
+    neighborhoods of in-bounds samples clamp to the edge (edge-extend —
+    the warp feeds this function the WHOLE container raster, so only true
+    image borders extend; at cluster scale a halo-row shuffle per container
+    boundary keeps the same contract).
+
+    ``src_nodata``: when given, nodata source pixels are MASKED out of the
+    convolution — their weights are zeroed and the remaining weights
+    renormalized (GDAL's nodata-mask warp semantics); a sample whose whole
+    neighborhood is nodata yields ``nodata``.  NEAR simply propagates the
+    hit pixel's nodata.
     """
     h, w = src.shape
     sx = np.asarray(sx, dtype=np.float64)
@@ -99,6 +107,13 @@ def sample_grid(
         if valid.any():
             out[valid] = src[iy[valid], ix[valid]]
         return out
+    if src_nodata is not None:
+        if isinstance(src_nodata, float) and np.isnan(src_nodata):
+            src_ok = ~np.isnan(src)
+        else:
+            src_ok = src != src_nodata
+    else:
+        src_ok = None
     # center-based fractional position
     px = sx - 0.5
     py = sy - 0.5
@@ -107,9 +122,20 @@ def sample_grid(
     offs_x, wx = kernel_weights_1d(px - bx, method)
     offs_y, wy = kernel_weights_1d(py - by, method)
     acc = np.zeros(sx.shape, dtype=np.float64)
+    wsum = np.zeros(sx.shape, dtype=np.float64)
     for a, oy in enumerate(offs_y):
         ry = (by + oy).clip(0, h - 1)
         for b, ox in enumerate(offs_x):
             rx = (bx + ox).clip(0, w - 1)
-            acc += wy[..., a] * wx[..., b] * src[ry, rx]
+            wgt = wy[..., a] * wx[..., b]
+            if src_ok is not None:
+                wgt = wgt * src_ok[ry, rx]
+                acc += wgt * np.where(src_ok[ry, rx], src[ry, rx], 0.0)
+            else:
+                acc += wgt * src[ry, rx]
+            wsum += wgt
+    if src_ok is not None:
+        covered = np.abs(wsum) > 1e-12
+        out = np.where(valid & covered, acc / np.where(covered, wsum, 1.0), float(nodata))
+        return out
     return np.where(valid, acc, float(nodata))

@@ -101,15 +101,31 @@ def regrid_to_grid(
 
     def remap(pdf: pd.DataFrame) -> pd.DataFrame:
         out_blocks: dict[tuple[int, int, str, int], np.ndarray] = {}
-        for _, row in pdf.iterrows():
-            gt = Affine.from_struct(row["pix_to_crs"])
-            n = int(math.isqrt(len(row["px"])))
-            src = np.asarray(row["px"], dtype=np.float64).reshape(n, n)
-            bx, by = int(row["block_x"]), int(row["block_y"])
+        # one sub-image per (record, time): assemble the WHOLE container
+        # raster so kernel neighborhoods cross block edges exactly (the halo
+        # data is already in this task's group — container size bounds the
+        # assembly, consolidation caps it by construction)
+        for (rid, rdt), sub in pdf.groupby(["record_id", "record_datetime_us"], sort=False):
+            first = sub.iloc[0]
+            gt = Affine.from_struct(first["pix_to_crs"])
+            n = int(math.isqrt(len(first["px"])))
+            bxs = sub["block_x"].astype(int).to_numpy()
+            bys = sub["block_y"].astype(int).to_numpy()
+            bx0, bx1 = int(bxs.min()), int(bxs.max())
+            by0, by1 = int(bys.min()), int(bys.max())
+            w_px = (bx1 - bx0 + 1) * n
+            h_px = (by1 - by0 + 1) * n
+            raster = np.full((h_px, w_px), nd)
+            for _, row in sub.iterrows():
+                r0 = (int(row["block_y"]) - by0) * n
+                c0 = (int(row["block_x"]) - bx0) * n
+                raster[r0 : r0 + n, c0 : c0 + n] = np.asarray(
+                    row["px"], dtype=np.float64
+                ).reshape(n, n)
             inv = gt.inverse()
-            # source block corner coords in SOURCE CRS
-            gx0, gy0 = gt.apply(bx * n, by * n)
-            gx1, gy1 = gt.apply((bx + 1) * n, (by + 1) * n)
+            # raster corner coords in SOURCE CRS
+            gx0, gy0 = gt.apply(bx0 * n, by0 * n)
+            gx1, gy1 = gt.apply((bx1 + 1) * n, (by1 + 1) * n)
             sxmin, sxmax = min(gx0, gx1), max(gx0, gx1)
             symin, symax = min(gy0, gy1), max(gy0, gy1)
             if warp:
@@ -146,20 +162,22 @@ def regrid_to_grid(
                         sx1 = inv.a * cols + inv.b * rows_.mean() + inv.c
                         sy1 = inv.d * cols.mean() + inv.e * rows_ + inv.f
                         sx, sy = np.meshgrid(sx1, sy1)
-                    # block-local continuous coords; this block owns the
+                    # raster-local continuous coords; this image owns the
                     # output pixels whose sample point falls inside it
-                    sxl = sx - bx * n
-                    syl = sy - by * n
+                    sxl = sx - bx0 * n
+                    syl = sy - by0 * n
                     own = (
                         (np.floor(sxl) >= 0)
-                        & (np.floor(sxl) < n)
+                        & (np.floor(sxl) < w_px)
                         & (np.floor(syl) >= 0)
-                        & (np.floor(syl) < n)
+                        & (np.floor(syl) < h_px)
                     )
                     if not own.any():
                         continue
-                    sampled = sample_grid(src, sxl, syl, method=resampling, nodata=nd)
-                    key = (obx, oby, row["record_id"], int(row["record_datetime_us"]))
+                    sampled = sample_grid(
+                        raster, sxl, syl, method=resampling, nodata=nd, src_nodata=nd
+                    )
+                    key = (obx, oby, rid, int(rdt))
                     buf = out_blocks.get(key)
                     if buf is None:
                         buf = np.full((out_block, out_block), nd)

@@ -105,6 +105,74 @@ class TestSampleGrid:
         assert out.tolist() == [[0.0, 2 * 8 + 3.0, 7 * 8 + 7.0]]
 
 
+class TestNodataMasking:
+    def test_bilinear_masks_source_nodata(self):
+        # a nodata neighbor must be excluded + weights renormalized, not
+        # smeared into the sample (GDAL nodata-mask semantics)
+        src = np.full((8, 8), 5.0)
+        src[3, 4] = -999.0
+        out = sample_grid(
+            src,
+            np.array([[4.0]]),  # between pixels 3 and 4 in x
+            np.array([[3.9]]),
+            method="BILINEAR",
+            nodata=-1.0,
+            src_nodata=-999.0,
+        )
+        assert out[0, 0] == pytest.approx(5.0)  # renormalized over valid taps
+
+    def test_all_nodata_neighborhood_is_nodata(self):
+        src = np.full((8, 8), -999.0)
+        out = sample_grid(
+            src, np.array([[4.0]]), np.array([[4.0]]),
+            method="CUBIC", nodata=-1.0, src_nodata=-999.0,
+        )
+        assert out[0, 0] == -1.0
+
+
+class TestCrossBlockSeam:
+    def test_kernel_continuous_across_block_seam(self, spark):
+        """The warp assembles the whole container raster, so a wide kernel
+        sampled ON the seam between two source blocks sees both sides —
+        linear reproduction must hold across the seam (a per-block
+        edge-extend would flatten the gradient there)."""
+        from datetime import datetime
+
+        from geocube_spark.operators.regrid import regrid_to_grid
+
+        n = 8
+        rows = []
+        for bx in range(2):  # two adjacent blocks in x, linear field v = gx
+            jj, ii = np.meshgrid(np.arange(n), np.arange(n))
+            v = (bx * n + jj).astype(float)
+            rows.append(
+                (
+                    "c0", 1, 0, bx, 0, [float(x) for x in v.ravel()], 32631,
+                    {"a": 10.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -10.0, "f": 0.0},
+                    "r0", datetime(2018, 1, 1),
+                )
+            )
+        df = spark.createDataFrame(
+            rows,
+            "container_uri STRING, band INT, level INT, block_x INT, block_y INT,"
+            " px ARRAY<DOUBLE>, crs_srid INT,"
+            " pix_to_crs STRUCT<a:DOUBLE,b:DOUBLE,c:DOUBLE,d:DOUBLE,e:DOUBLE,f:DOUBLE>,"
+            " record_id STRING, record_datetime TIMESTAMP",
+        )
+        # output: 5 m grid straddling the seam at x = 80 m (source px 8)
+        out = regrid_to_grid(
+            df, (60.0, -20.0), 5.0, out_block=8, nodata=-1.0, resampling="CUBIC"
+        )
+        px = np.array(
+            out.filter((F.col("out_block_x") == 0) & (F.col("out_block_y") == 0))
+            .first()["px"]
+        ).reshape(8, 8)
+        # sample x positions (source px coords): 6.25, 6.75, ..., 9.75 —
+        # crossing the seam; CUBIC reproduces the linear ramp exactly
+        want = (60.0 + (np.arange(8) + 0.5) * 5.0) / 10.0 - 0.5
+        assert np.allclose(px[4], want, atol=1e-9), (px[4], want)
+
+
 class TestCrossCRSWarp:
     def test_webmercator_roundtrip_positions(self, spark):
         """BILINEAR cross-CRS warp of a linear field reproduces the field at
