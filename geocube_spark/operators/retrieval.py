@@ -1,0 +1,236 @@
+"""Ranked retrieval + eval-set decontamination over the documents table.
+
+Training-data-pipeline operators beyond the reference's own surface (the
+reference is a raster catalog; a 100 TB text corpus needs these next to the
+dedup/similarity family):
+
+* **BM25 top-k** — classic Okapi BM25 (Robertson/Spärck Jones; the Lucene
+  ``k1``/``b`` parametrization) as a pure DataFrame plan: tokenize ->
+  explode -> filter to query terms (BEFORE any shuffle, so the shuffled
+  volume is per-query-term postings, not the corpus) -> per-(doc, term)
+  tf -> per-term df -> idf-weighted sum per doc -> top-k.  Two real
+  shuffles (doc-term agg, per-doc sum); corpus stats (N, avgdl) ride a
+  broadcast cross join of a 1-row aggregate.
+* **Decontamination** — flag training documents sharing any word-level
+  n-gram with an eval/benchmark set (the standard 8-13-gram overlap test
+  used for LLM train/test hygiene).  Shingles are exploded distinct per
+  side; the eval side is tiny by construction and broadcast, so the check
+  is a map-side hash join at any corpus size — never a cross join.
+
+Both have exact DuckDB oracle twins (no sketching, no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- tokenization
+# One canonical tokenization shared by engine and oracle: lowercase, every
+# non-alphanumeric run -> single space, trim, split.  Matching DuckDB SQL in
+# tokens_sql().
+
+
+def tokens_expr(col: Column) -> Column:
+    cleaned = F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    return F.filter(F.split(cleaned, " "), lambda t: t != "")
+
+
+def tokens_sql(c: str) -> str:
+    cleaned = f"trim(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'))"
+    return f"list_filter(string_split({cleaned}, ' '), t -> t != '')"
+
+
+def ngrams_expr(toks: Column, n: int) -> Column:
+    """Distinct word-level n-gram strings of a token array (space-joined).
+    Empty when the document has fewer than ``n`` tokens.  The sequence is
+    guarded: Spark's ``sequence(1, 0)`` would count DOWN, so short docs get
+    an explicit empty array."""
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngrams_sql(toks: str, n: int) -> str:
+    # DuckDB range(a, b) is end-exclusive and empty when b <= a; t[i:j] is
+    # 1-based inclusive slicing -> t[i : i+n-1] is n tokens.
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(({toks})[i : i + {n - 1}], ' ')))"
+    )
+
+
+# ------------------------------------------------------------------- BM25
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 top-k documents for a bag-of-terms query.
+
+    Plan shape (the thing that must hold at 100 TB):
+      1. tokenize + explode, then ``term IN query`` is applied MAP-SIDE —
+         the first shuffle only carries the postings of the query's terms;
+      2. ``groupBy(doc, term)`` computes tf and carries the doc length, so
+         no separate doc-length join is needed;
+      3. per-term document frequency is a second, tiny aggregation over the
+         postings (rows = matching docs × query terms), joined back by
+         broadcast;
+      4. corpus stats (N, avgdl) are a single 1-row aggregate broadcast
+         into the scoring expression;
+      5. final per-doc sum + global top-k (TakeOrderedAndProject).
+
+    idf uses the Lucene form ``ln(1 + (N - df + 0.5) / (df + 0.5))`` which
+    is always positive.  Scores are rounded to 4 dp and ranked with
+    ``(score DESC, doc_id)`` so the top-k frontier is engine-independent.
+    """
+    terms = sorted(set(query_terms))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    df_per_term = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        postings.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def bm25_topk_sql(
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    terms = sorted(set(query_terms))
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH toks AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    lens AS (SELECT doc_id, len(t) AS dl, t FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    postings AS (
+      SELECT doc_id, u.term AS term, count(*) AS tf, any_value(dl) AS dl
+      FROM lens, UNNEST(t) AS u(term)
+      WHERE u.term IN ({in_list})
+      GROUP BY doc_id, u.term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+             * (postings.tf * ({k1} + 1))
+             / (postings.tf + {k1} * (1 - {b} + {b} * postings.dl / stats.avgdl))
+           ), 4) AS score
+    FROM postings, dfreq, stats
+    WHERE postings.term = dfreq.term
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------- decontamination
+
+
+def decontamination_overlap(
+    docs: DataFrame,
+    eval_pred: Column,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval n-gram contamination: for each (train doc, eval doc) pair
+    sharing at least one word-level ``n``-gram, the count of distinct shared
+    n-grams.
+
+    The eval side is small by definition (a benchmark suite, not a corpus),
+    so its exploded shingles are broadcast and the overlap check is a
+    map-side hash join against the train shingle stream — the train corpus
+    is never shuffled by shingle.  Shingles are distinct per document, so
+    ``count(*)`` after the join IS the distinct-overlap count.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        ngrams_expr(tokens_expr(F.col(text_col)), n).alias("grams"),
+        eval_pred.alias("is_eval"),
+    )
+    train = base.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), F.explode("grams").alias("g")
+    )
+    ev = base.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), F.explode("grams").alias("g")
+    )
+    return (
+        train.join(F.broadcast(ev), "g")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+def decontamination_overlap_sql(
+    eval_pred_sql: str,
+    n: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    grams = ngrams_sql(tokens_sql(text_col), n)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {grams} AS grams, ({eval_pred_sql}) AS is_eval
+      FROM {table}
+    ),
+    train AS (
+      SELECT doc_id AS train_doc_id, unnest(grams) AS g FROM base WHERE NOT is_eval
+    ),
+    ev AS (
+      SELECT doc_id AS eval_doc_id, unnest(grams) AS g FROM base WHERE is_eval
+    )
+    SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+    FROM train JOIN ev USING (g)
+    GROUP BY train_doc_id, eval_doc_id
+    """

@@ -989,6 +989,33 @@ def doc_fingerprints(spark, sf_dir):
     return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp64"))
 
 
+# BM25 ranked retrieval: map-side query-term filter before the first
+# shuffle, broadcast df/stats joins, global top-k (operators/retrieval.py).
+_BM25_TERMS = ["join", "hash", "vector"]
+
+from geocube_spark.operators.retrieval import (  # noqa: E402
+    bm25_topk,
+    bm25_topk_sql,
+    decontamination_overlap,
+    decontamination_overlap_sql,
+)
+
+
+@q("text_bm25_topk", bm25_topk_sql(_BM25_TERMS, k=15))
+def text_bm25_topk(spark, sf_dir):
+    return bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=15)
+
+
+# Train/eval contamination: distinct shared word-8-grams per (train, eval)
+# pair; eval side broadcast, train corpus never shuffled by shingle.
+@q(
+    "decontamination_overlap",
+    decontamination_overlap_sql("doc_id % 7 = 0", n=8),
+)
+def decontamination_overlap_q(spark, sf_dir):
+    return decontamination_overlap(_docs(spark, sf_dir), F.col("doc_id") % 7 == 0, n=8)
+
+
 # ======================================================== events / streaming
 
 

