@@ -157,6 +157,61 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(run, out_schema)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", IntegerType(), False),
+        StructField("feature", ArrayType(DoubleType()), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000, pool: int = 4) -> DataFrame:
+    """Video frame sampling: one row per sampled frame at a fixed stride.
+
+    The frame count comes from ``meta.duration_ms`` (ceil(duration/stride),
+    at least 1); each frame is decoded independently — the fake decoder
+    seeds on (payload, frame index) so frames differ deterministically, and
+    a real pyav/ffmpeg decoder would seek to ``t_ms`` in its place.  Output
+    rows fan out per frame INSIDE the Arrow batch (mapInPandas may return
+    more rows than it received), so a 2-hour video never materializes as
+    one driver-side list — each task streams its own frames.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                payload = bytes(row["payload"])
+                meta = dict(row["meta"]) if row["meta"] is not None else {}
+                duration = int(meta.get("duration_ms") or 0)
+                n_frames = max(1, -(-duration // every_ms)) if duration else 1
+                for i in range(n_frames):
+                    frame = _DECODER(payload + i.to_bytes(4, "big"), meta)
+                    gray = frame.mean(axis=2) if frame.ndim == 3 else frame
+                    h, w = gray.shape
+                    ph, pw = max(h // pool, 1), max(w // pool, 1)
+                    feat = [
+                        float(gray[a * ph : (a + 1) * ph, b * pw : (b + 1) * pw].mean())
+                        for a in range(pool)
+                        for b in range(pool)
+                    ]
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "t_ms": i * every_ms,
+                            "feature": feat,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def media_dedup_exact(media: DataFrame) -> DataFrame:
     """Exact media dedup by payload hash — JVM-side sha1 over the binary
     column, no decode needed."""

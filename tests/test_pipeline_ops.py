@@ -178,6 +178,38 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             mm.real_decoder_stub(b"x", {})
 
+    def test_video_frame_sampling(self, spark):
+        rows = [
+            ("v0", "video", b"clip-a", (16, 16, 3, None, 3500, "fake")),
+            ("v1", "video", b"clip-b", (16, 16, 3, None, 900, "fake")),
+            ("i0", "image", b"still", (16, 16, 3, None, None, "fake")),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id STRING, kind STRING, payload BINARY, "
+            "meta STRUCT<width:INT,height:INT,channels:INT,sample_rate:INT,duration_ms:INT,codec:STRING>",
+        )
+        out = mm.sample_frames(media, every_ms=1000).collect()
+        by_id: dict[str, list] = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r)
+        assert "i0" not in by_id  # images don't fan out
+        assert len(by_id["v0"]) == 4  # ceil(3500/1000)
+        assert len(by_id["v1"]) == 1
+        v0 = sorted(by_id["v0"], key=lambda r: r["frame_idx"])
+        assert [r["t_ms"] for r in v0] == [0, 1000, 2000, 3000]
+        assert all(len(r["feature"]) == 16 for r in v0)
+        # frames differ (per-frame decode seed), run is deterministic
+        assert v0[0]["feature"] != v0[1]["feature"]
+        again = [
+            r["feature"]
+            for r in sorted(
+                (x for x in mm.sample_frames(media, every_ms=1000).collect() if x["media_id"] == "v0"),
+                key=lambda r: r["frame_idx"],
+            )
+        ]
+        assert again == [r["feature"] for r in v0]
+
 
 class TestStreaming:
     def test_task_counters(self, spark, fixture_dir):
