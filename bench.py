@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "spatial_concave_refine",
     "get_cube_pixels_webmercator",
     "warp_upsample_cubic",
+    # retrieval / packing / sessionization
+    "text_bm25_topk",
+    "decontamination_overlap",
+    "sequence_packing",
+    "events_sessions",
 ]
 
 

@@ -1016,6 +1016,121 @@ def decontamination_overlap_q(spark, sf_dir):
     return decontamination_overlap(_docs(spark, sf_dir), F.col("doc_id") % 7 == 0, n=8)
 
 
+# Corpus profiling: exact token-count quantiles per source-language slice —
+# a partial-agg-friendly groupBy (one shuffle of (lang, stats) pairs, never
+# the documents).  Spark's exact `percentile` and DuckDB's quantile_cont
+# share linear interpolation.
+@q(
+    "corpus_profile",
+    f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(quantile_cont({token_count_sql('text')}, 0.5), 4) AS p50_tokens,
+           round(quantile_cont({token_count_sql('text')}, 0.9), 4) AS p90_tokens,
+           round(avg(length(text)), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def corpus_profile(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    nt = token_count(F.col("text")).cast("double")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(nt, F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile(nt, F.lit(0.9)), 4).alias("p90_tokens"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+# Sequence packing (concat-and-chunk): assign each document to a fixed
+# token-capacity training chunk by its running-sum start offset, sharded by
+# source so the window is partitioned (no global single-partition sort).
+_PACK_CAPACITY = 2048
+
+
+@q(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, {bpe_ish_token_count_sql('text')} AS nt FROM documents
+    ),
+    c AS (
+      SELECT source, nt,
+             coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t
+    )
+    SELECT source, CAST(cb // {_PACK_CAPACITY} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tokens
+    FROM c GROUP BY source, cb // {_PACK_CAPACITY}
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "source", "doc_id", bpe_ish_token_count(F.col("text")).alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn("cb", F.coalesce(F.sum("nt").over(w), F.lit(0)))
+    return (
+        c.withColumn("chunk_id", F.floor(F.col("cb") / _PACK_CAPACITY))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# Gap-based sessionization (batch twin of the streaming stateful operator,
+# streaming/sessions.py): new session when the same-user gap exceeds 30 min.
+@q(
+    "events_sessions",
+    """
+    WITH flag AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM flag
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 4) AS sum_value
+    FROM sess GROUP BY user_id, sidx
+    """,
+)
+def events_sessions(spark, sf_dir):
+    from geocube_spark.streaming.sessions import sessionize_batch
+
+    ev = read_events(spark, sf_dir).select("user_id", "ts", "value")
+    out = sessionize_batch(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 # ======================================================== events / streaming
 
 
