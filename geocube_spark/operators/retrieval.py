@@ -190,24 +190,43 @@ def decontamination_overlap(
     The eval side is small by definition (a benchmark suite, not a corpus),
     so its exploded shingles are broadcast and the overlap check is a
     map-side hash join against the train shingle stream — the train corpus
-    is never shuffled by shingle.  Shingles are distinct per document, so
-    ``count(*)`` after the join IS the distinct-overlap count.
+    is never shuffled by shingle.  ``count_distinct`` in the final (tiny)
+    aggregation gives the distinct-overlap count without a per-document
+    ``array_distinct`` pass.
+
+    Plan-shape notes (both found the hard way, each worth ~10x here):
+
+    * each side FILTERS first and then explodes the inline n-gram
+      expression — naming the gram array as a column with a filter above
+      it lets ``InferFiltersFromGenerate`` + filter pushdown substitute
+      the whole tokenize+shingle expression into a pushed-down
+      ``size(...) > 0`` filter, evaluating it twice more per row;
+    * the token array is materialized as a projection ATTRIBUTE before
+      the gram transform references it (4 references) — Catalyst's
+      subexpression elimination does not reach inside higher-order-
+      function lambdas, so inlining the tokenizer there re-tokenizes
+      per reference.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        ngrams_expr(tokens_expr(F.col(text_col)), n).alias("grams"),
-        eval_pred.alias("is_eval"),
-    )
-    train = base.filter(~F.col("is_eval")).select(
-        F.col("doc_id").alias("train_doc_id"), F.explode("grams").alias("g")
-    )
-    ev = base.filter(F.col("is_eval")).select(
-        F.col("doc_id").alias("eval_doc_id"), F.explode("grams").alias("g")
-    )
+
+    def side(pred: Column, alias: str) -> DataFrame:
+        toks = docs.filter(pred).select(
+            F.col(id_col).alias(alias), tokens_expr(F.col(text_col)).alias("t")
+        )
+        make = F.when(
+            F.size("t") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice("t", i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(alias, F.explode(make).alias("g"))
+
+    train = side(~eval_pred, "train_doc_id")
+    ev = side(eval_pred, "eval_doc_id")
     return (
         train.join(F.broadcast(ev), "g")
         .groupBy("train_doc_id", "eval_doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(F.count_distinct("g").cast("long").alias("n_shared"))
     )
 
 
