@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "decontamination_overlap",
     "sequence_packing",
     "events_sessions",
+    "document_chunking",
+    "unigram_logprob",
 ]
 
 

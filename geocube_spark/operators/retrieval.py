@@ -173,6 +173,135 @@ def bm25_topk_sql(
     """
 
 
+# ------------------------------------------------------------ chunking / LM
+
+
+def document_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style chunking: overlapping token windows of ``chunk_tokens``
+    with ``overlap`` tokens carried between consecutive chunks.
+
+    Chunk starts are 0, s, 2s, ... with stride s = chunk_tokens - overlap;
+    the last window is the first one reaching the end of the document (no
+    degenerate tail chunks).  Pure map-side work — tokenize, compute the
+    start sequence, slice — no shuffle at all; the output order key is
+    (doc_id, chunk_idx).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+    )
+    # number of chunks: 1 + ceil(max(len - chunk, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("t") - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunked = base.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.struct(
+                    i.alias("chunk_idx"),
+                    F.concat_ws(
+                        " ", F.slice("t", i * stride + 1, chunk_tokens)
+                    ).alias("chunk_text"),
+                ),
+            )
+        ).alias("c"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        "n_tokens",
+    )
+
+
+def document_chunks_sql(
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    stride = chunk_tokens - overlap
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+    lens AS (
+      SELECT doc_id, t, len(t) AS n_tokens,
+             1 + CAST(ceil(greatest(len(t) - {chunk_tokens}, 0) / {stride}.0) AS INT) AS nc
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(u.i AS BIGINT) AS chunk_idx,
+           array_to_string(t[u.i * {stride} + 1 : u.i * {stride} + {chunk_tokens}], ' ') AS chunk_text,
+           n_tokens
+    FROM lens, UNNEST(range(0, nc)) AS u(i)
+    """
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM quality score: mean negative log-probability of each
+    document's tokens under the corpus's own unigram distribution (the
+    cheap stand-in for perplexity-based quality filtering).
+
+    Two aggregations: corpus term frequencies (shuffle by term — the only
+    real shuffle), then a broadcast join of the term-logprob table back
+    onto the exploded token stream and a per-doc mean.  The vocabulary is
+    orders of magnitude smaller than the corpus, so the logprob table
+    broadcasts at any corpus size; laplace-free MLE is exact because every
+    scored token was observed (it came from the same corpus).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+    )
+    terms = toks.select("doc_id", F.explode("t").alias("term"))
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    logp = tf.crossJoin(F.broadcast(total)).select(
+        "term", (F.log(F.col("tf")) - F.log(F.col("total"))).alias("logp")
+    )
+    return (
+        terms.join(F.broadcast(logp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(-F.avg("logp"), 4).alias("mean_nll"),
+        )
+    )
+
+
+def unigram_logprob_sql(
+    table: str = "documents", id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (SELECT {id_col} AS doc_id, {toks} AS t FROM {table}),
+    terms AS (SELECT doc_id, u.term AS term FROM base, UNNEST(t) AS u(term)),
+    tf AS (SELECT term, count(*) AS tf FROM terms GROUP BY term),
+    tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+    logp AS (SELECT term, ln(tf) - ln(total) AS logp FROM tf, tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(logp), 4) AS mean_nll
+    FROM terms JOIN logp USING (term)
+    GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------- decontamination
 
 

@@ -1005,6 +1005,10 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     bm25_topk_sql,
     decontamination_overlap,
     decontamination_overlap_sql,
+    document_chunks,
+    document_chunks_sql,
+    unigram_logprob,
+    unigram_logprob_sql,
 )
 
 
@@ -1021,6 +1025,19 @@ def text_bm25_topk(spark, sf_dir):
 )
 def decontamination_overlap_q(spark, sf_dir):
     return decontamination_overlap(_docs(spark, sf_dir), F.col("doc_id") % 7 == 0, n=8)
+
+
+# RAG chunking: overlapping token windows, pure map-side (no shuffle).
+@q("document_chunking", document_chunks_sql(chunk_tokens=64, overlap=16))
+def document_chunking(spark, sf_dir):
+    return document_chunks(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+# Unigram-LM quality score: corpus-trained MLE logprobs, broadcast back
+# onto the token stream (perplexity-filter stand-in).
+@q("unigram_logprob", unigram_logprob_sql())
+def unigram_logprob_q(spark, sf_dir):
+    return unigram_logprob(_docs(spark, sf_dir))
 
 
 # Corpus profiling: exact token-count quantiles per source-language slice —

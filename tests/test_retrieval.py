@@ -50,6 +50,69 @@ class TestBM25:
         assert "join" in plan and "hash" in plan
 
 
+class TestChunking:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        from geocube_spark.operators.retrieval import document_chunks, document_chunks_sql
+
+        got = sorted(
+            (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+            for r in document_chunks(docs, 64, 16).collect()
+        )
+        want = sorted(duck.sql(document_chunks_sql(64, 16)).fetchall())
+        assert got == want
+
+    def test_overlap_semantics(self, spark):
+        from geocube_spark.operators.retrieval import document_chunks
+
+        text = " ".join(f"w{i}" for i in range(100))
+        one = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            document_chunks(one, chunk_tokens=40, overlap=10).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # stride 30: starts at 0, 30, 60 — the chunk starting at 60 reaches
+        # the end (60+40=100), so exactly 3 chunks
+        assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+        c0, c1 = rows[0]["chunk_text"].split(), rows[1]["chunk_text"].split()
+        assert c0[30:] == c1[:10]  # overlap carried
+        assert rows[2]["chunk_text"].split()[-1] == "w99"
+
+    def test_no_shuffle(self, docs):
+        from geocube_spark.operators.retrieval import document_chunks
+
+        plan = document_chunks(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_rejects_bad_overlap(self, docs):
+        from geocube_spark.operators.retrieval import document_chunks
+
+        with pytest.raises(ValueError):
+            document_chunks(docs, chunk_tokens=16, overlap=16)
+
+
+class TestUnigramLogprob:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        from geocube_spark.operators.retrieval import unigram_logprob, unigram_logprob_sql
+
+        got = sorted(
+            (r["doc_id"], r["n_tokens"], r["mean_nll"])
+            for r in unigram_logprob(docs).collect()
+        )
+        want = sorted(duck.sql(unigram_logprob_sql()).fetchall())
+        assert got == want
+
+    def test_rare_tokens_score_worse(self, spark):
+        from geocube_spark.operators.retrieval import unigram_logprob
+
+        common = " ".join(["the"] * 50)
+        rare = "xylophone quixotic zephyr"
+        df = spark.createDataFrame(
+            [(1, common), (2, common), (3, rare)], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r["mean_nll"] for r in unigram_logprob(df).collect()}
+        assert out[3] > out[1]
+
+
 class TestDecontamination:
     def test_matches_duckdb_oracle(self, docs, duck):
         out = decontamination_overlap(docs, F.col("doc_id") % 7 == 0, n=5)
