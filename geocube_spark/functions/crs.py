@@ -57,10 +57,16 @@ def parse_crs(text: str | int) -> int:
         m = re.search(r"(?i)\+init\s*=\s*epsg\s*:\s*(\d+)", s)
         if m:
             return int(m.group(1))
-        if re.search(r"\+proj\s*=\s*longlat\b", s) and (
-            "+datum=WGS84" in s or "+ellps=WGS84" in s or "datum" not in s
-        ):
-            return 4326
+        if re.search(r"\+proj\s*=\s*longlat\b", s):
+            # WGS84 only when stated or when NEITHER datum nor ellipsoid is
+            # given (bare '+proj=longlat' defaults to WGS84); an explicit
+            # non-WGS84 datum/ellps (GRS80, clrk66, intl, ...) must NOT be
+            # silently treated as 4326.
+            if "+datum=WGS84" in s or "+ellps=WGS84" in s or (
+                "datum" not in s and "ellps" not in s
+            ):
+                return 4326
+            raise CRSError(f"non-WGS84 geographic proj4 spec: {s!r}")
         if re.search(r"\+proj\s*=\s*merc\b", s) and "a=6378137" in s.replace(" ", ""):
             return 3857
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
@@ -88,14 +94,28 @@ register_transform(4326, 3857, _lonlat_to_webmercator)
 register_transform(3857, 4326, _webmercator_to_lonlat)
 
 
-def transform_points(
-    src: int, dst: int, xs: np.ndarray, ys: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+def resolve_transform(src: int, dst: int) -> Transform:
+    """Resolve a transform ON THE DRIVER and return the callable itself.
+
+    Operators that ship work to executors (the warp's applyInPandas) must
+    resolve here at plan-build time and close over the returned function:
+    closures are cloudpickled BY VALUE, so driver-registered transforms
+    travel with the task — whereas a registry lookup inside the closure
+    would consult the executor's freshly-imported (built-ins-only) module
+    registry and fail for any register_transform() addition.  Also fails
+    fast on the driver instead of at task runtime."""
     if src == dst:
-        return xs, ys
+        return lambda xs, ys: (xs, ys)
     fn = _REGISTRY.get((src, dst))
     if fn is None:
         raise CRSError(f"no transform registered for {src} -> {dst}")
+    return fn
+
+
+def transform_points(
+    src: int, dst: int, xs: np.ndarray, ys: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    fn = resolve_transform(src, dst)
     return fn(np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64))
 
 
@@ -111,6 +131,21 @@ def warped_extent(
     """R4 WarpedExtent: transform the DENSIFIED boundary of the rect (not
     just corners — curved projections bow edges outward) and take min/max,
     the same contract as GDAL's suggested warp output bounds."""
+    return warped_extent_with(
+        resolve_transform(src, dst), xmin, ymin, xmax, ymax, densify
+    )
+
+
+def warped_extent_with(
+    fn: Transform,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    densify: int = 21,
+) -> tuple[float, float, float, float]:
+    """warped_extent with a pre-resolved transform callable — the executor-
+    safe form (see resolve_transform)."""
     t = np.linspace(0.0, 1.0, densify)
     edge_x = np.concatenate(
         [
@@ -128,7 +163,7 @@ def warped_extent(
             ymax + (ymin - ymax) * t,
         ]
     )
-    wx, wy = transform_points(src, dst, edge_x, edge_y)
+    wx, wy = fn(edge_x, edge_y)
     return float(wx.min()), float(wy.min()), float(wx.max()), float(wy.max())
 
 

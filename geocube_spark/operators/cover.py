@@ -240,7 +240,10 @@ def cover_custom(
 
         out = []
         for b, x0, y0, x1, y1 in zip(wkb, qxmin, qymin, qxmax, qymax):
-            best: list[float] | None = None
+            # union of the clipped bboxes over ALL polygons of a
+            # MultiPolygon — stopping at the first overlapping part would
+            # understate the intersection extent for multi-part geometries
+            acc: list[float] | None = None
             rect = (x0, y0, x1, y1)
             for rings in decode_wkb_polygons(bytes(b)):
                 ext = clip_ring_rect(rings[0], rect)
@@ -253,9 +256,17 @@ def cover_custom(
                         area -= abs(_ring_area(h))
                 if area > 1e-12:
                     xs, ys = ext[:, 0], ext[:, 1]
-                    best = [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
-                    break
-            out.append(best)
+                    part = [float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())]
+                    if acc is None:
+                        acc = part
+                    else:
+                        acc = [
+                            min(acc[0], part[0]),
+                            min(acc[1], part[1]),
+                            max(acc[2], part[2]),
+                            max(acc[3], part[3]),
+                        ]
+            out.append(acc)
         return pd.Series(out)
 
     clipped = pruned.withColumn(

@@ -86,7 +86,7 @@ def regrid_to_grid(
     and wider kernels edge-extend within the block (halo contract noted in
     functions/resample.py).
     """
-    from geocube_spark.functions.crs import transform_points
+    from geocube_spark.functions.crs import resolve_transform
     from geocube_spark.functions.resample import INTERP_KERNELS, sample_grid
 
     if resampling not in INTERP_KERNELS:
@@ -98,6 +98,13 @@ def regrid_to_grid(
     res = float(out_res)
     nd = float(nodata)
     warp = src_srid is not None and dst_srid is not None and src_srid != dst_srid
+    # Resolve transforms ON THE DRIVER: the callables are cloudpickled into
+    # the task closure by value, so user-registered transforms work on
+    # executors (a registry lookup inside the closure would only see the
+    # executor module's built-ins) and a missing pair fails at plan build.
+    if warp:
+        dst_to_src = resolve_transform(dst_srid, src_srid)
+        src_to_dst = resolve_transform(src_srid, dst_srid)
 
     def remap(pdf: pd.DataFrame) -> pd.DataFrame:
         out_blocks: dict[tuple[int, int, str, int], np.ndarray] = {}
@@ -131,10 +138,10 @@ def regrid_to_grid(
             if warp:
                 # footprint in OUTPUT CRS via densified boundary (curved
                 # projections bow edges — same contract as warped_extent)
-                from geocube_spark.functions.crs import warped_extent
+                from geocube_spark.functions.crs import warped_extent_with
 
-                wx0, wy0, wx1, wy1 = warped_extent(
-                    src_srid, dst_srid, sxmin, symin, sxmax, symax
+                wx0, wy0, wx1, wy1 = warped_extent_with(
+                    src_to_dst, sxmin, symin, sxmax, symax
                 )
             else:
                 wx0, wy0, wx1, wy1 = sxmin, symin, sxmax, symax
@@ -154,7 +161,7 @@ def regrid_to_grid(
                     rows_ = oy - (np.arange(out_block) + oby * out_block + 0.5) * res
                     if warp:
                         cx, cy = np.meshgrid(cols, rows_)
-                        cx, cy = transform_points(dst_srid, src_srid, cx, cy)
+                        cx, cy = dst_to_src(cx, cy)
                         sx = inv.a * cx + inv.b * cy + inv.c
                         sy = inv.d * cx + inv.e * cy + inv.f
                     else:

@@ -42,17 +42,20 @@ def tokens_sql(c: str) -> str:
 
 
 def ngrams_expr(toks: Column, n: int) -> Column:
-    """Distinct word-level n-gram strings of a token array (space-joined).
-    Empty when the document has fewer than ``n`` tokens.  The sequence is
-    guarded: Spark's ``sequence(1, 0)`` would count DOWN, so short docs get
-    an explicit empty array."""
+    """Word-level n-gram strings (space-joined) of a token array — NOT
+    deduplicated (callers that need set semantics dedup downstream, e.g.
+    count_distinct after a join: per-array ``array_distinct`` on strings
+    is an order of magnitude slower than the aggregate).  Empty when the
+    document has fewer than ``n`` tokens; the sequence is guarded because
+    Spark's ``sequence(1, 0)`` would count DOWN.
+
+    ``toks`` should be a projected ATTRIBUTE, not an inline expression —
+    see decontamination_overlap's plan-shape notes."""
     make = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
-    )
+    return F.when(F.size(toks) >= n, make).otherwise(F.array().cast("array<string>"))
 
 
 def ngrams_sql(toks: str, n: int) -> str:
@@ -95,6 +98,8 @@ def bm25_topk(
     ``(score DESC, doc_id)`` so the top-k frontier is engine-independent.
     """
     terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("dl"))
@@ -144,7 +149,11 @@ def bm25_topk_sql(
     text_col: str = "text",
 ) -> str:
     terms = sorted(set(query_terms))
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    # quote-double for SQL string literals; terms come from tokens_expr's
+    # alphabet in practice, but the oracle string must never be injectable
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     toks = tokens_sql(text_col)
     return f"""
     WITH toks AS (
@@ -341,14 +350,7 @@ def decontamination_overlap(
         toks = docs.filter(pred).select(
             F.col(id_col).alias(alias), tokens_expr(F.col(text_col)).alias("t")
         )
-        make = F.when(
-            F.size("t") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice("t", i, n)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        return toks.select(alias, F.explode(make).alias("g"))
+        return toks.select(alias, F.explode(ngrams_expr(F.col("t"), n)).alias("g"))
 
     train = side(~eval_pred, "train_doc_id")
     ev = side(eval_pred, "eval_doc_id")

@@ -135,10 +135,27 @@ def kmeans_centroids(
     sample (deterministic seed).  The collect is capped at
     ``max_sample_rows`` regardless of table size — a quantizer only needs a
     sample, never the corpus (round-1 default collected the full table).
+
+    The default sample is an UNBIASED deterministic hash filter: rows where
+    ``pmod(xxhash64(v), D) < ceil(D * max_sample_rows / n)`` — stable
+    across partition layouts and AQE re-plans (a bare ``limit`` would take
+    whatever rows the first tasks deliver: biased toward the leading
+    partitions and not reproducible).  One cheap count() scan sizes the
+    fraction; the residual ``limit`` only trims hash-sampling overshoot.
     Centroids are tiny and broadcast into codegen."""
     df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    else:
+        n = df.count()
+        if n > max_sample_rows:
+            denom = 1_000_003  # prime — decorrelates from power-of-two patterns
+            # ~10% overshoot so the trim limit stays a no-op in expectation
+            thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
+            df = df.filter(
+                F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
+                < F.lit(thresh)
+            )
     mat = np.array([r["v"] for r in df.limit(int(max_sample_rows)).collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
@@ -279,10 +296,16 @@ def embedding_all_pairs_exact(
         na = np.linalg.norm(mat_a, axis=1, keepdims=True)
         nb_ = np.linalg.norm(mat_b, axis=1, keepdims=True)
         sims = (mat_a / np.where(na == 0, 1.0, na)) @ (mat_b / np.where(nb_ == 0, 1.0, nb_)).T
+        # sieve with a 1e-9 slack: the emitted cosine is consumed rounded
+        # to 6 dp and membership re-checked on the rounded value (registry
+        # + oracle both filter round(cosine,6) >= thr), so a pair whose
+        # true cosine sits within float-summation error of the threshold
+        # cannot flip membership between numpy's blocked accumulation and
+        # the oracle's sequential sum
+        ai, bj = np.where(sims >= thr - 1e-9)
         # each unordered pair meets in exactly one block pair; the diagonal
         # (ka == kb) sees both orientations so id order dedupes it, while an
         # off-diagonal pair appears once in arbitrary orientation -> min/max
-        ai, bj = np.where(sims >= thr)
         if key[0] == key[1]:
             keep = ids_a[ai] < ids_b[bj]
             ai, bj = ai[keep], bj[keep]

@@ -897,8 +897,10 @@ def embedding_topk(spark, sf_dir):
     )
 
 
-# All-pairs exact near-dup: broadcast-GEMM sieve + sequential-scalar
-# recompute for oracle parity (operators.similarity.embedding_all_pairs_exact).
+# All-pairs exact near-dup: distributed block GEMM (no driver collect, no
+# corpus broadcast).  Membership is decided on the 6-dp-ROUNDED cosine in
+# BOTH engines (the GEMM sieves with 1e-9 slack), so numpy-blocked vs
+# sequential float summation cannot flip a borderline pair.
 @q(
     "embedding_near_dup_exact",
     f"""
@@ -906,12 +908,14 @@ def embedding_topk(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {cosine_sql('a.embedding', 'b.embedding')} >= 0.4
+    WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
     """,
 )
 def embedding_near_dup_exact(spark, sf_dir):
     out = sim.embedding_all_pairs_exact(_emb(spark, sf_dir), threshold=0.4)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine")).filter(
+        F.col("cosine") >= 0.4
+    )
 
 
 @q("embedding_lsh_topk")

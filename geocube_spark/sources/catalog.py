@@ -45,10 +45,23 @@ class Catalog:
     def path(self, name: str) -> str:
         return f"{self.root}/{name}.parquet"
 
+    def _recover(self, name: str) -> None:
+        """If a previous swap crashed after target->backup but before
+        tmp->target, the ``.bak`` is the only copy of the table — restore
+        it.  Called from every access path so a crashed swap is healed on
+        the next read, exists() check, or write (never silently treated as
+        'table absent', which would lose the data on the next bootstrap)."""
+        target = self.path(name)
+        backup = f"{target}.bak"
+        if os.path.exists(backup) and not os.path.exists(target):
+            os.rename(backup, target)
+
     def read(self, name: str) -> DataFrame:
+        self._recover(name)
         return self.spark.read.parquet(self.path(name))
 
     def exists(self, name: str) -> bool:
+        self._recover(name)
         return os.path.exists(self.path(name))
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
@@ -85,7 +98,8 @@ class Catalog:
                 os.remove(path)
 
         backup = f"{target}.bak"
-        _rm(backup)  # stale .bak from an earlier crashed swap
+        self._recover(name)  # a crashed swap's .bak is the only copy — heal first
+        _rm(backup)  # stale .bak from an earlier COMPLETED swap
         had_backup = os.path.exists(target)
         if had_backup:
             os.rename(target, backup)

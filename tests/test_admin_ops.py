@@ -61,6 +61,26 @@ class TestCatalogWriters:
 
         assert not os.path.exists(f"{tmp_path}/t.parquet.bak")  # restored, not orphaned
 
+    def test_crashed_swap_heals_on_next_access(self, spark, tmp_path):
+        # crash window: after target->backup, before tmp->target — the .bak
+        # is the ONLY copy.  Every access path (exists/read/write) must
+        # restore it; in particular client._append's exists() check must not
+        # see 'absent' and bootstrap-overwrite away the old rows.
+        import os
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("t", spark.range(7).toDF("id"))
+        os.rename(f"{tmp_path}/t.parquet", f"{tmp_path}/t.parquet.bak")  # simulate crash
+        assert cat.exists("t")  # healed, not absent
+        assert cat.read("t").count() == 7
+        assert not os.path.exists(f"{tmp_path}/t.parquet.bak")
+
+        cat.write("u", spark.range(3).toDF("id"))
+        os.rename(f"{tmp_path}/u.parquet", f"{tmp_path}/u.parquet.bak")
+        cat.write("u", spark.range(4).toDF("id"))  # write path also heals
+        assert cat.read("u").count() == 4
+        assert not os.path.exists(f"{tmp_path}/u.parquet.bak")
+
     def test_record_name_validation(self):
         validate_record_name("S2A_MSIL1C_2018:tile-31")
         with pytest.raises(ValueError):

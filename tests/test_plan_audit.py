@@ -53,7 +53,12 @@ def test_bnlj_only_where_declared(plans):
 
 
 def test_exemption_list_is_not_stale(plans):
-    """Every exempted query still exists and still uses a BNLJ — prune the
-    list when a plan improves past it."""
+    """Every exempted query still exists AND still uses a BNLJ — prune the
+    list when a plan improves past it, so a later regression in that query
+    is caught instead of masked by the stale exemption."""
     for name in HARD_RULES_EXEMPT_BNLJ:
         assert name in plans, f"exempt query {name} no longer registered"
+        assert plans[name]["bnlj"] > 0, (
+            f"exempt query {name} no longer uses a BNLJ — remove it from "
+            "HARD_RULES_EXEMPT_BNLJ"
+        )
