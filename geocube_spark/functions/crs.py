@@ -44,15 +44,17 @@ def parse_crs(text: str | int) -> int:
         return int(m.group(1))
     s = text.strip()
     # WKT1 (GEOGCS/PROJCS ... AUTHORITY["EPSG","NNNN"]) / WKT2 (GEOGCRS/
-    # PROJCRS ... ID["EPSG",NNNN]): the OUTERMOST crs's authority is the
-    # last clause at the top level — take the final match
+    # PROJCRS ... ID["EPSG",NNNN]): ONLY an authority clause at bracket
+    # depth 1 identifies the outermost CRS.  A PROJCS with no top-level
+    # authority but an inner GEOGCS one (common for custom projections)
+    # must raise, not silently parse as the inner geographic code.
     if re.match(r"(?i)^(GEOG|PROJ|GEOD)(CS|CRS)\s*\[", s):
-        ids = re.findall(
-            r'(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]', s
+        srid = _wkt_toplevel_epsg(s)
+        if srid is not None:
+            return srid
+        raise CRSError(
+            f"WKT without a top-level EPSG authority: {s[:80]!r}"
         )
-        if ids:
-            return int(ids[-1])
-        raise CRSError(f"WKT without an EPSG authority: {s[:80]!r}")
     if s.startswith("+"):
         m = re.search(r"(?i)\+init\s*=\s*epsg\s*:\s*(\d+)", s)
         if m:
@@ -71,6 +73,43 @@ def parse_crs(text: str | int) -> int:
             return 3857
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
     raise CRSError(f"unsupported CRS spec: {text!r}")
+
+
+_WKT_AUTH_RE = re.compile(
+    r'(?i)(?:AUTHORITY|ID)\s*\[\s*"EPSG"\s*,\s*"?(\d+)"?\s*\]'
+)
+
+
+def _wkt_toplevel_epsg(s: str) -> int | None:
+    """Scan WKT tracking bracket depth; return the EPSG code of an
+    AUTHORITY/ID clause that starts at depth 1 (a direct child of the
+    outermost object), or None.  Quoted strings are skipped so brackets
+    inside names don't skew the depth counter."""
+    depth = 0
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == '"':
+            # skip quoted string ("" is the WKT escape for a quote)
+            i += 1
+            while i < n:
+                if s[i] == '"':
+                    if i + 1 < n and s[i + 1] == '"':
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+        elif depth == 1 and ch in "aAiI":
+            m = _WKT_AUTH_RE.match(s, i)
+            if m:
+                return int(m.group(1))
+        i += 1
+    return None
 
 
 def register_transform(src: int, dst: int, fn: Transform) -> None:

@@ -70,6 +70,7 @@ def regrid_to_grid(
     resampling: str = "NEAR",
     src_srid: int | None = None,
     dst_srid: int | None = None,
+    max_assembled_px: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """Remap source tiles onto a north-up target grid (origin, resolution).
 
@@ -108,11 +109,18 @@ def regrid_to_grid(
 
     def remap(pdf: pd.DataFrame) -> pd.DataFrame:
         out_blocks: dict[tuple[int, int, str, int], np.ndarray] = {}
-        # one sub-image per (record, time): assemble the WHOLE container
-        # raster so kernel neighborhoods cross block edges exactly (the halo
-        # data is already in this task's group — container size bounds the
-        # assembly, consolidation caps it by construction)
-        for (rid, rdt), sub in pdf.groupby(["record_id", "record_datetime_us"], sort=False):
+        # one sub-image per (record, time, level): assemble the WHOLE
+        # container raster so kernel neighborhoods cross block edges exactly
+        # (the halo data is already in this task's group — container size
+        # bounds the assembly, consolidation caps it by construction).
+        # 'level' MUST be in the key where present: blocks from different
+        # pyramid levels live on different grids, and interleaving them into
+        # one raster would silently corrupt pixels.
+        group_keys = ["record_id", "record_datetime_us"]
+        if "level" in pdf.columns:
+            group_keys.append("level")
+        for gk, sub in pdf.groupby(group_keys, sort=False):
+            rid, rdt = gk[0], gk[1]
             first = sub.iloc[0]
             gt = Affine.from_struct(first["pix_to_crs"])
             n = int(math.isqrt(len(first["px"])))
@@ -120,15 +128,40 @@ def regrid_to_grid(
             bys = sub["block_y"].astype(int).to_numpy()
             bx0, bx1 = int(bxs.min()), int(bxs.max())
             by0, by1 = int(bys.min()), int(bys.max())
+            n_span_blocks = (bx1 - bx0 + 1) * (by1 - by0 + 1)
+            # the raster is allocated densely over the block-index bounding
+            # box; cap the span so a sparse container (two far-apart blocks)
+            # fails loudly instead of OOMing the task (SCALING.md contract:
+            # task memory is bounded by container size, not layout holes)
+            if n_span_blocks * n * n > max_assembled_px:
+                raise ValueError(
+                    f"regrid: group {gk!r} spans {n_span_blocks} blocks of "
+                    f"{n}x{n} px ({n_span_blocks * n * n:,} px) — exceeds "
+                    f"max_assembled_px={max_assembled_px:,}; the container "
+                    "layout is too sparse to assemble densely (split the "
+                    "input by block cluster or raise max_assembled_px)"
+                )
             w_px = (bx1 - bx0 + 1) * n
             h_px = (by1 - by0 + 1) * n
             raster = np.full((h_px, w_px), nd)
+            first_gt = (gt.a, gt.b, gt.c, gt.d, gt.e, gt.f)
             for _, row in sub.iterrows():
+                row_gt = Affine.from_struct(row["pix_to_crs"])
+                if (row_gt.a, row_gt.b, row_gt.c, row_gt.d, row_gt.e, row_gt.f) != first_gt:
+                    raise ValueError(
+                        f"regrid: group {gk!r} mixes affines "
+                        f"{first_gt} and {row_gt} — heterogeneous grids in "
+                        "one (record, time, level) group"
+                    )
+                px = np.asarray(row["px"], dtype=np.float64)
+                if len(px) != n * n:
+                    raise ValueError(
+                        f"regrid: group {gk!r} mixes block sizes "
+                        f"({len(px)} px vs {n * n}) in one group"
+                    )
                 r0 = (int(row["block_y"]) - by0) * n
                 c0 = (int(row["block_x"]) - bx0) * n
-                raster[r0 : r0 + n, c0 : c0 + n] = np.asarray(
-                    row["px"], dtype=np.float64
-                ).reshape(n, n)
+                raster[r0 : r0 + n, c0 : c0 + n] = px.reshape(n, n)
             inv = gt.inverse()
             # raster corner coords in SOURCE CRS
             gx0, gy0 = gt.apply(bx0 * n, by0 * n)

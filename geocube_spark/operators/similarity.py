@@ -141,8 +141,11 @@ def kmeans_centroids(
     across partition layouts and AQE re-plans (a bare ``limit`` would take
     whatever rows the first tasks deliver: biased toward the leading
     partitions and not reproducible).  One cheap count() scan sizes the
-    fraction; the residual ``limit`` only trims hash-sampling overshoot.
-    Centroids are tiny and broadcast into codegen."""
+    fraction; the overshoot is then trimmed DETERMINISTICALLY by keeping
+    the ``max_sample_rows`` smallest hash values (orderBy hash before the
+    limit) — so the collected sample is a pure function of row CONTENT,
+    independent of partition layout or task arrival order.  Centroids are
+    tiny and broadcast into codegen."""
     df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
@@ -150,11 +153,15 @@ def kmeans_centroids(
         n = df.count()
         if n > max_sample_rows:
             denom = 1_000_003  # prime — decorrelates from power-of-two patterns
-            # ~10% overshoot so the trim limit stays a no-op in expectation
+            # ~10% overshoot so the hash filter rarely undershoots; the
+            # orderBy-hash trim below makes the final cut deterministic
             thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
-            df = df.filter(
-                F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
-                < F.lit(thresh)
+            h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
+            df = (
+                df.withColumn("_h", h)
+                .filter(F.col("_h") < F.lit(thresh))
+                .orderBy("_h", "v")
+                .drop("_h")
             )
     mat = np.array([r["v"] for r in df.limit(int(max_sample_rows)).collect()], dtype=np.float64)
     rng = np.random.RandomState(seed)
@@ -296,13 +303,13 @@ def embedding_all_pairs_exact(
         na = np.linalg.norm(mat_a, axis=1, keepdims=True)
         nb_ = np.linalg.norm(mat_b, axis=1, keepdims=True)
         sims = (mat_a / np.where(na == 0, 1.0, na)) @ (mat_b / np.where(nb_ == 0, 1.0, nb_)).T
-        # sieve with a 1e-9 slack: the emitted cosine is consumed rounded
-        # to 6 dp and membership re-checked on the rounded value (registry
-        # + oracle both filter round(cosine,6) >= thr), so a pair whose
-        # true cosine sits within float-summation error of the threshold
-        # cannot flip membership between numpy's blocked accumulation and
-        # the oracle's sequential sum
-        ai, bj = np.where(sims >= thr - 1e-9)
+        # sieve slack must cover the 6-dp rounding membership contract:
+        # downstream (registry + oracle) keeps pairs with round(cosine,6)
+        # >= thr, i.e. true cosine >= thr - 5e-7, so the sieve must keep
+        # everything down to half the rounding quantum below the threshold
+        # (plus float-summation headroom) or a pair the oracle keeps could
+        # never leave this task
+        ai, bj = np.where(sims >= thr - 5.1e-7)
         # each unordered pair meets in exactly one block pair; the diagonal
         # (ka == kb) sees both orientations so id order dedupes it, while an
         # off-diagonal pair appears once in arbitrary orientation -> min/max
