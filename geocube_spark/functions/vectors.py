@@ -108,27 +108,33 @@ def word_shingles_sql(c: str, k: int = 3) -> str:
     )
 
 
-def _affine_hasher(a: int, b: int):
-    """1-arg HOF lambda: h -> (a*h + b) mod p over pre-reduced hashes."""
-    return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_P))
-
-
 def minhash_signature_expr(shingles: Column, params: list[tuple[int, int]]) -> Column:
     """MinHash signature as array<bigint>: for each (a,b), min over shingles
-    of (a * xxhash64(s) + b) mod p.  Entirely F.transform/F.aggregate —
-    executes in codegen, no Python per row."""
-    def _hasher(a: int, b: int):
-        # closure factory: a 1-arg lambda (default-arg capture would make
-        # PySpark treat it as a multi-arg HOF lambda)
-        return lambda s: F.pmod(
-            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)) + F.lit(b),
-            F.lit(_MERSENNE_P),
-        )
+    of (a * xxhash64(s) + b) mod p.  JVM-side, no Python per row.
 
-    sig_parts = [
-        F.array_min(F.transform(shingles, _hasher(a, b))) for a, b in params
-    ]
-    return F.array(*sig_parts)
+    ONE aggregate pass over the shingles keeps a running elementwise min
+    against the LITERAL (a, b) param array — a single array traversal
+    instead of num_hashes of them, and O(1) plan bytes in num_hashes.
+    The init sentinel is p itself (every pmod result is < p); an empty
+    shingle array yields the all-p sentinel signature."""
+    pab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    return F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), len(params)),
+        lambda acc, s: F.zip_with(
+            acc,
+            pab,
+            lambda m, p: F.least(
+                m,
+                F.pmod(
+                    p["a"] * F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)) + p["b"],
+                    F.lit(_MERSENNE_P),
+                ),
+            ),
+        ),
+    )
 
 
 def band_keys_expr(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -146,25 +152,42 @@ def band_keys_expr(signature: Column, bands: int, rows_per_band: int) -> Column:
 
 
 def simhash_expr(tokens: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over a token array: sum per-bit +/-1 weighted by token
-    hash bits, sign-threshold.  Expressed with aggregate over bit positions —
-    JVM-side.  Returns bigint."""
-    # per-token 64-bit hash
+    """64-bit SimHash over a token array: per-bit majority vote over the
+    token hashes, sign-threshold.  Returns bigint.
+
+    Single ``aggregate`` pass accumulating a ``bits``-long counter array
+    (zip_with against the hash's unpacked bits), then one fold packs the
+    majority bits into a long.  This keeps the expression O(1) in ``bits``
+    — the round-2 form generated 64 separate filter passes over the token
+    array, which was both 64× the array traversals and ~90 KB of plan per
+    reference (the self-join printed it twice: 182 KB plans)."""
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def _bit_set(i: int):
-        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
-
-    # For each bit position, count tokens with that bit set, compare to half.
-    bit_cols = []
-    for i in range(bits):
-        ones = F.size(F.filter(hashes, _bit_set(i)))
-        bit = (ones * 2 > F.size(hashes)).cast("long")
-        bit_cols.append(F.shiftleft(bit, i))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
-    return out
+    n = F.size(hashes)
+    seq = F.sequence(F.lit(0), F.lit(bits - 1))
+    zero = F.lit(0).cast("long")
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(zero, bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                seq,
+                lambda i: F.call_function("shiftright", h, i).bitwiseAND(F.lit(1)),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            seq,
+            lambda c, i: F.when(
+                c * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), i)
+            ).otherwise(zero),
+        ),
+        zero,
+        lambda acc, v: acc.bitwiseOR(v),
+    )
 
 
 def hamming_distance_expr(a: Column, b: Column) -> Column:

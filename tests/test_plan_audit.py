@@ -18,7 +18,11 @@ import os
 import pytest
 
 from geocube_spark import registry
-from tools.plan_audit import HARD_RULES_EXEMPT_BNLJ, audit_plan
+from tools.plan_audit import (
+    HARD_RULES_EXEMPT_BNLJ,
+    PLAN_SIZE_CAP_KB,
+    audit_plan,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
@@ -50,6 +54,14 @@ def test_bnlj_only_where_declared(plans):
         if m["bnlj"] and n not in HARD_RULES_EXEMPT_BNLJ
     ]
     assert bad == []
+
+
+def test_plan_size_capped(plans):
+    """No query may bake large literal blocks (centroid matrices, generated
+    when()-chains) into its plan — models/matrices travel in closures or
+    broadcast vars, so plan size stays O(1) in the model constants."""
+    bad = {n: m["plan_kb"] for n, m in plans.items() if m["plan_kb"] > PLAN_SIZE_CAP_KB}
+    assert bad == {}
 
 
 def test_exemption_list_is_not_stale(plans):
