@@ -240,6 +240,81 @@ def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFr
     return _parallelize(documents).select("doc_id", simhash_expr(toks).alias("simhash"))
 
 
+def simhash_all_pairs(
+    documents: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """EXACT all-pairs SimHash Hamming join — the brute-force oracle twin of
+    ``simhash_near_duplicates`` (quadratic BY DESIGN, like
+    ``ngram_jaccard_pairs``: use the rotated-prefix LSH at scale and this to
+    verify recall on bounded samples).
+
+    Same distributed block-pair decomposition as
+    ``similarity.embedding_all_pairs_exact``: fingerprints are hash-assigned
+    to ``num_blocks`` row-blocks, each unordered block pair meets in exactly
+    one cogroup task, and the task XORs two int64 vectors (numpy popcount on
+    the byte view — no Python loop).  No CartesianProduct in the plan, no
+    driver collect; shuffle is O(n·num_blocks) fingerprints (16 bytes each).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField as SF, StructType as ST
+
+    nb = int(num_blocks)
+    fp = simhash_fingerprints(documents, text_col)
+    base = fp.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.col("simhash").alias("h"),
+        F.pmod(F.hash("doc_id"), F.lit(nb)).alias("blk"),
+    )
+    side_a = base.select(
+        "id", "h", F.col("blk").alias("ka"), F.explode(F.sequence("blk", F.lit(nb - 1))).alias("kb")
+    )
+    side_b = base.select(
+        F.col("id").alias("id_r"),
+        F.col("h").alias("h_r"),
+        F.explode(F.sequence(F.lit(0), "blk")).alias("ka"),
+        F.col("blk").alias("kb"),
+    )
+    out_schema = ST(
+        [
+            SF("doc_a", LongType(), False),
+            SF("doc_b", LongType(), False),
+            SF("hamming", IntegerType(), False),
+        ]
+    )
+    mh = int(max_hamming)
+    # byte-LUT popcount: works on any numpy (np.bitwise_count needs >= 2.0)
+    lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def pairs(key, pdf_a, pdf_b):
+        if not len(pdf_a) or not len(pdf_b):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
+        ids_a = pdf_a["id"].to_numpy(dtype=np.int64)
+        ids_b = pdf_b["id_r"].to_numpy(dtype=np.int64)
+        ha = pdf_a["h"].to_numpy(dtype=np.int64)
+        hb = pdf_b["h_r"].to_numpy(dtype=np.int64)
+        x = (ha[:, None] ^ hb[None, :]).view(np.uint8).reshape(len(ha), len(hb), 8)
+        ham = lut[x].sum(axis=2, dtype=np.int32)
+        ai, bj = np.where(ham <= mh)
+        if key[0] == key[1]:
+            keep = ids_a[ai] < ids_b[bj]
+            ai, bj = ai[keep], bj[keep]
+            lo, hi = ids_a[ai], ids_b[bj]
+        else:
+            lo = np.minimum(ids_a[ai], ids_b[bj])
+            hi = np.maximum(ids_a[ai], ids_b[bj])
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "hamming": ham[ai, bj]})
+
+    return (
+        side_a.groupby("ka", "kb")
+        .cogroup(side_b.groupby("ka", "kb"))
+        .applyInPandas(pairs, out_schema)
+    )
+
+
 def simhash_near_duplicates(
     documents: DataFrame,
     text_col: str = "text",

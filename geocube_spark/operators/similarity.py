@@ -348,17 +348,36 @@ def embedding_near_duplicates(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH bucket self-join (equi on bucket)
-    then exact cosine filter — never an O(n²) cross join."""
+    then exact cosine filter — never an O(n²) cross join.
+
+    ``multiprobe`` > 0 explodes each row to its own bucket plus all buckets
+    within Hamming distance ``multiprobe`` of it (BOTH sides), so a pair
+    whose buckets differ in up to ``2·multiprobe`` bits still meets in a
+    shared probe bucket — the standard multi-probe recall boost at a
+    (1 + bits·multiprobe)× row fan-out, still a pure equi-join shuffle.
+    A pair can meet in two shared probe buckets; the trailing distinct
+    collapses the duplicates."""
     sample_row = embeddings.select(F.size(vec_col).alias("d")).first()
     planes = random_hyperplanes(int(sample_row["d"]), bits, seed)
     bucketed = embeddings.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_expr(F.col(vec_col), planes).alias("bucket")
     )
+    if multiprobe:
+        if multiprobe != 1:
+            raise ValueError("multiprobe > 1 not implemented (fan-out explodes)")
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(bits)],
+        )
+        bucketed = bucketed.select(
+            id_col, vec_col, F.explode(probes).alias("bucket")
+        )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
@@ -371,3 +390,4 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return out.distinct() if multiprobe else out

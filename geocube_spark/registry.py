@@ -831,10 +831,19 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-# build the real oracle for ngram_jaccard_pairs from the shared SQL helpers
+# build the real oracle for the n-gram Jaccard family from the shared SQL
+# helpers — reused at several thresholds (exact query + minhash verifier)
 from geocube_spark.functions.vectors import word_shingles_sql  # noqa: E402
 
-ORACLES["ngram_jaccard_pairs"] = f"""
+
+def _ngram_jaccard_sql(threshold: float, select: str | None = None) -> str:
+    """DuckDB exact n-gram Jaccard pairs >= threshold; ``select`` overrides
+    the final projection (default: the (doc_a, doc_b, jaccard) rows)."""
+    final = select or (
+        "SELECT doc_a, doc_b, round(inter * 1.0 / (sa.n + sb.n - inter), 6)"
+        " AS jaccard"
+    )
+    return f"""
     WITH sh AS (
         SELECT doc_id, unnest({word_shingles_sql('text', 3)}) AS shingle
         FROM documents
@@ -845,30 +854,107 @@ ORACLES["ngram_jaccard_pairs"] = f"""
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
-    SELECT doc_a, doc_b,
-           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    {final}
     FROM shared
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= {threshold}
 """
 
 
-# rows-only (sketches are hash-seeded; no SQL twin): LSH candidates + simhash
-@q("minhash_lsh_candidates")
+ORACLES["ngram_jaccard_pairs"] = _ngram_jaccard_sql(0.2)
+
+
+def _count_row(**dfs) -> DataFrame:
+    """One row of named row-counts via a tagged union + conditional sums —
+    NOT a chain of 1-row cross joins, so the plan audit sees a plain
+    aggregate instead of BroadcastNestedLoopJoins."""
+    names = list(dfs)
+    parts = [
+        df.select(*[F.lit(1 if n == name else 0).alias(n) for n in names])
+        for name, df in dfs.items()
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.agg(
+        *[F.coalesce(F.sum(n), F.lit(0)).cast("long").alias(n) for n in names]
+    )
+
+
+# --- sketch-family queries are hash-seeded (xxhash64 / seeded hyperplanes),
+# so DuckDB cannot recompute their raw outputs.  Instead each query emits a
+# DETERMINISTIC INVARIANT against its exact sibling, value-checked by the
+# oracle: recall/containment counts that the oracle derives from SQL where
+# possible (exact-pair counts, doc counts) and pins as the seeded constant
+# where not (the sketch side).  Theorems (pigeonhole completeness,
+# verify-step precision) appear as structural zeros.
+
+
+@q(
+    "minhash_lsh_candidates",
+    _ngram_jaccard_sql(
+        0.5,
+        select=(
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,"
+            " CAST(25 AS BIGINT) AS n_candidates,"
+            " CAST(0 AS BIGINT) AS n_true_missed"
+        ),
+    ),
+)
 def minhash_lsh_candidates(spark, sf_dir):
-    return dd.minhash_lsh_candidates(_docs(spark, sf_dir), num_hashes=32, bands=8)
+    """Invariant: the LSH candidate set (32 hashes, 8 bands of 4) contains
+    EVERY pair with true n-gram Jaccard >= 0.5 (n_true_missed = 0 — banding
+    recall on this corpus/seed), with the candidate count pinned to the
+    seeded value at sf0.01.  n_true_pairs is re-derived by the oracle from
+    exact SQL, so the containment claim is anchored to DuckDB ground truth."""
+    docs = _docs(spark, sf_dir)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    true_pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    missed = true_pairs.join(cands, ["doc_a", "doc_b"], "left_anti")
+    return _count_row(n_true_pairs=true_pairs, n_candidates=cands, n_true_missed=missed)
 
 
-@q("minhash_near_duplicates")
+@q("minhash_near_duplicates", _ngram_jaccard_sql(0.5))
 def minhash_near_duplicates(spark, sf_dir):
+    """LSH candidates + exact-Jaccard verification >= 0.5.  Because banding
+    recall is total on this corpus (see minhash_lsh_candidates) and the
+    verify step computes TRUE Jaccard, the output must equal the exact
+    quadratic join — so the oracle is the full exact SQL, value-for-value."""
     out = dd.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@q("simhash_near_duplicates")
+@q(
+    "simhash_near_duplicates",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(17 AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS n_missed_vs_exact,
+           CAST(0 AS BIGINT) AS n_false_vs_exact
+    FROM documents
+    """,
+)
 def simhash_near_duplicates(spark, sf_dir):
-    return dd.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=8)
+    """Rotated-prefix SimHash LSH vs the exact all-pairs Hamming join, as a
+    containment invariant.  n_missed_vs_exact = 0 is a THEOREM (4 disjoint
+    16-bit blocks + pigeonhole cover every pair with Hamming <= 3), and
+    n_false_vs_exact = 0 is the verify step — so the two independent
+    implementations must produce identical pair sets; n_pairs pins the
+    seeded fingerprint semantics at sf0.01."""
+    docs = _docs(spark, sf_dir)
+    lsh = dd.simhash_near_duplicates(docs, max_hamming=3).select("doc_a", "doc_b")
+    exact = dd.simhash_all_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
+    false_pos = lsh.join(exact, ["doc_a", "doc_b"], "left_anti")
+    return _count_row(
+        n_docs=docs,
+        n_pairs=lsh,
+        n_missed_vs_exact=missed,
+        n_false_vs_exact=false_pos,
+    )
 
 
 @q(
@@ -918,23 +1004,102 @@ def embedding_near_dup_exact(spark, sf_dir):
     )
 
 
-@q("embedding_lsh_topk")
+@q(
+    "embedding_lsh_topk",
+    """
+    SELECT CAST(20 AS BIGINT) AS n_results,
+           CAST(16 AS BIGINT) AS n_exact_hits,
+           CAST(0 AS BIGINT) AS n_score_mismatch
+    FROM (SELECT 1)
+    """,
+)
 def embedding_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN top-20 (bits=4, multiprobe Hamming <= 2) measured
+    against the exact top-20: recall@20 = 16/20 on the seeded planes at
+    sf0.01 (uniform-random embeddings are the LSH worst case — max pair
+    cosine < 0.6).  n_score_mismatch = 0 proves every returned score is the
+    TRUE cosine (semi-join on (vec_id, rounded score) against the exact
+    full ranking)."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).first()
-    return sim.lsh_topk(emb, list(qrow["embedding"]), k=20, bits=6)
+    qv = list(qrow["embedding"])
+    lsh = sim.lsh_topk(emb, qv, k=20, bits=4, multiprobe_hamming=2).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    exact_all = sim.brute_force_topk(emb, qv, k=20)
+    hits = lsh.join(exact_all.select("vec_id"), "vec_id", "left_semi")
+    # scores re-derived over the whole corpus (not just the top-k) so a
+    # wrong score on a non-top hit would still be caught
+    corpus_scores = emb.select(
+        "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
+    )
+    mismatch = lsh.join(corpus_scores, ["vec_id", "score"], "left_anti")
+    return _count_row(n_results=lsh, n_exact_hits=hits, n_score_mismatch=mismatch)
 
 
-@q("embedding_near_dup_lsh")
+@q(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH e AS ({_EMB_SQL})
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST(53 AS BIGINT) AS n_lsh_pairs,
+           CAST(0 AS BIGINT) AS n_false_pairs
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.4
+    """,
+)
 def embedding_near_dup_lsh(spark, sf_dir):
-    return sim.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.4, bits=4)
+    """Multi-probe LSH near-dup pairs vs the exact all-pairs GEMM: recall
+    53/59 at sf0.01 (bits=4, probe Hamming 1 per side covers bucket
+    distance <= 2), and n_false_pairs = 0 because every emitted pair is
+    cosine-verified.  n_true_pairs is re-derived by the oracle from the
+    exact SQL join, anchoring the recall claim to DuckDB ground truth."""
+    emb = _emb(spark, sf_dir)
+    lsh = (
+        sim.embedding_near_duplicates(emb, threshold=0.4, bits=4, multiprobe=1)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    exact = (
+        sim.embedding_all_pairs_exact(emb, threshold=0.4)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+    false_pos = lsh.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    return _count_row(n_true_pairs=exact, n_lsh_pairs=lsh, n_false_pairs=false_pos)
 
 
-@q("embedding_ivf_topk")
+@q(
+    "embedding_ivf_topk",
+    """
+    SELECT CAST(20 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS n_exact_hits,
+           CAST(0 AS BIGINT) AS n_score_mismatch
+    FROM (SELECT 1)
+    """,
+)
 def embedding_ivf_topk(spark, sf_dir):
+    """IVF ANN top-20 probing 3 of 8 k-means clusters vs the exact top-20:
+    recall@20 = 15/20 with the deterministic quantizer (content-ordered
+    hash sample, seeded Lloyd iterations).  n_score_mismatch = 0 proves
+    returned scores are true cosines (anti-join vs corpus-wide scores)."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).first()
-    return sim.ivf_topk(emb, list(qrow["embedding"]), k=20, n_clusters=8, nprobe=3)
+    qv = list(qrow["embedding"])
+    ivf = sim.ivf_topk(emb, qv, k=20, n_clusters=8, nprobe=3).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    exact_all = sim.brute_force_topk(emb, qv, k=20)
+    hits = ivf.join(exact_all.select("vec_id"), "vec_id", "left_semi")
+    corpus_scores = emb.select(
+        "vec_id",
+        F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
+    )
+    mismatch = ivf.join(corpus_scores, ["vec_id", "score"], "left_anti")
+    return _count_row(n_results=ivf, n_exact_hits=hits, n_score_mismatch=mismatch)
 
 
 # ============================================================= text analysis
@@ -992,12 +1157,35 @@ def text_token_counts(spark, sf_dir):
     )
 
 
-@q("doc_fingerprints")
+@q(
+    "doc_fingerprints",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT {normalized_md5_sql('text')}) AS BIGINT) AS n_distinct_fp,
+           CAST(0 AS BIGINT) AS n_fp_collisions
+    FROM documents
+    """,
+)
 def doc_fingerprints(spark, sf_dir):
+    """64-bit rolling fingerprints (xxhash64 of normalized text) checked
+    against the portable md5 fingerprint: both hash the SAME normalization,
+    so the distinct-fingerprint count must equal DuckDB's distinct-md5
+    count unless xxhash64 collides — and collisions are counted explicitly
+    (distinct (fp64, md5) pairs minus distinct fp64) and must be zero."""
     from geocube_spark.functions.text import fingerprint64
 
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", fingerprint64(F.col("text")).alias("fp64"))
+    fps = docs.select(
+        fingerprint64(F.col("text")).alias("fp64"),
+        normalized_md5(F.col("text")).alias("md5"),
+    )
+    return fps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp64").cast("long").alias("n_distinct_fp"),
+        (F.count_distinct(F.struct("fp64", "md5")) - F.count_distinct("fp64"))
+        .cast("long")
+        .alias("n_fp_collisions"),
+    )
 
 
 # BM25 ranked retrieval: map-side query-term filter before the first

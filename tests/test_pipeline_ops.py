@@ -84,6 +84,32 @@ class TestSimHash:
         pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
         assert pairs.get((0, 1)) == 0
 
+    def test_rotated_lsh_equals_all_pairs(self, docs):
+        """Pigeonhole: 4 disjoint 16-bit blocks catch every pair with
+        Hamming <= 3, so the LSH must EQUAL the exact quadratic join."""
+        lsh = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_near_duplicates(docs, max_hamming=3).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in dd.simhash_all_pairs(docs, max_hamming=3).collect()
+        }
+        assert lsh == exact and len(exact) >= 3  # 0/1/4 at hamming 0
+
+    def test_all_pairs_blocking_complete(self, spark):
+        """Every unordered pair meets in exactly one block pair regardless
+        of block count (no pair lost or duplicated by the decomposition)."""
+        rows = [(i, f"shared prefix words here variant {i % 4}") for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        for nb in (1, 3, 8):
+            got = sorted(
+                (r["doc_a"], r["doc_b"])
+                for r in dd.simhash_all_pairs(docs, max_hamming=64, num_blocks=nb).collect()
+            )
+            assert len(got) == 40 * 39 // 2
+            assert len(set(got)) == len(got)
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
@@ -129,6 +155,49 @@ class TestSimilarity:
         # the 4 tight neighbours (i=1..4, small noise) share the bucket
         assert 0 in got
         assert len(got & {1, 2, 3, 4}) >= 2
+
+    def test_near_dup_multiprobe_recall(self, emb):
+        """Multi-probe is a strict superset of the plain bucket join, has no
+        false positives, and at probe radius 1 both-sides it must find every
+        pair whose buckets differ in <= 2 bits — verified vs brute force."""
+        plain = {
+            (r["id_a"], r["id_b"])
+            for r in sim.embedding_near_duplicates(emb, threshold=0.9, bits=4).collect()
+        }
+        mp = {
+            (r["id_a"], r["id_b"])
+            for r in sim.embedding_near_duplicates(
+                emb, threshold=0.9, bits=4, multiprobe=1
+            ).collect()
+        }
+        assert plain <= mp
+        rows = emb.orderBy("vec_id").collect()
+        mat = np.array([r["embedding"] for r in rows])
+        nrm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = nrm @ nrm.T
+        true_pairs = {
+            (i, j)
+            for i in range(len(rows))
+            for j in range(i + 1, len(rows))
+            if sims[i, j] >= 0.9
+        }
+        assert mp <= true_pairs  # cosine-verified: no false positives
+        # bucket-distance <= 2 pairs are guaranteed caught
+        from geocube_spark.operators.similarity import (
+            lsh_bucket_expr,
+            random_hyperplanes,
+        )
+
+        planes = random_hyperplanes(8, 4, 42)
+        buckets = {
+            r["vec_id"]: r["b"]
+            for r in emb.select(
+                "vec_id", lsh_bucket_expr(F.col("embedding"), planes).alias("b")
+            ).collect()
+        }
+        for i, j in true_pairs:
+            if bin(buckets[i] ^ buckets[j]).count("1") <= 2:
+                assert (i, j) in mp
 
     def test_pairwise_topk_join(self, emb):
         queries = emb.filter(F.col("vec_id") < 2)
