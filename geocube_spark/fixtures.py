@@ -429,10 +429,44 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_utm: source tiles for the UTM cross-CRS warp oracle.
+    # Same closed-form v(i,j) = (13i + 7j) mod 97, but the grid lives in
+    # EPSG:32632 (UTM zone 32N): res 1024 m (binary-exact => exact inverse
+    # affine), origin E=434176 / N=6684672 — 128x128 px straddling the
+    # central meridian (E 434k..565k ~ lon 7.8..10.2E, N ~ lat 59.1..60.3N).
+    # The oracle query re-derives the 4326->32632 FORWARD Krueger series in
+    # SQL (functions/crs.py tm_forward_sql_columns).
+    utm_res = 1024.0
+    utm_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            utm_rows.append(
+                {
+                    "container_uri": "warp://src-utm",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 32632,
+                    "pix_to_crs": {
+                        "a": utm_res, "b": 0.0, "c": 434176.0,
+                        "d": 0.0, "e": -utm_res, "f": 6684672.0,
+                    },
+                    "record_id": _uuid("warp-utm-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     tables = {
         "aoi": aoi_rows,
         "concave_aoi": conc_rows,
         "warp_src": warp_rows,
+        "warp_src_utm": utm_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

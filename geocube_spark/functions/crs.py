@@ -71,6 +71,21 @@ def parse_crs(text: str | int) -> int:
             raise CRSError(f"non-WGS84 geographic proj4 spec: {s!r}")
         if re.search(r"\+proj\s*=\s*merc\b", s) and "a=6378137" in s.replace(" ", ""):
             return 3857
+        m = re.search(r"\+proj\s*=\s*utm\b", s)
+        if m:
+            zm = re.search(r"\+zone\s*=\s*(\d+)", s)
+            if not zm:
+                raise CRSError(f"utm proj4 spec without +zone: {s!r}")
+            zone = int(zm.group(1))
+            if not 1 <= zone <= 60:
+                raise CRSError(f"utm zone out of range: {zone}")
+            if not (
+                "+datum=WGS84" in s or "+ellps=WGS84" in s or (
+                    "datum" not in s and "ellps" not in s
+                )
+            ):
+                raise CRSError(f"non-WGS84 utm proj4 spec: {s!r}")
+            return (32700 if re.search(r"\+south\b", s) else 32600) + zone
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
     raise CRSError(f"unsupported CRS spec: {text!r}")
 
@@ -133,6 +148,204 @@ register_transform(4326, 3857, _lonlat_to_webmercator)
 register_transform(3857, 4326, _webmercator_to_lonlat)
 
 
+# --------------------------------------------------- Transverse Mercator (C6)
+# Closed-form UTM on the WGS84 ellipsoid: Krüger series in the third
+# flattening n to order n⁶ (Karney 2011, "Transverse Mercator with an
+# accuracy of a few nanometers" — truncation error < 10 nm inside a UTM
+# zone, i.e. exact at double precision for all practical purposes).
+# Mirrors the reference's PROJ-backed arbitrary-CRS support
+# (internal/utils/proj/proj.go:47-73) for the EPSG:326xx/327xx family the
+# reference's MGRS/customgrid tiling actually uses.
+
+_WGS84_F = 1.0 / 298.257223563
+_TM_N = _WGS84_F / (2.0 - _WGS84_F)  # third flattening
+_TM_E = math.sqrt(_WGS84_F * (2.0 - _WGS84_F))  # first eccentricity
+_TM_E2M = 1.0 - _TM_E * _TM_E
+_TM_K0 = 0.9996
+# rectifying radius A = a/(1+n)·(1 + n²/4 + n⁴/64 + n⁶/256)
+_TM_A1 = (
+    WGS84_A
+    / (1.0 + _TM_N)
+    * (1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0 + _TM_N**6 / 256.0)
+)
+_n = _TM_N
+_TM_ALPHA = (
+    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
+    - 1983433 * _n**6 / 1935360,
+    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+    + 167603 * _n**6 / 181440,
+    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+    212378941 * _n**6 / 319334400,
+)
+_TM_BETA = (
+    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+    - 1118711 * _n**6 / 3870720,
+    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+    + 5569 * _n**6 / 90720,
+    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+    20648693 * _n**6 / 638668800,
+)
+del _n
+
+_UTM_E0 = 500000.0
+_UTM_N0_SOUTH = 10000000.0
+
+
+def utm_zone_params(srid: int) -> tuple[float, float] | None:
+    """(central meridian degrees, false northing) for EPSG:326xx/327xx."""
+    if 32601 <= srid <= 32660:
+        return float((srid - 32600) * 6 - 183), 0.0
+    if 32701 <= srid <= 32760:
+        return float((srid - 32700) * 6 - 183), _UTM_N0_SOUTH
+    return None
+
+
+def tm_forward(lon, lat, lon0_deg: float, false_northing: float = 0.0):
+    """(lon, lat) degrees -> (easting, northing) meters, k0 = 0.9996.
+
+    Conformal latitude via the CLOSED sinh/atanh form, then the order-n⁶
+    Krüger series.  The same operation sequence is emitted as SQL by
+    ``tm_forward_sql_columns`` so a DuckDB oracle reproduces these values
+    to libm-ulp precision."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0_deg)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    t = np.sinh(
+        np.arcsinh(np.tan(phi)) - _TM_E * np.arctanh(_TM_E * np.sin(phi))
+    )
+    cl = np.cos(lam)
+    xip = np.arctan2(t, cl)
+    etap = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a in enumerate(_TM_ALPHA, start=1):
+        xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+        eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+    return (
+        _UTM_E0 + _TM_K0 * _TM_A1 * eta,
+        false_northing + _TM_K0 * _TM_A1 * xi,
+    )
+
+
+def _tau_from_taup(taup: np.ndarray) -> np.ndarray:
+    """tan(phi) from tan(conformal phi) — GeographicLib's tauf Newton
+    iteration on the closed-form forward (quadratic convergence; 3
+    iterations reach double precision for |phi| < 89.99°)."""
+    tau = taup / _TM_E2M
+    for _ in range(5):
+        sphi = tau / np.sqrt(1.0 + tau * tau)
+        taup_i = np.sinh(np.arcsinh(tau) - _TM_E * np.arctanh(_TM_E * sphi))
+        tau = tau + (taup - taup_i) * (1.0 + _TM_E2M * tau * tau) / (
+            _TM_E2M * np.sqrt(1.0 + tau * tau) * np.sqrt(1.0 + taup_i * taup_i)
+        )
+    return tau
+
+
+def tm_inverse(easting, northing, lon0_deg: float, false_northing: float = 0.0):
+    """(easting, northing) meters -> (lon, lat) degrees (order-n⁶ inverse
+    Krüger series + Newton for the conformal-to-geographic latitude)."""
+    xi = (np.asarray(northing, dtype=np.float64) - false_northing) / (
+        _TM_K0 * _TM_A1
+    )
+    eta = (np.asarray(easting, dtype=np.float64) - _UTM_E0) / (_TM_K0 * _TM_A1)
+    xip = xi.copy()
+    etap = eta.copy()
+    for j, b in enumerate(_TM_BETA, start=1):
+        xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etap = etap - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    se = np.sinh(etap)
+    cx = np.cos(xip)
+    taup = np.sin(xip) / np.sqrt(se * se + cx * cx)
+    lam = np.arctan2(se, cx)
+    phi = np.arctan(_tau_from_taup(taup))
+    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+
+
+def tm_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB SELECT-list fragment computing ``utm_e``/``utm_n`` from
+    lon/lat expressions — the SAME operation sequence as ``tm_forward``
+    (DuckDB lateral alias reuse keeps it one SELECT).  Lets an oracle
+    re-derive a UTM warp analytically, like the WebMercator twin."""
+    cm, n0 = utm_zone_params(srid)
+    e = repr(_TM_E)
+
+    # DuckDB 1.0 has no sinh/cosh/asinh/atanh — spell them via exp/ln
+    def _sinh(x: str) -> str:
+        return f"(exp({x}) - exp(-({x}))) / 2"
+
+    def _cosh(x: str) -> str:
+        return f"(exp({x}) + exp(-({x}))) / 2"
+
+    def _asinh(x: str) -> str:
+        return f"ln(({x}) + sqrt(({x})*({x}) + 1))"
+
+    def _atanh(x: str) -> str:
+        return f"0.5 * ln((1 + ({x})) / (1 - ({x})))"
+
+    terms_xi = " + ".join(
+        f"{a!r} * sin({2 * j} * xip) * {_cosh(f'{2 * j} * etap')}"
+        for j, a in enumerate(_TM_ALPHA, start=1)
+    )
+    terms_eta = " + ".join(
+        f"{a!r} * cos({2 * j} * xip) * {_sinh(f'{2 * j} * etap')}"
+        for j, a in enumerate(_TM_ALPHA, start=1)
+    )
+    k0a = repr(_TM_K0 * _TM_A1)
+    return f"""
+        radians(({lon_expr}) - {cm!r}) AS lam,
+        radians({lat_expr}) AS phi,
+        {_sinh(f"{_asinh('tan(phi)')} - {e} * {_atanh(f'{e} * sin(phi)')}")} AS tt,
+        atan2(tt, cos(lam)) AS xip,
+        {_asinh('sin(lam) / sqrt(tt * tt + cos(lam) * cos(lam))')} AS etap,
+        {_UTM_E0!r} + {k0a} * (etap + {terms_eta}) AS utm_e,
+        {n0!r} + {k0a} * (xip + {terms_xi}) AS utm_n"""
+
+
+def _compose(f: Transform, g: Transform) -> Transform:
+    return lambda xs, ys: g(*f(xs, ys))
+
+
+def _maybe_build_transform(src: int, dst: int) -> Transform | None:
+    """Construct (and cache) a transform for any pair drawn from
+    {4326, 3857, UTM zones} by composing through lon/lat.  User-registered
+    pairs always win (checked first in resolve_transform)."""
+
+    def to_lonlat(srid: int) -> Transform | None:
+        if srid == 4326:
+            return lambda xs, ys: (xs, ys)
+        if srid == 3857:
+            return _webmercator_to_lonlat
+        p = utm_zone_params(srid)
+        if p is not None:
+            cm, n0 = p
+            return lambda xs, ys: tm_inverse(xs, ys, cm, n0)
+        return None
+
+    def from_lonlat(srid: int) -> Transform | None:
+        if srid == 4326:
+            return lambda xs, ys: (xs, ys)
+        if srid == 3857:
+            return _lonlat_to_webmercator
+        p = utm_zone_params(srid)
+        if p is not None:
+            cm, n0 = p
+            return lambda xs, ys: tm_forward(xs, ys, cm, n0)
+        return None
+
+    f = to_lonlat(src)
+    g = from_lonlat(dst)
+    if f is None or g is None:
+        return None
+    fn = _compose(f, g)
+    _REGISTRY[(src, dst)] = fn
+    return fn
+
+
 def resolve_transform(src: int, dst: int) -> Transform:
     """Resolve a transform ON THE DRIVER and return the callable itself.
 
@@ -146,6 +359,8 @@ def resolve_transform(src: int, dst: int) -> Transform:
     if src == dst:
         return lambda xs, ys: (xs, ys)
     fn = _REGISTRY.get((src, dst))
+    if fn is None:
+        fn = _maybe_build_transform(src, dst)
     if fn is None:
         raise CRSError(f"no transform registered for {src} -> {dst}")
     return fn

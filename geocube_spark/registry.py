@@ -63,7 +63,8 @@ _DST_DM = {
 
 
 def ensure_fixtures() -> str:
-    if not os.path.exists(os.path.join(FIXTURE_DIR, "datasets.parquet")):
+    # probe the NEWEST fixture table so stale fixture dirs regenerate
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_utm.parquet")):
         from geocube_spark import fixtures
 
         fixtures.generate(FIXTURE_DIR, n_records=200)
@@ -1987,6 +1988,75 @@ def get_cube_pixels_webmercator(spark, sf_dir):
         resampling="NEAR",
         src_srid=4326,
         dst_srid=3857,
+    )
+    return out.groupBy("out_block_x", "out_block_y").agg(
+        F.round(
+            F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+        ).alias("px_sum"),
+        F.sum(F.size(F.filter("px", lambda v: v != -1.0))).cast("long").alias("n_valid"),
+    )
+
+
+# Cross-CRS warp through the closed-form UTM kernel (C6 full-projection
+# support; mirrors proj.go:47-73's PROJ-backed per-zone CRSs).  Source grid
+# lives in EPSG:32632; output is a 4326 lat/lon grid, so the DuckDB twin
+# needs only the FORWARD Krueger series (output pixel center -> easting/
+# northing -> integer source index) — re-derived in SQL to order n⁶ by
+# tm_forward_sql_columns, agreeing with numpy to ~3 nm.  res 1024 m and
+# binary-exact grid constants keep the floor() boundaries far from the
+# transform's ulp noise.
+from geocube_spark.functions.crs import tm_forward_sql_columns  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_utm",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(-1, 3) obx, range(-1, 2) oby, range(0, 4096) i
+    ),
+    en AS (
+        SELECT obx, oby, idx,
+               {tm_forward_sql_columns(
+                   "8.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625",
+                   "60.125 - (oby*64 + (idx // 64) + 0.5) * 0.015625",
+                   32632,
+               )}
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((utm_e - 434176.0) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((6684672.0 - utm_n) / 1024.0) AS BIGINT) AS iy
+        FROM en
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_utm(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_utm.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(8.0, 60.125),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=32632,
+        dst_srid=4326,
     )
     return out.groupBy("out_block_x", "out_block_y").agg(
         F.round(

@@ -27,8 +27,12 @@ class TestCRS:
         assert parse_crs("epsg:4326") == 4326
         assert parse_crs("EPSG: 3857") == 3857
         assert parse_crs(32631) == 32631
+        assert parse_crs("+proj=utm +zone=31") == 32631
+        assert parse_crs("+proj=utm +zone=19 +south +datum=WGS84") == 32719
         with pytest.raises(CRSError):
-            parse_crs("+proj=utm +zone=31")
+            parse_crs("+proj=utm +zone=31 +ellps=GRS80")  # non-WGS84 datum
+        with pytest.raises(CRSError):
+            parse_crs("+proj=utm")  # no zone
 
     def test_parse_wkt1_authority(self):
         wkt = (
@@ -68,8 +72,9 @@ class TestCRS:
         assert my[0] == pytest.approx(0.0, abs=1e-6)
 
     def test_unregistered_raises(self):
+        # Lambert-93 is not built in (UTM/3857/4326 are) and not registered
         with pytest.raises(CRSError):
-            transform_points(4326, 32631, np.array([0.0]), np.array([0.0]))
+            transform_points(4326, 2154, np.array([0.0]), np.array([0.0]))
 
     def test_warped_extent_edge_bow(self):
         """R4: at high latitude the top edge of a lon/lat rect bows in
@@ -86,6 +91,129 @@ class TestCRS:
         assert ox == 0.0 and oy == 24.0  # snapped to 8-unit grid
         assert w % 8 == 0 and h % 8 == 0
         assert ox + w >= 21.0 and oy - h <= 2.0  # covers the extent
+
+
+class TestTransverseMercator:
+    """Closed-form UTM (Krüger order-n⁶ series, crs.py).  Verified three
+    independent ways: forward/inverse roundtrip at machine precision, the
+    central-meridian invariants (E = 500000 exactly, N = k0 · meridian arc
+    by numerical integration), and agreement with Snyder's classic TM
+    series (a DIFFERENT published derivation) to its ~1 mm truncation."""
+
+    def test_roundtrip_machine_precision(self):
+        from geocube_spark.functions.crs import tm_forward, tm_inverse
+
+        lon, lat = np.meshgrid(np.linspace(5.9, 12.1, 21), np.linspace(-79, 84, 23))
+        e, n = tm_forward(lon, lat, 9.0)
+        lon2, lat2 = tm_inverse(e, n, 9.0)
+        np.testing.assert_allclose(lon2, lon, atol=1e-12)
+        np.testing.assert_allclose(lat2, lat, atol=1e-12)
+
+    def test_central_meridian_invariants(self):
+        import math
+
+        from geocube_spark.functions.crs import tm_forward
+
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        for lat in (0.001, 27.3, 60.0, -45.0):
+            E, N = tm_forward(9.0, lat, 9.0)
+            assert float(E) == pytest.approx(500000.0, abs=1e-9)
+            t = np.linspace(0, math.radians(lat), 400_001)
+            arc = a * (1 - e2) * np.trapz((1 - e2 * np.sin(t) ** 2) ** -1.5, t)
+            assert float(N) == pytest.approx(0.9996 * arc, abs=1e-4)
+
+    def test_agrees_with_snyder_series(self):
+        import math
+
+        from geocube_spark.functions.crs import tm_forward
+
+        a, f = 6378137.0, 1 / 298.257223563
+        e2 = f * (2 - f)
+        ep2 = e2 / (1 - e2)
+        k0 = 0.9996
+
+        def snyder(lon, lat, lon0):
+            phi, lam = math.radians(lat), math.radians(lon - lon0)
+            nu = a / math.sqrt(1 - e2 * math.sin(phi) ** 2)
+            T = math.tan(phi) ** 2
+            C = ep2 * math.cos(phi) ** 2
+            A = lam * math.cos(phi)
+            M = a * (
+                (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+                - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * math.sin(2 * phi)
+                + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * math.sin(4 * phi)
+                - (35 * e2**3 / 3072) * math.sin(6 * phi)
+            )
+            E = k0 * nu * (
+                A + (1 - T + C) * A**3 / 6 + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+            ) + 500000
+            N = k0 * (
+                M + nu * math.tan(phi) * (
+                    A**2 / 2
+                    + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                    + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+                )
+            )
+            return E, N
+
+        for lo, la in [(9.5, 60), (7.2, 45.3), (11.9, -33.7), (6.1, 80), (10.5, -60)]:
+            E1, N1 = tm_forward(lo, la, 9.0)
+            E2, N2 = snyder(lo, la, 9.0)
+            assert float(E1) == pytest.approx(E2, abs=5e-3)
+            assert float(N1) == pytest.approx(N2, abs=5e-3)
+
+    def test_south_zone_false_northing(self):
+        from geocube_spark.functions.crs import tm_forward, utm_zone_params
+
+        cm, n0 = utm_zone_params(32719)
+        assert cm == -69.0 and n0 == 10000000.0
+        E, N = tm_forward(-69.0, -33.0, cm, n0)
+        En, Nn = tm_forward(-69.0, 33.0, cm, 0.0)
+        # ellipsoid is symmetric: S northing = 1e7 - N northing
+        assert float(N) == pytest.approx(1e7 - float(Nn), abs=1e-6)
+        assert utm_zone_params(32601) == (-177.0, 0.0)
+        assert utm_zone_params(4326) is None
+
+    def test_composed_transforms(self):
+        from geocube_spark.functions.crs import (
+            tm_forward,
+            transform_points,
+        )
+
+        # 3857 -> UTM composes through lon/lat
+        x, y = transform_points(3857, 32632, np.array([1000000.0]), np.array([8500000.0]))
+        lon, lat = transform_points(3857, 4326, np.array([1000000.0]), np.array([8500000.0]))
+        E, N = tm_forward(lon, lat, 9.0)
+        np.testing.assert_allclose(x, E, atol=1e-9)
+        np.testing.assert_allclose(y, N, atol=1e-9)
+        # zone -> zone roundtrips
+        xs, ys = np.array([500000.0, 450000.0]), np.array([6650000.0, 6700000.0])
+        xx, yy = transform_points(32632, 32633, xs, ys)
+        bx, by = transform_points(32633, 32632, xx, yy)
+        np.testing.assert_allclose(bx, xs, atol=1e-6)
+        np.testing.assert_allclose(by, ys, atol=1e-6)
+
+    def test_sql_twin_matches_numpy(self):
+        import duckdb
+
+        from geocube_spark.functions.crs import tm_forward, tm_forward_sql_columns
+
+        cols = tm_forward_sql_columns("lon", "lat", 32632)
+        con = duckdb.connect()
+        q = (
+            "WITH pts AS (SELECT lon.range*0.31 + 6.0 AS lon, "
+            "lat.range*2.71 - 60.0 AS lat FROM range(0,20) lon, range(0,50) lat) "
+            f"SELECT lon, lat, {cols} FROM pts"
+        )
+        rows = con.execute(q).fetchall()
+        names = [d[0] for d in con.description]
+        ie, iN = names.index("utm_e"), names.index("utm_n")
+        lons = np.array([r[0] for r in rows])
+        lats = np.array([r[1] for r in rows])
+        E, N = tm_forward(lons, lats, 9.0)
+        np.testing.assert_allclose(np.array([r[ie] for r in rows]), E, atol=1e-7)
+        np.testing.assert_allclose(np.array([r[iN] for r in rows]), N, atol=1e-7)
 
 
 class TestURI:
