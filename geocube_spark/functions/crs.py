@@ -139,7 +139,10 @@ def _lonlat_to_webmercator(x, y):
 
 
 def _webmercator_to_lonlat(x, y):
-    lon = np.degrees(x / WGS84_A)
+    # wrap to [-180, 180) like PROJ: x past the world extent re-enters on
+    # the other side (geodesic.py re-unwraps per edge where continuity
+    # matters)
+    lon = (np.degrees(x / WGS84_A) + 180.0) % 360.0 - 180.0
     lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_A)) - np.pi / 2)
     return lon, lat
 
@@ -263,7 +266,11 @@ def tm_inverse(easting, northing, lon0_deg: float, false_northing: float = 0.0):
     taup = np.sin(xip) / np.sqrt(se * se + cx * cx)
     lam = np.arctan2(se, cx)
     phi = np.arctan(_tau_from_taup(taup))
-    return np.degrees(lam) + lon0_deg, np.degrees(phi)
+    # wrap to [-180, 180) like PROJ — zones near the dateline otherwise
+    # return continuous lons past ±180 (consumers that need continuity
+    # re-unwrap per edge, e.g. functions/geodesic.py)
+    lon = (np.degrees(lam) + lon0_deg + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
 
 
 def tm_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:

@@ -2387,6 +2387,108 @@ def spatial_antimeridian(spark, sf_dir):
     return find_datasets(datasets, None, flt).select("id")
 
 
+# Geodesic ring projection parity (proj.go:287-460): the reference's OWN
+# proj_test.go expectation for a WebMercator rect crossing the dateline —
+# adaptive densification points AND the continuous (unwrapped) longitudes
+# past +180.  The oracle pins the reference's published vertices; the
+# Spark side recomputes them through functions/geodesic.py at plan-build
+# time (exactly where the reference runs this: its API layer, not the DB).
+_GEODESIC_3857_EXPECTED = [
+    (179.6630568239, -82.0401602032),
+    (184.1546332445, -82.0401602032),
+    (188.64620966501, -82.0401602032),
+    (188.64620966501, 82.0401602032),
+    (184.1546332445, 82.0401602032),
+    (179.6630568239, 82.0401602032),
+    (179.6630568239, -82.0401602032),
+]
+
+
+@q(
+    "geodesic_ring_dateline",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({i} AS BIGINT), {round(lo, 8)!r}, {round(la, 8)!r})"
+        for i, (lo, la) in enumerate(_GEODESIC_3857_EXPECTED)
+    )
+    + ") v(pt, lon, lat)",
+)
+def geodesic_ring_dateline(spark, sf_dir):
+    import numpy as np
+
+    from geocube_spark.functions.geodesic import to_geographic_ring
+
+    lons, lats = to_geographic_ring(
+        np.array([20000000.0, 21000000.0, 21000000.0, 20000000.0, 20000000.0]),
+        np.array([-17000000.0, -17000000.0, 17000000.0, 17000000.0, -17000000.0]),
+        3857,
+    )
+    rows = [
+        (i, round(float(lo), 8), round(float(la), 8))
+        for i, (lo, la) in enumerate(zip(lons, lats))
+    ]
+    return spark.createDataFrame(rows, "pt LONG, lon DOUBLE, lat DOUBLE")
+
+
+# Antimeridian cover (F14): a dateline-crossing WebMercator AOI becomes an
+# unwrapped geographic ring, splits into east+west pieces inside
+# [-180, 180], and selects the 10° grid cells it touches.  The oracle
+# re-derives the piece bounds in closed form (mercator inverse is
+# analytic) — no hardcoding, both engines do the same interval tests.
+@q(
+    "cover_antimeridian",
+    """
+    WITH cells AS (
+        SELECT i.range AS ci, j.range AS cj,
+               -180.0 + i.range * 10.0 AS lon0, -90.0 + j.range * 10.0 AS lat0
+        FROM range(0, 36) i, range(0, 18) j
+    ),
+    b AS (
+        SELECT degrees(20000000.0 / 6378137.0) AS e_xmin,
+               degrees(21000000.0 / 6378137.0) - 360.0 AS w_xmax,
+               degrees(2 * atan(exp(17000000.0 / 6378137.0)) - pi() / 2) AS latmax
+    )
+    SELECT ci, cj FROM cells, b
+    WHERE (lat0 < latmax AND lat0 + 10.0 > -latmax)
+      AND ((lon0 < 180.0 AND lon0 + 10.0 > e_xmin)
+        OR (lon0 < w_xmax AND lon0 + 10.0 > -180.0))
+    ORDER BY ci, cj
+    """,
+)
+def cover_antimeridian(spark, sf_dir):
+    import numpy as np
+
+    from geocube_spark.functions.geodesic import (
+        split_unwrapped_ring,
+        to_geographic_ring,
+    )
+
+    lons, lats = to_geographic_ring(
+        np.array([20000000.0, 21000000.0, 21000000.0, 20000000.0, 20000000.0]),
+        np.array([-17000000.0, -17000000.0, 17000000.0, 17000000.0, -17000000.0]),
+        3857,
+    )
+    pieces = split_unwrapped_ring(np.asarray(lons), np.asarray(lats))
+    cells = spark.range(36 * 18).select(
+        (F.col("id") / 18).cast("long").alias("ci"),
+        F.pmod(F.col("id"), F.lit(18)).cast("long").alias("cj"),
+    ).select(
+        "ci",
+        "cj",
+        (F.lit(-180.0) + F.col("ci") * 10.0).alias("lon0"),
+        (F.lit(-90.0) + F.col("cj") * 10.0).alias("lat0"),
+    )
+    hit = F.lit(False)
+    for xmin, ymin, xmax, ymax in pieces:
+        hit = hit | (
+            (F.col("lon0") < xmax)
+            & (F.col("lon0") + 10.0 > xmin)
+            & (F.col("lat0") < ymax)
+            & (F.col("lat0") + 10.0 > ymin)
+        )
+    return cells.filter(hit).select("ci", "cj").orderBy("ci", "cj")
+
+
 # The reference's published benchmark restated (docs/architecture/mucog.md:
 # time-series block read from a consolidated layout): one block's full
 # record stack from the cell-partitioned, interlacing-sorted tile table —
