@@ -138,6 +138,77 @@ def plan_consolidation(
     )
 
 
+def union_footprints(
+    datasets: DataFrame,
+    group_cols: list[str],
+    bbox_col: str = "bbox",
+) -> DataFrame:
+    """A1 (pg_containers.go:385-430 ST_Union): TRUE union of the grouped
+    dataset footprints — real multipolygon WKB (rings with holes), exact
+    area, polygon/hole counts, plus the envelope for coarse filters.
+
+    Footprints are tile-grid rects, so the union is computed exactly on
+    the rectilinear domain (``functions/polyunion.py``: breakpoint grid +
+    boundary tracing).  One ``applyInPandas`` task per group; group size
+    is bounded by the job's locked-dataset count, and the reduction is
+    associative so map-side partial unions can pre-reduce if a single job
+    ever locks an unbounded set.  The round-1/2 envelope approximation
+    over-covered sparse jobs ~45x on the fixtures; consolidation AOIs now
+    match the reference's ST_Union semantics."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from geocube_spark.functions.polyunion import rect_union, union_wkb
+
+    in_schema = datasets.select(
+        *group_cols,
+        F.col(f"{bbox_col}.xmin").alias("_x0"),
+        F.col(f"{bbox_col}.ymin").alias("_y0"),
+        F.col(f"{bbox_col}.xmax").alias("_x1"),
+        F.col(f"{bbox_col}.ymax").alias("_y1"),
+    )
+    group_fields = [in_schema.schema[c] for c in group_cols]
+    out_schema = StructType(
+        group_fields
+        + [
+            StructField("n_datasets", LongType(), False),
+            StructField("xmin", DoubleType(), False),
+            StructField("ymin", DoubleType(), False),
+            StructField("xmax", DoubleType(), False),
+            StructField("ymax", DoubleType(), False),
+            StructField("union_area", DoubleType(), False),
+            StructField("n_polygons", LongType(), False),
+            StructField("n_holes", LongType(), False),
+            StructField("union_wkb", BinaryType(), False),
+        ]
+    )
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rects = list(zip(pdf["_x0"], pdf["_y0"], pdf["_x1"], pdf["_y1"]))
+        polys, area = rect_union(rects)
+        row = dict(zip(group_cols, key))
+        row.update(
+            n_datasets=len(pdf),
+            xmin=float(pdf["_x0"].min()),
+            ymin=float(pdf["_y0"].min()),
+            xmax=float(pdf["_x1"].max()),
+            ymax=float(pdf["_y1"].max()),
+            union_area=area,
+            n_polygons=len(polys),
+            n_holes=sum(len(h) for _, h in polys),
+            union_wkb=union_wkb(polys),
+        )
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return in_schema.groupBy(*group_cols).applyInPandas(agg, out_schema)
+
+
 def valid_shape_per_cell(
     datasets_with_cells: DataFrame,
     cell_bounds_cols: tuple[str, str, str, str] = (
@@ -148,35 +219,59 @@ def valid_shape_per_cell(
     ),
 ) -> DataFrame:
     """A2 (pg_containers.go:409-430): per (cell, record), the intersection
-    of the union of dataset shapes with the cell ring.
+    of the union of dataset shapes with the cell ring — envelope clamp for
+    coarse filters PLUS the EXACT union area of the cell-clipped
+    footprints (``v_area``, via the rectilinear union kernel), matching
+    the reference's ST_Union ∩ cell semantics instead of the round-1/2
+    envelope approximation.  Empty intersections (zero area) are dropped
+    like the reference's dimension filter (pg_grids.go:126).
 
-    Rect fixtures make union-of-shapes == bbox envelope, so the operator is
-    exact in the bbox domain: groupBy -> envelope -> clamp to cell bounds;
-    empty intersections (zero area) are dropped like the reference's
-    dimension filter (pg_grids.go:126).
-    """
+    One small ``applyInPandas`` task per (cell, record) group — group size
+    is the record's dataset count within one cell, bounded by
+    construction."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from geocube_spark.functions.polyunion import rect_union
+
     cx0, cy0, cx1, cy1 = cell_bounds_cols
-    env = datasets_with_cells.groupBy(
-        "cell_uri", "record_id", cx0, cy0, cx1, cy1
-    ).agg(
-        F.min("bbox.xmin").alias("u_xmin"),
-        F.min("bbox.ymin").alias("u_ymin"),
-        F.max("bbox.xmax").alias("u_xmax"),
-        F.max("bbox.ymax").alias("u_ymax"),
-        F.count(F.lit(1)).alias("n_datasets"),
-    )
-    clamped = env.select(
+    clipped = datasets_with_cells.select(
         "cell_uri",
         "record_id",
-        "n_datasets",
-        F.greatest(F.col("u_xmin"), F.col(cx0)).alias("v_xmin"),
-        F.greatest(F.col("u_ymin"), F.col(cy0)).alias("v_ymin"),
-        F.least(F.col("u_xmax"), F.col(cx1)).alias("v_xmax"),
-        F.least(F.col("u_ymax"), F.col(cy1)).alias("v_ymax"),
+        F.greatest(F.col("bbox.xmin"), F.col(cx0)).alias("_x0"),
+        F.greatest(F.col("bbox.ymin"), F.col(cy0)).alias("_y0"),
+        F.least(F.col("bbox.xmax"), F.col(cx1)).alias("_x1"),
+        F.least(F.col("bbox.ymax"), F.col(cy1)).alias("_y1"),
+    ).filter((F.col("_x0") < F.col("_x1")) & (F.col("_y0") < F.col("_y1")))
+    key_fields = [clipped.schema["cell_uri"], clipped.schema["record_id"]]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_datasets", LongType(), False),
+            StructField("v_xmin", DoubleType(), False),
+            StructField("v_ymin", DoubleType(), False),
+            StructField("v_xmax", DoubleType(), False),
+            StructField("v_ymax", DoubleType(), False),
+            StructField("v_area", DoubleType(), False),
+        ]
     )
-    return clamped.filter(
-        (F.col("v_xmin") < F.col("v_xmax")) & (F.col("v_ymin") < F.col("v_ymax"))
-    )
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rects = list(zip(pdf["_x0"], pdf["_y0"], pdf["_x1"], pdf["_y1"]))
+        _, area = rect_union(rects)
+        row = {
+            "cell_uri": key[0],
+            "record_id": key[1],
+            "n_datasets": len(pdf),
+            "v_xmin": float(pdf["_x0"].min()),
+            "v_ymin": float(pdf["_y0"].min()),
+            "v_xmax": float(pdf["_x1"].max()),
+            "v_ymax": float(pdf["_y1"].max()),
+            "v_area": area,
+        }
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return clipped.groupBy("cell_uri", "record_id").applyInPandas(agg, out_schema)
 
 
 def exclude_full_containers(

@@ -1671,31 +1671,57 @@ def cover_regular_grid(spark, sf_dir):
     return out.select("cell_uri", "i", "j")
 
 
-# A1: union geometry of a job's locked datasets, reduced to the bbox domain
-# (rect fixtures: union bbox == envelope) + count — the consolidation AOI.
+# A1: TRUE union geometry of a job's locked datasets (pg_containers.go:
+# 385-430 ST_Union) — the consolidation AOI as a real multipolygon.  The
+# oracle re-derives the exact union AREA by the same breakpoint-grid
+# decomposition in SQL (every grid cell is fully in or out of the union,
+# so covered-cell area == union area, no approximation); the WKB itself is
+# checked in pytest (shoelace == grid area, ring orientation, hole
+# attachment).  On these fixtures the old envelope over-covered ~45x
+# (18401 vs 409.82).
 @q(
     "union_geometry_job",
     f"""
-    SELECT locked_by_job_id AS job_id,
-           CAST(count(*) AS BIGINT) AS n_datasets,
-           min(bbox.xmin) AS xmin, min(bbox.ymin) AS ymin,
-           max(bbox.xmax) AS xmax, max(bbox.ymax) AS ymax
-    FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
-    WHERE locked_by_job_id = 'job-0'
-    GROUP BY locked_by_job_id
+    WITH r AS (
+        SELECT bbox.xmin AS x0, bbox.ymin AS y0, bbox.xmax AS x1, bbox.ymax AS y1
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE locked_by_job_id = 'job-0'
+    ),
+    xs AS (SELECT DISTINCT x0 AS v FROM r UNION SELECT DISTINCT x1 FROM r),
+    xsl AS (SELECT v AS xa, LEAD(v) OVER (ORDER BY v) AS xb FROM xs),
+    ys AS (SELECT DISTINCT y0 AS v FROM r UNION SELECT DISTINCT y1 FROM r),
+    ysl AS (SELECT v AS ya, LEAD(v) OVER (ORDER BY v) AS yb FROM ys),
+    cells AS (
+        SELECT xa, xb, ya, yb FROM xsl, ysl
+        WHERE xb IS NOT NULL AND yb IS NOT NULL
+    ),
+    cov AS (
+        SELECT * FROM cells c
+        WHERE EXISTS (
+            SELECT 1 FROM r
+            WHERE r.x0 <= c.xa AND r.x1 >= c.xb AND r.y0 <= c.ya AND r.y1 >= c.yb
+        )
+    )
+    SELECT 'job-0' AS job_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_datasets,
+           (SELECT min(x0) FROM r) AS xmin, (SELECT min(y0) FROM r) AS ymin,
+           (SELECT max(x1) FROM r) AS xmax, (SELECT max(y1) FROM r) AS ymax,
+           round((SELECT sum((xb - xa) * (yb - ya)) FROM cov), 6) AS union_area
     """,
 )
 def union_geometry_job(spark, sf_dir):
+    from geocube_spark.operators.consolidation import union_footprints
+
     fd = ensure_fixtures()
     datasets = spark.read.parquet(f"{fd}/datasets.parquet")
     flt = DatasetFilters(status=None, locked_by_job_id="job-0", order=False)
-    locked = find_datasets(datasets, None, flt)
-    return locked.groupBy(F.col("locked_by_job_id").alias("job_id")).agg(
-        F.count(F.lit(1)).alias("n_datasets"),
-        F.min("bbox.xmin").alias("xmin"),
-        F.min("bbox.ymin").alias("ymin"),
-        F.max("bbox.xmax").alias("xmax"),
-        F.max("bbox.ymax").alias("ymax"),
+    locked = find_datasets(datasets, None, flt).withColumn(
+        "job_id", F.col("locked_by_job_id")
+    )
+    out = union_footprints(locked, ["job_id"])
+    return out.select(
+        "job_id", "n_datasets", "xmin", "ymin", "xmax", "ymax",
+        F.round("union_area", 6).alias("union_area"),
     )
 
 
@@ -2308,8 +2334,11 @@ def job_task_counters(spark, sf_dir):
     return task_counters(tasks)
 
 
-# A2: valid-shape per (cell, record) — union envelope of dataset shapes
-# clamped to the cell ring, empty intersections dropped.
+# A2: valid-shape per (cell, record) — EXACT union area of the
+# cell-clipped footprints (ST_Union ∩ cell, pg_containers.go:409-430)
+# plus the clipped envelope; empty intersections dropped.  The oracle
+# repeats the breakpoint-grid decomposition PER GROUP (window functions
+# partitioned by cell/record).
 @q(
     "valid_shape_per_cell",
     f"""
@@ -2317,27 +2346,64 @@ def job_task_counters(spark, sf_dir):
         VALUES ('cell/a', -168.0, -40.0, -160.0, -30.0),
                ('cell/b', -160.0, -40.0, -152.0, -30.0)
     ),
-    joined AS (
-        SELECT c.cell_uri, d.record_id, c.cx0, c.cy0, c.cx1, c.cy1, d.bbox
+    r AS (
+        SELECT c.cell_uri, d.record_id,
+               greatest(d.bbox.xmin, c.cx0) AS x0,
+               greatest(d.bbox.ymin, c.cy0) AS y0,
+               least(d.bbox.xmax, c.cx1) AS x1,
+               least(d.bbox.ymax, c.cy1) AS y1
         FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
         JOIN cells c
           ON d.bbox.xmin <= c.cx1 AND d.bbox.xmax >= c.cx0
          AND d.bbox.ymin <= c.cy1 AND d.bbox.ymax >= c.cy0
         WHERE d.status = 'ACTIVE'
+          AND greatest(d.bbox.xmin, c.cx0) < least(d.bbox.xmax, c.cx1)
+          AND greatest(d.bbox.ymin, c.cy0) < least(d.bbox.ymax, c.cy1)
     ),
-    env AS (
-        SELECT cell_uri, record_id, cx0, cy0, cx1, cy1,
-               min(bbox.xmin) u_xmin, min(bbox.ymin) u_ymin,
-               max(bbox.xmax) u_xmax, max(bbox.ymax) u_ymax,
-               CAST(count(*) AS BIGINT) n_datasets
-        FROM joined GROUP BY cell_uri, record_id, cx0, cy0, cx1, cy1
+    xs AS (
+        SELECT DISTINCT cell_uri, record_id, x0 AS v FROM r
+        UNION SELECT DISTINCT cell_uri, record_id, x1 FROM r
+    ),
+    xsl AS (
+        SELECT cell_uri, record_id, v AS xa,
+               LEAD(v) OVER (PARTITION BY cell_uri, record_id ORDER BY v) AS xb
+        FROM xs
+    ),
+    ys AS (
+        SELECT DISTINCT cell_uri, record_id, y0 AS v FROM r
+        UNION SELECT DISTINCT cell_uri, record_id, y1 FROM r
+    ),
+    ysl AS (
+        SELECT cell_uri, record_id, v AS ya,
+               LEAD(v) OVER (PARTITION BY cell_uri, record_id ORDER BY v) AS yb
+        FROM ys
+    ),
+    gcells AS (
+        SELECT x.cell_uri, x.record_id, x.xa, x.xb, y.ya, y.yb
+        FROM xsl x JOIN ysl y
+          ON x.cell_uri = y.cell_uri AND x.record_id = y.record_id
+        WHERE x.xb IS NOT NULL AND y.yb IS NOT NULL
+    ),
+    cov AS (
+        SELECT * FROM gcells g
+        WHERE EXISTS (
+            SELECT 1 FROM r
+            WHERE r.cell_uri = g.cell_uri AND r.record_id = g.record_id
+              AND r.x0 <= g.xa AND r.x1 >= g.xb
+              AND r.y0 <= g.ya AND r.y1 >= g.yb
+        )
+    ),
+    areas AS (
+        SELECT cell_uri, record_id,
+               round(sum((xb - xa) * (yb - ya)), 6) AS v_area
+        FROM cov GROUP BY cell_uri, record_id
     )
-    SELECT cell_uri, record_id, n_datasets,
-           greatest(u_xmin, cx0) AS v_xmin, greatest(u_ymin, cy0) AS v_ymin,
-           least(u_xmax, cx1) AS v_xmax, least(u_ymax, cy1) AS v_ymax
-    FROM env
-    WHERE greatest(u_xmin, cx0) < least(u_xmax, cx1)
-      AND greatest(u_ymin, cy0) < least(u_ymax, cy1)
+    SELECT r.cell_uri, r.record_id, CAST(count(*) AS BIGINT) AS n_datasets,
+           min(r.x0) AS v_xmin, min(r.y0) AS v_ymin,
+           max(r.x1) AS v_xmax, max(r.y1) AS v_ymax,
+           any_value(a.v_area) AS v_area
+    FROM r JOIN areas a ON a.cell_uri = r.cell_uri AND a.record_id = r.record_id
+    GROUP BY r.cell_uri, r.record_id
     """,
 )
 def valid_shape_per_cell_q(spark, sf_dir):
@@ -2363,7 +2429,8 @@ def valid_shape_per_cell_q(spark, sf_dir):
         & (F.col("bbox.ymin") <= F.col("cell_ymax"))
         & (F.col("bbox.ymax") >= F.col("cell_ymin")),
     )
-    return valid_shape_per_cell(joined)
+    out = valid_shape_per_cell(joined)
+    return out.withColumn("v_area", F.round("v_area", 6))
 
 
 # F14/O4: antimeridian-crossing query extent (xmin > xmax) split into two
