@@ -19,61 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from geocube_spark import registry  # noqa: E402
 from geocube_spark.session import get_spark  # noqa: E402
 
-BENCH_QUERIES = [
-    # relational core (the FindDatasets/GetCube surface)
-    "find_datasets_core",
-    "find_datasets_tags",
-    "cube_headers_by_record",
-    "mosaic_rank_latest",
-    "impact_count",
-    "events_hourly_rollup",
-    "events_latest_per_user",
-    # TPC-H classics (scan/join/agg throughput)
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q10",
-    "tpch_q12",
-    "tpch_q18",
-    # pipeline operators
-    "dedup_exact_groups",
-    "dedup_keep_first",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "embedding_topk",
-    "embedding_near_dup_exact",
-    "embedding_ivf_topk",
-    "text_quality",
-    "curation_pipeline",
-    "stratified_sample",
-    "text_langid",
-    # raster plane (fixture tables)
-    "cast_tiles_checksum",
-    "timeseries_block_read",
-    "mosaic_latest_first",
-    "get_cube_pixels",
-    "pyramid_level1",
-    "valid_pixel_filter",
-    "cover_regular_grid",
-    "cover_custom_cells",
-    "union_geometry_job",
-    "datasets_records_aoi_join",
-    # round-2 additions: temporal joins, general geometry, cross-CRS warp
-    "asof_join_events",
-    "asof_join_events_forward",
-    "range_join_events",
-    "spatial_concave_refine",
-    "get_cube_pixels_webmercator",
-    "warp_upsample_cubic",
-    # retrieval / packing / sessionization
-    "text_bm25_topk",
-    "decontamination_overlap",
-    "sequence_packing",
-    "events_sessions",
-    "document_chunking",
-    "unigram_logprob",
-]
+# The suite is EVERY registered query (registry insertion order), so any
+# query added to the registry is automatically benchmarked and a round-
+# over-round regression anywhere in the surface is visible in BENCH_r{N}.
+BENCH_QUERIES: list[str] | None = None  # None -> all of registry.queries()
 
 
 def main() -> None:
@@ -91,7 +40,7 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES or list(qs):
         fn = qs[name]
         # min of 2 runs: the first run carries per-query codegen compilation
         # and is noisy on shared machines; the min is the reproducible cost

@@ -883,6 +883,20 @@ def _count_row(**dfs) -> DataFrame:
     )
 
 
+def _pair_flags(exact: DataFrame, approx: DataFrame, keys: list[str]) -> DataFrame:
+    """Full-outer join of two pair sets with presence flags (``_e`` exact,
+    ``_a`` approx).  Containment counts (|exact|, |approx|, missed, false)
+    all come out of ONE aggregate over this join, so each — possibly very
+    expensive — side is executed exactly once.  The previous shape (count
+    branches + anti-joins unioned by ``_count_row``) embedded the same
+    subplan 2-3×, and Spark does not CSE across union branches: at sf0.1
+    that re-ran a quadratic LSH join three times (91 s for a query whose
+    single-execution cost is ~1 s)."""
+    e = exact.select(*keys).withColumn("_e", F.lit(1))
+    a = approx.select(*keys).withColumn("_a", F.lit(1))
+    return e.join(a, keys, "full_outer")
+
+
 # --- sketch-family queries are hash-seeded (xxhash64 / seeded hyperplanes),
 # so DuckDB cannot recompute their raw outputs.  Instead each query emits a
 # DETERMINISTIC INVARIANT against its exact sibling, value-checked by the
@@ -914,8 +928,14 @@ def minhash_lsh_candidates(spark, sf_dir):
     true_pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
         "doc_a", "doc_b"
     )
-    missed = true_pairs.join(cands, ["doc_a", "doc_b"], "left_anti")
-    return _count_row(n_true_pairs=true_pairs, n_candidates=cands, n_true_missed=missed)
+    flags = _pair_flags(true_pairs, cands, ["doc_a", "doc_b"])
+    return flags.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_a").isNull(), 1)), F.lit(0)
+        ).cast("long").alias("n_true_missed"),
+    )
 
 
 @q("minhash_near_duplicates", _ngram_jaccard_sql(0.5))
@@ -948,13 +968,27 @@ def simhash_near_duplicates(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     lsh = dd.simhash_near_duplicates(docs, max_hamming=3).select("doc_a", "doc_b")
     exact = dd.simhash_all_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
-    missed = exact.join(lsh, ["doc_a", "doc_b"], "left_anti")
-    false_pos = lsh.join(exact, ["doc_a", "doc_b"], "left_anti")
-    return _count_row(
-        n_docs=docs,
-        n_pairs=lsh,
-        n_missed_vs_exact=missed,
-        n_false_vs_exact=false_pos,
+    flags = _pair_flags(exact, lsh, ["doc_a", "doc_b"]).select(
+        F.lit(0).alias("n_docs"),
+        F.coalesce("_a", F.lit(0)).alias("n_pairs"),
+        F.when(F.col("_e").isNotNull() & F.col("_a").isNull(), 1).otherwise(0).alias(
+            "n_missed_vs_exact"
+        ),
+        F.when(F.col("_a").isNotNull() & F.col("_e").isNull(), 1).otherwise(0).alias(
+            "n_false_vs_exact"
+        ),
+    )
+    doc_rows = docs.select(
+        F.lit(1).alias("n_docs"),
+        F.lit(0).alias("n_pairs"),
+        F.lit(0).alias("n_missed_vs_exact"),
+        F.lit(0).alias("n_false_vs_exact"),
+    )
+    return doc_rows.unionByName(flags).agg(
+        *[
+            F.coalesce(F.sum(n), F.lit(0)).cast("long").alias(n)
+            for n in ("n_docs", "n_pairs", "n_missed_vs_exact", "n_false_vs_exact")
+        ]
     )
 
 
@@ -1028,15 +1062,24 @@ def embedding_lsh_topk(spark, sf_dir):
         "vec_id", F.round("score", 6).alias("score")
     )
     exact_all = sim.brute_force_topk(emb, qv, k=20)
-    hits = lsh.join(exact_all.select("vec_id"), "vec_id", "left_semi")
     # scores re-derived over the whole corpus (not just the top-k) so a
-    # wrong score on a non-top hit would still be caught
+    # wrong score on a non-top hit would still be caught; all three checks
+    # hang off ONE pass over the lsh result (left-join flags), so the ANN
+    # probe and the exact ranking each execute once
     corpus_scores = emb.select(
         "vec_id",
         F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
     )
-    mismatch = lsh.join(corpus_scores, ["vec_id", "score"], "left_anti")
-    return _count_row(n_results=lsh, n_exact_hits=hits, n_score_mismatch=mismatch)
+    flagged = lsh.join(
+        corpus_scores.withColumn("_m", F.lit(1)), ["vec_id", "score"], "left"
+    ).join(exact_all.select("vec_id").withColumn("_h", F.lit(1)), ["vec_id"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_exact_hits"),
+        F.coalesce(F.sum(F.when(F.col("_m").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_score_mismatch"),
+    )
 
 
 @q(
@@ -1067,10 +1110,14 @@ def embedding_near_dup_lsh(spark, sf_dir):
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
-    false_pos = lsh.select("id_a", "id_b").join(
-        exact.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    flags = _pair_flags(exact, lsh, ["id_a", "id_b"])
+    return flags.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("_a"), F.lit(0)).cast("long").alias("n_lsh_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_a").isNotNull() & F.col("_e").isNull(), 1)), F.lit(0)
+        ).cast("long").alias("n_false_pairs"),
     )
-    return _count_row(n_true_pairs=exact, n_lsh_pairs=lsh, n_false_pairs=false_pos)
 
 
 @q(
@@ -1094,13 +1141,20 @@ def embedding_ivf_topk(spark, sf_dir):
         "vec_id", F.round("score", 6).alias("score")
     )
     exact_all = sim.brute_force_topk(emb, qv, k=20)
-    hits = ivf.join(exact_all.select("vec_id"), "vec_id", "left_semi")
     corpus_scores = emb.select(
         "vec_id",
         F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
     )
-    mismatch = ivf.join(corpus_scores, ["vec_id", "score"], "left_anti")
-    return _count_row(n_results=ivf, n_exact_hits=hits, n_score_mismatch=mismatch)
+    flagged = ivf.join(
+        corpus_scores.withColumn("_m", F.lit(1)), ["vec_id", "score"], "left"
+    ).join(exact_all.select("vec_id").withColumn("_h", F.lit(1)), ["vec_id"], "left")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_exact_hits"),
+        F.coalesce(F.sum(F.when(F.col("_m").isNull(), 1)), F.lit(0))
+        .cast("long")
+        .alias("n_score_mismatch"),
+    )
 
 
 # ============================================================= text analysis
