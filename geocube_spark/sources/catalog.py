@@ -36,81 +36,180 @@ TABLES = {
 
 
 class Catalog:
-    """A directory of parquet tables, one per entity."""
+    """A directory of parquet tables, one per entity, made visible through a
+    minimal Delta-style COMMIT LOG.
+
+    Layout::
+
+        {root}/{name}.parquet            legacy/bootstrap table (version 0)
+        {root}/_data/{name}/v{N}_{hex}/  immutable parquet snapshot, version N
+        {root}/_log/{name}/{N:020d}.json commit record -> its data dir
+
+    A table's current content is whatever the HIGHEST-numbered commit file
+    points at (or the legacy path if no commit exists).  A write becomes
+    visible through exactly ONE atomic filesystem operation — publishing
+    the commit file via ``os.link`` (put-if-absent) — so there is no
+    multi-rename crash window at all: before the link the old version is
+    fully visible, after it the new one is.  This replaces the round-1/2
+    target→backup→target rename dance and its ``.bak`` heal-on-access
+    protocol (reference parity: the consolidater job state machine's atomic
+    ACTIVE<->TODELETE swap, job.go:350-641).
+
+    ``os.link`` failing with EEXIST doubles as optimistic-concurrency
+    conflict detection — the same contract a Delta/Iceberg commit makes on
+    a real object store; the loser retries against the next version number.
+    Orphans from crashes (an uncommitted data dir, a commit tmp) are
+    invisible to readers and garbage-collected by the next successful
+    write of the same table.
+    """
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
 
     def path(self, name: str) -> str:
+        """Legacy/bootstrap location (version 0): a bare parquet dataset laid
+        down outside the commit log — e.g. fixture copies — is readable
+        as-is and superseded by the first committed write."""
         return f"{self.root}/{name}.parquet"
 
+    def _log_dir(self, name: str) -> str:
+        return f"{self.root}/_log/{name}"
+
+    def _data_dir(self, name: str) -> str:
+        return f"{self.root}/_data/{name}"
+
+    def _commits(self, name: str) -> list[tuple[int, str]]:
+        """Sorted (version, commit-file path), ignoring tmp files."""
+        d = self._log_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in os.listdir(d):
+            if f.endswith(".json") and not f.startswith("."):
+                try:
+                    out.append((int(f[: -len(".json")]), os.path.join(d, f)))
+                except ValueError:
+                    continue
+        return sorted(out)
+
+    def _current(self, name: str) -> tuple[int, str] | None:
+        """(version, parquet path) of the newest commit, else the legacy
+        path as version 0, else None."""
+        import json
+
+        commits = self._commits(name)
+        if commits:
+            version, cpath = commits[-1]
+            with open(cpath) as fh:
+                rec = json.load(fh)
+            return version, f"{self._data_dir(name)}/{rec['dir']}"
+        self._recover(name)
+        legacy = self.path(name)
+        if os.path.exists(legacy):
+            return 0, legacy
+        return None
+
     def _recover(self, name: str) -> None:
-        """If a previous swap crashed after target->backup but before
-        tmp->target, the ``.bak`` is the only copy of the table — restore
-        it.  Called from every access path so a crashed swap is healed on
-        the next read, exists() check, or write (never silently treated as
-        'table absent', which would lose the data on the next bootstrap)."""
+        """Legacy-format heal: a round-1/2 swap that crashed after
+        target->backup left the ``.bak`` as the only copy — restore it so
+        pre-commit-log catalogs remain readable."""
         target = self.path(name)
         backup = f"{target}.bak"
         if os.path.exists(backup) and not os.path.exists(target):
             os.rename(backup, target)
 
     def read(self, name: str) -> DataFrame:
-        self._recover(name)
-        return self.spark.read.parquet(self.path(name))
+        cur = self._current(name)
+        if cur is None:
+            raise FileNotFoundError(f"catalog table {name!r} does not exist")
+        return self.spark.read.parquet(cur[1])
 
     def exists(self, name: str) -> bool:
-        self._recover(name)
-        return os.path.exists(self.path(name))
+        return self._current(name) is not None
 
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
-        """Read-modify-OVERWRITE safe: materialize to a temp dir first, then
-        swap — Spark cannot overwrite a path that one of the plan's inputs
-        is still lazily reading (Delta's MERGE would replace this dance).
-
-        Crash-safety of the swap (reference: the consolidater job state
-        machine guarantees atomic ACTIVE<->TODELETE, job.go:350-641): each
-        os.rename is atomic on POSIX, but the target->backup / tmp->target
-        pair is not jointly atomic.  The failure windows are:
-          * crash after target->backup, before tmp->target: ``target`` is
-            missing but ``target.bak`` holds the full previous table — we
-            restore it here on the error path, and a later write of the same
-            table would find no target and succeed fresh;
-          * crash after tmp->target, before backup delete: both the new
-            table and a stale ``.bak`` exist — the .bak is garbage-collected
-            on the next successful write.
-        The backup is only deleted AFTER the swap succeeded; on failure it
-        is restored so the table is never lost (a Delta/Iceberg commit-log
-        sink would make this a single atomic metadata swap).
-        """
+        """Commit a new table version: materialize the snapshot to a fresh
+        immutable dir (safe while a lazy plan still reads the current
+        version — nothing is overwritten in place), then publish it with a
+        single atomic put-if-absent of the commit file.  After the commit
+        succeeds, superseded versions and crash orphans are garbage-
+        collected; a crash before GC leaves only invisible garbage that the
+        next write sweeps."""
+        import json
         import shutil
+        import time
         import uuid as _uuid
 
-        target = self.path(name)
-        tmp = f"{self.root}/.tmp_{name}_{_uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(tmp)
+        cur = self._current(name)
+        snap = f"v{(cur[0] if cur else 0) + 1}_{_uuid.uuid4().hex[:8]}"
+        data_dir = self._data_dir(name)
+        log_dir = self._log_dir(name)
+        os.makedirs(data_dir, exist_ok=True)
+        os.makedirs(log_dir, exist_ok=True)
+        df.write.mode("overwrite").parquet(f"{data_dir}/{snap}")
 
-        def _rm(path: str) -> None:
-            if os.path.isdir(path):
-                shutil.rmtree(path, ignore_errors=True)
-            elif os.path.exists(path):
-                os.remove(path)
+        for _ in range(16):  # bounded optimistic-concurrency retries
+            cur = self._current(name)
+            version = (cur[0] if cur else 0) + 1
+            tmp = f"{log_dir}/.tmp_commit_{name}_{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"version": version, "dir": snap, "ts": time.time()}, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            final = f"{log_dir}/{version:020d}.json"
+            try:
+                os.link(tmp, final)  # put-if-absent: THE atomic commit point
+            except FileExistsError:
+                os.remove(tmp)  # lost the race — retry at the next version
+                continue
+            except BaseException:
+                os.remove(tmp)  # commit failed: snapshot stays invisible
+                raise
+            os.remove(tmp)
+            break
+        else:  # pragma: no cover - 16 straight lost races
+            raise RuntimeError(f"catalog commit contention on table {name!r}")
 
-        backup = f"{target}.bak"
-        self._recover(name)  # a crashed swap's .bak is the only copy — heal first
-        _rm(backup)  # stale .bak from an earlier COMPLETED swap
-        had_backup = os.path.exists(target)
-        if had_backup:
-            os.rename(target, backup)
-        try:
-            os.rename(tmp, target)
-        except BaseException:
-            if had_backup and not os.path.exists(target):
-                os.rename(backup, target)  # restore — never lose the table
-            _rm(tmp)
-            raise
-        _rm(backup)
+        # post-commit GC (crash-safe: everything below is already invisible).
+        # Only dirs referenced by commits we supersede are removed eagerly;
+        # an unreferenced dir might be a CONCURRENT writer's snapshot racing
+        # toward its own commit, so orphans are swept by age instead.
+        superseded: set[str] = set()
+        for v, cpath in self._commits(name):
+            if v < version:
+                try:
+                    with open(cpath) as fh:
+                        superseded.add(json.load(fh)["dir"])
+                    os.remove(cpath)
+                except OSError:  # pragma: no cover
+                    pass
+        for entry in superseded - {snap}:
+            shutil.rmtree(f"{data_dir}/{entry}", ignore_errors=True)
+        now = time.time()
+        for entry in os.listdir(data_dir):
+            if entry == snap:
+                continue
+            p = f"{data_dir}/{entry}"
+            try:
+                stale = now - os.path.getmtime(p) > 3600
+            except OSError:  # pragma: no cover
+                continue
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
+        for entry in os.listdir(log_dir):
+            if entry.startswith(".tmp_commit_"):
+                p = f"{log_dir}/{entry}"
+                try:
+                    if now - os.path.getmtime(p) > 3600:
+                        os.remove(p)
+                except OSError:  # pragma: no cover
+                    pass
+        for legacy in (self.path(name), f"{self.path(name)}.bak"):
+            if os.path.isdir(legacy):
+                shutil.rmtree(legacy, ignore_errors=True)
+            elif os.path.exists(legacy):
+                os.remove(legacy)
 
 
 def validate_record_name(name: str) -> None:

@@ -37,49 +37,87 @@ class TestCatalogWriters:
         again = make_aoi_rows([a])
         assert again[0]["id"] == rows[0]["id"]
 
-    def test_write_swap_failure_restores_backup(self, spark, tmp_path, monkeypatch):
-        # the target->backup / tmp->target swap is not jointly atomic; a
-        # failed tmp->target rename must restore the backup so the table is
-        # never lost (ADVICE r1: .bak was deleted even on failure)
+    def test_commit_failure_leaves_old_version_visible(self, spark, tmp_path, monkeypatch):
+        # the commit (os.link of the commit file) is the ONLY visibility
+        # point; if it fails the previous version must stay current and the
+        # orphaned snapshot must never be readable
         import os
 
         cat = Catalog(spark, str(tmp_path))
         cat.write("t", spark.range(5).toDF("id"))
-        real_rename = os.rename
+        real_link = os.link
 
         def failing(src, dst):
-            if ".tmp_t_" in str(src):
-                raise OSError("injected swap failure")
-            return real_rename(src, dst)
+            if ".tmp_commit_t_" in str(src):
+                raise OSError("injected commit failure")
+            return real_link(src, dst)
 
-        monkeypatch.setattr(os, "rename", failing)
+        monkeypatch.setattr(os, "link", failing)
         with pytest.raises(OSError, match="injected"):
             cat.write("t", spark.range(9).toDF("id"))
         monkeypatch.undo()
-        assert cat.read("t").count() == 5  # previous table intact
-        import os.path
+        assert cat.read("t").count() == 5  # previous version intact
+        cat.write("t", spark.range(2).toDF("id"))  # next write still works
+        assert cat.read("t").count() == 2
 
-        assert not os.path.exists(f"{tmp_path}/t.parquet.bak")  # restored, not orphaned
-
-    def test_crashed_swap_heals_on_next_access(self, spark, tmp_path):
-        # crash window: after target->backup, before tmp->target — the .bak
-        # is the ONLY copy.  Every access path (exists/read/write) must
-        # restore it; in particular client._append's exists() check must not
-        # see 'absent' and bootstrap-overwrite away the old rows.
+    def test_crash_between_snapshot_and_commit(self, spark, tmp_path, monkeypatch):
+        # hard-kill simulation: the snapshot parquet is fully written but the
+        # process dies before the commit file appears.  Readers must see the
+        # old version with NO heal dance (the round-1/2 rename-pair layout
+        # had a window where the table was missing), and the next successful
+        # write must still land
         import os
 
         cat = Catalog(spark, str(tmp_path))
         cat.write("t", spark.range(7).toDF("id"))
-        os.rename(f"{tmp_path}/t.parquet", f"{tmp_path}/t.parquet.bak")  # simulate crash
-        assert cat.exists("t")  # healed, not absent
-        assert cat.read("t").count() == 7
-        assert not os.path.exists(f"{tmp_path}/t.parquet.bak")
 
-        cat.write("u", spark.range(3).toDF("id"))
-        os.rename(f"{tmp_path}/u.parquet", f"{tmp_path}/u.parquet.bak")
-        cat.write("u", spark.range(4).toDF("id"))  # write path also heals
-        assert cat.read("u").count() == 4
-        assert not os.path.exists(f"{tmp_path}/u.parquet.bak")
+        def crash(src, dst):
+            raise KeyboardInterrupt("kill -9")  # simulated hard kill
+
+        monkeypatch.setattr(os, "link", crash)
+        with pytest.raises(KeyboardInterrupt):
+            cat.write("t", spark.range(11).toDF("id"))
+        monkeypatch.undo()
+        # no recovery step, no .bak: the old version is simply still current
+        assert cat.exists("t")
+        assert cat.read("t").count() == 7
+        cat.write("t", spark.range(3).toDF("id"))
+        assert cat.read("t").count() == 3
+
+    def test_concurrent_commit_conflict_retries(self, spark, tmp_path):
+        # os.link put-if-absent is the optimistic-concurrency gate: simulate
+        # a racing writer by pre-creating the version-2 commit file; the
+        # writer must detect EEXIST and land at version 3 without clobbering
+        import json
+        import os
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("t", spark.range(4).toDF("id"))  # version 1
+        rival_snap = f"{tmp_path}/_data/t/v2_rival000"
+        spark.range(6).toDF("id").write.parquet(rival_snap)
+        with open(f"{tmp_path}/_log/t/{2:020d}.json", "w") as fh:
+            json.dump({"version": 2, "dir": "v2_rival000", "ts": 0}, fh)
+        cat.write("t", spark.range(8).toDF("id"))  # must commit as version 3
+        assert cat.read("t").count() == 8
+        versions = sorted(os.listdir(f"{tmp_path}/_log/t"))
+        assert versions == [f"{3:020d}.json"]  # superseded commits GC'd
+
+    def test_legacy_bare_table_and_bak_heal(self, spark, tmp_path):
+        # pre-commit-log catalogs: a bare {name}.parquet is readable as
+        # version 0, a crashed old-style swap (.bak only) heals, and the
+        # first committed write supersedes and removes the legacy files
+        import os
+
+        spark.range(7).toDF("id").write.parquet(f"{tmp_path}/t.parquet")
+        cat = Catalog(spark, str(tmp_path))
+        assert cat.exists("t") and cat.read("t").count() == 7
+        os.rename(f"{tmp_path}/t.parquet", f"{tmp_path}/t.parquet.bak")
+        assert cat.exists("t")  # healed from .bak
+        assert cat.read("t").count() == 7
+        cat.write("t", spark.range(4).toDF("id"))
+        assert cat.read("t").count() == 4
+        assert not os.path.exists(f"{tmp_path}/t.parquet")
+        assert not os.path.exists(f"{tmp_path}/t.parquet.bak")
 
     def test_record_name_validation(self):
         validate_record_name("S2A_MSIL1C_2018:tile-31")
