@@ -172,14 +172,30 @@ class GeocubeClient:
             flt or DatasetFilters(),
         )
 
-    def delete_datasets(self, flt: DatasetFilters) -> tuple[int, list[str]]:
+    def delete_datasets(self, flt: DatasetFilters) -> tuple[int, DataFrame]:
+        """DeleteDatasets (operations.go:255-334) with managed-container GC.
+
+        Dead container URIs are APPENDED to the ``pending_deletions``
+        catalog table — a deletion manifest the deployment's storage-GC job
+        consumes — and returned as a DataFrame.  The URI set is a function
+        of the whole datasets table, so it must never transit the driver
+        (the round-1/2 version collect()ed it; bounded for admin batches
+        but wrong at fleet-wide GC scale)."""
         datasets = self.catalog.read("datasets")
         containers = self.catalog.read("containers")
         survivors, dead = delete_datasets(datasets, containers, flt)
         n_deleted = datasets.count() - survivors.count()
-        dead_uris = [r["uri"] for r in dead.collect()]
+        manifest = dead.select("uri")
+        if self.catalog.exists("pending_deletions"):
+            manifest = (
+                self.catalog.read("pending_deletions").unionByName(manifest).distinct()
+            )
+        # manifest reads the CURRENT datasets/containers versions, so it is
+        # committed first; the snapshot-then-commit write keeps the old
+        # datasets version readable until its replacement is fully landed
+        self.catalog.write("pending_deletions", manifest)
         self.catalog.write("datasets", survivors)
-        return n_deleted, dead_uris
+        return n_deleted, self.catalog.read("pending_deletions")
 
     def update_datasets_dry_run(self, flt: DatasetFilters) -> DataFrame:
         return update_datasets_impact(self.catalog.read("datasets"), flt)

@@ -103,10 +103,14 @@ class TestEntityLifecycle:
         # records still referenced cannot be deleted
         with pytest.raises(ValueError):
             client.delete_records(rids)
-        n_deleted, _ = client.delete_datasets(
+        n_deleted, manifest = client.delete_datasets(
             DatasetFilters(status=None, record_ids=rids, order=False)
         )
         assert n_deleted == 1
+        # dead-container URIs land in the pending_deletions manifest table
+        # (never collect()ed to the driver), returned as a DataFrame
+        assert manifest.columns == ["uri"]
+        assert client.catalog.exists("pending_deletions")
         assert client.delete_records(rids) == 1
 
 
