@@ -462,11 +462,44 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_ps: source tiles for the POLAR cross-CRS warp oracle.
+    # Same closed-form v(i,j) = (13i + 7j) mod 97, grid in EPSG:3031
+    # (Antarctic Polar Stereographic): res 2048 m, origin E=-131072 /
+    # N=2228224 (binary-exact), 128x128 px straddling the lon-0 meridian
+    # at lat ~ -69.7..-72.3.  The oracle re-derives the 4326->3031 Snyder
+    # forward in SQL (functions/crs.py ps_forward_sql_columns).
+    ps_res = 2048.0
+    ps_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            ps_rows.append(
+                {
+                    "container_uri": "warp://src-ps",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 3031,
+                    "pix_to_crs": {
+                        "a": ps_res, "b": 0.0, "c": -131072.0,
+                        "d": 0.0, "e": -ps_res, "f": 2228224.0,
+                    },
+                    "record_id": _uuid("warp-ps-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     tables = {
         "aoi": aoi_rows,
         "concave_aoi": conc_rows,
         "warp_src": warp_rows,
         "warp_src_utm": utm_rows,
+        "warp_src_ps": ps_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

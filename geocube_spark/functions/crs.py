@@ -4,10 +4,12 @@ Reference: internal/utils/proj/proj.go:26-73 (CRS parse + lon/lat<->CRS),
 image.go:453-478 (WarpedExtent R4), handler_consolidation.go:502-526
 (optimizeTransform R5).
 
-Supported CRSs: EPSG:4326 (lon/lat) and EPSG:3857 (WebMercator) with exact
-closed-form transforms, plus a plugin registry for custom transforms (the
-C6 extension point).  This covers the engine's query-side needs (XYZ tiles,
-extent warping, grid math); full projection support would plug pyproj into
+Supported CRSs with exact closed-form transforms: EPSG:4326 (lon/lat),
+EPSG:3857 (WebMercator), EPSG:326xx/327xx (UTM, order-n⁶ Krüger), and the
+polar stereographic family EPSG:3031/3413/5041/5042 (Snyder closed form) —
+i.e. the CRSs real satellite products actually ship in (MGRS/UTM tiling,
+polar science grids).  A plugin registry covers custom transforms (the C6
+extension point); full arbitrary-CRS support would plug pyproj into
 ``register_transform`` unchanged.
 """
 
@@ -313,6 +315,114 @@ def tm_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
         {n0!r} + {k0a} * (xip + {terms_xi}) AS utm_n"""
 
 
+# ------------------------------------------------- polar stereographic (C6)
+# Closed-form ellipsoidal polar stereographic (Snyder 1987, eqs 21-33..
+# 21-41; exact, no series truncation): the polar-science CRS family —
+# EPSG:3031 (Antarctic Polar Stereographic, lat_ts -71), EPSG:3413 (NSIDC
+# Arctic, lat_ts 70, lon0 -45), EPSG:5041/5042 (UPS north/south,
+# k0 = 0.994, FE = FN = 2 000 000).  Landsat/MODIS/Sentinel polar products
+# ship in these; PROJ handles them for the reference (proj.go:47-73).
+
+# srid -> (south?, lat_ts deg or None, k0 or None, lon0 deg, FE, FN)
+_PS_PARAMS: dict[int, tuple[bool, float | None, float | None, float, float, float]] = {
+    3031: (True, -71.0, None, 0.0, 0.0, 0.0),
+    3413: (False, 70.0, None, -45.0, 0.0, 0.0),
+    5041: (False, None, 0.994, 0.0, 2000000.0, 2000000.0),
+    5042: (True, None, 0.994, 0.0, 2000000.0, 2000000.0),
+}
+
+
+def _ps_rho_factor(lat_ts: float | None, k0: float | None) -> float:
+    """ρ = factor · t.  With a standard parallel: factor = a·m_c/t_c
+    (true scale at lat_ts); with k0: factor = 2·a·k0 / √((1+e)^(1+e)·
+    (1−e)^(1−e)) (scale k0 at the pole)."""
+    e = _TM_E
+    if lat_ts is not None:
+        pc = math.radians(abs(lat_ts))
+        sp = math.sin(pc)
+        m_c = math.cos(pc) / math.sqrt(1.0 - e * e * sp * sp)
+        t_c = math.tan(math.pi / 4.0 - pc / 2.0) * (
+            (1.0 + e * sp) / (1.0 - e * sp)
+        ) ** (e / 2.0)
+        return WGS84_A * m_c / t_c
+    return (
+        2.0
+        * WGS84_A
+        * float(k0)
+        / math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+    )
+
+
+def ps_forward(lon, lat, srid: int):
+    """(lon, lat) degrees -> polar stereographic (easting, northing) meters.
+
+    North aspect (Snyder 21-33/34): t = tan(π/4 − φ/2)·[(1+e·sinφ)/
+    (1−e·sinφ)]^(e/2), x = ρ·sin(λ−λ0), y = −ρ·cos(λ−λ0).  South aspect
+    (Snyder 21-41): t from −φ, x = ρ·sin(λ−λ0), y = +ρ·cos(λ−λ0) — λ is
+    NOT mirrored; only the northing axis flips, which keeps east positive
+    along (λ0+90°) in both aspects (the EPSG:3031 axis convention)."""
+    south, lat_ts, k0, lon0, fe, fn = _PS_PARAMS[srid]
+    e = _TM_E
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    if south:
+        phi = -phi
+    sp = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * ((1.0 + e * sp) / (1.0 - e * sp)) ** (
+        e / 2.0
+    )
+    rho = _ps_rho_factor(lat_ts, k0) * t
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if south:
+        y = -y
+    return fe + x, fn + y
+
+
+def ps_inverse(easting, northing, srid: int):
+    """Polar stereographic meters -> (lon, lat) degrees.  φ from t by the
+    standard fixed-point iteration (Snyder 7-9; appended Newton-free form
+    converges to double precision in <6 iterations below 89.999°)."""
+    south, lat_ts, k0, lon0, fe, fn = _PS_PARAMS[srid]
+    e = _TM_E
+    x = np.asarray(easting, dtype=np.float64) - fe
+    y = np.asarray(northing, dtype=np.float64) - fn
+    if south:
+        y = -y
+    rho = np.hypot(x, y)
+    t = rho / _ps_rho_factor(lat_ts, k0)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0)
+        )
+    lam = np.where(rho == 0.0, 0.0, np.arctan2(x, -y))
+    if south:
+        phi = -phi
+    lon = (np.degrees(lam) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+def ps_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB SELECT-list fragment computing ``ps_e``/``ps_n`` with the SAME
+    operation sequence as ``ps_forward`` — the analytic oracle twin, like
+    ``tm_forward_sql_columns`` for UTM."""
+    south, lat_ts, k0, lon0, fe, fn = _PS_PARAMS[srid]
+    e = repr(_TM_E)
+    sgn = "-" if south else ""  # south aspect: t from -phi, lam unchanged
+    ysgn = "-" if not south else ""  # north: y = -rho*cos(lam); south: +
+    return f"""
+        radians(({lon_expr}) - {lon0!r}) AS ps_lam,
+        {sgn}radians({lat_expr}) AS ps_phi,
+        tan(pi() / 4 - ps_phi / 2)
+          * pow((1 + {e} * sin(ps_phi)) / (1 - {e} * sin(ps_phi)), {e} / 2)
+          AS ps_t,
+        {_ps_rho_factor(lat_ts, k0)!r} * ps_t AS ps_rho,
+        {fe!r} + ps_rho * sin(ps_lam) AS ps_e,
+        {fn!r} + {ysgn}(ps_rho * cos(ps_lam)) AS ps_n"""
+
+
 def _compose(f: Transform, g: Transform) -> Transform:
     return lambda xs, ys: g(*f(xs, ys))
 
@@ -331,6 +441,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
         if p is not None:
             cm, n0 = p
             return lambda xs, ys: tm_inverse(xs, ys, cm, n0)
+        if srid in _PS_PARAMS:
+            return lambda xs, ys: ps_inverse(xs, ys, srid)
         return None
 
     def from_lonlat(srid: int) -> Transform | None:
@@ -342,6 +454,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
         if p is not None:
             cm, n0 = p
             return lambda xs, ys: tm_forward(xs, ys, cm, n0)
+        if srid in _PS_PARAMS:
+            return lambda xs, ys: ps_forward(xs, ys, srid)
         return None
 
     f = to_lonlat(src)

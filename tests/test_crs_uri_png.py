@@ -216,6 +216,133 @@ class TestTransverseMercator:
         np.testing.assert_allclose(np.array([r[iN] for r in rows]), N, atol=1e-7)
 
 
+class TestPolarStereographic:
+    """Closed-form ellipsoidal polar stereographic (Snyder 21-33..21-41,
+    crs.py) for EPSG:3031/3413/5041/5042.  Verified by projection-theory
+    invariants rather than external vectors: machine-precision roundtrip,
+    pole -> false origin, TRUE SCALE at the standard parallel (the defining
+    property of a lat_ts variant, checked against the independent
+    ellipsoidal parallel radius a·cosφ/√(1−e²sin²φ)), conformality (the
+    metric-normalized Jacobian is a scaled rotation), axis orientation
+    (east positive along λ0+90° in both aspects), and the SQL twin."""
+
+    ALL = (3031, 3413, 5041, 5042)
+
+    def _grid(self, srid):
+        from geocube_spark.functions.crs import _PS_PARAMS
+
+        south = _PS_PARAMS[srid][0]
+        lons = np.linspace(-179.0, 179.0, 19)
+        lats = np.linspace(-88.0, -60.0, 11) if south else np.linspace(60.0, 88.0, 11)
+        lo, la = np.meshgrid(lons, lats)
+        return lo.ravel(), la.ravel()
+
+    @pytest.mark.parametrize("srid", ALL)
+    def test_roundtrip_and_pole(self, srid):
+        from geocube_spark.functions.crs import _PS_PARAMS, ps_forward, ps_inverse
+
+        south, _, _, lon0, fe, fn = _PS_PARAMS[srid]
+        lo, la = self._grid(srid)
+        x, y = ps_forward(lo, la, srid)
+        lo2, la2 = ps_inverse(x, y, srid)
+        dlo = (lo2 - lo + 180.0) % 360.0 - 180.0
+        np.testing.assert_allclose(dlo, 0.0, atol=1e-9)
+        np.testing.assert_allclose(la2, la, atol=1e-9)
+        px, py = ps_forward(lon0, -90.0 if south else 90.0, srid)
+        assert float(px) == pytest.approx(fe, abs=1e-6)
+        assert float(py) == pytest.approx(fn, abs=1e-6)
+
+    @pytest.mark.parametrize("srid", (3031, 3413))
+    def test_true_scale_at_standard_parallel(self, srid):
+        from geocube_spark.functions.crs import _PS_PARAMS, ps_forward
+
+        lat_ts = _PS_PARAMS[srid][1]
+        d = 1e-6
+        x1, y1 = ps_forward(10.0, lat_ts, srid)
+        x2, y2 = ps_forward(10.0 + d, lat_ts, srid)
+        proj_len = float(np.hypot(x2 - x1, y2 - y1))
+        e2 = (1 / 298.257223563) * (2 - 1 / 298.257223563)
+        m = np.cos(np.radians(lat_ts)) / np.sqrt(1 - e2 * np.sin(np.radians(lat_ts)) ** 2)
+        true_len = 6378137.0 * m * np.radians(d)
+        assert proj_len / true_len == pytest.approx(1.0, abs=1e-6)
+
+    @pytest.mark.parametrize("srid", ALL)
+    def test_conformality(self, srid):
+        from geocube_spark.functions.crs import _PS_PARAMS, ps_forward
+
+        south = _PS_PARAMS[srid][0]
+        lo0, la0 = 30.0, (-75.0 if south else 75.0)
+        d = 1e-6
+        x0, y0 = (float(v) for v in ps_forward(lo0, la0, srid))
+        xl, yl = (float(v) for v in ps_forward(lo0 + d, la0, srid))
+        xp, yp = (float(v) for v in ps_forward(lo0, la0 + d, srid))
+        e2 = (1 / 298.257223563) * (2 - 1 / 298.257223563)
+        lr = np.radians(la0)
+        M = 6378137.0 * (1 - e2) / (1 - e2 * np.sin(lr) ** 2) ** 1.5
+        N = 6378137.0 / np.sqrt(1 - e2 * np.sin(lr) ** 2)
+        a11 = (xl - x0) / (np.radians(d) * N * np.cos(lr))
+        a21 = (yl - y0) / (np.radians(d) * N * np.cos(lr))
+        a12 = (xp - x0) / (np.radians(d) * M)
+        a22 = (yp - y0) / (np.radians(d) * M)
+        assert a11 == pytest.approx(a22, abs=1e-4)  # scaled rotation =
+        assert a12 == pytest.approx(-a21, abs=1e-4)  # conformal + sense-true
+
+    def test_axis_orientation(self):
+        from geocube_spark.functions.crs import ps_forward
+
+        # EPSG:3031: east axis along 90E — (90E, -71) has x>0, y~0
+        x, y = ps_forward(90.0, -71.0, 3031)
+        assert float(x) > 2e6 and abs(float(y)) < 1e-6
+        # along lon0 the northing is positive (toward the equator)
+        x, y = ps_forward(0.0, -71.0, 3031)
+        assert abs(float(x)) < 1e-6 and float(y) > 2e6
+        # EPSG:3413 (lon0 -45): along lon0 northing is NEGATIVE (north aspect)
+        x, y = ps_forward(-45.0, 70.0, 3413)
+        assert abs(float(x)) < 1e-6 and float(y) < -2e6
+
+    def test_ups_scale_at_pole(self):
+        from geocube_spark.functions.crs import ps_forward
+
+        # UPS: k0 = 0.994 at the pole; measure via a tiny meridian step
+        d = 1e-5
+        x1, y1 = ps_forward(0.0, 90.0, 5041)
+        x2, y2 = ps_forward(0.0, 90.0 - d, 5041)
+        proj_len = float(np.hypot(x2 - x1, y2 - y1))
+        e2 = (1 / 298.257223563) * (2 - 1 / 298.257223563)
+        M_pole = 6378137.0 * (1 - e2) / (1 - e2) ** 1.5  # meridian radius at pole
+        assert proj_len / (M_pole * np.radians(d)) == pytest.approx(0.994, abs=1e-6)
+
+    @pytest.mark.parametrize("srid", ALL)
+    def test_sql_twin_matches_numpy(self, srid):
+        import duckdb
+
+        from geocube_spark.functions.crs import ps_forward, ps_forward_sql_columns
+
+        lo, la = self._grid(srid)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lo, la)))
+        rows = con.execute(
+            f"SELECT lon, lat, {ps_forward_sql_columns('lon', 'lat', srid)} FROM pts"
+        ).fetchall()
+        names = [d[0] for d in con.description]
+        ie, iN = names.index("ps_e"), names.index("ps_n")
+        E, Nn = ps_forward(np.array([r[0] for r in rows]), np.array([r[1] for r in rows]), srid)
+        np.testing.assert_allclose(np.array([r[ie] for r in rows]), E, atol=1e-7)
+        np.testing.assert_allclose(np.array([r[iN] for r in rows]), Nn, atol=1e-7)
+
+    def test_composed_and_registry(self):
+        from geocube_spark.functions.crs import transform_points
+
+        # 3031 <-> 3413 composes through lon/lat and roundtrips
+        xs = np.array([0.0, 1.5e6])
+        ys = np.array([2.1e6, -1.0e6])
+        ax, ay = transform_points(3031, 3413, xs, ys)
+        bx, by = transform_points(3413, 3031, ax, ay)
+        np.testing.assert_allclose(bx, xs, atol=1e-6)
+        np.testing.assert_allclose(by, ys, atol=1e-6)
+
+
 class TestURI:
     def test_gdal_uri_roundtrip(self):
         u = gdal_uri("file:///c.tif", "GTIFF_DIR:2")
