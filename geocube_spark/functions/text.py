@@ -141,6 +141,155 @@ def lang_guess_sql(c: str) -> str:
     return f"CASE {inlined} ELSE 'und' END"
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", §A1.1) and repetition
+# signals — the standard pre-training corpus gates.  All pure column
+# expressions; each has a DuckDB twin so the driver's oracle checks values.
+
+
+def _toks(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _toks_sql(c: str) -> str:
+    return f"regexp_split_to_array(lower(trim({c})), '\\s+')"
+
+
+def mean_word_length(col: Column) -> Column:
+    toks = _toks(col)
+    total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length_sql(c: str) -> str:
+    t = _toks_sql(c)
+    return (
+        f"list_reduce(list_prepend(0, list_transform({t}, t -> length(t))),"
+        f" (a, x) -> a + x) / greatest(len({t}), 1)"
+    )
+
+
+def alpha_word_ratio(col: Column) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (Gopher: >= 80% of words must)."""
+    toks = _toks(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_word_ratio_sql(c: str) -> str:
+    t = _toks_sql(c)
+    return (
+        f"len(list_filter({t}, t -> regexp_matches(t, '[a-z]')))"
+        f" / greatest(len({t}), 1)"
+    )
+
+
+def type_token_ratio(col: Column) -> Column:
+    """distinct tokens / tokens — low values flag word-soup repetition."""
+    toks = _toks(col)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def type_token_ratio_sql(c: str) -> str:
+    t = _toks_sql(c)
+    return f"len(list_distinct({t})) / greatest(len({t}), 1)"
+
+
+def adjacent_duplicate_fraction(col: Column) -> Column:
+    """Fraction of token positions equal to their predecessor ("batch batch
+    batch") — the consecutive-repetition gate.  element_at is 1-based in
+    both engines' dialects used here."""
+    toks = _toks(col)
+    n = F.size(toks)
+    dups = F.size(
+        F.filter(
+            F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+            lambda i: F.try_element_at(toks, i) == F.try_element_at(toks, i - 1),
+        )
+    )
+    return F.when(n > 1, dups / (n - F.lit(1))).otherwise(F.lit(0.0))
+
+
+def adjacent_duplicate_fraction_sql(c: str) -> str:
+    t = _toks_sql(c)
+    n = f"len({t})"
+    dups = (
+        f"len(list_filter(range(2, greatest({n}, 2) + 1),"
+        f" i -> list_extract({t}, i) = list_extract({t}, i - 1)))"
+    )
+    return f"CASE WHEN {n} > 1 THEN {dups} / ({n} - 1) ELSE 0.0 END"
+
+
+def repeated_bigram_fraction(col: Column) -> Column:
+    """1 - distinct_bigrams/bigrams — Gopher's duplicate-2-gram signal."""
+    toks = _toks(col)
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+        lambda i: F.concat_ws(" ", F.try_element_at(toks, i - 1), F.try_element_at(toks, i)),
+    )
+    nb = n - F.lit(1)
+    return F.when(
+        n > 1, (nb - F.size(F.array_distinct(bigrams))) / nb
+    ).otherwise(F.lit(0.0))
+
+
+def repeated_bigram_fraction_sql(c: str) -> str:
+    t = _toks_sql(c)
+    n = f"len({t})"
+    bg = (
+        f"list_transform(range(2, greatest({n}, 2) + 1),"
+        f" i -> list_extract({t}, i - 1) || ' ' || list_extract({t}, i))"
+    )
+    return (
+        f"CASE WHEN {n} > 1 THEN (({n} - 1) - len(list_distinct({bg})))"
+        f" / ({n} - 1) ELSE 0.0 END"
+    )
+
+
+# Gopher §A1.1 gates, restated on this corpus's scale (the synthetic docs
+# are short, so the word-count window is scaled down from [50, 100k]).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_WORD_RANGE = (3.0, 10.0)
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_MAX_ADJACENT_DUP = 0.20
+
+
+def gopher_flags(col: Column) -> dict[str, Column]:
+    """The individual pass/fail gates; AND of all = keep."""
+    toks = _toks(col)
+    n = F.size(toks)
+    mw = mean_word_length(col)
+    stop_hits = F.size(F.filter(toks, _in_markers(LANG_MARKERS["en"])))
+    return {
+        "word_count_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "mean_word_ok": (mw >= GOPHER_MEAN_WORD_RANGE[0]) & (mw <= GOPHER_MEAN_WORD_RANGE[1]),
+        "alpha_ok": alpha_word_ratio(col) >= GOPHER_MIN_ALPHA_RATIO,
+        "stopword_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+        "repetition_ok": adjacent_duplicate_fraction(col) <= GOPHER_MAX_ADJACENT_DUP,
+    }
+
+
+def gopher_flags_sql(c: str) -> dict[str, str]:
+    t = _toks_sql(c)
+    n = f"len({t})"
+    mw = mean_word_length_sql(c)
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    stop_hits = f"len(list_filter({t}, t -> t IN ({markers})))"
+    lo, hi = GOPHER_MEAN_WORD_RANGE
+    return {
+        "word_count_ok": f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS})",
+        "mean_word_ok": f"(({mw}) >= {lo} AND ({mw}) <= {hi})",
+        "alpha_ok": f"({alpha_word_ratio_sql(c)}) >= {GOPHER_MIN_ALPHA_RATIO}",
+        "stopword_ok": f"{stop_hits} >= {GOPHER_MIN_STOPWORD_HITS}",
+        "repetition_ok": f"({adjacent_duplicate_fraction_sql(c)}) <= {GOPHER_MAX_ADJACENT_DUP}",
+    }
+
+
 def fingerprint64(col: Column) -> Column:
     """Document fingerprint: xxhash64 of normalized text (lowercase,
     whitespace-collapsed).  Spark-native 64-bit hash; used for exact-dup

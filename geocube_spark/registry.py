@@ -2956,6 +2956,173 @@ def dedup_report_q(spark, sf_dir):
     return dedup_report(_docs(spark, sf_dir))
 
 
+# Gopher-style corpus gates (Rae et al. 2021 §A1.1): word-count window,
+# mean word length, alphabetic-word ratio, stopword presence, consecutive
+# repetition.  Pure column expressions; one narrow scan + one groupBy.
+def _gopher_oracle() -> str:
+    from geocube_spark.functions.text import gopher_flags_sql
+
+    flags = gopher_flags_sql("text")
+    keep = " AND ".join(f"({f})" for f in flags.values())
+    fails = ",\n           ".join(
+        f"CAST(sum(CASE WHEN NOT ({f}) THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_fail_{k[:-3]}"
+        for k, f in flags.items()
+    )
+    return f"""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           {fails}
+    FROM documents GROUP BY source ORDER BY source
+    """
+
+
+@q("gopher_quality_filter", _gopher_oracle())
+def gopher_quality_filter(spark, sf_dir):
+    from functools import reduce
+    from operator import and_
+
+    from geocube_spark.functions.text import gopher_flags
+
+    d = _docs(spark, sf_dir)
+    flags = gopher_flags(F.col("text"))
+    keep = reduce(and_, flags.values())
+    sel = d.select(
+        "source", keep.alias("keep"), *[v.alias(k) for k, v in flags.items()]
+    )
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            *[
+                F.sum((~F.col(k)).cast("bigint")).alias(f"n_fail_{k[:-3]}")
+                for k in flags
+            ],
+        )
+        .orderBy("source")
+    )
+
+
+# Repetition / lexical-diversity profile per language bucket.
+def _repetition_oracle() -> str:
+    from geocube_spark.functions.text import (
+        adjacent_duplicate_fraction_sql,
+        mean_word_length_sql,
+        repeated_bigram_fraction_sql,
+        type_token_ratio_sql,
+    )
+
+    return f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg({type_token_ratio_sql('text')}), 4) AS avg_ttr,
+           round(avg({adjacent_duplicate_fraction_sql('text')}), 4) AS avg_adj_dup,
+           round(avg({repeated_bigram_fraction_sql('text')}), 4) AS avg_rep_bigram,
+           round(avg({mean_word_length_sql('text')}), 4) AS avg_word_len
+    FROM documents GROUP BY lang ORDER BY lang
+    """
+
+
+@q("repetition_profile", _repetition_oracle())
+def repetition_profile(spark, sf_dir):
+    from geocube_spark.functions.text import (
+        adjacent_duplicate_fraction,
+        mean_word_length,
+        repeated_bigram_fraction,
+        type_token_ratio,
+    )
+
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(type_token_ratio(t)), 4).alias("avg_ttr"),
+            F.round(F.avg(adjacent_duplicate_fraction(t)), 4).alias("avg_adj_dup"),
+            F.round(F.avg(repeated_bigram_fraction(t)), 4).alias("avg_rep_bigram"),
+            F.round(F.avg(mean_word_length(t)), 4).alias("avg_word_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ============================================================== job machine
+
+# Full 20-state job lifecycle (reference job.go:28-130, 350-641) replayed
+# over a synthetic per-job event log derived deterministically from the
+# events table.  The transition CASE is compiled from the SAME arc tables
+# for both engines (streaming/jobs.py), so the oracle checks the machine
+# itself: final state AND step-by-step waiting flag per job, after retry /
+# cancel / rollback / continue arcs.  Scale shape: one groupBy(job_id)
+# shuffle, then a codegen'd fold per group — no window, no Python.
+def _job_replay_oracle() -> str:
+    from geocube_spark.streaming.jobs import (
+        replay_event_sql,
+        replay_init_sql,
+        replay_merge_sql,
+    )
+
+    return f"""
+    WITH e AS (
+        SELECT event_id % 64 AS job_id, event_id AS seq,
+               {replay_event_sql('event_id')} AS evt
+        FROM events
+    ),
+    g AS (
+        SELECT job_id, list(evt ORDER BY seq) AS evs,
+               job_id % 5 AS exec_level,
+               CASE WHEN job_id % 2 = 0 THEN 'C' ELSE 'D' END AS jt
+        FROM e GROUP BY job_id
+    ),
+    f AS (
+        SELECT job_id,
+               list_reduce(
+                   list_prepend({replay_init_sql('exec_level', 'jt')}, evs),
+                   (acc, x) -> {replay_merge_sql()}) AS fin
+        FROM g
+    )
+    SELECT job_id, split_part(fin, '#', 1) AS final_state,
+           CAST(split_part(fin, '#', 2) AS INT) AS waiting
+    FROM f ORDER BY job_id
+    """
+
+
+@q("job_state_replay", _job_replay_oracle())
+def job_state_replay(spark, sf_dir):
+    from geocube_spark.streaming.jobs import (
+        replay_event_sql,
+        replay_init_sql,
+        replay_merge_sql,
+    )
+
+    ev = read_events(spark, sf_dir).select("event_id")
+    jobs = ev.select(
+        (F.col("event_id") % 64).alias("job_id"),
+        F.col("event_id").alias("seq"),
+        F.expr(replay_event_sql("event_id")).alias("evt"),
+    )
+    return (
+        jobs.groupBy("job_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(seq, evt))), e -> e.evt)").alias("evs"))
+        .withColumn("exec_level", F.col("job_id") % 5)
+        .withColumn("jt", F.expr("CASE WHEN job_id % 2 = 0 THEN 'C' ELSE 'D' END"))
+        .withColumn(
+            "fin",
+            F.expr(
+                f"aggregate(evs, {replay_init_sql('exec_level', 'jt')},"
+                f" (acc, x) -> {replay_merge_sql()})"
+            ),
+        )
+        .select(
+            "job_id",
+            F.expr("split_part(fin, '#', 1)").alias("final_state"),
+            F.expr("CAST(split_part(fin, '#', 2) AS INT)").alias("waiting"),
+        )
+        .orderBy("job_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

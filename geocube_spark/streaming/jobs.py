@@ -21,26 +21,295 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# state machine arcs (job.go:28-57, 350-641) — batch parity subset
-_TRANSITIONS = {
-    ("NEW", "ok"): "CREATED",
-    ("CREATED", "ok"): "CONSOLIDATIONINPROGRESS",
-    ("CONSOLIDATIONINPROGRESS", "ok"): "CONSOLIDATIONDONE",
-    ("CONSOLIDATIONDONE", "ok"): "CONSOLIDATIONINDEXED",
-    ("CONSOLIDATIONINDEXED", "ok"): "CONSOLIDATIONEFFECTIVE",
-    ("CONSOLIDATIONINPROGRESS", "error"): "CONSOLIDATIONRETRYING",
-    ("CONSOLIDATIONRETRYING", "ok"): "CONSOLIDATIONINPROGRESS",
-    ("NEW", "cancel"): "CANCELLED",
-    ("CREATED", "cancel"): "ABORTED",
-    ("CONSOLIDATIONINPROGRESS", "cancel"): "ABORTED",
+# ---------------------------------------------------------------------------
+# The COMPLETE job state machine (reference internal/geocube/job.go:28-130
+# states/levels, 350-641 triggers) — both job types, retry/cancel/rollback
+# arcs, and the step-by-step Waiting semantics.
+#
+# ExecutionLevel enum (job.go:119-130): a job created with level L pauses
+# ("Waiting") after entering any state whose pause level <= L.
+EXEC_SYNCHRONOUS = 0
+EXEC_ASYNCHRONOUS = 1
+STEP_CRITICAL = 2  # pause at critical steps
+STEP_MAJOR = 3  # pause at major steps
+STEP_ALL = 4  # pause at every step
+STEP_NEVER = 5  # sentinel: this state never pauses
+
+# state -> (pause_level, generic_retry_forced_is_noop)   (job.go:62-83)
+JOB_STATE_INFO: dict[str, tuple[int, bool]] = {
+    "NEW": (STEP_ALL, True),
+    "CREATED": (STEP_MAJOR, True),
+    "CONSOLIDATIONINPROGRESS": (STEP_CRITICAL, False),
+    "CONSOLIDATIONDONE": (STEP_MAJOR, True),
+    "CONSOLIDATIONINDEXED": (STEP_ALL, True),
+    "CONSOLIDATIONEFFECTIVE": (STEP_CRITICAL, True),
+    "CONSOLIDATIONFAILED": (STEP_ALL, False),
+    "CONSOLIDATIONRETRYING": (STEP_MAJOR, True),
+    "CONSOLIDATIONFORCERETRYING": (STEP_MAJOR, True),
+    "CONSOLIDATIONCANCELLING": (STEP_MAJOR, True),
+    "DELETIONINPROGRESS": (STEP_CRITICAL, True),
+    "DELETIONEFFECTIVE": (STEP_MAJOR, True),
+    "DELETIONFAILED": (STEP_ALL, False),
+    "DONE": (STEP_NEVER, False),
+    "FAILED": (STEP_NEVER, False),
+    "INITIALISATIONFAILED": (STEP_ALL, False),
+    "CANCELLATIONFAILED": (STEP_ALL, False),
+    "ABORTED": (STEP_MAJOR, True),
+    "ROLLBACKFAILED": (STEP_ALL, False),
+    "DONEBUTUNTIDY": (STEP_NEVER, False),
+}
+
+# (state, event) -> (next_state, only_when_waiting)
+# only_when_waiting=True models the reference's `if j.Waiting` guard on
+# CancelledByUser: a plain cancel only lands while the job is paused; a
+# forced cancel lands anytime (job.go:395-401 and siblings).
+CONSOLIDATION_ARCS: dict[tuple[str, str], tuple[str, bool]] = {
+    # job.go:390-533 (triggerConsolidation)
+    ("NEW", "CancelledByUserForced"): ("ABORTED", False),
+    ("NEW", "CancelledByUser"): ("ABORTED", True),
+    ("NEW", "JobCreated"): ("CREATED", False),
+    ("CREATED", "CancelledByUserForced"): ("ABORTED", False),
+    ("CREATED", "CancelledByUser"): ("ABORTED", True),
+    ("CREATED", "PrepareOrdersFailed"): ("INITIALISATIONFAILED", False),
+    ("CREATED", "OrdersPrepared"): ("CONSOLIDATIONINPROGRESS", False),
+    ("CONSOLIDATIONINPROGRESS", "RetryForced"): ("CONSOLIDATIONFORCERETRYING", False),
+    ("CONSOLIDATIONINPROGRESS", "Retried"): ("CONSOLIDATIONRETRYING", False),
+    ("CONSOLIDATIONINPROGRESS", "CancelledByUser"): ("CONSOLIDATIONCANCELLING", False),
+    ("CONSOLIDATIONINPROGRESS", "CancelledByUserForced"): ("CONSOLIDATIONCANCELLING", False),
+    ("CONSOLIDATIONINPROGRESS", "ConsolidationFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONINPROGRESS", "SendOrdersFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONINPROGRESS", "ConsolidationDone"): ("CONSOLIDATIONDONE", False),
+    ("CONSOLIDATIONDONE", "CancelledByUserForced"): ("ABORTED", False),
+    ("CONSOLIDATIONDONE", "CancelledByUser"): ("ABORTED", True),
+    ("CONSOLIDATIONDONE", "ConsolidationIndexingFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONDONE", "ConsolidationIndexed"): ("CONSOLIDATIONINDEXED", False),
+    ("CONSOLIDATIONINDEXED", "CancelledByUserForced"): ("ABORTED", False),
+    ("CONSOLIDATIONINDEXED", "CancelledByUser"): ("ABORTED", True),
+    ("CONSOLIDATIONINDEXED", "SwapDatasetsFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONINDEXED", "DatasetsSwapped"): ("CONSOLIDATIONEFFECTIVE", False),
+    ("CONSOLIDATIONEFFECTIVE", "StartDeletionFailed"): ("DONEBUTUNTIDY", False),
+    ("CONSOLIDATIONEFFECTIVE", "DeletionStarted"): ("DONE", False),
+    ("DONEBUTUNTIDY", "RetryForced"): ("CONSOLIDATIONEFFECTIVE", False),
+    ("DONEBUTUNTIDY", "Retried"): ("CONSOLIDATIONEFFECTIVE", False),
+    ("CONSOLIDATIONCANCELLING", "CancellationFailed"): ("CANCELLATIONFAILED", False),
+    ("CONSOLIDATIONCANCELLING", "CancellationDone"): ("ABORTED", False),
+    ("CANCELLATIONFAILED", "Retried"): ("CONSOLIDATIONCANCELLING", False),
+    ("CANCELLATIONFAILED", "RetryForced"): ("CONSOLIDATIONCANCELLING", False),
+    ("INITIALISATIONFAILED", "Retried"): ("CREATED", False),
+    ("INITIALISATIONFAILED", "RetryForced"): ("CREATED", False),
+    ("INITIALISATIONFAILED", "CancelledByUser"): ("ABORTED", False),
+    ("INITIALISATIONFAILED", "CancelledByUserForced"): ("ABORTED", False),
+    ("CONSOLIDATIONFAILED", "Retried"): ("CONSOLIDATIONRETRYING", False),
+    ("CONSOLIDATIONFAILED", "RetryForced"): ("CONSOLIDATIONRETRYING", False),
+    ("CONSOLIDATIONFAILED", "CancelledByUser"): ("ABORTED", False),
+    ("CONSOLIDATIONFAILED", "CancelledByUserForced"): ("ABORTED", False),
+    ("ABORTED", "RollbackFailed"): ("ROLLBACKFAILED", False),
+    ("ABORTED", "RollbackDone"): ("FAILED", False),
+    ("ROLLBACKFAILED", "RetryForced"): ("ABORTED", False),
+    ("ROLLBACKFAILED", "Retried"): ("ABORTED", False),
+    ("ROLLBACKFAILED", "CancelledByUserForced"): ("FAILED", False),
+    ("CONSOLIDATIONRETRYING", "ConsolidationRetryFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONRETRYING", "OrdersPrepared"): ("CONSOLIDATIONINPROGRESS", False),
+    ("CONSOLIDATIONFORCERETRYING", "ConsolidationRetryFailed"): ("CONSOLIDATIONFAILED", False),
+    ("CONSOLIDATIONFORCERETRYING", "OrdersPrepared"): ("CONSOLIDATIONINPROGRESS", False),
+}
+
+DELETION_ARCS: dict[tuple[str, str], tuple[str, bool]] = {
+    # job.go:535-641 (triggerDeletion)
+    ("NEW", "CancelledByUserForced"): ("ABORTED", False),
+    ("NEW", "CancelledByUser"): ("ABORTED", True),
+    ("NEW", "JobCreated"): ("CREATED", False),
+    ("CREATED", "CancelledByUserForced"): ("ABORTED", False),
+    ("CREATED", "CancelledByUser"): ("ABORTED", True),
+    ("CREATED", "DeletionNotReady"): ("INITIALISATIONFAILED", False),
+    ("CREATED", "DeletionReady"): ("DELETIONINPROGRESS", False),
+    ("DELETIONINPROGRESS", "CancelledByUserForced"): ("ABORTED", False),
+    ("DELETIONINPROGRESS", "CancelledByUser"): ("ABORTED", True),
+    ("DELETIONINPROGRESS", "RemovalFailed"): ("DELETIONFAILED", False),
+    ("DELETIONINPROGRESS", "RemovalDone"): ("DELETIONEFFECTIVE", False),
+    ("DELETIONEFFECTIVE", "CancelledByUserForced"): ("ABORTED", False),
+    ("DELETIONEFFECTIVE", "DeletionFailed"): ("DONEBUTUNTIDY", False),
+    ("DELETIONEFFECTIVE", "DeletionDone"): ("DONE", False),
+    # deletion DONEBUTUNTIDY retries only on the FORCED arc (job.go:568-572)
+    ("DONEBUTUNTIDY", "RetryForced"): ("DELETIONEFFECTIVE", False),
+    ("DELETIONFAILED", "Retried"): ("DELETIONINPROGRESS", False),
+    ("DELETIONFAILED", "RetryForced"): ("DELETIONINPROGRESS", False),
+    ("DELETIONFAILED", "CancelledByUser"): ("ABORTED", False),
+    ("DELETIONFAILED", "CancelledByUserForced"): ("ABORTED", False),
+    ("ABORTED", "RollbackFailed"): ("ROLLBACKFAILED", False),
+    ("ABORTED", "RollbackDone"): ("FAILED", False),
+    ("ROLLBACKFAILED", "RetryForced"): ("ABORTED", False),
+    ("ROLLBACKFAILED", "Retried"): ("ABORTED", False),
+    ("ROLLBACKFAILED", "CancelledByUserForced"): ("FAILED", False),
+    # deletion INITIALISATIONFAILED: forced-cancel goes straight to FAILED
+    # (no rollback needed — nothing locked yet), unlike consolidation
+    ("INITIALISATIONFAILED", "Retried"): ("CREATED", False),
+    ("INITIALISATIONFAILED", "RetryForced"): ("CREATED", False),
+    ("INITIALISATIONFAILED", "CancelledByUserForced"): ("FAILED", False),
+}
+
+ARCS_BY_TYPE = {"consolidation": CONSOLIDATION_ARCS, "deletion": DELETION_ARCS}
+
+
+def trigger(
+    job_type: str, state: str, waiting: bool, exec_level: int, event: str
+) -> tuple[str, bool, bool]:
+    """Exact port of Job.Trigger (job.go:352-388) + changeState (job.go:643-648).
+
+    Returns ``(new_state, new_waiting, handled)``.  Unhandled events leave the
+    job untouched (the reference surfaces UnhandledEvent; replay ignores it).
+
+    Order of precedence mirrors the Go code:
+    1. ``Continue`` clears Waiting (handled only if the job was paused);
+    2. ``RetryForced`` on a state flagged retry_forced is a handled no-op
+       (requeues the step without a state change);
+    3. otherwise the per-type arc table; CancelledByUser arcs marked
+       waiting-only land only while paused.
+    On a state change, ``Waiting = exec_level >= pause_level(new_state)``.
+    """
+    if event == "Continue":
+        if waiting:
+            return state, False, True
+        return state, waiting, False
+    info = JOB_STATE_INFO[state]
+    if event == "RetryForced" and info[1]:
+        return state, waiting, True
+    arc = ARCS_BY_TYPE[job_type].get((state, event))
+    if arc is None:
+        return state, waiting, False
+    nxt, only_when_waiting = arc
+    if only_when_waiting and not waiting:
+        return state, waiting, False
+    return nxt, exec_level >= JOB_STATE_INFO[nxt][0], True
+
+
+# legacy shorthand used by the client facade: "ok" = the happy-path progress
+# event for the current state, "error"/"cancel" = the failure/cancel arc.
+_HAPPY_EVENT = {
+    "NEW": "JobCreated",
+    "CREATED": "OrdersPrepared",
+    "CONSOLIDATIONINPROGRESS": "ConsolidationDone",
+    "CONSOLIDATIONDONE": "ConsolidationIndexed",
+    "CONSOLIDATIONINDEXED": "DatasetsSwapped",
+    "CONSOLIDATIONEFFECTIVE": "DeletionStarted",
+    "CONSOLIDATIONRETRYING": "OrdersPrepared",
+    "CONSOLIDATIONFORCERETRYING": "OrdersPrepared",
+    "CONSOLIDATIONCANCELLING": "CancellationDone",
+    "CONSOLIDATIONFAILED": "Retried",
+    "DELETIONINPROGRESS": "RemovalDone",
+    "DELETIONEFFECTIVE": "DeletionDone",
+    "ABORTED": "RollbackDone",
+}
+_ERROR_EVENT = {
+    "CONSOLIDATIONINPROGRESS": "Retried",
+    "CREATED": "PrepareOrdersFailed",
+    "CONSOLIDATIONDONE": "ConsolidationIndexingFailed",
+    "CONSOLIDATIONINDEXED": "SwapDatasetsFailed",
+    "CONSOLIDATIONEFFECTIVE": "StartDeletionFailed",
+    "DELETIONINPROGRESS": "RemovalFailed",
+    "DELETIONEFFECTIVE": "DeletionFailed",
 }
 
 
-def advance_job_state(state: str, event: str) -> str:
-    nxt = _TRANSITIONS.get((state, event))
-    if nxt is None:
+def advance_job_state(
+    state: str, event: str, job_type: str = "consolidation", exec_level: int = EXEC_ASYNCHRONOUS
+) -> str:
+    """Single-step transition; accepts real event names (job.go JobStatus) or
+    the legacy shorthand ``ok``/``error``/``cancel``.  Raises on an arc the
+    reference would report as UnhandledEvent."""
+    if event == "ok":
+        event = _HAPPY_EVENT.get(state, "")
+    elif event == "error":
+        event = _ERROR_EVENT.get(state, "")
+    elif event == "cancel":
+        event = "CancelledByUserForced"
+    nxt, _w, handled = trigger(job_type, state, False, exec_level, event)
+    if not handled:
         raise ValueError(f"illegal transition {state} --{event}-->")
     return nxt
+
+
+# ---------------------------------------------------------------------------
+# Distributed event-log replay.  The machine above is compiled — from the
+# same arc tables — into a pure-SQL fold usable by BOTH engines: Spark's
+# `aggregate(events, init, (acc,x) -> CASE…)` higher-order function and
+# DuckDB's `list_reduce`.  State is threaded through the fold as the string
+# 'STATE#waiting#exec_level#type'; every generated token is shared SQL
+# (split_part/||/CASE run identically in Spark SQL and DuckDB), so the
+# oracle twin exercises the exact same transition table.  Replaying a 100 TB
+# event log is then one hash-partitioned groupBy(job_id) + a codegen'd fold —
+# no Python, no per-event shuffle, no window sort.
+
+# every JobStatus event name (job.go JobStatus enum), progress events doubled
+# so synthetic replays bias forward through the machine
+REPLAY_EVENT_MIX: list[str] = [
+    "JobCreated", "JobCreated", "OrdersPrepared", "OrdersPrepared",
+    "ConsolidationDone", "ConsolidationDone", "ConsolidationIndexed",
+    "ConsolidationIndexed", "DatasetsSwapped", "DatasetsSwapped",
+    "DeletionStarted", "DeletionReady", "DeletionReady", "RemovalDone",
+    "RemovalDone", "DeletionDone", "Continue", "Continue", "Retried",
+    "RetryForced", "CancelledByUser", "CancelledByUserForced",
+    "ConsolidationFailed", "SendOrdersFailed", "PrepareOrdersFailed",
+    "ConsolidationIndexingFailed", "SwapDatasetsFailed", "StartDeletionFailed",
+    "CancellationDone", "CancellationFailed", "RollbackDone", "RollbackFailed",
+]
+
+_S = "split_part(acc, '#', 1)"
+_W = "split_part(acc, '#', 2)"
+_L = "split_part(acc, '#', 3)"
+_T = "split_part(acc, '#', 4)"
+
+
+def _next_acc(nxt: str, type_code: str) -> str:
+    lvl = JOB_STATE_INFO[nxt][0]
+    return (
+        f"'{nxt}#' || CASE WHEN CAST({_L} AS INT) >= {lvl} THEN '1' ELSE '0' END"
+        f" || '#' || {_L} || '#{type_code}'"
+    )
+
+
+def replay_merge_sql() -> str:
+    """The fold lambda body: CASE over (type, state, event) compiled from
+    ARCS_BY_TYPE + JOB_STATE_INFO, mirroring trigger()'s precedence."""
+    noop_states = ", ".join(
+        f"'{s}'" for s, (_lvl, rf) in sorted(JOB_STATE_INFO.items()) if rf
+    )
+    whens = [
+        f"WHEN x = 'Continue' THEN CASE WHEN {_W} = '1' THEN"
+        f" {_S} || '#0#' || {_L} || '#' || {_T} ELSE acc END",
+        f"WHEN x = 'RetryForced' AND {_S} IN ({noop_states}) THEN acc",
+    ]
+    for jt, arcs in (("C", CONSOLIDATION_ARCS), ("D", DELETION_ARCS)):
+        for (state, event), (nxt, only_waiting) in arcs.items():
+            guard = f" AND {_W} = '1'" if only_waiting else ""
+            whens.append(
+                f"WHEN {_T} = '{jt}' AND x = '{event}' AND {_S} = '{state}'"
+                f"{guard} THEN {_next_acc(nxt, jt)}"
+            )
+    return "CASE " + " ".join(whens) + " ELSE acc END"
+
+
+def replay_init_sql(exec_level_sql: str, type_sql: str) -> str:
+    """Initial accumulator: jobs are born NEW with the step-by-step pause
+    already applied (NEW pauses at STEP_ALL)."""
+    lvl = JOB_STATE_INFO["NEW"][0]
+    return (
+        f"'NEW#' || CASE WHEN {exec_level_sql} >= {lvl} THEN '1' ELSE '0' END"
+        f" || '#' || CAST({exec_level_sql} AS INT) || '#' || {type_sql}"
+    )
+
+
+def replay_event_sql(event_id_sql: str) -> str:
+    """Deterministic, engine-portable event synthesis: high bits of an LCG
+    over event_id index REPLAY_EVENT_MIX.  High bits (not low) because both
+    job_id and the LCG modulus are powers of two — low bits would collapse
+    to a per-job constant."""
+    mix = f"(({event_id_sql}) * 1103515245 + 12345) % 2147483648"
+    idx = f"CAST(FLOOR(({mix}) / 65536.0) AS INT) % {len(REPLAY_EVENT_MIX)}"
+    whens = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, name in enumerate(REPLAY_EVENT_MIX)
+    )
+    return f"CASE {idx} {whens} END"
 
 
 def task_counters(tasks: DataFrame) -> DataFrame:
