@@ -331,6 +331,163 @@ def consolidate_tiles(
     )
 
 
+def consolidate_to_mucog(
+    tiles_with_time: DataFrame,
+    container_col: str = "out_container_uri",
+    dtype: str = "float64",
+    compression: str = "deflate",
+    nodata: float | None = None,
+    tile_order: str = "block",
+) -> DataFrame:
+    """S5/S6 as REAL bytes: build one (Mu)COG GeoTIFF per output container
+    from the tile table (``sources/gtiff.py`` — pure-stdlib TIFF 6.0 +
+    GeoTIFF 1.1, no GDAL needed on executors).
+
+    Mirrors internal/image/handler_consolidation.go: one consolidation task
+    produces one container file.  Here that is one ``applyInPandas`` group
+    per ``container_col`` — the group holds every (image, band, level,
+    block) tile of the output container, bounded by construction to
+    max_records × blocks × block_size (the same bound the reference's
+    consolidation worker has to hold in RAM while GDAL rewrites the file).
+    No driver collect; the emitted row carries the finished byte payload
+    plus layout facts (header size, tile count) so a downstream
+    ``foreachPartition`` / binary-file writer can PUT each container to
+    object storage straight from the executor.
+
+    Input rows: (container_col, band, level, block_x, block_y, px,
+    pix_to_crs, crs_srid[, record_id, record_datetime]).  Images within a
+    container are keyed by (record_datetime, record_id) — absent means a
+    single-image COG.  Level-0 IFDs come first (time-sorted), then
+    overview IFDs (NewSubfileType=1), per the COG spec ordering.
+    ``tile_order='block'`` interlaces payloads so a time-series of one
+    block is ONE contiguous range — the byte-level twin of the
+    consolidated-parquet layout that ``timeseries_block_read`` proves out.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    import numpy as np
+
+    from geocube_spark.sources.gtiff import RasterImage, header_size, write_tiff
+
+    cols = set(tiles_with_time.columns)
+    has_time = "record_datetime" in cols and "record_id" in cols
+    sel = [
+        F.col(container_col).alias("_container"),
+        F.col("band"),
+        F.col("level"),
+        F.col("block_x"),
+        F.col("block_y"),
+        F.col("px"),
+        F.col("pix_to_crs"),
+        F.col("crs_srid"),
+    ]
+    if has_time:
+        sel += [
+            F.col("record_datetime").cast("string").alias("_t"),
+            F.col("record_id").cast("string").alias("_rid"),
+        ]
+    src = tiles_with_time.select(*sel)
+
+    out_schema = StructType(
+        [
+            StructField("container_uri", StringType(), False),
+            StructField("n_images", LongType(), False),
+            StructField("n_tiles", LongType(), False),
+            StructField("n_bytes", LongType(), False),
+            StructField("header_bytes", LongType(), False),
+            StructField("tiff", BinaryType(), False),
+        ]
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if has_time:
+            img_keys = sorted(set(zip(pdf["_t"], pdf["_rid"])))
+            groups = {k: pdf[(pdf["_t"] == k[0]) & (pdf["_rid"] == k[1])] for k in img_keys}
+        else:
+            groups = {("", ""): pdf}
+        images: list[RasterImage] = []
+        # level-0 images first (time order), then overviews — COG layout
+        for lvl in sorted(pdf["level"].unique()):
+            for _k, g in sorted(groups.items()):
+                g = g[g["level"] == lvl]
+                if g.empty:
+                    continue
+                n = int(round(len(g["px"].iloc[0]) ** 0.5))
+                bx0, bx1 = int(g["block_x"].min()), int(g["block_x"].max())
+                by0, by1 = int(g["block_y"].min()), int(g["block_y"].max())
+                band_ids = sorted(g["band"].unique())
+                tr = g["pix_to_crs"].iloc[0]
+                if not all(t == tr for t in g["pix_to_crs"]):
+                    raise ValueError(
+                        f"mixed pix_to_crs within container image {_k!r}"
+                    )
+                h = (by1 - by0 + 1) * n
+                w = (bx1 - bx0 + 1) * n
+                arr = np.full(
+                    (len(band_ids), h, w),
+                    nodata if nodata is not None else 0,
+                    dtype=dtype,
+                )
+                for row in g.itertuples(index=False):
+                    bi = band_ids.index(row.band)
+                    y0 = (int(row.block_y) - by0) * n
+                    x0 = (int(row.block_x) - bx0) * n
+                    arr[bi, y0 : y0 + n, x0 : x0 + n] = (
+                        np.asarray(row.px, dtype="float64")
+                        .reshape(n, n)
+                        .astype(dtype)
+                    )
+                images.append(
+                    RasterImage(
+                        bands=arr,
+                        transform=(
+                            tr["a"], tr["b"], tr["c"] + bx0 * n * tr["a"],
+                            tr["d"], tr["e"], tr["f"] + by0 * n * tr["e"],
+                        ),
+                        epsg=int(g["crs_srid"].iloc[0]),
+                        nodata=nodata,
+                        subfile_type=0 if lvl == min(pdf["level"]) else 1,
+                    )
+                )
+        # block interlacing needs identical tile grids; a container with
+        # overview levels mixes grid sizes -> fall back to per-image order
+        # (matches MuCOG, which interlaces within a zoom level only).
+        grids = {
+            (-(-im.bands.shape[2] // n), -(-im.bands.shape[1] // n), im.bands.shape[0])
+            for im in images
+        }
+        order = tile_order if len(images) > 1 and len(grids) == 1 else "image"
+        data = write_tiff(
+            images, tile_size=(n, n), compression=compression, tile_order=order
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "container_uri": key[0],
+                    "n_images": len(images),
+                    "n_tiles": sum(
+                        -(-im.bands.shape[2] // n) * -(-im.bands.shape[1] // n)
+                        * im.bands.shape[0]
+                        for im in images
+                    ),
+                    "n_bytes": len(data),
+                    "header_bytes": header_size(data),
+                    "tiff": data,
+                }
+            ],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    return src.groupBy("_container").applyInPandas(build, out_schema)
+
+
 def swap_datasets(datasets: DataFrame, job_id: str, new_datasets: DataFrame) -> DataFrame:
     """csldSwapDatasets (consolidater.go:559+): old ACTIVE rows of the job ->
     TODELETE; new rows -> ACTIVE.  As a pure transform over the datasets

@@ -180,7 +180,12 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
         )
     else:
-        ev = ev.withColumn("ts_ns", F.unix_micros("ts") * 1000)
+        # ts may surface as TIMESTAMP_NTZ depending on the reader conf at
+        # session-build time; normalize before unix_micros (which requires
+        # a zoned TIMESTAMP).
+        ev = ev.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+        )
     return ev
 
 
