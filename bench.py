@@ -57,17 +57,46 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "geocube_spark_headline_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map for offline inspection (the driver only records the
+    # tail of stdout, so the one-line summary below must stay small).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({"metric": "geocube_spark_headline_suite", "value": total,
+                   "unit": "sec", "queries": timings, "sf": sf_val}, f)
+    print(summary_line(total, timings, sf_val))
+
+
+# The driver keeps only the LAST 2000 characters of bench output and parses
+# the JSON line out of that tail.  With 80+ queries the naive dump exceeds
+# the buffer and the whole round's bench is recorded as unparseable (this
+# happened in round 3).  Emit a compact line and, if it would still overflow,
+# drop the *fastest* queries from the per-query detail (keeping the slowest,
+# which are the informative ones); `value` always covers every query.
+TAIL_BUDGET = 1900
+
+
+def summary_line(total: float, timings: dict[str, float], sf_val) -> str:
+    def dump(qmap: dict[str, float], omitted: int) -> str:
+        payload = {
+            "metric": "geocube_spark_headline_suite",
+            "value": total,
+            "unit": "sec",
+            "queries": qmap,
+            "sf": sf_val,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
+
+    by_cost = sorted(timings, key=lambda k: -timings[k])
+    keep = len(by_cost)
+    line = dump(timings, 0)
+    while len(line) > TAIL_BUDGET and keep > 1:
+        keep -= 1
+        kept = {k: timings[k] for k in by_cost[:keep]}
+        line = dump(kept, len(timings) - keep)
+    return line
 
 
 if __name__ == "__main__":

@@ -156,10 +156,24 @@ def _toks_sql(c: str) -> str:
     return f"regexp_split_to_array(lower(trim({c})), '\\s+')"
 
 
-def mean_word_length(col: Column) -> Column:
-    toks = _toks(col)
+# Each metric has a ``*_toks`` form taking an already-split token array.
+# The string forms below re-split per use, which is fine for a single
+# metric; when several metrics run over the same column (repetition
+# profile, Gopher gates) the caller should project ``_toks`` ONCE and feed
+# the array column to the ``*_toks`` forms — the regex split is the
+# dominant cost and higher-order-function expressions fall outside
+# whole-stage codegen, so Catalyst's subexpression elimination does not
+# dedupe it.  (The DuckDB oracle twins keep the inline-split spelling;
+# only values must match.)
+
+
+def mean_word_length_toks(toks: Column) -> Column:
     total = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t))
     return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(col: Column) -> Column:
+    return mean_word_length_toks(_toks(col))
 
 
 def mean_word_length_sql(c: str) -> str:
@@ -170,12 +184,15 @@ def mean_word_length_sql(c: str) -> str:
     )
 
 
+def alpha_word_ratio_toks(toks: Column) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
 def alpha_word_ratio(col: Column) -> Column:
     """Fraction of tokens containing at least one alphabetic character
     (Gopher: >= 80% of words must)."""
-    toks = _toks(col)
-    hits = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    return alpha_word_ratio_toks(_toks(col))
 
 
 def alpha_word_ratio_sql(c: str) -> str:
@@ -186,10 +203,13 @@ def alpha_word_ratio_sql(c: str) -> str:
     )
 
 
+def type_token_ratio_toks(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
 def type_token_ratio(col: Column) -> Column:
     """distinct tokens / tokens — low values flag word-soup repetition."""
-    toks = _toks(col)
-    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    return type_token_ratio_toks(_toks(col))
 
 
 def type_token_ratio_sql(c: str) -> str:
@@ -197,11 +217,7 @@ def type_token_ratio_sql(c: str) -> str:
     return f"len(list_distinct({t})) / greatest(len({t}), 1)"
 
 
-def adjacent_duplicate_fraction(col: Column) -> Column:
-    """Fraction of token positions equal to their predecessor ("batch batch
-    batch") — the consecutive-repetition gate.  element_at is 1-based in
-    both engines' dialects used here."""
-    toks = _toks(col)
+def adjacent_duplicate_fraction_toks(toks: Column) -> Column:
     n = F.size(toks)
     dups = F.size(
         F.filter(
@@ -210,6 +226,13 @@ def adjacent_duplicate_fraction(col: Column) -> Column:
         )
     )
     return F.when(n > 1, dups / (n - F.lit(1))).otherwise(F.lit(0.0))
+
+
+def adjacent_duplicate_fraction(col: Column) -> Column:
+    """Fraction of token positions equal to their predecessor ("batch batch
+    batch") — the consecutive-repetition gate.  element_at is 1-based in
+    both engines' dialects used here."""
+    return adjacent_duplicate_fraction_toks(_toks(col))
 
 
 def adjacent_duplicate_fraction_sql(c: str) -> str:
@@ -222,9 +245,7 @@ def adjacent_duplicate_fraction_sql(c: str) -> str:
     return f"CASE WHEN {n} > 1 THEN {dups} / ({n} - 1) ELSE 0.0 END"
 
 
-def repeated_bigram_fraction(col: Column) -> Column:
-    """1 - distinct_bigrams/bigrams — Gopher's duplicate-2-gram signal."""
-    toks = _toks(col)
+def repeated_bigram_fraction_toks(toks: Column) -> Column:
     n = F.size(toks)
     bigrams = F.transform(
         F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
@@ -234,6 +255,11 @@ def repeated_bigram_fraction(col: Column) -> Column:
     return F.when(
         n > 1, (nb - F.size(F.array_distinct(bigrams))) / nb
     ).otherwise(F.lit(0.0))
+
+
+def repeated_bigram_fraction(col: Column) -> Column:
+    """1 - distinct_bigrams/bigrams — Gopher's duplicate-2-gram signal."""
+    return repeated_bigram_fraction_toks(_toks(col))
 
 
 def repeated_bigram_fraction_sql(c: str) -> str:
@@ -259,19 +285,23 @@ GOPHER_MIN_STOPWORD_HITS = 2
 GOPHER_MAX_ADJACENT_DUP = 0.20
 
 
-def gopher_flags(col: Column) -> dict[str, Column]:
-    """The individual pass/fail gates; AND of all = keep."""
-    toks = _toks(col)
+def gopher_flags_toks(toks: Column) -> dict[str, Column]:
+    """The individual pass/fail gates over a pre-split token array."""
     n = F.size(toks)
-    mw = mean_word_length(col)
+    mw = mean_word_length_toks(toks)
     stop_hits = F.size(F.filter(toks, _in_markers(LANG_MARKERS["en"])))
     return {
         "word_count_ok": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
         "mean_word_ok": (mw >= GOPHER_MEAN_WORD_RANGE[0]) & (mw <= GOPHER_MEAN_WORD_RANGE[1]),
-        "alpha_ok": alpha_word_ratio(col) >= GOPHER_MIN_ALPHA_RATIO,
+        "alpha_ok": alpha_word_ratio_toks(toks) >= GOPHER_MIN_ALPHA_RATIO,
         "stopword_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
-        "repetition_ok": adjacent_duplicate_fraction(col) <= GOPHER_MAX_ADJACENT_DUP,
+        "repetition_ok": adjacent_duplicate_fraction_toks(toks) <= GOPHER_MAX_ADJACENT_DUP,
     }
+
+
+def gopher_flags(col: Column) -> dict[str, Column]:
+    """The individual pass/fail gates; AND of all = keep."""
+    return gopher_flags_toks(_toks(col))
 
 
 def gopher_flags_sql(c: str) -> dict[str, str]:

@@ -389,9 +389,11 @@ def consolidate_to_mucog(
         F.col("crs_srid"),
     ]
     if has_time:
+        # coalesce to sentinel strings: a null record key would otherwise
+        # surface as None and break the sorted() image ordering below
         sel += [
-            F.col("record_datetime").cast("string").alias("_t"),
-            F.col("record_id").cast("string").alias("_rid"),
+            F.coalesce(F.col("record_datetime").cast("string"), F.lit("")).alias("_t"),
+            F.coalesce(F.col("record_id").cast("string"), F.lit("")).alias("_rid"),
         ]
     src = tiles_with_time.select(*sel)
 
@@ -413,6 +415,12 @@ def consolidate_to_mucog(
         else:
             groups = {("", ""): pdf}
         images: list[RasterImage] = []
+        # a single block pixel size must hold across the whole container:
+        # tile_size=(n, n) below is applied to every level
+        px_lens = {len(p) for p in pdf["px"]}
+        if len(px_lens) != 1:
+            raise ValueError(f"mixed block pixel counts in container: {px_lens}")
+        min_lvl = int(pdf["level"].min())
         # level-0 images first (time order), then overviews — COG layout
         for lvl in sorted(pdf["level"].unique()):
             for _k, g in sorted(groups.items()):
@@ -444,26 +452,47 @@ def consolidate_to_mucog(
                         .reshape(n, n)
                         .astype(dtype)
                     )
+                # pyramid.build_level carries the level-0 pix_to_crs on
+                # overview rows; one overview-level-L pixel covers 2^L
+                # level-0 pixels, so scale the affine (and the block-origin
+                # shift, which is in level-L pixels) accordingly — else the
+                # written ModelPixelScale/ModelTiepoint would be wrong on
+                # overview IFDs (GDAL's cog.go simply omits them there).
+                s = float(2 ** (int(lvl) - min_lvl))
                 images.append(
                     RasterImage(
                         bands=arr,
                         transform=(
-                            tr["a"], tr["b"], tr["c"] + bx0 * n * tr["a"],
-                            tr["d"], tr["e"], tr["f"] + by0 * n * tr["e"],
+                            tr["a"] * s, tr["b"] * s,
+                            tr["c"] + bx0 * n * tr["a"] * s,
+                            tr["d"] * s, tr["e"] * s,
+                            tr["f"] + by0 * n * tr["e"] * s,
                         ),
                         epsg=int(g["crs_srid"].iloc[0]),
                         nodata=nodata,
-                        subfile_type=0 if lvl == min(pdf["level"]) else 1,
+                        subfile_type=0 if lvl == min_lvl else 1,
                     )
                 )
-        # block interlacing needs identical tile grids; a container with
-        # overview levels mixes grid sizes -> fall back to per-image order
-        # (matches MuCOG, which interlaces within a zoom level only).
+        # block interlacing needs identical tile grids AND a single zoom
+        # level: MuCOG interlaces within a zoom level only, so the presence
+        # of any overview IFD forces per-image order even when tile counts
+        # coincide (e.g. one block per level).  subfile_type in the key
+        # makes overview/full-res grids distinct.
         grids = {
-            (-(-im.bands.shape[2] // n), -(-im.bands.shape[1] // n), im.bands.shape[0])
+            (
+                -(-im.bands.shape[2] // n),
+                -(-im.bands.shape[1] // n),
+                im.bands.shape[0],
+                im.subfile_type,
+            )
             for im in images
         }
-        order = tile_order if len(images) > 1 and len(grids) == 1 else "image"
+        all_full_res = all(im.subfile_type == 0 for im in images)
+        order = (
+            tile_order
+            if len(images) > 1 and len(grids) == 1 and all_full_res
+            else "image"
+        )
         data = write_tiff(
             images, tile_size=(n, n), compression=compression, tile_order=order
         )

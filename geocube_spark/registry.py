@@ -181,10 +181,17 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:
         # ts may surface as TIMESTAMP_NTZ depending on the reader conf at
-        # session-build time; normalize before unix_micros (which requires
-        # a zoned TIMESTAMP).
+        # session-build time.  Derive ts_ns with timestampdiff over NTZ
+        # values directly: a cast to zoned TIMESTAMP would interpret the
+        # wall-clock in spark.sql.session.timeZone, making ts_ns differ
+        # between sessions (the bigint branch above is timezone-fixed).
         ev = ev.withColumn(
-            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+            "ts_ns",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+                " CAST(ts AS TIMESTAMP_NTZ)) * 1000"
+            ),
         )
     return ev
 
@@ -2987,10 +2994,12 @@ def gopher_quality_filter(spark, sf_dir):
     from functools import reduce
     from operator import and_
 
-    from geocube_spark.functions.text import gopher_flags
+    from geocube_spark.functions.text import _toks, gopher_flags_toks
 
-    d = _docs(spark, sf_dir)
-    flags = gopher_flags(F.col("text"))
+    # tokenize ONCE per row; the gates share the array column (the regex
+    # split dominates and HOF expressions sit outside codegen CSE)
+    d = _docs(spark, sf_dir).select("source", _toks(F.col("text")).alias("toks"))
+    flags = gopher_flags_toks(F.col("toks"))
     keep = reduce(and_, flags.values())
     sel = d.select(
         "source", keep.alias("keep"), *[v.alias(k) for k, v in flags.items()]
@@ -3031,22 +3040,24 @@ def _repetition_oracle() -> str:
 @q("repetition_profile", _repetition_oracle())
 def repetition_profile(spark, sf_dir):
     from geocube_spark.functions.text import (
-        adjacent_duplicate_fraction,
-        mean_word_length,
-        repeated_bigram_fraction,
-        type_token_ratio,
+        _toks,
+        adjacent_duplicate_fraction_toks,
+        mean_word_length_toks,
+        repeated_bigram_fraction_toks,
+        type_token_ratio_toks,
     )
 
-    d = _docs(spark, sf_dir)
-    t = F.col("text")
+    # tokenize ONCE per row; all four metrics share the array column
+    d = _docs(spark, sf_dir).select("lang", _toks(F.col("text")).alias("toks"))
+    t = F.col("toks")
     return (
         d.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg(type_token_ratio(t)), 4).alias("avg_ttr"),
-            F.round(F.avg(adjacent_duplicate_fraction(t)), 4).alias("avg_adj_dup"),
-            F.round(F.avg(repeated_bigram_fraction(t)), 4).alias("avg_rep_bigram"),
-            F.round(F.avg(mean_word_length(t)), 4).alias("avg_word_len"),
+            F.round(F.avg(type_token_ratio_toks(t)), 4).alias("avg_ttr"),
+            F.round(F.avg(adjacent_duplicate_fraction_toks(t)), 4).alias("avg_adj_dup"),
+            F.round(F.avg(repeated_bigram_fraction_toks(t)), 4).alias("avg_rep_bigram"),
+            F.round(F.avg(mean_word_length_toks(t)), 4).alias("avg_word_len"),
         )
         .orderBy("lang")
     )
@@ -3095,34 +3106,38 @@ def _job_replay_oracle() -> str:
 
 @q("job_state_replay", _job_replay_oracle())
 def job_state_replay(spark, sf_dir):
+    # Spark side folds integer state/event codes through a struct
+    # accumulator (CaseKeyWhen event dispatch + int compares); the DuckDB
+    # oracle above folds the same arc tables through the portable packed-
+    # string variant (list_reduce requires acc type == element type there).
     from geocube_spark.streaming.jobs import (
-        replay_event_sql,
-        replay_init_sql,
-        replay_merge_sql,
+        replay_event_int_sql,
+        replay_init_int_sql,
+        replay_merge_int_sql,
+        replay_state_name_sql,
     )
 
     ev = read_events(spark, sf_dir).select("event_id")
     jobs = ev.select(
         (F.col("event_id") % 64).alias("job_id"),
         F.col("event_id").alias("seq"),
-        F.expr(replay_event_sql("event_id")).alias("evt"),
+        F.expr(replay_event_int_sql("event_id")).alias("evt"),
     )
     return (
         jobs.groupBy("job_id")
         .agg(F.expr("transform(array_sort(collect_list(struct(seq, evt))), e -> e.evt)").alias("evs"))
         .withColumn("exec_level", F.col("job_id") % 5)
-        .withColumn("jt", F.expr("CASE WHEN job_id % 2 = 0 THEN 'C' ELSE 'D' END"))
         .withColumn(
             "fin",
             F.expr(
-                f"aggregate(evs, {replay_init_sql('exec_level', 'jt')},"
-                f" (acc, x) -> {replay_merge_sql()})"
+                f"aggregate(evs, {replay_init_int_sql('exec_level', 'job_id % 2')},"
+                f" (acc, x) -> {replay_merge_int_sql()})"
             ),
         )
         .select(
             "job_id",
-            F.expr("split_part(fin, '#', 1)").alias("final_state"),
-            F.expr("CAST(split_part(fin, '#', 2) AS INT)").alias("waiting"),
+            F.expr(replay_state_name_sql("fin.s")).alias("final_state"),
+            F.col("fin.w").alias("waiting"),
         )
         .orderBy("job_id")
     )

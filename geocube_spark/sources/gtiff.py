@@ -382,8 +382,33 @@ def read_tiff(data: bytes) -> list[TiffImage]:
 
 def header_size(data: bytes) -> int:
     """First tile byte — everything before it is IFD structure.  The COG
-    contract is that this prefix is small and contiguous."""
-    first = min(
-        off for img in read_tiff(data) for off in img.tile_offsets
-    )
+    contract is that this prefix is small and contiguous.
+
+    Walks only the IFD chain and TileOffsets arrays; never touches (much
+    less decompresses) tile payloads, so it is O(header) not O(container).
+    """
+    if data[:4] != b"II\x2a\x00":
+        raise ValueError("not a little-endian classic TIFF")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    first: int | None = None
+    while ifd_off:
+        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        for i in range(n_entries):
+            tag, ftype, count, raw = struct.unpack_from(
+                "<HHI4s", data, ifd_off + 2 + 12 * i
+            )
+            if tag != _TILE_OFFSETS:
+                continue
+            size = _TYPE_SIZE[ftype] * count
+            if size <= 4:
+                buf = raw[:size]
+            else:
+                (off,) = struct.unpack("<I", raw)
+                buf = data[off : off + size]
+            offsets = struct.unpack(f"<{count}{_TYPE_FMT[ftype]}", buf)
+            lo = min(offsets)
+            first = lo if first is None else min(first, lo)
+        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n_entries)
+    if first is None:
+        raise ValueError("no tiled IFDs")
     return first

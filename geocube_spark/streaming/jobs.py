@@ -299,6 +299,92 @@ def replay_init_sql(exec_level_sql: str, type_sql: str) -> str:
     )
 
 
+# --- Spark-side integer-coded variant ------------------------------------
+# Semantically identical to the string fold above (same arc tables, same
+# precedence), but built for Spark's `aggregate`, whose accumulator type —
+# unlike DuckDB's list_reduce — may differ from the element type:
+#   * states and events are dense integer codes, so every branch test is an
+#     int compare instead of a UTF8String equals;
+#   * the accumulator is struct<s,w,l,t int> — field access, no split_part
+#     re-parse (the string fold costs ~100 splits per event: ≈45 branches ×
+#     up to 4 split_parts each);
+#   * the outer dispatch is `CASE x WHEN <eid> ...` (CaseKeyWhen): the key
+#     is evaluated once and compared down ~20 ints, then an inner CASE with
+#     only that event's 2-4 arcs runs — versus ~45 compound conditions.
+# The oracle keeps the portable string fold; parity between the two is
+# pinned by the driver's value-hash compare and the job-machine tests.
+
+STATE_NAMES: list[str] = sorted(JOB_STATE_INFO)
+STATE_ID: dict[str, int] = {s: i for i, s in enumerate(STATE_NAMES)}
+EVENT_NAMES: list[str] = sorted(
+    {e for arcs in (CONSOLIDATION_ARCS, DELETION_ARCS) for (_s, e) in arcs}
+    | set(REPLAY_EVENT_MIX)
+)
+EVENT_ID: dict[str, int] = {e: i for i, e in enumerate(EVENT_NAMES)}
+
+
+def replay_event_int_sql(event_id_sql: str) -> str:
+    """Same LCG synthesis as replay_event_sql, but emits the integer event
+    code via a constant-folded array literal instead of a 32-way CASE."""
+    mix = f"(({event_id_sql}) * 1103515245 + 12345) % 2147483648"
+    idx = f"CAST(FLOOR(({mix}) / 65536.0) AS INT) % {len(REPLAY_EVENT_MIX)}"
+    codes = ", ".join(str(EVENT_ID[name]) for name in REPLAY_EVENT_MIX)
+    return f"element_at(array({codes}), ({idx}) + 1)"
+
+
+def replay_merge_int_sql() -> str:
+    """Fold lambda body over acc: struct<s int, w int, l int, t int>
+    (t: 0 = consolidation, 1 = deletion)."""
+    def nxt_struct(nxt: str) -> str:
+        lvl = JOB_STATE_INFO[nxt][0]
+        return (
+            f"named_struct('s', {STATE_ID[nxt]},"
+            f" 'w', IF(acc.l >= {lvl}, 1, 0), 'l', acc.l, 't', acc.t)"
+        )
+
+    # group arcs by event: outer CaseKeyWhen on x, inner CASE on (t, s)
+    by_event: dict[str, list[str]] = {}
+    for t_code, arcs in ((0, CONSOLIDATION_ARCS), (1, DELETION_ARCS)):
+        for (state, event), (nxt, only_waiting) in arcs.items():
+            guard = " AND acc.w = 1" if only_waiting else ""
+            by_event.setdefault(event, []).append(
+                f"WHEN acc.t = {t_code} AND acc.s = {STATE_ID[state]}{guard}"
+                f" THEN {nxt_struct(nxt)}"
+            )
+
+    noop_ids = ", ".join(
+        str(STATE_ID[s]) for s, (_lvl, rf) in sorted(JOB_STATE_INFO.items()) if rf
+    )
+    whens = [
+        f"WHEN {EVENT_ID['Continue']} THEN IF(acc.w = 1,"
+        " named_struct('s', acc.s, 'w', 0, 'l', acc.l, 't', acc.t), acc)"
+    ]
+    for event in sorted(by_event, key=lambda e: EVENT_ID[e]):
+        if event == "Continue":
+            continue  # Continue has no arcs; handled above
+        inner = " ".join(by_event[event])
+        if event == "RetryForced":
+            # precedence 2: RetryForced on a retry_forced state is a no-op
+            inner = f"WHEN acc.s IN ({noop_ids}) THEN acc " + inner
+        whens.append(f"WHEN {EVENT_ID[event]} THEN CASE {inner} ELSE acc END")
+    return "CASE x " + " ".join(whens) + " ELSE acc END"
+
+
+def replay_init_int_sql(exec_level_sql: str, type_code_sql: str) -> str:
+    """type_code_sql: 0 = consolidation, 1 = deletion."""
+    lvl = JOB_STATE_INFO["NEW"][0]
+    return (
+        f"named_struct('s', {STATE_ID['NEW']},"
+        f" 'w', IF({exec_level_sql} >= {lvl}, 1, 0),"
+        f" 'l', CAST({exec_level_sql} AS INT), 't', CAST({type_code_sql} AS INT))"
+    )
+
+
+def replay_state_name_sql(state_id_sql: str) -> str:
+    names = ", ".join(f"'{s}'" for s in STATE_NAMES)
+    return f"element_at(array({names}), ({state_id_sql}) + 1)"
+
+
 def replay_event_sql(event_id_sql: str) -> str:
     """Deterministic, engine-portable event synthesis: high bits of an LCG
     over event_id index REPLAY_EVENT_MIX.  High bits (not low) because both
