@@ -441,3 +441,106 @@ def simhash_near_duplicates(
     # the pair's Hamming distance is the same in every rotation it collides
     # in; min() just picks the one copy
     return pairs.groupBy("doc_a", "doc_b").agg(F.min("hamming").alias("hamming"))
+
+
+# ------------------------------------------------------------- components
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph -> per-doc
+    cluster labels (component id = smallest doc_id in the component).
+
+    The pair producers (minhash/simhash/embedding near-dup joins) emit
+    *edges*; dedup policy needs *clusters* ("keep one doc per component").
+    This is the alternating large-star / small-star algorithm (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14): each
+    round reattaches nodes to the minimum of their neighborhood, and the
+    edge set converges to stars centered on component minima in
+    O(log n) rounds — NOT O(diameter) like naive min-label propagation, so
+    chain-shaped duplicate clusters (crawl mirrors) don't serialize.
+
+    Spark shape per round: two hash-shuffle groupBys (the per-node min) +
+    one distinct; no collect_set adjacency lists, so a hot node (a doc
+    paired with millions) never materializes its neighborhood in one task
+    — its edges stay spread across partitions and only its min survives
+    the agg.  Driver sees ONE scalar (count, checksum) per round for the
+    convergence test; lineage is cut per round with localCheckpoint (at
+    cluster scale: spark.sparkContext.setCheckpointDir + .checkpoint()).
+
+    Returns (node, component, component_size), one row per distinct doc id
+    appearing in ``pairs``.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(
+            F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        d = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        leaves = (
+            d.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        centers = mins.select(F.col("u"), F.col("m").alias("v"))
+        return leaves.union(centers).where(F.col("u") != F.col("v")).distinct()
+
+    def signature(e: DataFrame):
+        # bit_xor (not sum): order-insensitive and cannot overflow ANSI longs
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("chk"),
+        ).collect()[0]
+        return row["n"], row["chk"]
+
+    edges = edges.localCheckpoint(eager=True)
+    prev = signature(edges)
+    for _ in range(max_iter):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # converged edges are stars on component minima: label(n) = least(n, min
+    # neighbor) — the center keeps itself, every leaf sees the center
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("component")
+    )
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    # plain shuffle join: at scale there can be ~as many components as docs,
+    # so the size side is NOT broadcastable
+    return (
+        labels.select(F.col("u").alias("node"), "component")
+        .join(sizes, "component")
+        .select("node", "component", "component_size")
+    )

@@ -445,3 +445,87 @@ def embedding_near_duplicates(
         # same float64 GEMM value in each, max() just picks the one copy
         out = out.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     return out
+
+
+# ----------------------------------------------------------- persisted IVF
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    index_path: str,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize the IVF layout: cluster id as a PERSISTED PARTITION
+    COLUMN (``index_path/cluster=N/``), centroids in a small sidecar JSON.
+
+    This is the real deployment shape the on-the-fly ``ivf_topk`` docstring
+    promises: assignment (one GEMM per Arrow batch) is paid ONCE at index
+    build; every query then probes ``nprobe`` clusters as a partition-pruned
+    scan — the FileSourceScan's PartitionFilters eliminate non-probed
+    directories before any IO, so a 1000-executor probe touches
+    nprobe/n_clusters of the files regardless of corpus size.  Rebuild (or
+    incrementally append — new rows are assigned with the same frozen
+    centroids) when drift degrades recall.
+    """
+    import json
+    import os
+
+    cents = centroids if centroids is not None else kmeans_centroids(
+        embeddings, n_clusters, vec_col, seed=seed
+    )
+    assigned = embeddings.withColumn(
+        "cluster", ivf_assign_udf(cents)(F.col(vec_col))
+    )
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(index_path)
+    with open(_centroids_sidecar(index_path), "w") as f:
+        json.dump(cents, f)
+    return cents
+
+
+def _centroids_sidecar(index_path: str) -> str:
+    # sibling file, NOT inside the partitioned dir (the parquet reader
+    # would otherwise try to parse it)
+    return index_path.rstrip("/") + ".centroids.json"
+
+
+def ivf_load_centroids(index_path: str) -> list[list[float]]:
+    import json
+
+    with open(_centroids_sidecar(index_path)) as f:
+        return json.load(f)
+
+
+def probe_clusters(
+    centroids: list[list[float]], query_vec: list[float], nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cluster ids nearest the query (driver-side: the
+    centroid matrix is tiny by construction)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d2)[:nprobe]]
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k over a persisted IVF index: probe-cluster selection on the
+    driver (tiny centroid matrix), then a partition-pruned scan of only the
+    probed ``cluster=N`` directories + per-partition partial top-k."""
+    probe = probe_clusters(ivf_load_centroids(index_path), query_vec, nprobe)
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(index_path).filter(F.col("cluster").isin(probe))
+    return (
+        df.select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )

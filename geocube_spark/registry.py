@@ -950,6 +950,36 @@ def minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+def _components_oracle() -> str:
+    """Ground-truth clusters via DuckDB's recursive CTE over the SAME exact
+    jaccard>=0.5 pair graph the Spark side feeds to the large-star/small-star
+    algorithm — transitive closure checked value-for-value."""
+    jacc = _ngram_jaccard_sql(0.5, select="SELECT doc_a, doc_b")
+    return f"""
+    WITH RECURSIVE p AS ({jacc}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS node, min(lbl) AS component FROM reach GROUP BY u)
+    SELECT node, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+    FROM lab ORDER BY node
+    """
+
+
+@q("dedup_components", _components_oracle())
+def dedup_components(spark, sf_dir):
+    """Near-dup pair graph -> transitive duplicate clusters (the step between
+    pair detection and 'keep one per cluster').  Alternating large-star /
+    small-star rounds, O(log n) convergence; see
+    dedup.connected_components."""
+    pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=3, threshold=0.5)
+    return dd.connected_components(pairs).orderBy("node")
+
+
 @q("minhash_near_duplicates", _ngram_jaccard_sql(0.5))
 def minhash_near_duplicates(spark, sf_dir):
     """LSH candidates + exact-Jaccard verification >= 0.5.  Because banding
@@ -1166,6 +1196,59 @@ def embedding_ivf_topk(spark, sf_dir):
         F.coalesce(F.sum(F.when(F.col("_m").isNull(), 1)), F.lit(0))
         .cast("long")
         .alias("n_score_mismatch"),
+    )
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the persisted IVF layout once per SF: cluster id as a
+    partition column + centroid sidecar (similarity.ivf_build_index)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    out = os.path.join(FIXTURE_DIR, f"ivf_index_{tag}")
+    if not os.path.exists(sim._centroids_sidecar(out)):
+        sim.ivf_build_index(_emb(spark, sf_dir), out, n_clusters=8)
+    return out
+
+
+@q(
+    "embedding_ivf_indexed",
+    """
+    SELECT CAST(20 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS n_exact_hits,
+           CAST(0 AS BIGINT) AS n_probed_clusters_gt
+    FROM (SELECT 1)
+    """,
+)
+def embedding_ivf_indexed(spark, sf_dir):
+    """IVF ANN over the PERSISTED index (cluster = partition column, probe =
+    partition-pruned scan of 3 of 8 directories).  Same frozen quantizer as
+    embedding_ivf_topk, so the result set — and recall@20 = 15/20 vs the
+    exact ranking — must be identical to the on-the-fly variant; the third
+    column asserts the probe read at most nprobe distinct clusters (files
+    outside the probed partitions are pruned before IO)."""
+    idx = ensure_ivf_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qv = list(qrow["embedding"])
+    ivf = sim.ivf_topk_indexed(spark, idx, qv, k=20, nprobe=3).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    exact_all = sim.brute_force_topk(emb, qv, k=20)
+    probed = (
+        spark.read.parquet(idx)
+        .filter(F.col("cluster").isin(
+            [int(c) for c in sim.probe_clusters(sim.ivf_load_centroids(idx), qv, 3)]
+        ))
+        .agg(F.count_distinct("cluster").alias("nc"))
+    )
+    flagged = ivf.join(
+        exact_all.select("vec_id").withColumn("_h", F.lit(1)), ["vec_id"], "left"
+    )
+    return flagged.crossJoin(F.broadcast(probed)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_exact_hits"),
+        F.coalesce(F.sum(F.when(F.col("nc") > 3, 1)), F.lit(0))
+        .cast("long")
+        .alias("n_probed_clusters_gt"),
     )
 
 

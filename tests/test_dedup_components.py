@@ -1,0 +1,87 @@
+"""connected_components (large-star/small-star) vs a brute-force union-find."""
+
+import random
+
+import pytest
+
+from geocube_spark.operators.dedup import connected_components
+
+
+def _union_find(n_nodes, edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for u, v in edges:
+        for x in (u, v):
+            comp[x] = find(x)
+    # normalize: component id = min node in component
+    roots = {}
+    for x, r in comp.items():
+        roots.setdefault(find(r), []).append(x)
+    out = {}
+    for members in roots.values():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(
+        [(int(u), int(v)) for u, v in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in connected_components(df).collect()
+    }
+    want = _union_find(None, edges)
+    sizes = {}
+    for x, c in want.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    assert set(got) == set(want)
+    for x in want:
+        assert got[x] == (want[x], sizes[want[x]]), (x, got[x], want[x])
+
+
+def test_components_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 200
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(150)
+        ]
+        edges = [(u, v) for u, v in edges if u != v]
+        _check(spark, edges)
+
+
+def test_components_long_chain(spark):
+    # a 100-node path: diameter 99, but star rounds converge in O(log n)
+    edges = [(i, i + 1) for i in range(100)]
+    _check(spark, edges)
+
+
+def test_components_two_cliques_and_bridge(spark):
+    a = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    b = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+    _check(spark, a + b)
+    _check(spark, a + b + [(4, 10)])  # bridged: one component
+
+
+def test_components_empty(spark):
+    df = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_components_self_loop_ignored(spark):
+    _check(spark, [(1, 1), (1, 2), (3, 3), (3, 4)])
