@@ -160,3 +160,72 @@ class TestValidShapePerCell:
         # union envelope (-2,1,12,6) clamped to cell (0,0,10,10)
         assert (r["v_xmin"], r["v_ymin"], r["v_xmax"], r["v_ymax"]) == (0.0, 1.0, 10.0, 6.0)
         assert r["n_datasets"] == 2
+
+
+class TestStreamingDedup:
+    @pytest.fixture(scope="class")
+    def dup_docs(self, spark):
+        rows = [
+            (0, "alpha beta gamma"),
+            (1, "alpha  beta   gamma"),  # whitespace-normalized dup of 0
+            (2, "unique text one"),
+            (3, "ALPHA BETA GAMMA"),  # case-normalized dup of 0
+            (4, "unique text two"),
+            (5, "unique text one"),  # dup of 2
+        ]
+        return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def test_batch_twin(self, dup_docs):
+        from geocube_spark.streaming.dedup_stream import dedup_first_seen_batch
+
+        kept = sorted(r["doc_id"] for r in dedup_first_seen_batch(dup_docs).collect())
+        assert kept == [0, 2, 4]
+
+    def _run_stream(self, spark, src_dir, ckpt, name, max_files=None):
+        from geocube_spark.streaming.dedup_stream import dedup_stream
+
+        schema = spark.read.parquet(src_dir).schema
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        out = dedup_stream(reader.parquet(src_dir))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}").collect()
+
+    def test_stream_single_batch_equals_batch_twin(self, spark, dup_docs, tmp_path):
+        from geocube_spark.streaming.dedup_stream import dedup_first_seen_batch
+
+        src = str(tmp_path / "docs")
+        dup_docs.coalesce(1).write.parquet(src)
+        got = self._run_stream(spark, src, str(tmp_path / "ck1"), "dedup_out1")
+        want = dedup_first_seen_batch(dup_docs).collect()
+        assert {(r["doc_id"], r["fingerprint"]) for r in got} == {
+            (r["doc_id"], r["fingerprint"]) for r in want
+        }
+
+    def test_cross_batch_duplicates_suppressed(self, spark, dup_docs, tmp_path):
+        # one file per micro-batch: dups arriving in LATER batches hit
+        # existing state and are dropped
+        src = str(tmp_path / "docs_split")
+        first = dup_docs.filter("doc_id <= 1").coalesce(1)
+        rest = dup_docs.filter("doc_id > 1").coalesce(1)
+        first.write.parquet(src)
+        rest.write.mode("append").parquet(src)
+        got = self._run_stream(
+            spark, src, str(tmp_path / "ck2"), "dedup_out2", max_files=1
+        )
+        fps = [r["fingerprint"] for r in got]
+        assert len(fps) == len(set(fps)) == 3  # one emission per fingerprint
+        # every emitted doc is a member of its batch-twin group
+        from geocube_spark.streaming.dedup_stream import dedup_first_seen_batch
+
+        want_fps = {r["fingerprint"] for r in dedup_first_seen_batch(dup_docs).collect()}
+        assert set(fps) == want_fps
