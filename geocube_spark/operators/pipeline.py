@@ -86,3 +86,81 @@ def dedup_report(documents: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("fp").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_duplicates"),
     )
+
+
+def mixture_resample(
+    documents: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Downsample per-source so the kept corpus matches a target mixture
+    (the Dolma/DataComp "mixing weights" step: N web : M code : K books).
+
+    Only DOWN-samples: the achievable total is T = min_s floor(n_s·W/w_s)
+    (W = Σ weights) — the largest corpus where no source would need
+    upsampling; source s keeps cutoff_s = floor(256·w_s·T / (W·n_s)) of
+    its 256 md5 buckets.  All arithmetic is INTEGER (exact in any engine)
+    and the keep rule is the deterministic md5-threshold predicate, so a
+    retry, a different partition layout, or a different engine keeps
+    byte-identical rows.
+
+    Plan: one broadcast join against the per-source cutoff table (a
+    #sources-row aggregate — never collected to the driver), one filter;
+    the corpus is scanned once for counts and once for the filter.
+    Sources absent from ``weights`` are dropped (weight 0).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty map of positive ints")
+    W = int(sum(weights.values()))
+    w_df = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            sorted((s, int(w)) for s, w in weights.items()),
+            f"{source_col} string, wt long",
+        )
+    )
+    counts = (
+        documents.join(w_df, source_col)
+        .groupBy(source_col, "wt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = counts.agg(F.min(F.expr(f"n * {W} div wt")).alias("T"))
+    plan = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cutoff",
+            F.least(F.lit(256), F.expr(f"256 * wt * T div ({W} * n)")).cast("int"),
+        )
+        .select(source_col, "cutoff")
+    )
+    keep = (F.col("cutoff") >= 256) | (
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 2)
+        < F.lower(F.format_string("%02x", F.col("cutoff")))
+    )
+    return documents.join(F.broadcast(plan), source_col).filter(keep).drop("cutoff")
+
+
+def mixture_report(
+    documents: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source before/after counts for a mixture_resample run."""
+    before = documents.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = (
+        mixture_resample(documents, weights, source_col, key_col)
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        before.join(after, source_col)
+        .select(
+            F.col(source_col),
+            F.col("n_before").cast("long"),
+            F.col("n_kept").cast("long"),
+        )
+        .orderBy(source_col)
+    )

@@ -3007,6 +3007,51 @@ def stratified_sample_q(spark, sf_dir):
     )
 
 
+# Mixture resampling to target source weights.  The achievable-total and
+# per-source cutoffs are INTEGER arithmetic, so both engines agree exactly;
+# the keep rule is the shared md5-threshold predicate.
+_MIX_WEIGHTS = {"src0": 4, "src1": 2, "src2": 1, "src3": 1}
+
+
+def _mixture_oracle() -> str:
+    W = sum(_MIX_WEIGHTS.values())
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(_MIX_WEIGHTS.items()))
+    return f"""
+    WITH w(source, wt) AS (SELECT * FROM (VALUES {vals})),
+    c AS (
+        SELECT d.source, wt, CAST(count(*) AS BIGINT) AS n
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source, wt
+    ),
+    t AS (SELECT min(n * {W} // wt) AS T FROM c),
+    plan AS (
+        SELECT source, wt, n,
+               least(256, 256 * wt * (SELECT T FROM t) // ({W} * n)) AS cutoff
+        FROM c
+    ),
+    kept AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept
+        FROM documents d JOIN plan p ON d.source = p.source
+        WHERE p.cutoff >= 256
+           OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', p.cutoff)
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n AS n_before, k.n_kept
+    FROM plan p JOIN kept k ON p.source = k.source
+    ORDER BY p.source
+    """
+
+
+@q("mixture_resample", _mixture_oracle())
+def mixture_resample_q(spark, sf_dir):
+    from geocube_spark.operators.pipeline import mixture_report
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("source").isin(sorted(_MIX_WEIGHTS))
+    )
+    return mixture_report(docs, _MIX_WEIGHTS)
+
+
 # The full curation chain as ONE plan: quality gate -> lang filter -> exact
 # dedup keep-first -> per-language token budget.
 @q(
