@@ -452,13 +452,13 @@ def consolidate_to_mucog(
                         .reshape(n, n)
                         .astype(dtype)
                     )
-                # pyramid.build_level carries the level-0 pix_to_crs on
-                # overview rows; one overview-level-L pixel covers 2^L
-                # level-0 pixels, so scale the affine (and the block-origin
-                # shift, which is in level-L pixels) accordingly — else the
-                # written ModelPixelScale/ModelTiepoint would be wrong on
-                # overview IFDs (GDAL's cog.go simply omits them there).
-                s = float(2 ** (int(lvl) - min_lvl))
+                # pyramid.build_level carries the LEVEL-0 pix_to_crs on
+                # every overview row; one overview-level-L pixel covers 2^L
+                # level-0 pixels, so the scale is 2^lvl relative to that
+                # fixed base — NOT 2^(lvl - min_lvl): a container holding
+                # only levels >= 1 (no full-res rows) would otherwise have
+                # every transform under-scaled by 2^min_lvl.
+                s = float(2 ** int(lvl))
                 images.append(
                     RasterImage(
                         bands=arr,

@@ -6,7 +6,7 @@ Catalyst plan (no materialization between stages).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from geocube_spark.functions.text import normalized_md5, quality_score, token_count
@@ -107,29 +107,44 @@ def mixture_resample(
 
     Plan: one broadcast join against the per-source cutoff table (a
     #sources-row aggregate — never collected to the driver), one filter;
-    the corpus is scanned once for counts and once for the filter.
-    Sources absent from ``weights`` are dropped (weight 0).
+    the corpus is scanned once for counts and once for the filter.  The
+    global T = min over sources is a single-partition window over the
+    #sources-row counts table (O(#sources) rows — no broadcast-nested-loop
+    join, the plan-audit hard rule stays strict).
+    Sources absent from ``weights`` are dropped (weight 0).  A source
+    present in ``weights`` but with ZERO matching rows forces T = 0 (the
+    correct achievable total — nothing can be kept without upsampling it),
+    rather than being silently ignored.
     """
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty map of positive ints")
     W = int(sum(weights.values()))
-    w_df = F.broadcast(
-        documents.sparkSession.createDataFrame(
-            sorted((s, int(w)) for s, w in weights.items()),
-            f"{source_col} string, wt long",
-        )
+    w_df = documents.sparkSession.createDataFrame(
+        sorted((s, int(w)) for s, w in weights.items()),
+        f"{source_col} string, wt long",
     )
-    counts = (
-        documents.join(w_df, source_col)
-        .groupBy(source_col, "wt")
+    doc_counts = (
+        documents.join(F.broadcast(w_df.select(source_col)), source_col)
+        .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    t = counts.agg(F.min(F.expr(f"n * {W} div wt")).alias("T"))
+    # weights ⟕ counts so a weighted-but-empty source survives with n = 0
+    counts = (
+        w_df.join(doc_counts, source_col, "left")
+        .withColumn("n", F.coalesce(F.col("n"), F.lit(0)))
+    )
+    everything = Window.partitionBy()
     plan = (
-        counts.crossJoin(F.broadcast(t))
+        counts.withColumn(
+            "T", F.min(F.expr(f"n * {W} div wt")).over(everything)
+        )
         .withColumn(
             "cutoff",
-            F.least(F.lit(256), F.expr(f"256 * wt * T div ({W} * n)")).cast("int"),
+            F.when(F.col("n") == 0, F.lit(0))
+            .otherwise(
+                F.least(F.lit(256), F.expr(f"256 * wt * T div ({W} * n)"))
+            )
+            .cast("int"),
         )
         .select(source_col, "cutoff")
     )

@@ -457,6 +457,7 @@ def ivf_build_index(
     id_col: str = "vec_id",
     seed: int = 42,
     centroids: list[list[float]] | None = None,
+    meta: dict | None = None,
 ) -> list[list[float]]:
     """Materialize the IVF layout: cluster id as a PERSISTED PARTITION
     COLUMN (``index_path/cluster=N/``), centroids in a small sidecar JSON.
@@ -471,7 +472,6 @@ def ivf_build_index(
     centroids) when drift degrades recall.
     """
     import json
-    import os
 
     cents = centroids if centroids is not None else kmeans_centroids(
         embeddings, n_clusters, vec_col, seed=seed
@@ -480,8 +480,10 @@ def ivf_build_index(
         "cluster", ivf_assign_udf(cents)(F.col(vec_col))
     )
     assigned.write.partitionBy("cluster").mode("overwrite").parquet(index_path)
-    with open(_centroids_sidecar(index_path), "w") as f:
-        json.dump(cents, f)
+    sidecar = {"centroids": cents, "meta": dict(meta or {})}
+    _fs_write_text(
+        embeddings.sparkSession, _centroids_sidecar(index_path), json.dumps(sidecar)
+    )
     return cents
 
 
@@ -491,11 +493,64 @@ def _centroids_sidecar(index_path: str) -> str:
     return index_path.rstrip("/") + ".centroids.json"
 
 
-def ivf_load_centroids(index_path: str) -> list[list[float]]:
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Write a small text file through Spark's Hadoop FileSystem layer so
+    the sidecar lands NEXT TO the parquet index on any supported scheme
+    (s3a://, gs://, hdfs://, file:/) — not silently on driver-local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark, path: str) -> str:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(path)
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 65536, True)
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def ivf_sidecar_exists(index_path: str) -> bool:
+    try:
+        ivf_load_sidecar(index_path)
+        return True
+    except (FileNotFoundError, OSError):
+        return False
+
+
+def ivf_load_sidecar(index_path: str) -> dict:
+    """Full sidecar: {"centroids": [...], "meta": {...}}.  Reads through the
+    Hadoop FS layer when a SparkSession is active (remote schemes work);
+    falls back to a plain local open otherwise.  Pre-r5 sidecars that were a
+    bare centroid list are promoted to the dict shape with empty meta."""
     import json
 
-    with open(_centroids_sidecar(index_path)) as f:
-        return json.load(f)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    path = _centroids_sidecar(index_path)
+    if spark is not None:
+        raw = _fs_read_text(spark, path)
+    else:
+        with open(path) as f:
+            raw = f.read()
+    obj = json.loads(raw)
+    if isinstance(obj, list):
+        return {"centroids": obj, "meta": {}}
+    return obj
+
+
+def ivf_load_centroids(index_path: str) -> list[list[float]]:
+    return ivf_load_sidecar(index_path)["centroids"]
 
 
 def probe_clusters(

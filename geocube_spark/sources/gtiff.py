@@ -34,12 +34,13 @@ _NEW_SUBFILE_TYPE = 254
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
-_COMPRESSION = 259  # 1 = none, 8 = deflate (zlib)
+_COMPRESSION = 259  # 1 = none, 5 = LZW, 8 = deflate (zlib)
 _PHOTOMETRIC = 262  # 1 = BlackIsZero
 _SAMPLES_PER_PIXEL = 277
 _PLANAR_CONFIG = 284  # 1 = chunky, 2 = planar (per-band planes)
 _TILE_WIDTH = 322
 _TILE_LENGTH = 323
+_PREDICTOR = 317  # 1 = none, 2 = horizontal differencing
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = ieeefp, 6 = complex ieeefp
@@ -141,6 +142,125 @@ def _pack_array(ftype: int, values) -> bytes:
     return struct.pack(f"<{len(values)}{_TYPE_FMT[ftype]}", *values)
 
 
+# ---------------------------------------------------------------- LZW codec
+#
+# TIFF 6.0 §13 LZW: MSB-first bitstream, ClearCode=256, EOI=257, codes start
+# at 9 bits and use "early change" (the code width bumps one entry BEFORE
+# the table index reaches 2^width, i.e. at 510/1022/2046); the table resets
+# at 4094 entries via an explicit ClearCode.  This is what GDAL writes by
+# default (often with predictor 2), so externally-produced COGs ingest
+# byte-level — reference reads them via GDAL (internal/image/image.go:
+# 260-286); we read them with ~80 lines of stdlib.
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 4].ljust(4, b"\x00"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if not table:  # tolerate streams missing the leading ClearCode
+                table = list(base)
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        # early change: the decoder's table lags the encoder's by ONE entry
+        # (the entry for the code just read is added on the NEXT code), so
+        # it widens at 2^w - 2 where the encoder widens at 2^w - 1 —
+        # libtiff's MAXCODE(nbits)-1 decode-side rule
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    cur = 0
+    curbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal cur, curbits
+        cur = (cur << width) | code
+        curbits += width
+        while curbits >= 8:
+            curbits -= 8
+            out.append((cur >> curbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for i in range(len(data)):
+        c = data[i : i + 1]
+        if w + c in table:
+            w = w + c
+            continue
+        emit(table[w], width)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1:  # early change, mirror the decoder
+            if width < 12:
+                width += 1
+            else:
+                emit(_LZW_CLEAR, width)
+                table = {bytes([j]): j for j in range(256)}
+                next_code = 258
+                width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if curbits:
+        out.append((cur << (8 - curbits)) & 0xFF)
+    return bytes(out)
+
+
+def _predict2_encode(tile: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Horizontal differencing (predictor=2) along the pixel-column axis;
+    integer dtypes only, wraparound via the dtype's modular arithmetic."""
+    if tile.dtype.kind not in "ui":
+        raise ValueError("predictor=2 requires an integer dtype")
+    out = tile.copy()
+    sl_hi = [slice(None)] * tile.ndim
+    sl_lo = [slice(None)] * tile.ndim
+    sl_hi[axis] = slice(1, None)
+    sl_lo[axis] = slice(None, -1)
+    out[tuple(sl_hi)] = tile[tuple(sl_hi)] - tile[tuple(sl_lo)]
+    return out
+
+
+def _predict2_decode(tile: np.ndarray, axis: int = -1) -> np.ndarray:
+    if tile.dtype.kind not in "ui":
+        raise ValueError("predictor=2 requires an integer dtype")
+    return np.cumsum(tile, axis=axis, dtype=tile.dtype)
+
+
 @dataclass
 class _PlannedIFD:
     entries: list  # (tag, ftype, count, payload bytes) sorted by tag
@@ -157,6 +277,7 @@ def write_tiff(
     tile_size: tuple[int, int] = (256, 256),
     compression: str = "deflate",
     tile_order: str = "image",
+    predictor: int = 1,
 ) -> bytes:
     """Serialize images into one tiled (Geo)TIFF.
 
@@ -164,18 +285,36 @@ def write_tiff(
     overviews).  tile_order='block': MuCOG interlacing — tile payloads
     ordered (block, image) so one block across all images is contiguous;
     requires every image on the same grid.
+
+    compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec).
+    predictor=2 applies TIFF horizontal differencing before compression
+    (integer dtypes only) — the LZW+predictor combination GDAL emits.
     """
     if not images:
         raise ValueError("no images")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
     tw, th = tile_size
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    if predictor == 2 and comp_code == 1:
+        raise ValueError("predictor=2 requires a compression codec")
 
     planned: list[_PlannedIFD] = []
     for img in images:
         nb, h, w = img.bands.shape
+        dt = img.bands.dtype
         payloads = _cut_tiles(img, tw, th)
+        if predictor == 2:
+            payloads = [
+                _predict2_encode(
+                    np.frombuffer(p, dtype=dt).reshape(th, tw)
+                ).tobytes()
+                for p in payloads
+            ]
         if comp_code == 8:
             payloads = [zlib.compress(p, 6) for p in payloads]
+        elif comp_code == 5:
+            payloads = [lzw_encode(p) for p in payloads]
         bits, fmt = _DTYPE_TIFF[str(img.bands.dtype)]
         entries = [
             (_NEW_SUBFILE_TYPE, _T_LONG, 1, _pack_array(_T_LONG, [img.subfile_type])),
@@ -186,6 +325,7 @@ def write_tiff(
             (_PHOTOMETRIC, _T_SHORT, 1, _pack_array(_T_SHORT, [1])),
             (_SAMPLES_PER_PIXEL, _T_SHORT, 1, _pack_array(_T_SHORT, [nb])),
             (_PLANAR_CONFIG, _T_SHORT, 1, _pack_array(_T_SHORT, [2 if nb > 1 else 1])),
+            (_PREDICTOR, _T_SHORT, 1, _pack_array(_T_SHORT, [predictor])),
             (_TILE_WIDTH, _T_SHORT, 1, _pack_array(_T_SHORT, [tw])),
             (_TILE_LENGTH, _T_SHORT, 1, _pack_array(_T_SHORT, [th])),
             (_TILE_OFFSETS, _T_LONG, len(payloads), b""),  # patched later
@@ -324,6 +464,11 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         nb = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         comp = tags.get(_COMPRESSION, [1])[0]
+        if comp not in (1, 5, 8):
+            raise ValueError(f"unsupported TIFF compression code {comp}")
+        predictor = tags.get(_PREDICTOR, [1])[0]
+        if predictor not in (1, 2):
+            raise ValueError(f"unsupported TIFF predictor {predictor}")
         bits = tags[_BITS_PER_SAMPLE][0]
         fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
         dtype = np.dtype(_TIFF_DTYPE[(bits, fmt)])
@@ -331,23 +476,31 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
         across, down = _tile_grid(w, h, tw, th)
 
+        def _payload(off: int, cnt: int) -> bytes:
+            payload = data[off : off + cnt]
+            if comp == 8:
+                payload = zlib.decompress(payload)
+            elif comp == 5:
+                payload = lzw_decode(payload)
+            return payload
+
         if planar == 2 or nb == 1:
             bands = np.zeros((nb, down * th, across * tw), dtype=dtype)
             for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-                payload = data[off : off + cnt]
-                if comp == 8:
-                    payload = zlib.decompress(payload)
-                tile = np.frombuffer(payload, dtype=dtype).reshape(th, tw)
+                tile = np.frombuffer(_payload(off, cnt), dtype=dtype).reshape(th, tw)
+                if predictor == 2:
+                    tile = _predict2_decode(tile, axis=1)
                 b, rem = divmod(idx, across * down)
                 ty, tx = divmod(rem, across)
                 bands[b, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile
         else:  # chunky multiband
             bands = np.zeros((nb, down * th, across * tw), dtype=dtype)
             for idx, (off, cnt) in enumerate(zip(offsets, counts)):
-                payload = data[off : off + cnt]
-                if comp == 8:
-                    payload = zlib.decompress(payload)
-                tile = np.frombuffer(payload, dtype=dtype).reshape(th, tw, nb)
+                tile = np.frombuffer(_payload(off, cnt), dtype=dtype).reshape(th, tw, nb)
+                if predictor == 2:
+                    # chunky horizontal differencing is per-sample along the
+                    # pixel-column axis (axis 1 of (rows, cols, samples))
+                    tile = _predict2_decode(tile, axis=1)
                 ty, tx = divmod(idx, across)
                 for b in range(nb):
                     bands[b, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile[:, :, b]

@@ -10,6 +10,7 @@ affine footprint agrees with the dataset bbox.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -59,6 +60,110 @@ def validate_datasets_against_tiles(
         .select("id", "container_uri", "band", F.lit("value_out_of_range").alias("problem"))
     )
     return missing.unionByName(out_of_range)
+
+
+def tiff_bytes_to_tile_rows(data: bytes, container_uri: str) -> list[dict]:
+    """Decode one externally-produced (Geo)TIFF (none/deflate/LZW, optional
+    horizontal predictor — the GDAL default COG recipes) into tile-table
+    rows, one per (band, level, block): the byte-level ingest twin of the
+    reference's GDAL open at index time (internal/svc/service.go:270-332,
+    internal/image/image.go:260-286).
+
+    Levels: the full-res IFD (NewSubfileType=0) is level 0; each overview
+    IFD gets level = round(log2(fullres_width / width)).  Pixels are cast
+    to float64 to match the tile-table px column.
+    """
+    import math
+
+    from geocube_spark.sources.gtiff import read_tiff
+
+    images = read_tiff(data)
+    full = [im for im in images if im.subfile_type == 0]
+    if not full:
+        raise ValueError("no full-resolution IFD in TIFF")
+    full_w = full[0].bands.shape[2]
+    rows: list[dict] = []
+    for im in images:
+        nb, h, w = im.bands.shape
+        level = 0 if im.subfile_type == 0 else int(round(math.log2(full_w / w)))
+        # recover the file's own tile grid from the offsets count so block
+        # (x, y) indexes agree with the physical layout the COG was written
+        # with: tiles_per_plane = across × down with ceil(w/tw) == across
+        # and ceil(h/th) == down; prefer the most-square tile shape
+        tiles_per_plane = len(im.tile_offsets) // nb
+        best = None
+        for down_c in range(1, tiles_per_plane + 1):
+            if tiles_per_plane % down_c:
+                continue
+            across_c = tiles_per_plane // down_c
+            tw_c = -(-w // across_c)
+            th_c = -(-h // down_c)
+            if -(-w // tw_c) == across_c and -(-h // th_c) == down_c:
+                cand = (abs(tw_c - th_c), across_c, down_c, tw_c, th_c)
+                if best is None or cand < best:
+                    best = cand
+        if best is None:
+            raise ValueError("cannot infer tile grid from offsets")
+        _, across, down, tw, th = best
+        a, b, c, d, e, f = im.transform
+        for band in range(nb):
+            plane = im.bands[band]
+            for ty in range(down):
+                for tx in range(across):
+                    tile = plane[ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw]
+                    if tile.shape != (th, tw):
+                        pad = im.nodata if im.nodata is not None else 0
+                        fullb = np.full((th, tw), pad, dtype=plane.dtype)
+                        fullb[: tile.shape[0], : tile.shape[1]] = tile
+                        tile = fullb
+                    rows.append(
+                        {
+                            "container_uri": container_uri,
+                            "band": band + 1,
+                            "level": level,
+                            "block_x": tx,
+                            "block_y": ty,
+                            "px": tile.astype("float64").ravel().tolist(),
+                            "crs_srid": im.epsg,
+                            "pix_to_crs": {
+                                "a": a, "b": b, "c": c,
+                                "d": d, "e": e, "f": f,
+                            },
+                        }
+                    )
+    return rows
+
+
+_TILE_ROW_SCHEMA = (
+    "container_uri string, band int, level int, block_x int, block_y int, "
+    "px array<double>, crs_srid int, "
+    "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>"
+)
+
+
+def ingest_tiff_files(binary_df: DataFrame) -> DataFrame:
+    """Distributed COG ingest: ``spark.read.format('binaryFile')`` rows
+    (path, content) → tile-table rows.  One Arrow batch per executor task;
+    each file decodes independently (no shuffle, no driver bytes)."""
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[dict] = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                out.extend(tiff_bytes_to_tile_rows(bytes(content), path))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "container_uri", "band", "level", "block_x", "block_y",
+                    "px", "crs_srid", "pix_to_crs",
+                ],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        decode, _TILE_ROW_SCHEMA
+    )
 
 
 def chunk_bytes(data: bytes, chunk_size: int = 512 * 1024) -> list[bytes]:

@@ -1,0 +1,261 @@
+"""Byte-level (Geo)TIFF sink/source: write_tiff/read_tiff round-trips across
+codecs (none/deflate/LZW ± horizontal predictor), the MuCOG consolidation
+builder, the overview-transform scaling, and external-COG ingest e2e
+through validate_datasets_against_tiles (S4/S5/S6 parity:
+internal/image/image.go:260-450, internal/image/cog.go, mucog.go)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.sources.gtiff import (
+    RasterImage,
+    header_size,
+    lzw_decode,
+    lzw_encode,
+    read_tiff,
+    write_tiff,
+)
+from geocube_spark.sources.ingest import (
+    ingest_tiff_files,
+    tiff_bytes_to_tile_rows,
+    validate_datasets_against_tiles,
+)
+
+
+def _img(seed=0, dtype="uint16", w=70, h=50, nodata=None, epsg=32631, lvl=0):
+    rng = np.random.default_rng(seed)
+    if np.dtype(dtype).kind == "f":
+        arr = rng.random((h, w)).astype(dtype)
+    else:
+        arr = rng.integers(0, np.iinfo(dtype).max, (h, w)).astype(dtype)
+    return RasterImage(
+        bands=arr,
+        transform=(10.0, 0.0, 500000.0, 0.0, -10.0, 4500000.0),
+        epsg=epsg,
+        nodata=nodata,
+        subfile_type=0 if lvl == 0 else 1,
+    )
+
+
+class TestLZWCodec:
+    def test_roundtrip_random(self):
+        rng = np.random.default_rng(7)
+        for n in (0, 1, 5, 256, 4096, 70000):
+            raw = rng.integers(0, 256, n).astype("uint8").tobytes()
+            assert lzw_decode(lzw_encode(raw)) == raw
+
+    def test_roundtrip_compressible(self):
+        raw = b"abcabcabcabc" * 5000 + b"\x00" * 10000
+        enc = lzw_encode(raw)
+        assert lzw_decode(enc) == raw
+        assert len(enc) < len(raw) // 3  # actually compresses
+
+    def test_table_reset_path(self):
+        # > 4094 distinct phrases forces the encoder's ClearCode reset
+        rng = np.random.default_rng(11)
+        raw = rng.integers(0, 256, 300_000).astype("uint8").tobytes()
+        assert lzw_decode(lzw_encode(raw)) == raw
+
+    def test_missing_leading_clear_tolerated(self):
+        # a stream that starts with a literal code instead of ClearCode
+        # (some writers skip it): 9-bit code 65 then EOI
+        import struct
+
+        bits = (65 << (32 - 9)) | (257 << (32 - 18))
+        data = struct.pack(">I", bits)
+        assert lzw_decode(data) == b"A"
+
+
+class TestTiffRoundTrip:
+    @pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int32", "float64"])
+    def test_codec_dtype_roundtrip(self, compression, dtype):
+        img = _img(dtype=dtype, nodata=0.0 if dtype == "float64" else None)
+        data = write_tiff([img], tile_size=(32, 32), compression=compression)
+        [out] = read_tiff(data)
+        np.testing.assert_array_equal(out.bands, img.bands)
+        assert out.transform == img.transform
+        assert out.epsg == 32631
+
+    @pytest.mark.parametrize("compression", ["deflate", "lzw"])
+    @pytest.mark.parametrize("dtype", ["uint8", "uint16", "int16", "uint32"])
+    def test_predictor_roundtrip(self, compression, dtype):
+        img = _img(dtype=dtype)
+        data = write_tiff(
+            [img], tile_size=(32, 32), compression=compression, predictor=2
+        )
+        [out] = read_tiff(data)
+        np.testing.assert_array_equal(out.bands, img.bands)
+
+    def test_predictor_helps_on_smooth_data(self):
+        # a gradient is the predictor's home turf: LZW+pred2 beats plain LZW
+        grad = np.add.outer(
+            np.arange(256, dtype=np.uint16), np.arange(256, dtype=np.uint16)
+        )
+        img = RasterImage(bands=grad, transform=(1.0, 0, 0, 0, -1.0, 0))
+        plain = write_tiff([img], compression="lzw")
+        pred = write_tiff([img], compression="lzw", predictor=2)
+        assert len(pred) < len(plain)
+
+    def test_predictor_rejects_float(self):
+        img = _img(dtype="float64")
+        with pytest.raises(ValueError, match="integer"):
+            write_tiff([img], compression="lzw", predictor=2)
+
+    def test_multiband_planar(self):
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 255, (3, 40, 60)).astype("uint8")
+        img = RasterImage(bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0))
+        data = write_tiff([img], tile_size=(32, 32), compression="lzw", predictor=2)
+        [out] = read_tiff(data)
+        np.testing.assert_array_equal(out.bands, arr)
+
+    def test_cog_header_first(self):
+        imgs = [_img(seed=i) for i in range(3)]
+        data = write_tiff(imgs, tile_size=(32, 32), compression="lzw")
+        hs = header_size(data)
+        assert 0 < hs < len(data) // 4
+        outs = read_tiff(data)
+        assert len(outs) == 3
+
+
+class TestOverviewTransformScale:
+    def _tiles(self, spark, levels, n=8):
+        """Tile rows carrying the LEVEL-0 pix_to_crs on every row, the way
+        pyramid.build_level propagates it."""
+        rows = []
+        for lvl in levels:
+            rows.append(
+                {
+                    "out_container_uri": "c.tif",
+                    "band": 1,
+                    "level": lvl,
+                    "block_x": 0,
+                    "block_y": 0,
+                    "px": [float(i) for i in range(n * n)],
+                    "pix_to_crs": {
+                        "a": 10.0, "b": 0.0, "c": 100.0,
+                        "d": 0.0, "e": -10.0, "f": 200.0,
+                    },
+                    "crs_srid": 32631,
+                }
+            )
+        return spark.createDataFrame(rows)
+
+    def test_full_pyramid_scales_by_2_pow_level(self, spark):
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        out = consolidate_to_mucog(self._tiles(spark, [0, 1, 2])).collect()
+        assert len(out) == 1
+        images = read_tiff(bytes(out[0]["tiff"]))
+        assert [im.subfile_type for im in images] == [0, 1, 1]
+        assert [im.transform[0] for im in images] == [10.0, 20.0, 40.0]
+
+    def test_overview_only_container_not_underscaled(self, spark):
+        """Regression (r4 ADVICE): a container holding only levels >= 1 must
+        still scale each transform by 2**lvl relative to the level-0 base —
+        not by 2**(lvl - min_lvl)."""
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        out = consolidate_to_mucog(self._tiles(spark, [1, 2])).collect()
+        images = read_tiff(bytes(out[0]["tiff"]))
+        assert sorted(im.transform[0] for im in images) == [20.0, 40.0]
+
+
+class TestExternalCOGIngest:
+    def test_tile_rows_roundtrip(self):
+        img = _img(dtype="uint16", w=64, h=64)
+        data = write_tiff([img], tile_size=(32, 32), compression="lzw", predictor=2)
+        rows = tiff_bytes_to_tile_rows(data, "ext://cog1.tif")
+        assert len(rows) == 4  # 2×2 blocks, 1 band, level 0
+        assert {r["level"] for r in rows} == {0}
+        assert {r["crs_srid"] for r in rows} == {32631}
+        blk = next(r for r in rows if (r["block_x"], r["block_y"]) == (1, 0))
+        np.testing.assert_array_equal(
+            np.array(blk["px"]).reshape(32, 32),
+            img.bands[0][0:32, 32:64].astype("float64"),
+        )
+        assert blk["pix_to_crs"]["a"] == 10.0
+
+    def test_overview_levels_assigned(self):
+        full = _img(dtype="uint16", w=64, h=64)
+        ovr = RasterImage(
+            bands=full.bands[0][::2, ::2].copy(),
+            transform=(20.0, 0.0, 500000.0, 0.0, -20.0, 4500000.0),
+            epsg=32631,
+            subfile_type=1,
+        )
+        data = write_tiff([full, ovr], tile_size=(32, 32), compression="deflate")
+        rows = tiff_bytes_to_tile_rows(data, "ext://cog2.tif")
+        assert {r["level"] for r in rows} == {0, 1}
+
+    def test_ingest_e2e_validates_clean(self, spark, tmp_path):
+        """External LZW+predictor COG → binaryFile → tile rows → S4
+        validation against a matching dataset row: zero problems."""
+        rng = np.random.default_rng(5)
+        arr = rng.integers(1, 200, (64, 64)).astype("uint16")
+        img = RasterImage(
+            bands=arr,
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 640.0),
+            epsg=32631,
+            nodata=0.0,
+        )
+        p = tmp_path / "ext.tif"
+        p.write_bytes(
+            write_tiff([img], tile_size=(32, 32), compression="lzw", predictor=2)
+        )
+        binary = spark.read.format("binaryFile").load(str(p))
+        tiles = ingest_tiff_files(binary)
+        assert tiles.count() == 4
+        uri = tiles.first()["container_uri"]
+        datasets = spark.createDataFrame(
+            [
+                {
+                    "id": "ds-ext-1",
+                    "container_uri": uri,
+                    "bands": [1],
+                    "dmapping": {
+                        "dtype": "UInt16",
+                        "no_data": 0.0,
+                        "min_value": 0.0,
+                        "max_value": 65535.0,
+                        "real_min_value": 0.0,
+                        "real_max_value": 1.0,
+                        "exponent": 1.0,
+                    },
+                }
+            ]
+        )
+        problems = validate_datasets_against_tiles(datasets, tiles)
+        assert problems.count() == 0
+
+    def test_ingest_e2e_flags_missing_band(self, spark, tmp_path):
+        img = _img(dtype="uint8", w=32, h=32)
+        p = tmp_path / "one_band.tif"
+        p.write_bytes(write_tiff([img], tile_size=(32, 32), compression="lzw"))
+        binary = spark.read.format("binaryFile").load(str(p))
+        tiles = ingest_tiff_files(binary)
+        uri = tiles.first()["container_uri"]
+        datasets = spark.createDataFrame(
+            [
+                {
+                    "id": "ds-ext-2",
+                    "container_uri": uri,
+                    "bands": [1, 2],  # band 2 not in the file
+                    "dmapping": {
+                        "dtype": "UInt8",
+                        "no_data": 0.0,
+                        "min_value": 0.0,
+                        "max_value": 255.0,
+                        "real_min_value": 0.0,
+                        "real_max_value": 1.0,
+                        "exponent": 1.0,
+                    },
+                }
+            ]
+        )
+        problems = validate_datasets_against_tiles(datasets, tiles).collect()
+        assert [p["problem"] for p in problems] == ["missing_band"]
