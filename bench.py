@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": sf}.
 
-Each query is executed twice: a warm-up collect is NOT done (cold numbers
-are what the driver records); timing covers plan + execution + collect.
+Each query runs N_RUNS=3 times; the recorded figure is the MEDIAN (the
+first run carries per-query codegen compilation, and sub-second noise on a
+shared machine otherwise masquerades as regression round-over-round).  The
+per-query spread (max - min across runs) lands in BENCH_FULL.json next to
+the medians, and the summary line carries spread_p90 — the 90th-percentile
+relative spread — so a noisy round is visible at a glance.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from geocube_spark.session import get_spark  # noqa: E402
 # query added to the registry is automatically benchmarked and a round-
 # over-round regression anywhere in the surface is visible in BENCH_r{N}.
 BENCH_QUERIES: list[str] | None = None  # None -> all of registry.queries()
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:
@@ -40,31 +45,41 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in BENCH_QUERIES or list(qs):
         fn = qs[name]
-        # min of 2 runs: the first run carries per-query codegen compilation
-        # and is noisy on shared machines; the min is the reproducible cost
-        best, n = None, 0
-        for _ in range(2):
+        runs: list[float] = []
+        n = 0
+        for _ in range(N_RUNS):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # collect (not count): count() would let Catalyst prune the
             # computed columns and skip the actual operator work
             n = len(df.collect())
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # median
+        spreads[name] = round(runs[-1] - runs[0], 3)
+        print(
+            f"# {name}: {timings[name]:.2f}s ±{spreads[name]:.2f} ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
+    rel = sorted(
+        spreads[k] / timings[k] if timings[k] > 0 else 0.0 for k in timings
+    )
+    spread_p90 = round(rel[int(0.9 * (len(rel) - 1))], 3) if rel else 0.0
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query map for offline inspection (the driver only records the
     # tail of stdout, so the one-line summary below must stay small).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump({"metric": "geocube_spark_headline_suite", "value": total,
-                   "unit": "sec", "queries": timings, "sf": sf_val}, f)
-    print(summary_line(total, timings, sf_val))
+                   "unit": "sec", "queries": timings, "spreads": spreads,
+                   "n_runs": N_RUNS, "spread_p90": spread_p90,
+                   "sf": sf_val}, f)
+    print(summary_line(total, timings, sf_val, spread_p90))
 
 
 # The driver keeps only the LAST 2000 characters of bench output and parses
@@ -76,7 +91,9 @@ def main() -> None:
 TAIL_BUDGET = 1900
 
 
-def summary_line(total: float, timings: dict[str, float], sf_val) -> str:
+def summary_line(
+    total: float, timings: dict[str, float], sf_val, spread_p90: float = 0.0
+) -> str:
     def dump(qmap: dict[str, float], omitted: int) -> str:
         payload = {
             "metric": "geocube_spark_headline_suite",
@@ -84,6 +101,8 @@ def summary_line(total: float, timings: dict[str, float], sf_val) -> str:
             "unit": "sec",
             "queries": qmap,
             "sf": sf_val,
+            "n_runs": N_RUNS,
+            "spread_p90": spread_p90,
         }
         if omitted:
             payload["queries_omitted"] = omitted

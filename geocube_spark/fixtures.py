@@ -494,12 +494,123 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_lcc: source tiles for the LAMBERT CONFORMAL CONIC
+    # cross-CRS warp oracle.  Same closed-form v(i,j) = (13i + 7j) mod 97,
+    # grid in EPSG:2154 (RGF93 / Lambert-93): res 1024 m, origin
+    # E=634880 / N=6665216 (multiples of 1024 keep index floors exact),
+    # 128x128 px centered near the projection origin (3°E, 46.5°N).  The
+    # oracle re-derives the 4326->2154 Snyder LCC forward in SQL
+    # (functions/crs.py lcc_forward_sql_columns).
+    lcc_res = 1024.0
+    lcc_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            lcc_rows.append(
+                {
+                    "container_uri": "warp://src-lcc",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 2154,
+                    "pix_to_crs": {
+                        "a": lcc_res, "b": 0.0, "c": 634880.0,
+                        "d": 0.0, "e": -lcc_res, "f": 6665216.0,
+                    },
+                    "record_id": _uuid("warp-lcc-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
+    # ---- rotated_footprints: NON-rectilinear dataset footprints for the
+    # general polygon-union oracle (A1/A2 beyond the rectilinear domain).
+    # Every union-area correction is CLOSED-FORM from the construction —
+    # the Spark kernel (functions/polyunion.poly_union) never sees these
+    # numbers, only the raw vertices:
+    #   * job-r0: a chain of 5 diamonds (squares rotated 45°), r=2,
+    #     centers (3i, 0): consecutive pairs overlap in a diamond of area
+    #     (2r-d)^2/2 = 0.5 (d=3), non-consecutive pairs are disjoint
+    #     (distance 6 >= 2r=4); plus two disjoint arbitrary-angle quads.
+    #     Union = Σ shoelace - 4 × 0.5, components = 1 chain + 2 quads.
+    #   * job-r1: an annulus built from 4 rects (outer=10, inner=6,
+    #     thickness t=2) rotated 30° about its center: adjacent rects
+    #     overlap in a t×t corner square (area 4, rotation-invariant), no
+    #     triple overlaps.  Union = Σ shoelace - 4 × 4 = outer² - inner²
+    #     = 64, one polygon with one hole.
+    def _rot(pts, th, cx, cy):
+        c, s = float(np.cos(th)), float(np.sin(th))
+        return [
+            (cx + c * (x - cx) - s * (y - cy), cy + s * (x - cx) + c * (y - cy))
+            for x, y in pts
+        ]
+
+    def _quad_row(job, rec, kind, pts, cx=None, cy=None, r=None):
+        (x1, y1), (x2, y2), (x3, y3), (x4, y4) = pts
+        return {
+            "job_id": job, "record_id": rec, "kind": kind,
+            "cx": cx, "cy": cy, "r": r,
+            "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+            "x3": x3, "y3": y3, "x4": x4, "y4": y4,
+        }
+
+    rot_rows = []
+    overlap_rows = []
+    DIAMOND_R, DIAMOND_D = 2.0, 3.0
+    for i in range(5):
+        cx = DIAMOND_D * i
+        rot_rows.append(
+            _quad_row(
+                "job-r0", "rec-rot-0", "diamond",
+                [(cx - DIAMOND_R, 0.0), (cx, -DIAMOND_R),
+                 (cx + DIAMOND_R, 0.0), (cx, DIAMOND_R)],
+                cx=cx, cy=0.0, r=DIAMOND_R,
+            )
+        )
+        if i:
+            overlap_rows.append(
+                {"job_id": "job-r0",
+                 "pair_area": (2 * DIAMOND_R - DIAMOND_D) ** 2 / 2.0}
+            )
+    rot_rows.append(
+        _quad_row("job-r0", "rec-rot-0", "quad",
+                  _rot([(20, 5), (24, 5), (24, 7), (20, 7)], 0.5, 22, 6))
+    )
+    rot_rows.append(
+        _quad_row("job-r0", "rec-rot-0", "quad",
+                  _rot([(30, -5), (33, -5), (33, -1), (30, -1)], 1.1, 31.5, -3))
+    )
+    ANN_OUT, ANN_T = 10.0, 2.0
+    ann_rects = [
+        [(0, 0), (ANN_OUT, 0), (ANN_OUT, ANN_T), (0, ANN_T)],
+        [(0, ANN_OUT - ANN_T), (ANN_OUT, ANN_OUT - ANN_T),
+         (ANN_OUT, ANN_OUT), (0, ANN_OUT)],
+        [(0, 0), (ANN_T, 0), (ANN_T, ANN_OUT), (0, ANN_OUT)],
+        [(ANN_OUT - ANN_T, 0), (ANN_OUT, 0),
+         (ANN_OUT, ANN_OUT), (ANN_OUT - ANN_T, ANN_OUT)],
+    ]
+    for rect in ann_rects:
+        shifted = [(x + 40.0, y) for x, y in rect]
+        rot_rows.append(
+            _quad_row("job-r1", "rec-rot-1", "annulus_rect",
+                      _rot(shifted, np.pi / 6, 45.0, 5.0))
+        )
+    for _ in range(4):
+        overlap_rows.append({"job_id": "job-r1", "pair_area": ANN_T * ANN_T})
+
     tables = {
+        "rotated_footprints": rot_rows,
+        "rotated_overlap_pairs": overlap_rows,
         "aoi": aoi_rows,
         "concave_aoi": conc_rows,
         "warp_src": warp_rows,
         "warp_src_utm": utm_rows,
         "warp_src_ps": ps_rows,
+        "warp_src_lcc": lcc_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

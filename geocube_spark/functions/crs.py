@@ -423,6 +423,103 @@ def ps_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
         {fn!r} + {ysgn}(ps_rho * cos(ps_lam)) AS ps_n"""
 
 
+# ------------------------------------------------- Lambert Conformal Conic
+#
+# Snyder, "Map Projections — A Working Manual", eqs 15-1..15-11 (ellipsoidal
+# 2-standard-parallel form): the most common remaining projection family in
+# national products (France Lambert-93, Canada Atlas Lambert, CONUS LCC).
+# The reference accepts these via PROJ (internal/utils/proj/proj.go:47-73);
+# here they are closed-form like the UTM/polar families above.
+
+_LCC_PARAMS: dict[int, tuple[float, float, float, float, float, float]] = {
+    # srid: (lat1, lat2, lat0, lon0, false_easting, false_northing)
+    2154: (49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0),  # RGF93 / Lambert-93
+    3978: (49.0, 77.0, 49.0, -95.0, 0.0, 0.0),  # NAD83 / Canada Atlas Lambert
+    102004: (33.0, 45.0, 39.0, -96.0, 0.0, 0.0),  # USA Contiguous LCC (ESRI)
+}
+
+
+def _lcc_constants(srid: int) -> tuple[float, float, float, float, float, float]:
+    """(n, aF, rho0, lon0, fe, fn) — the per-CRS scalars of Snyder 15-3/
+    15-7/15-7a, computed once driver-side and shared verbatim by the numpy
+    kernel and the SQL oracle twin."""
+    lat1, lat2, lat0, lon0, fe, fn = _LCC_PARAMS[srid]
+    e = _TM_E
+
+    def m(phi_deg: float) -> float:
+        p = math.radians(phi_deg)
+        sp = math.sin(p)
+        return math.cos(p) / math.sqrt(1.0 - e * e * sp * sp)
+
+    def t(phi_deg: float) -> float:
+        p = math.radians(phi_deg)
+        sp = math.sin(p)
+        return math.tan(math.pi / 4.0 - p / 2.0) * (
+            (1.0 + e * sp) / (1.0 - e * sp)
+        ) ** (e / 2.0)
+
+    m1, m2 = m(lat1), m(lat2)
+    t1, t2 = t(lat1), t(lat2)
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    if n <= 0.0:
+        raise CRSError(f"LCC srid {srid}: cone constant n must be > 0")
+    aF = WGS84_A * m1 / (n * t1**n)
+    rho0 = aF * t(lat0) ** n
+    return n, aF, rho0, lon0, fe, fn
+
+
+def lcc_forward(lon, lat, srid: int):
+    """(lon, lat) degrees -> LCC (easting, northing) meters (Snyder
+    15-1/15-2: x = ρ·sin θ, y = ρ0 − ρ·cos θ, θ = n·(λ−λ0), ρ = a·F·tⁿ)."""
+    n, aF, rho0, lon0, fe, fn = _lcc_constants(srid)
+    e = _TM_E
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sp = np.sin(phi)
+    t = np.tan(np.pi / 4.0 - phi / 2.0) * ((1.0 + e * sp) / (1.0 - e * sp)) ** (
+        e / 2.0
+    )
+    rho = aF * t**n
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def lcc_inverse(easting, northing, srid: int):
+    """LCC meters -> (lon, lat) degrees (Snyder 15-8..15-11 with the same
+    t->phi fixed-point iteration as the polar-stereo inverse)."""
+    n, aF, rho0, lon0, fe, fn = _lcc_constants(srid)
+    e = _TM_E
+    x = np.asarray(easting, dtype=np.float64) - fe
+    y = rho0 - (np.asarray(northing, dtype=np.float64) - fn)
+    rho = np.hypot(x, y)  # n > 0 for all registered CRSs
+    theta = np.arctan2(x, y)
+    t = (rho / aF) ** (1.0 / n)
+    phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(8):
+        sp = np.sin(phi)
+        phi = np.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - e * sp) / (1.0 + e * sp)) ** (e / 2.0)
+        )
+    lon = (np.degrees(theta / n) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+def lcc_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB SELECT-list fragment computing ``lcc_e``/``lcc_n`` with the
+    SAME operation sequence as ``lcc_forward`` — the analytic oracle twin
+    of the UTM/polar fragments."""
+    n, aF, rho0, lon0, fe, fn = _lcc_constants(srid)
+    e = repr(_TM_E)
+    return f"""
+        radians({lat_expr}) AS lcc_phi,
+        {n!r} * radians(({lon_expr}) - {lon0!r}) AS lcc_theta,
+        tan(pi() / 4 - lcc_phi / 2)
+          * pow((1 + {e} * sin(lcc_phi)) / (1 - {e} * sin(lcc_phi)), {e} / 2)
+          AS lcc_t,
+        {aF!r} * pow(lcc_t, {n!r}) AS lcc_rho,
+        {fe!r} + lcc_rho * sin(lcc_theta) AS lcc_e,
+        {fn!r} + {rho0!r} - lcc_rho * cos(lcc_theta) AS lcc_n"""
+
+
 def _compose(f: Transform, g: Transform) -> Transform:
     return lambda xs, ys: g(*f(xs, ys))
 
@@ -443,6 +540,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: tm_inverse(xs, ys, cm, n0)
         if srid in _PS_PARAMS:
             return lambda xs, ys: ps_inverse(xs, ys, srid)
+        if srid in _LCC_PARAMS:
+            return lambda xs, ys: lcc_inverse(xs, ys, srid)
         return None
 
     def from_lonlat(srid: int) -> Transform | None:
@@ -456,6 +555,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: tm_forward(xs, ys, cm, n0)
         if srid in _PS_PARAMS:
             return lambda xs, ys: ps_forward(xs, ys, srid)
+        if srid in _LCC_PARAMS:
+            return lambda xs, ys: lcc_forward(xs, ys, srid)
         return None
 
     f = to_lonlat(src)

@@ -180,6 +180,331 @@ def rect_union(rects: list[Rect]) -> tuple[list[tuple[np.ndarray, list[np.ndarra
     return polys, area
 
 
+# ------------------------------------------------------- general polygons
+#
+# Union of ARBITRARY simple polygons (rotated quads, concave rings) — the
+# full ST_Union domain of pg_containers.go:385-430, not just the
+# rectilinear fast path above.  Vertical slab (trapezoidal) decomposition:
+#
+# * slab breaks: every vertex x plus every pairwise segment-intersection x
+#   — inside a slab no two spanning edges cross, so ordering by midpoint y
+#   is a total order and interval endpoints are LINEAR over the slab;
+# * per polygon, spanning edges sorted by midpoint y pair up even-odd into
+#   inside intervals (trapezoids);
+# * across polygons, intervals merge by midpoint overlap (exact within the
+#   slab — bounds cannot cross strictly inside it);
+# * area = Σ trapezoid integrals; boundary = interval tops/bottoms plus
+#   the symmetric difference of vertical coverage at each slab boundary,
+#   linked into rings with interior-on-the-left (outers CCW, holes CW) —
+#   the same convention as the rectilinear tracer, so hole assignment and
+#   orientation logic are shared.
+#
+# Pure numpy/stdlib; runs inside the same bounded applyInPandas groups as
+# rect_union.  O(E² log E) in the group's edge count — fine for job/cell
+# groups (bounded dataset counts), never pointed at a whole corpus.
+
+Poly = "list[tuple[float, float]]"
+
+
+def _dedupe_ring(poly) -> np.ndarray | None:
+    pts = np.asarray(poly, dtype=np.float64)
+    if len(pts) >= 2 and np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    keep = [0]
+    for i in range(1, len(pts)):
+        if not np.array_equal(pts[i], pts[keep[-1]]):
+            keep.append(i)
+    pts = pts[keep]
+    if len(pts) < 3:
+        return None
+    x, y = pts[:, 0], pts[:, 1]
+    area2 = np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    if area2 == 0.0:
+        return None
+    return pts
+
+
+def _seg_intersection_xs(edges: list[tuple[float, float, float, float]]) -> list[float]:
+    """x-coordinates of proper pairwise intersections (touch included)."""
+    out: list[float] = []
+    n = len(edges)
+    for i in range(n):
+        x1, y1, x2, y2 = edges[i]
+        for j in range(i + 1, n):
+            x3, y3, x4, y4 = edges[j]
+            # quick reject on bboxes
+            if max(x1, x2) < min(x3, x4) or max(x3, x4) < min(x1, x2):
+                continue
+            if max(y1, y2) < min(y3, y4) or max(y3, y4) < min(y1, y2):
+                continue
+            d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+            if d == 0.0:
+                continue  # parallel/collinear: endpoints are breaks already
+            t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+            u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+            if -1e-12 <= t <= 1 + 1e-12 and -1e-12 <= u <= 1 + 1e-12:
+                out.append(x1 + t * (x2 - x1))
+    return out
+
+
+def _y_at(e: tuple[float, float, float, float], x: float) -> float:
+    x1, y1, x2, y2 = e
+    if x2 == x1:
+        return y1
+    return y1 + (x - x1) * (y2 - y1) / (x2 - x1)
+
+
+def poly_union(
+    polys: list,
+) -> tuple[list[tuple[np.ndarray, list[np.ndarray]]], float]:
+    """Union of arbitrary simple polygons -> (polygons, exact_area), the
+    same output contract as ``rect_union`` (outers CCW with CW holes)."""
+    rings = [r for r in (_dedupe_ring(p) for p in polys) if r is not None]
+    if not rings:
+        return [], 0.0
+    per_poly_edges: list[list[tuple[float, float, float, float]]] = []
+    all_edges: list[tuple[float, float, float, float]] = []
+    for r in rings:
+        es = []
+        n = len(r)
+        for i in range(n):
+            x1, y1 = r[i]
+            x2, y2 = r[(i + 1) % n]
+            es.append((float(x1), float(y1), float(x2), float(y2)))
+        per_poly_edges.append(es)
+        all_edges.extend(es)
+
+    span = max(
+        max(abs(e[0]) for e in all_edges),
+        max(abs(e[1]) for e in all_edges),
+        1.0,
+    )
+    eps = 1e-9 * span
+
+    breaks = [e[0] for e in all_edges] + [e[2] for e in all_edges]
+    breaks += _seg_intersection_xs(all_edges)
+    xs = np.unique(np.asarray(breaks, dtype=np.float64))
+    # collapse breaks closer than eps (intersection x computed vs vertex x)
+    keep = [0]
+    for i in range(1, len(xs)):
+        if xs[i] - xs[keep[-1]] > eps:
+            keep.append(i)
+    xs = xs[keep]
+
+    area = 0.0
+    # per slab: list of (bot_ya, bot_yb, top_ya, top_yb)
+    slab_intervals: list[list[tuple[float, float, float, float]]] = []
+    for si in range(len(xs) - 1):
+        xa, xb = float(xs[si]), float(xs[si + 1])
+        xm = 0.5 * (xa + xb)
+        merged: list[list[float]] = []  # [bot_ya, bot_yb, top_ya, top_yb, bot_ym, top_ym]
+        cand: list[tuple[float, float, float, float, float]] = []
+        for es in per_poly_edges:
+            spans = [
+                e
+                for e in es
+                if min(e[0], e[2]) <= xa + eps and max(e[0], e[2]) >= xb - eps
+                and abs(e[0] - e[2]) > eps
+            ]
+            if not spans:
+                continue
+            evs = sorted(
+                ((_y_at(e, xm), _y_at(e, xa), _y_at(e, xb)) for e in spans),
+            )
+            if len(evs) % 2:
+                raise AssertionError(
+                    f"odd edge parity in slab [{xa},{xb}] — degenerate input"
+                )
+            for k in range(0, len(evs), 2):
+                bot, top = evs[k], evs[k + 1]
+                cand.append((bot[0], bot[1], bot[2], top[1], top[2], top[0]))
+        # merge across polygons by midpoint ordering
+        for bot_ym, bot_ya, bot_yb, top_ya, top_yb, top_ym in sorted(cand):
+            if merged and bot_ym <= merged[-1][5] + eps:
+                if top_ym > merged[-1][5]:
+                    merged[-1][3], merged[-1][4], merged[-1][5] = (
+                        top_ya,
+                        top_yb,
+                        top_ym,
+                    )
+            else:
+                merged.append([bot_ya, bot_yb, bot_ym, top_ya, top_yb, top_ym])
+        ivs = [(m[0], m[1], m[3], m[4]) for m in merged]
+        slab_intervals.append(ivs)
+        for bot_ya, bot_yb, top_ya, top_yb in ivs:
+            area += 0.5 * ((top_ya - bot_ya) + (top_yb - bot_yb)) * (xb - xa)
+
+    # ---- boundary edges (interior on the LEFT)
+    def key(x: float, y: float) -> tuple[float, float]:
+        return (round(x / eps) if eps else x, round(y / eps) if eps else y)
+
+    edges_out: dict[tuple, list[tuple]] = {}
+    pts: dict[tuple, tuple[float, float]] = {}
+
+    def add_edge(x1: float, y1: float, x2: float, y2: float) -> None:
+        a, b = key(x1, y1), key(x2, y2)
+        if a == b:
+            return
+        pts.setdefault(a, (x1, y1))
+        pts.setdefault(b, (x2, y2))
+        edges_out.setdefault(a, []).append(b)
+
+    for si in range(len(xs) - 1):
+        xa, xb = float(xs[si]), float(xs[si + 1])
+        for bot_ya, bot_yb, top_ya, top_yb in slab_intervals[si]:
+            add_edge(xa, bot_ya, xb, bot_yb)  # bottom: interior above, +x
+            add_edge(xb, top_yb, xa, top_ya)  # top: interior below, -x
+
+    # vertical walls at every slab boundary: symmetric difference of the
+    # left slab's right-side coverage and the right slab's left-side
+    # coverage, split at all interval endpoints
+    for bi in range(len(xs)):
+        x = float(xs[bi])
+        left_cov = (
+            [(iv[1], iv[3]) for iv in slab_intervals[bi - 1]] if bi > 0 else []
+        )
+        right_cov = (
+            [(iv[0], iv[2]) for iv in slab_intervals[bi]]
+            if bi < len(slab_intervals)
+            else []
+        )
+        cuts = sorted(
+            {y for iv in left_cov for y in iv} | {y for iv in right_cov for y in iv}
+        )
+        for k in range(len(cuts) - 1):
+            lo, hi = cuts[k], cuts[k + 1]
+            if hi - lo <= eps:
+                continue
+            ym = 0.5 * (lo + hi)
+            in_l = any(a - eps <= ym <= b + eps for a, b in left_cov)
+            in_r = any(a - eps <= ym <= b + eps for a, b in right_cov)
+            if in_l == in_r:
+                continue
+            if in_r:  # west wall, interior east -> points down
+                add_edge(x, hi, x, lo)
+            else:  # east wall, interior west -> points up
+                add_edge(x, lo, x, hi)
+
+    # ---- link directed edges into rings (sharpest left turn at forks)
+    rings_out: list[np.ndarray] = []
+    while edges_out:
+        start = next(iter(edges_out))
+        path = [start]
+        cur = start
+        prev_dir: tuple[float, float] | None = None
+        while True:
+            cands = edges_out[cur]
+            if len(cands) == 1 or prev_dir is None:
+                nxt = cands[0]
+            else:
+                cx, cy = pts[cur]
+
+                def turn(nk: tuple) -> tuple[int, float]:
+                    nx_, ny_ = pts[nk]
+                    d = (nx_ - cx, ny_ - cy)
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    dot = prev_dir[0] * d[0] + prev_dir[1] * d[1]
+                    import math
+
+                    ang = math.atan2(cross, dot)  # (-pi, pi], left > 0
+                    return (1, ang)
+
+                nxt = max(cands, key=turn)
+            cands.remove(nxt)
+            if not cands:
+                del edges_out[cur]
+            px_, py_ = pts[cur]
+            nx_, ny_ = pts[nxt]
+            prev_dir = (nx_ - px_, ny_ - py_)
+            path.append(nxt)
+            cur = nxt
+            if cur == start:
+                break
+        ring = np.array([pts[k] for k in path], dtype=np.float64)
+        # collapse collinear runs (straight polygon edges chopped at slab
+        # boundaries) — cross-product tolerance scaled to the span
+        keep = [0]
+        for k in range(1, len(ring) - 1):
+            ax, ay = ring[keep[-1]]
+            bx, by = ring[k]
+            cx2, cy2 = ring[k + 1]
+            cross = (bx - ax) * (cy2 - ay) - (by - ay) * (cx2 - ax)
+            if abs(cross) <= eps * span:
+                continue
+            keep.append(k)
+        keep.append(len(ring) - 1)
+        ring = ring[keep]
+        if len(ring) >= 4:
+            rings_out.append(ring)
+
+    outers = [r for r in rings_out if _ring_signed_area(r) > 0]
+    holes = [r for r in rings_out if _ring_signed_area(r) < 0]
+    out_polys: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    for outer in sorted(outers, key=_ring_signed_area, reverse=True):
+        out_polys.append((outer, []))
+    for hole in holes:
+        hx = float(np.mean(hole[:-1, 0]))
+        hy = float(np.mean(hole[:-1, 1]))
+        owner = None
+        for poly in sorted(out_polys, key=lambda p: _ring_signed_area(p[0])):
+            if _point_in_ring(hx, hy, poly[0]):
+                owner = poly
+                break
+        if owner is None:  # pragma: no cover
+            raise AssertionError("hole without containing outer ring")
+        owner[1].append(hole)
+
+    shoelace = sum(_ring_signed_area(r) for r in rings_out)
+    if abs(shoelace - area) > 1e-6 * max(1.0, abs(area)):  # pragma: no cover
+        raise AssertionError(f"union tracing inconsistent: {shoelace} != {area}")
+    return out_polys, area
+
+
+def clip_poly_rect(
+    poly, xmin: float, ymin: float, xmax: float, ymax: float
+) -> list[tuple[float, float]]:
+    """Sutherland–Hodgman clip of a simple polygon to an axis-aligned rect
+    (A2's cell ring ∩ shape; the cell is always convex)."""
+    pts = [(float(x), float(y)) for x, y in poly]
+
+    def clip(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            a, b = points[i], points[(i + 1) % n]
+            ia, ib = inside(a), inside(b)
+            if ia:
+                out.append(a)
+                if not ib:
+                    out.append(intersect(a, b))
+            elif ib:
+                out.append(intersect(a, b))
+        return out
+
+    def x_cut(x0):
+        def f(a, b):
+            t = (x0 - a[0]) / (b[0] - a[0])
+            return (x0, a[1] + t * (b[1] - a[1]))
+
+        return f
+
+    def y_cut(y0):
+        def f(a, b):
+            t = (y0 - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), y0)
+
+        return f
+
+    pts = clip(pts, lambda p: p[0] >= xmin, x_cut(xmin))
+    if pts:
+        pts = clip(pts, lambda p: p[0] <= xmax, x_cut(xmax))
+    if pts:
+        pts = clip(pts, lambda p: p[1] >= ymin, y_cut(ymin))
+    if pts:
+        pts = clip(pts, lambda p: p[1] <= ymax, y_cut(ymax))
+    return pts
+
+
 def union_wkb(polys: list[tuple[np.ndarray, list[np.ndarray]]]) -> bytes:
     """Little-endian WKB MultiPolygon from (outer, holes) ring lists."""
     def ring_bytes(ring: np.ndarray) -> bytes:

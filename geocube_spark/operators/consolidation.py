@@ -209,6 +209,130 @@ def union_footprints(
     return in_schema.groupBy(*group_cols).applyInPandas(agg, out_schema)
 
 
+def union_polygon_footprints(
+    quads: DataFrame,
+    group_cols: list[str],
+    vertex_cols: tuple[str, ...] = ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"),
+) -> DataFrame:
+    """A1 over the GENERAL polygon domain (pg_containers.go:385-430
+    ST_Union for arbitrary footprints): union of rotated/skewed quads per
+    group via the vertical-slab kernel (``functions/polyunion.poly_union``)
+    — exact area, true multipolygon WKB with holes, component/hole counts.
+
+    Same execution shape as the rectilinear ``union_footprints``: one
+    bounded ``applyInPandas`` task per group (a job's locked-dataset
+    count), associative so map-side partial unions can pre-reduce."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from geocube_spark.functions.polyunion import poly_union, union_wkb
+
+    sel = quads.select(*group_cols, *vertex_cols)
+    group_fields = [sel.schema[c] for c in group_cols]
+    out_schema = StructType(
+        group_fields
+        + [
+            StructField("n_datasets", LongType(), False),
+            StructField("union_area", DoubleType(), False),
+            StructField("n_polygons", LongType(), False),
+            StructField("n_holes", LongType(), False),
+            StructField("union_wkb", BinaryType(), False),
+        ]
+    )
+    vc = vertex_cols
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [pdf[c].to_numpy() for c in vc]
+        polys = [
+            [(cols[0][i], cols[1][i]), (cols[2][i], cols[3][i]),
+             (cols[4][i], cols[5][i]), (cols[6][i], cols[7][i])]
+            for i in range(len(pdf))
+        ]
+        pieces, area = poly_union(polys)
+        row = dict(zip(group_cols, key))
+        row.update(
+            n_datasets=len(pdf),
+            union_area=area,
+            n_polygons=len(pieces),
+            n_holes=sum(len(h) for _, h in pieces),
+            union_wkb=union_wkb(pieces),
+        )
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return sel.groupBy(*group_cols).applyInPandas(agg, out_schema)
+
+
+def valid_shape_per_cell_general(
+    quads_with_cells: DataFrame,
+    cell_bounds_cols: tuple[str, str, str, str] = (
+        "cell_xmin",
+        "cell_ymin",
+        "cell_xmax",
+        "cell_ymax",
+    ),
+    vertex_cols: tuple[str, ...] = ("x1", "y1", "x2", "y2", "x3", "y3", "x4", "y4"),
+) -> DataFrame:
+    """A2 over the general polygon domain: per (cell, record), clip each
+    footprint quad to the cell rect (Sutherland–Hodgman — the cell ring is
+    convex) then union the clipped pieces exactly.  Zero-area results are
+    dropped like the reference's dimension filter (pg_grids.go:126)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from geocube_spark.functions.polyunion import clip_poly_rect, poly_union
+
+    cx0, cy0, cx1, cy1 = cell_bounds_cols
+    sel = quads_with_cells.select(
+        "cell_uri", "record_id", *vertex_cols,
+        F.col(cx0).alias("_cx0"), F.col(cy0).alias("_cy0"),
+        F.col(cx1).alias("_cx1"), F.col(cy1).alias("_cy1"),
+    )
+    key_fields = [sel.schema["cell_uri"], sel.schema["record_id"]]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("n_datasets", LongType(), False),
+            StructField("v_area", DoubleType(), False),
+            StructField("n_polygons", LongType(), False),
+        ]
+    )
+    vc = vertex_cols
+
+    def agg(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [pdf[c].to_numpy() for c in vc]
+        bounds = [pdf[c].to_numpy() for c in ("_cx0", "_cy0", "_cx1", "_cy1")]
+        clipped = []
+        for i in range(len(pdf)):
+            poly = [
+                (cols[0][i], cols[1][i]), (cols[2][i], cols[3][i]),
+                (cols[4][i], cols[5][i]), (cols[6][i], cols[7][i]),
+            ]
+            c = clip_poly_rect(
+                poly, bounds[0][i], bounds[1][i], bounds[2][i], bounds[3][i]
+            )
+            if len(c) >= 3:
+                clipped.append(c)
+        pieces, area = poly_union(clipped)
+        if area <= 0.0:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        row = {
+            "cell_uri": key[0],
+            "record_id": key[1],
+            "n_datasets": len(pdf),
+            "v_area": area,
+            "n_polygons": len(pieces),
+        }
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return sel.groupBy("cell_uri", "record_id").applyInPandas(agg, out_schema)
+
+
 def valid_shape_per_cell(
     datasets_with_cells: DataFrame,
     cell_bounds_cols: tuple[str, str, str, str] = (

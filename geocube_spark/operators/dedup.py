@@ -450,6 +450,7 @@ def connected_components(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 50,
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph -> per-doc
     cluster labels (component id = smallest doc_id in the component).
@@ -473,8 +474,19 @@ def connected_components(
 
     Returns (node, component, component_size), one row per distinct doc id
     appearing in ``pairs``.
+
+    ``salt_buckets > 1`` turns on SKEW HARDENING for power-law duplicate
+    graphs (one doc paired with a large fraction of the corpus — crawl
+    boilerplate, empty documents): the per-node min becomes a salted
+    two-level aggregation (min over (u, salt) then over u — min is
+    associative, so the result is identical), and the edges⋈mins join is
+    salted the classic way (edge side salted by hash(v), min side
+    replicated across the salt range) so a hot node's edges spread over
+    ``salt_buckets`` reducers instead of one.  The labels are identical
+    for any bucket count; only the shuffle layout changes.
     """
     spark = pairs.sparkSession
+    S = max(1, int(salt_buckets))
     edges = (
         pairs.select(
             F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
@@ -483,13 +495,34 @@ def connected_components(
         .distinct()
     )
 
+    def min_neighbor(sym: DataFrame, include_self: bool) -> DataFrame:
+        """m(u) = min(neighbors [+ u]); salted two-level when S > 1."""
+        if S == 1:
+            agg = F.least(F.min("v"), F.first("u")) if include_self else F.min("v")
+            return sym.groupBy("u").agg(agg.alias("m"))
+        partial = sym.groupBy(
+            "u", F.pmod(F.xxhash64("v"), F.lit(S)).alias("_s")
+        ).agg(F.min("v").alias("_pm"))
+        agg = (
+            F.least(F.min("_pm"), F.first("u")) if include_self else F.min("_pm")
+        )
+        return partial.groupBy("u").agg(agg.alias("m"))
+
+    def join_mins(sym: DataFrame, mins: DataFrame) -> DataFrame:
+        """edges ⋈ per-node min on u; salted replication when S > 1."""
+        if S == 1:
+            return sym.join(mins, "u")
+        salted = sym.withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(S)))
+        rep = mins.withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        )
+        return salted.join(rep, ["u", "_s"]).drop("_s")
+
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        mins = min_neighbor(sym, include_self=True)
         return (
-            sym.join(mins, "u")
+            join_mins(sym, mins)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -500,9 +533,9 @@ def connected_components(
         d = e.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        mins = d.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        mins = min_neighbor(d, include_self=False)  # m < u always
         leaves = (
-            d.join(mins, "u")
+            join_mins(d, mins)
             .where(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -531,8 +564,8 @@ def connected_components(
     # converged edges are stars on component minima: label(n) = least(n, min
     # neighbor) — the center keeps itself, every leaf sees the center
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    labels = sym.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("component")
+    labels = min_neighbor(sym, include_self=True).withColumnRenamed(
+        "m", "component"
     )
     sizes = labels.groupBy("component").agg(
         F.count(F.lit(1)).alias("component_size")

@@ -93,32 +93,50 @@ def extract_features(media: DataFrame, pool: int = 4) -> DataFrame:
     task; nothing driver-side.
     """
 
+    # capture the installed decoder NOW: the closure ships to worker
+    # processes via cloudpickle, whereas the module global would be
+    # re-imported there and silently revert to the fake
+    decoder = _DECODER
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
-                meta = dict(row["meta"]) if row["meta"] is not None else {}
-                arr = _DECODER(payload, meta)
-                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
-                h, w = gray.shape
-                ph, pw = max(h // pool, 1), max(w // pool, 1)
-                feat = [
-                    float(gray[i * ph : (i + 1) * ph, j * pw : (j + 1) * pw].mean())
-                    for i in range(pool)
-                    for j in range(pool)
-                ]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "feature": feat,
-                        "payload_sha1": hashlib.sha1(payload).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # column-wise zip, not iterrows: no per-row Series construction
+            # — only the codec call itself is inherently per-row
+            feats, sha1s = [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                payload = bytes(payload)
+                arr = decoder(payload, dict(meta) if meta is not None else {})
+                feats.append(_pooled_feature(arr, pool))
+                sha1s.append(hashlib.sha1(payload).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "feature": feats,
+                    "payload_sha1": sha1s,
+                },
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def _pooled_feature(arr: np.ndarray, pool: int) -> list[float]:
+    """pool×pool mean-pooled grayscale grid; one vectorized reshape-mean
+    when the image divides evenly (the common case), per-block views
+    otherwise — identical values either way."""
+    gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+    h, w = gray.shape
+    ph, pw = max(h // pool, 1), max(w // pool, 1)
+    if h == ph * pool and w == pw * pool:
+        return (
+            gray.reshape(pool, ph, pool, pw).mean(axis=(1, 3)).ravel().tolist()
+        )
+    return [
+        float(gray[i * ph : (i + 1) * ph, j * pw : (j + 1) * pw].mean())
+        for i in range(pool)
+        for j in range(pool)
+    ]
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -133,26 +151,29 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
         ]
     )
 
+    decoder = _DECODER
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                meta = dict(row["meta"]) if row["meta"] is not None else {}
-                arr = _DECODER(bytes(row["payload"]), meta)
+            pxs = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = decoder(
+                    bytes(payload), dict(meta) if meta is not None else {}
+                )
                 gray = arr.mean(axis=2) if arr.ndim == 3 else arr
                 sh, sw = gray.shape
                 yi = (np.arange(height) * sh // height).clip(0, sh - 1)
                 xi = (np.arange(width) * sw // width).clip(0, sw - 1)
-                resized = gray[np.ix_(yi, xi)]
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "px": resized.ravel().tolist(),
-                        "width": width,
-                        "height": height,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+                pxs.append(gray[np.ix_(yi, xi)].ravel().tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "px": pxs,
+                    "width": np.full(len(pdf), width, dtype=np.int32),
+                    "height": np.full(len(pdf), height, dtype=np.int32),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
 
     return media.mapInPandas(run, out_schema)
 
@@ -179,32 +200,27 @@ def sample_frames(media: DataFrame, every_ms: int = 1000, pool: int = 4) -> Data
     one driver-side list — each task streams its own frames.
     """
 
+    decoder = _DECODER
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                if row["kind"] != "video":
-                    continue
-                payload = bytes(row["payload"])
-                meta = dict(row["meta"]) if row["meta"] is not None else {}
+            vids = pdf[pdf["kind"] == "video"]
+            for mid, payload, meta in zip(
+                vids["media_id"], vids["payload"], vids["meta"]
+            ):
+                payload = bytes(payload)
+                meta = dict(meta) if meta is not None else {}
                 duration = int(meta.get("duration_ms") or 0)
                 n_frames = max(1, -(-duration // every_ms)) if duration else 1
                 for i in range(n_frames):
-                    frame = _DECODER(payload + i.to_bytes(4, "big"), meta)
-                    gray = frame.mean(axis=2) if frame.ndim == 3 else frame
-                    h, w = gray.shape
-                    ph, pw = max(h // pool, 1), max(w // pool, 1)
-                    feat = [
-                        float(gray[a * ph : (a + 1) * ph, b * pw : (b + 1) * pw].mean())
-                        for a in range(pool)
-                        for b in range(pool)
-                    ]
+                    frame = decoder(payload + i.to_bytes(4, "big"), meta)
                     rows.append(
                         {
-                            "media_id": row["media_id"],
+                            "media_id": mid,
                             "frame_idx": i,
                             "t_ms": i * every_ms,
-                            "feature": feat,
+                            "feature": _pooled_feature(frame, pool),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])

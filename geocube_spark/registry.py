@@ -65,7 +65,7 @@ _DST_DM = {
 
 def ensure_fixtures() -> str:
     # probe the NEWEST fixture table so stale fixture dirs regenerate
-    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_ps.parquet")):
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_lcc.parquet")):
         from geocube_spark import fixtures
 
         fixtures.generate(FIXTURE_DIR, n_records=200)
@@ -979,6 +979,42 @@ def dedup_components(spark, sf_dir):
     dedup.connected_components."""
     pairs = dd.ngram_jaccard_pairs(_docs(spark, sf_dir), shingle_k=3, threshold=0.5)
     return dd.connected_components(pairs).orderBy("node")
+
+
+# Skew-hardened CC: a deterministic POWER-LAW pair graph (two hub docs
+# receive ~1/3 and ~2/3 of all edges — the crawl-boilerplate shape that
+# makes one groupBy/join key hot) run through the SALTED large-star/
+# small-star path (salt_buckets=8: two-level min agg + salted edges⋈mins
+# join, dedup.connected_components).  Labels are provably independent of
+# the bucket count; the oracle derives them in closed form from the edge
+# rule: doc i (>0) attaches to 0 if i≡0 (mod 3), to 1 if i≡1, to i-2
+# (≡0-attached) if i≡2 — so component(i) = 1 iff i ≡ 1 (mod 3), else 0.
+@q(
+    "dedup_components_skew",
+    """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS i FROM documents),
+    lab AS (
+        SELECT i AS node,
+               CASE WHEN i % 3 = 1 THEN 1 ELSE 0 END AS component
+        FROM ids
+    )
+    SELECT node, component,
+           CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS component_size
+    FROM lab ORDER BY node
+    """,
+)
+def dedup_components_skew(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("i"))
+    edges = docs.filter(F.col("i") > 0).select(
+        F.col("i").alias("doc_a"),
+        F.when(F.col("i") % 3 == 0, F.lit(0))
+        .when(F.col("i") % 3 == 1, F.lit(1))
+        .otherwise(F.col("i") - 2)
+        .cast("long")
+        .alias("doc_b"),
+    )
+    return dd.connected_components(edges, salt_buckets=8).orderBy("node")
 
 
 @q("minhash_near_duplicates", _ngram_jaccard_sql(0.5))
@@ -1903,6 +1939,131 @@ def union_geometry_job(spark, sf_dir):
     )
 
 
+# A1 over the GENERAL polygon domain: union of ROTATED footprints (diamond
+# chain, arbitrary-angle quads, a rotated annulus with a hole).  The oracle
+# is ANALYTIC: per-quad shoelace area computed by DuckDB from the raw
+# vertices, minus the closed-form pairwise-overlap corrections recorded at
+# fixture-construction time (consecutive-diamond lens (2r-d)^2/2, annulus
+# corner t^2 — see fixtures.py); component/hole counts follow from the
+# construction.  The Spark side sees ONLY vertices and computes the union
+# with the vertical-slab kernel — a genuinely independent derivation.
+@q(
+    "union_geometry_rotated",
+    f"""
+    WITH sl AS (
+        SELECT job_id,
+               abs((x1*y2 - x2*y1) + (x2*y3 - x3*y2)
+                 + (x3*y4 - x4*y3) + (x4*y1 - x1*y4)) / 2.0 AS area
+        FROM read_parquet('{FIXTURE_DIR}/rotated_footprints.parquet')
+    ),
+    corr AS (
+        SELECT job_id, sum(pair_area) AS overlap
+        FROM read_parquet('{FIXTURE_DIR}/rotated_overlap_pairs.parquet')
+        GROUP BY job_id
+    )
+    SELECT sl.job_id,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           round(sum(sl.area) - any_value(corr.overlap), 6) AS union_area,
+           CAST(CASE sl.job_id WHEN 'job-r0' THEN 3 ELSE 1 END AS BIGINT)
+               AS n_polygons,
+           CAST(CASE sl.job_id WHEN 'job-r0' THEN 0 ELSE 1 END AS BIGINT)
+               AS n_holes
+    FROM sl JOIN corr ON sl.job_id = corr.job_id
+    GROUP BY sl.job_id
+    ORDER BY sl.job_id
+    """,
+)
+def union_geometry_rotated(spark, sf_dir):
+    from geocube_spark.operators.consolidation import union_polygon_footprints
+
+    fd = ensure_fixtures()
+    quads = spark.read.parquet(f"{fd}/rotated_footprints.parquet")
+    out = union_polygon_footprints(quads, ["job_id"])
+    return out.select(
+        "job_id", "n_datasets",
+        F.round("union_area", 6).alias("union_area"),
+        "n_polygons", "n_holes",
+    ).orderBy("job_id")
+
+
+# A2 over the general domain: the diamond chain clipped per cell by
+# vertical cell boundaries, then unioned.  Fully data-driven oracle: the
+# area of a diamond |x-cx|+|y-cy| <= r left of a vertical line x = t is
+# the closed-form piecewise quadratic F(t) (0 / (t-cx+r)^2 / 2r^2-(cx+r-t)^2
+# / 2r^2), so the clipped area is F(hi)-F(lo); consecutive-pair lens
+# corrections apply when the lens midpoint falls inside the cell (cells are
+# cut at diamond centers, outside every lens).
+@q(
+    "valid_shape_rotated_cells",
+    f"""
+    WITH cells(cell_uri, cxlo, cxhi) AS (
+        VALUES ('cell/r0', -3.0, 3.0), ('cell/r1', 3.0, 9.0)
+    ),
+    d AS (
+        SELECT * FROM read_parquet('{FIXTURE_DIR}/rotated_footprints.parquet')
+        WHERE kind = 'diamond'
+    ),
+    jd AS (
+        SELECT c.cell_uri, d.record_id, d.cx, d.r,
+               greatest(d.cx - d.r, c.cxlo) AS lo,
+               least(d.cx + d.r, c.cxhi) AS hi
+        FROM d JOIN cells c
+          ON d.cx - d.r < c.cxhi AND d.cx + d.r > c.cxlo
+    ),
+    areas AS (
+        SELECT cell_uri, record_id,
+               (CASE WHEN hi <= cx THEN (hi - cx + r) * (hi - cx + r)
+                     ELSE 2*r*r - (cx + r - hi) * (cx + r - hi) END
+              - CASE WHEN lo <= cx THEN (lo - cx + r) * (lo - cx + r)
+                     ELSE 2*r*r - (cx + r - lo) * (cx + r - lo) END
+               ) AS clip_area
+        FROM jd
+    ),
+    lens AS (
+        SELECT c.cell_uri,
+               sum((2*a.r - (b.cx - a.cx)) * (2*a.r - (b.cx - a.cx)) / 2.0)
+                   AS overlap
+        FROM d a JOIN d b ON b.cx = a.cx + 3.0
+        JOIN cells c
+          ON (a.cx + b.cx) / 2.0 > c.cxlo AND (a.cx + b.cx) / 2.0 < c.cxhi
+        GROUP BY c.cell_uri
+    )
+    SELECT a.cell_uri, a.record_id,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           round(sum(a.clip_area) - coalesce(any_value(l.overlap), 0), 6)
+               AS v_area
+    FROM areas a LEFT JOIN lens l ON a.cell_uri = l.cell_uri
+    GROUP BY a.cell_uri, a.record_id
+    ORDER BY a.cell_uri
+    """,
+)
+def valid_shape_rotated_cells(spark, sf_dir):
+    from geocube_spark.functions.localdf import values_df
+    from geocube_spark.operators.consolidation import valid_shape_per_cell_general
+
+    fd = ensure_fixtures()
+    quads = spark.read.parquet(f"{fd}/rotated_footprints.parquet").filter(
+        F.col("kind") == "diamond"
+    )
+    cells = values_df(
+        spark,
+        [("cell/r0", -3.0, -5.0, 3.0, 5.0), ("cell/r1", 3.0, -5.0, 9.0, 5.0)],
+        ["cell_uri", "cell_xmin", "cell_ymin", "cell_xmax", "cell_ymax"],
+    )
+    qx = quads.withColumn(
+        "qxmin", F.least("x1", "x2", "x3", "x4")
+    ).withColumn("qxmax", F.greatest("x1", "x2", "x3", "x4"))
+    joined = qx.join(
+        F.broadcast(cells),
+        (F.col("qxmin") < F.col("cell_xmax")) & (F.col("qxmax") > F.col("cell_xmin")),
+    )
+    out = valid_shape_per_cell_general(joined)
+    return out.select(
+        "cell_uri", "record_id", "n_datasets",
+        F.round("v_area", 6).alias("v_area"),
+    ).orderBy("cell_uri")
+
+
 # A4: user-supplied record groups merged into slices, group order preserved.
 @q(
     "cube_grouped_records",
@@ -2326,6 +2487,79 @@ def warp_cross_crs_polar(spark, sf_dir):
         nodata=-1.0,
         resampling="NEAR",
         src_srid=3031,
+        dst_srid=4326,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
+# Lambert Conformal Conic cross-CRS warp (C6: the biggest remaining
+# real-world projection family — Lambert-93 national mosaics): NEAR-warp
+# the EPSG:2154 fixture raster onto a 4326 grid over France.  Oracle = the
+# same Snyder LCC forward re-derived in SQL (lcc_forward_sql_columns emits
+# the identical operation sequence, so the floor()ed source indices are
+# bit-identical, like the UTM/polar twins).
+from geocube_spark.functions.crs import lcc_forward_sql_columns  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_lcc",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(-1, 3) obx, range(-1, 3) oby, range(0, 4096) i
+    ),
+    en AS (
+        SELECT obx, oby, idx,
+               {lcc_forward_sql_columns(
+                   "2.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625",
+                   "47.125 - (oby*64 + (idx // 64) + 0.5) * 0.015625",
+                   2154,
+               )}
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((lcc_e - 634880.0) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((6665216.0 - lcc_n) / 1024.0) AS BIGINT) AS iy
+        FROM en
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_lcc(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_lcc.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(2.0, 47.125),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=2154,
         dst_srid=4326,
     )
     return (

@@ -72,9 +72,10 @@ class TestCRS:
         assert my[0] == pytest.approx(0.0, abs=1e-6)
 
     def test_unregistered_raises(self):
-        # Lambert-93 is not built in (UTM/3857/4326 are) and not registered
+        # British National Grid (non-UTM TM params) is not built in
+        # (UTM/3857/4326/polar/LCC are) and not registered
         with pytest.raises(CRSError):
-            transform_points(4326, 2154, np.array([0.0]), np.array([0.0]))
+            transform_points(4326, 27700, np.array([0.0]), np.array([0.0]))
 
     def test_warped_extent_edge_bow(self):
         """R4: at high latitude the top edge of a lon/lat rect bows in
@@ -339,6 +340,120 @@ class TestPolarStereographic:
         ys = np.array([2.1e6, -1.0e6])
         ax, ay = transform_points(3031, 3413, xs, ys)
         bx, by = transform_points(3413, 3031, ax, ay)
+        np.testing.assert_allclose(bx, xs, atol=1e-6)
+        np.testing.assert_allclose(by, ys, atol=1e-6)
+
+
+
+class TestLambertConformalConic:
+    """Snyder 15-1..15-11 ellipsoidal LCC (EPSG:2154/3978 + CONUS 102004)."""
+
+    @pytest.mark.parametrize("srid", [2154, 3978, 102004])
+    def test_roundtrip_machine_precision(self, srid):
+        from geocube_spark.functions.crs import (
+            _LCC_PARAMS,
+            lcc_forward,
+            lcc_inverse,
+        )
+
+        _, _, lat0, lon0, _, _ = _LCC_PARAMS[srid]
+        rng = np.random.default_rng(srid)
+        lon = lon0 + rng.uniform(-8, 8, 200)
+        lat = lat0 + rng.uniform(-8, 8, 200)
+        e, n = lcc_forward(lon, lat, srid)
+        lon2, lat2 = lcc_inverse(e, n, srid)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2, lat, atol=1e-11)
+
+    @pytest.mark.parametrize("srid", [2154, 3978, 102004])
+    def test_natural_origin_maps_to_false_origin(self, srid):
+        from geocube_spark.functions.crs import _LCC_PARAMS, lcc_forward
+
+        _, _, lat0, lon0, fe, fn = _LCC_PARAMS[srid]
+        e, n = lcc_forward(np.array([lon0]), np.array([lat0]), srid)
+        assert abs(e[0] - fe) < 1e-6 and abs(n[0] - fn) < 1e-6
+
+    @pytest.mark.parametrize("srid", [2154, 3978, 102004])
+    def test_unit_scale_at_standard_parallels(self, srid):
+        """Definitional property of the secant cone: k = n·ρ/(a·m) is
+        exactly 1 on both standard parallels, < 1 between them."""
+        import math
+
+        from geocube_spark.functions.crs import (
+            _LCC_PARAMS,
+            _TM_E,
+            WGS84_A,
+            _lcc_constants,
+        )
+
+        lat1, lat2, lat0, _, _, _ = _LCC_PARAMS[srid]
+        n, aF, _, _, _, _ = _lcc_constants(srid)
+
+        def k(lat_deg):
+            p = math.radians(lat_deg)
+            sp = math.sin(p)
+            m = math.cos(p) / math.sqrt(1 - _TM_E**2 * sp * sp)
+            t = math.tan(math.pi / 4 - p / 2) * (
+                (1 + _TM_E * sp) / (1 - _TM_E * sp)
+            ) ** (_TM_E / 2)
+            return n * aF * t**n / (WGS84_A * m)
+
+        assert k(lat1) == pytest.approx(1.0, abs=1e-12)
+        assert k(lat2) == pytest.approx(1.0, abs=1e-12)
+        assert k((lat1 + lat2) / 2) < 1.0
+
+    def test_conformality(self):
+        """Small circles map to circles: local scale is direction-free."""
+        from geocube_spark.functions.crs import lcc_forward
+
+        lon0, lat0, h = 3.0, 46.5, 1e-6
+        e0, n0 = lcc_forward(np.array([lon0]), np.array([lat0]), 2154)
+        import math
+
+        de_lon, dn_lon = lcc_forward(
+            np.array([lon0 + h]), np.array([lat0]), 2154
+        )
+        de_lat, dn_lat = lcc_forward(
+            np.array([lon0]), np.array([lat0 + h]), 2154
+        )
+        sx = np.hypot(de_lon - e0, dn_lon - n0)[0] / (
+            h * math.cos(math.radians(lat0))
+        )
+        sy = np.hypot(de_lat - e0, dn_lat - n0)[0] / h
+        # meridian vs parallel scale ratio ~ 1 (ellipsoidal M/N correction
+        # is ~0.7%, so compare loosely but directionally)
+        assert sx / sy == pytest.approx(1.0, rel=2e-2)
+
+    def test_sql_twin_matches_numpy(self):
+        import duckdb
+
+        from geocube_spark.functions.crs import lcc_forward, lcc_forward_sql_columns
+
+        rng = np.random.default_rng(7)
+        lo = 3.0 + rng.uniform(-5, 5, 64)
+        la = 46.5 + rng.uniform(-5, 5, 64)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lo, la)))
+        rows = con.execute(
+            f"SELECT lon, lat, {lcc_forward_sql_columns('lon', 'lat', 2154)} FROM pts"
+        ).fetchall()
+        names = [d[0] for d in con.description]
+        ie, iN = names.index("lcc_e"), names.index("lcc_n")
+        E, Nn = lcc_forward(
+            np.array([r[0] for r in rows]), np.array([r[1] for r in rows]), 2154
+        )
+        np.testing.assert_allclose(np.array([r[ie] for r in rows]), E, atol=1e-7)
+        np.testing.assert_allclose(np.array([r[iN] for r in rows]), Nn, atol=1e-7)
+
+    def test_registry_composition(self):
+        from geocube_spark.functions.crs import transform_points
+
+        # Lambert-93 <-> UTM 31N composes through lon/lat and roundtrips
+        xs = np.array([700000.0, 650000.0])
+        ys = np.array([6600000.0, 6860000.0])
+        ax, ay = transform_points(2154, 32631, xs, ys)
+        bx, by = transform_points(32631, 2154, ax, ay)
         np.testing.assert_allclose(bx, xs, atol=1e-6)
         np.testing.assert_allclose(by, ys, atol=1e-6)
 

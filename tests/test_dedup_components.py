@@ -85,3 +85,36 @@ def test_components_empty(spark):
 
 def test_components_self_loop_ignored(spark):
     _check(spark, [(1, 1), (1, 2), (3, 3), (3, 4)])
+
+
+def test_salted_path_identical_labels(spark):
+    """Skew hardening must be a pure physical-layout change: for any graph
+    and any bucket count, the salted two-level min + salted join produce
+    byte-identical (node, component, size) rows."""
+    import random
+
+    rng = random.Random(7)
+    n = 150
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    base = sorted(
+        (r["node"], r["component"], r["component_size"])
+        for r in connected_components(df).collect()
+    )
+    for buckets in (2, 8):
+        salted = sorted(
+            (r["node"], r["component"], r["component_size"])
+            for r in connected_components(df, salt_buckets=buckets).collect()
+        )
+        assert salted == base, buckets
+
+
+def test_salted_power_law_hub(spark):
+    """A 1-hub star plus chains (the hot-key shape): salted labels match
+    the analytic answer."""
+    edges = [(i, 0) for i in range(1, 300)] + [(i, i + 1000) for i in range(1, 50)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = connected_components(df, salt_buckets=8).collect()
+    assert {r["component"] for r in out} == {0}
+    assert all(r["component_size"] == len(out) for r in out)

@@ -245,6 +245,37 @@ class TestMultimodal:
         assert len(groups) == 1
         assert groups[0]["media_ids"] == ["m0", "m2"]
 
+    def test_set_decoder_hook_pil_signature(self, spark):
+        """Install a real-library-shaped decoder (bytes -> ndarray, like a
+        PIL/np.load wrapper), assert the pipeline consumes its output, and
+        restore the default fake."""
+        import io
+
+        import numpy as np
+
+        def npy_decoder(payload: bytes, meta: dict) -> np.ndarray:
+            # a real decoder's exact shape: parse the byte stream, ignore
+            # (or cross-check) the metadata struct
+            return np.load(io.BytesIO(payload))
+
+        arr = np.zeros((8, 8, 3))
+        arr[:4, :, :] = 255.0  # top half white -> pooled rows split 255/0
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        media = spark.createDataFrame(
+            [("n0", "image", bytearray(buf.getvalue()), None)],
+            "media_id STRING, kind STRING, payload BINARY, "
+            "meta STRUCT<width:INT,height:INT,channels:INT,sample_rate:INT,"
+            "duration_ms:INT,codec:STRING>",
+        )
+        mm.set_decoder(npy_decoder)
+        try:
+            [row] = mm.extract_features(media).collect()
+            assert row["feature"][:8] == [255.0] * 8  # top two pooled rows
+            assert row["feature"][8:] == [0.0] * 8
+        finally:
+            mm.set_decoder(mm._fake_decode)
+
     def test_real_decoder_stub_raises(self):
         with pytest.raises(NotImplementedError):
             mm.real_decoder_stub(b"x", {})

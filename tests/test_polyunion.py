@@ -98,3 +98,109 @@ class TestUnionFootprints:
         assert len(decoded) == 1 and len(decoded[0]) == 2
         j2 = out["j2"]
         assert j2["union_area"] == 1.0 and j2["n_polygons"] == 1 and j2["n_holes"] == 0
+
+
+class TestPolyUnionGeneral:
+    """Vertical-slab union of ARBITRARY simple polygons (rotated quads)."""
+
+    @staticmethod
+    def _diamond(cx, cy, r):
+        return [(cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)]
+
+    @staticmethod
+    def _rot(poly, th, cx=0.0, cy=0.0):
+        c, s = np.cos(th), np.sin(th)
+        return [
+            (cx + c * (x - cx) - s * (y - cy), cy + s * (x - cx) + c * (y - cy))
+            for x, y in poly
+        ]
+
+    def test_two_overlapping_diamonds_lens_area(self):
+        from geocube_spark.functions.polyunion import poly_union
+
+        r, d = 2.0, 3.0
+        polys, area = poly_union([self._diamond(0, 0, r), self._diamond(d, 0, r)])
+        assert area == pytest.approx(2 * (2 * r * r) - (2 * r - d) ** 2 / 2)
+        assert len(polys) == 1 and not polys[0][1]
+
+    def test_nested_diamond_absorbed(self):
+        from geocube_spark.functions.polyunion import poly_union
+
+        polys, area = poly_union([self._diamond(0, 0, 4), self._diamond(0, 0, 1)])
+        assert area == pytest.approx(32.0) and len(polys) == 1
+
+    def test_disjoint_rotated_quads(self):
+        from geocube_spark.functions.polyunion import poly_union
+
+        a = self._rot([(0, 0), (2, 0), (2, 1), (0, 1)], 0.5)
+        b = self._rot([(10, 10), (13, 10), (13, 12), (10, 12)], 1.1)
+        polys, area = poly_union([a, b])
+        assert area == pytest.approx(2 * 1 + 3 * 2)
+        assert len(polys) == 2
+
+    def test_rotated_annulus_one_hole(self):
+        from geocube_spark.functions.polyunion import poly_union
+
+        outer, inner = 10.0, 6.0
+        t = (outer - inner) / 2
+        rects = [
+            [(0, 0), (outer, 0), (outer, t), (0, t)],
+            [(0, outer - t), (outer, outer - t), (outer, outer), (0, outer)],
+            [(0, 0), (t, 0), (t, outer), (0, outer)],
+            [(outer - t, 0), (outer, 0), (outer, outer), (outer - t, outer)],
+        ]
+        polys, area = poly_union(
+            [self._rot(p, np.pi / 6, 5, 5) for p in rects]
+        )
+        assert area == pytest.approx(outer**2 - inner**2)
+        assert len(polys) == 1 and len(polys[0][1]) == 1
+
+    def test_cross_validates_rect_union_on_random_rects(self):
+        """Property: on rectilinear inputs the slab kernel must agree with
+        the dedicated rectilinear kernel on area, components, and holes."""
+        from geocube_spark.functions.polyunion import poly_union
+
+        rng = np.random.default_rng(0)
+        for trial in range(25):
+            n = int(rng.integers(1, 12))
+            rects, polys_in = [], []
+            for _ in range(n):
+                x0, y0 = rng.uniform(0, 50, 2)
+                w, h = rng.uniform(1, 20, 2)
+                rects.append((x0, y0, x0 + w, y0 + h))
+                polys_in.append(
+                    [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+                )
+            pr, ar = rect_union(rects)
+            pp, ap = poly_union(polys_in)
+            assert ap == pytest.approx(ar, rel=1e-9), trial
+            assert len(pp) == len(pr), trial
+            assert sum(len(h) for _, h in pp) == sum(
+                len(h) for _, h in pr
+            ), trial
+
+    def test_shoelace_consistency_is_asserted(self):
+        """The kernel self-checks trapezoid area against traced-ring
+        shoelace area — random rotated quads keep them equal."""
+        from geocube_spark.functions.polyunion import poly_union
+
+        rng = np.random.default_rng(1)
+        for _ in range(10):
+            polys_in = []
+            for _ in range(int(rng.integers(2, 8))):
+                cx, cy = rng.uniform(0, 30, 2)
+                w, h = rng.uniform(1, 8, 2)
+                th = rng.uniform(0, np.pi)
+                base = [
+                    (cx, cy), (cx + w, cy), (cx + w, cy + h), (cx, cy + h)
+                ]
+                polys_in.append(self._rot(base, th, cx, cy))
+            _, area = poly_union(polys_in)  # raises if inconsistent
+            assert area > 0
+
+    def test_clip_poly_rect_half_diamond(self):
+        from geocube_spark.functions.polyunion import clip_poly_rect, poly_union
+
+        clipped = clip_poly_rect(self._diamond(0, 0, 2), 0, -3, 3, 3)
+        _, a = poly_union([clipped])
+        assert a == pytest.approx(4.0)  # half of 2r² = 8

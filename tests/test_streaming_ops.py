@@ -229,3 +229,119 @@ class TestStreamingDedup:
 
         want_fps = {r["fingerprint"] for r in dedup_first_seen_batch(dup_docs).collect()}
         assert set(fps) == want_fps
+
+
+class TestStreamingDedupTTL:
+    """State TTL wiring: idle fingerprints are EVICTED (state plateaus on
+    an unbounded stream); the post-eviction re-emission is the documented
+    bounded-window trade-off.
+
+    Harness note: with ProcessingTimeTimeout the engine keeps scheduling
+    no-data micro-batches to fire timers, so Trigger.AvailableNow never
+    self-terminates — the test drives ONE long-running query and polls the
+    memory sink + the statestore reader instead."""
+
+    @staticmethod
+    def _poll(fn, want, deadline=60.0):
+        import time
+
+        end = time.time() + deadline
+        got = None
+        while time.time() < end:
+            try:
+                got = fn()
+            except Exception:
+                got = None  # reader racing a commit: retry
+            if got == want:
+                return got
+            time.sleep(0.5)
+        return got
+
+    def test_ttl_evicts_idle_state_and_replay_reemits(self, spark, tmp_path):
+        from geocube_spark.streaming.dedup_stream import dedup_stream
+
+        src = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ck")
+        spark.createDataFrame(
+            [(0, "text aa"), (1, "text bb")], "doc_id LONG, text STRING"
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = dedup_stream(
+            spark.readStream.schema(schema).parquet(src),
+            ttl_minutes=4.0 / 60.0,  # 4 s
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ttl_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            emitted = lambda: {  # noqa: E731
+                r["doc_id"] for r in spark.sql("SELECT * FROM ttl_out").collect()
+            }
+            state_n = lambda: (  # noqa: E731
+                spark.read.format("statestore").load(ckpt).count()
+            )
+            # batch 1 emitted, two live fingerprints
+            assert self._poll(emitted, {0, 1}) == {0, 1}
+            assert self._poll(state_n, 2) == 2
+            # no further data: both fingerprints idle past the TTL -> state
+            # PLATEAUS at zero instead of growing with corpus history
+            assert self._poll(state_n, 0) == 0
+            # replay of an evicted fingerprint re-enters as first-seen
+            spark.createDataFrame(
+                [(10, "text aa")], "doc_id LONG, text STRING"
+            ).coalesce(1).write.mode("append").parquet(src)
+            assert self._poll(emitted, {0, 1, 10}) == {0, 1, 10}
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def test_no_ttl_keeps_state_forever(self, spark, tmp_path):
+        """Control: without a TTL the same replay is SUPPRESSED (state
+        never evicts) — the bounded-corpus default."""
+        from geocube_spark.streaming.dedup_stream import dedup_stream
+
+        src = str(tmp_path / "docs")
+        ckpt = str(tmp_path / "ck")
+        spark.createDataFrame(
+            [(0, "text aa")], "doc_id LONG, text STRING"
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        out = dedup_stream(spark.readStream.schema(schema).parquet(src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName("nottl_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            emitted = lambda: {  # noqa: E731
+                r["doc_id"]
+                for r in spark.sql("SELECT * FROM nottl_out").collect()
+            }
+            assert self._poll(emitted, {0}) == {0}
+            import time
+
+            time.sleep(5)  # longer than the TTL test's window
+            spark.createDataFrame(
+                [(10, "text aa")], "doc_id LONG, text STRING"
+            ).coalesce(1).write.mode("append").parquet(src)
+            # the dup stays suppressed: poll must NOT reach {0, 10}
+            assert self._poll(emitted, {0, 10}, deadline=8.0) == {0}
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    def test_rocksdb_conf_keys(self):
+        from geocube_spark.streaming.dedup_stream import rocksdb_state_conf
+
+        conf = rocksdb_state_conf()
+        assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+            "RocksDBStateStoreProvider"
+        )
