@@ -527,6 +527,38 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_aea: source tiles for the ALBERS EQUAL-AREA cross-CRS
+    # warp oracle.  Same closed-form v(i,j) = (13i + 7j) mod 97, grid in
+    # EPSG:5070 (NAD83 / Conus Albers): res 1024 m, origin E=-65536 /
+    # N=1671168 (multiples of 1024), 128x128 px centered near the CONUS
+    # projection center (96°W, ~37.5°N).  Oracle re-derives the 4326->5070
+    # Snyder forward in SQL (functions/crs.py aea_forward_sql_columns).
+    aea_res = 1024.0
+    aea_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            aea_rows.append(
+                {
+                    "container_uri": "warp://src-aea",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 5070,
+                    "pix_to_crs": {
+                        "a": aea_res, "b": 0.0, "c": -65536.0,
+                        "d": 0.0, "e": -aea_res, "f": 1671168.0,
+                    },
+                    "record_id": _uuid("warp-aea-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     # ---- rotated_footprints: NON-rectilinear dataset footprints for the
     # general polygon-union oracle (A1/A2 beyond the rectilinear domain).
     # Every union-area correction is CLOSED-FORM from the construction —
@@ -611,6 +643,7 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "warp_src_utm": utm_rows,
         "warp_src_ps": ps_rows,
         "warp_src_lcc": lcc_rows,
+        "warp_src_aea": aea_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

@@ -520,6 +520,110 @@ def lcc_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
         {fn!r} + {rho0!r} - lcc_rho * cos(lcc_theta) AS lcc_n"""
 
 
+# --------------------------------------------------- Albers Equal Area conic
+#
+# Snyder eqs 14-1..14-21 (ellipsoidal, 2 standard parallels): the equal-area
+# national grids (CONUS EPSG:5070, Australian Albers EPSG:3577, ESRI
+# 102003).  Same closed-form + SQL-twin pattern as the conformal families.
+
+_AEA_PARAMS: dict[int, tuple[float, float, float, float, float, float]] = {
+    # srid: (lat1, lat2, lat0, lon0, false_easting, false_northing)
+    5070: (29.5, 45.5, 23.0, -96.0, 0.0, 0.0),  # NAD83 / Conus Albers
+    3577: (-18.0, -36.0, 0.0, 132.0, 0.0, 0.0),  # GDA94 / Australian Albers
+    102003: (29.5, 45.5, 37.5, -96.0, 0.0, 0.0),  # USA Contiguous Albers (ESRI)
+}
+
+
+def _aea_q_scalar(phi: float) -> float:
+    e = _TM_E
+    sp = math.sin(phi)
+    return (1.0 - e * e) * (
+        sp / (1.0 - e * e * sp * sp)
+        - (1.0 / (2.0 * e)) * math.log((1.0 - e * sp) / (1.0 + e * sp))
+    )
+
+
+def _aea_constants(srid: int) -> tuple[float, float, float, float, float, float]:
+    """(n, C, rho0, lon0, fe, fn) — Snyder 14-14/14-13/14-12a."""
+    lat1, lat2, lat0, lon0, fe, fn = _AEA_PARAMS[srid]
+    e = _TM_E
+
+    def m(phi_deg: float) -> float:
+        p = math.radians(phi_deg)
+        sp = math.sin(p)
+        return math.cos(p) / math.sqrt(1.0 - e * e * sp * sp)
+
+    m1, m2 = m(lat1), m(lat2)
+    q1 = _aea_q_scalar(math.radians(lat1))
+    q2 = _aea_q_scalar(math.radians(lat2))
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    q0 = _aea_q_scalar(math.radians(lat0))
+    rho0 = WGS84_A * math.sqrt(C - n * q0) / n
+    return n, C, rho0, lon0, fe, fn
+
+
+def aea_forward(lon, lat, srid: int):
+    """(lon, lat) degrees -> Albers (easting, northing) meters (Snyder
+    14-1..14-4: θ = n(λ−λ0), ρ = a√(C−nq)/n, x = ρ sinθ, y = ρ0 − ρ cosθ).
+    Works for both hemispheres (n carries the sign)."""
+    n, C, rho0, lon0, fe, fn = _aea_constants(srid)
+    e = _TM_E
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sp = np.sin(phi)
+    q = (1.0 - e * e) * (
+        sp / (1.0 - e * e * sp * sp)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sp) / (1.0 + e * sp))
+    )
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def aea_inverse(easting, northing, srid: int):
+    """Albers meters -> (lon, lat) degrees; φ from q by Snyder 3-16 Newton
+    iteration (converges to double precision in < 6 steps)."""
+    n, C, rho0, lon0, fe, fn = _aea_constants(srid)
+    e = _TM_E
+    x = np.asarray(easting, dtype=np.float64) - fe
+    y = rho0 - (np.asarray(northing, dtype=np.float64) - fn)
+    rho = np.hypot(x, y)
+    theta = np.arctan2(x, y)
+    if n < 0.0:  # southern cone: both rho and theta flip sign
+        rho = -rho
+        theta = np.arctan2(-x, -y)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    # initial guess: authalic sphere
+    qp = _aea_q_scalar(math.pi / 2.0)
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - e * e * sp * sp
+        phi = phi + (one * one) / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e * e)
+            - sp / one
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * sp) / (1.0 + e * sp))
+        )
+    lon = (np.degrees(theta / n) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+def aea_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB fragment computing ``aea_e``/``aea_n`` with the numpy
+    kernel's exact operation sequence (the oracle twin; n > 0 CRSs)."""
+    n, C, rho0, lon0, fe, fn = _aea_constants(srid)
+    e = repr(_TM_E)
+    return f"""
+        sin(radians({lat_expr})) AS aea_sp,
+        {n!r} * radians(({lon_expr}) - {lon0!r}) AS aea_theta,
+        (1 - {e}*{e}) * (aea_sp / (1 - {e}*{e}*aea_sp*aea_sp)
+            - (1.0/(2*{e})) * ln((1 - {e}*aea_sp) / (1 + {e}*aea_sp)))
+          AS aea_q,
+        {WGS84_A!r} * sqrt({C!r} - {n!r} * aea_q) / {n!r} AS aea_rho,
+        {fe!r} + aea_rho * sin(aea_theta) AS aea_e,
+        {fn!r} + {rho0!r} - aea_rho * cos(aea_theta) AS aea_n"""
+
+
 def _compose(f: Transform, g: Transform) -> Transform:
     return lambda xs, ys: g(*f(xs, ys))
 
@@ -542,6 +646,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: ps_inverse(xs, ys, srid)
         if srid in _LCC_PARAMS:
             return lambda xs, ys: lcc_inverse(xs, ys, srid)
+        if srid in _AEA_PARAMS:
+            return lambda xs, ys: aea_inverse(xs, ys, srid)
         return None
 
     def from_lonlat(srid: int) -> Transform | None:
@@ -557,6 +663,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: ps_forward(xs, ys, srid)
         if srid in _LCC_PARAMS:
             return lambda xs, ys: lcc_forward(xs, ys, srid)
+        if srid in _AEA_PARAMS:
+            return lambda xs, ys: aea_forward(xs, ys, srid)
         return None
 
     f = to_lonlat(src)

@@ -553,6 +553,75 @@ def ivf_load_centroids(index_path: str) -> list[list[float]]:
     return ivf_load_sidecar(index_path)["centroids"]
 
 
+def ivf_append(
+    new_embeddings: DataFrame,
+    index_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Incremental index growth: assign NEW rows with the FROZEN quantizer
+    (the sidecar centroids — never re-trained here) and append them into
+    the existing ``cluster=N`` partition directories.  Probes over the
+    grown index stay partition-pruned and agree exactly with an on-the-fly
+    IVF using the same centroids over the full corpus; only quantization
+    DRIFT (new data far from old centroids) degrades recall — monitor with
+    ``ivf_drift_report`` and rebuild when it crosses budget."""
+    import json
+
+    side = ivf_load_sidecar(index_path)
+    cents = side["centroids"]
+    assigned = new_embeddings.withColumn(
+        "cluster", ivf_assign_udf(cents)(F.col(vec_col))
+    )
+    assigned.write.partitionBy("cluster").mode("append").parquet(index_path)
+    meta = dict(side.get("meta", {}))
+    meta["appends"] = int(meta.get("appends", 0)) + 1
+    _fs_write_text(
+        new_embeddings.sparkSession,
+        _centroids_sidecar(index_path),
+        json.dumps({"centroids": cents, "meta": meta}),
+    )
+    return cents
+
+
+def ivf_dist_udf(centroids: list[list[float]]):
+    """L2 distance of a vector to ITS STORED cluster's centroid (not the
+    nearest) — the quantization-error signal drift monitoring needs.
+    Same closure-shipped matrix pattern as ``ivf_assign_udf``."""
+    from pyspark.sql.types import DoubleType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, d)
+
+    @F.pandas_udf(DoubleType())
+    def dist(vs: pd.Series, cluster: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="float64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        cs = C[cluster.to_numpy(dtype=np.int64)]
+        return pd.Series(np.sqrt(((mat - cs) ** 2).sum(axis=1)))
+
+    return dist
+
+
+def ivf_drift_report(spark, index_path: str, vec_col: str = "embedding") -> DataFrame:
+    """Per-cluster drift/health of a persisted (possibly appended) index:
+    row count and mean/max quantization error.  Rising error after appends
+    = the frozen quantizer no longer fits the data; rebuild the index."""
+    cents = ivf_load_centroids(index_path)
+    df = spark.read.parquet(index_path)
+    d = ivf_dist_udf(cents)(F.col(vec_col), F.col("cluster"))
+    return (
+        df.withColumn("_d", d)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.avg("_d"), 6).alias("mean_dist"),
+            F.round(F.max("_d"), 6).alias("max_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def probe_clusters(
     centroids: list[list[float]], query_vec: list[float], nprobe: int
 ) -> list[int]:

@@ -65,7 +65,7 @@ _DST_DM = {
 
 def ensure_fixtures() -> str:
     # probe the NEWEST fixture table so stale fixture dirs regenerate
-    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_lcc.parquet")):
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_aea.parquet")):
         from geocube_spark import fixtures
 
         fixtures.generate(FIXTURE_DIR, n_records=200)
@@ -1314,6 +1314,116 @@ def embedding_ivf_indexed(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_results"),
         F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_exact_hits"),
         F.lit(pruned).cast("long").alias("partition_pruned"),
+    )
+
+
+def ensure_ivf_appended_index(spark: SparkSession, sf_dir: str) -> str:
+    """The INCREMENTAL-GROWTH twin of ensure_ivf_index: build the index
+    from the even-vec_id half, then ivf_append the odd half with the
+    frozen quantizer.  Cache keyed on the embeddings fingerprint AND on
+    exactly one recorded append."""
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    out = os.path.join(FIXTURE_DIR, f"ivf_index_append_{tag}")
+    fp = _embeddings_fingerprint(sf_dir)
+    stale = True
+    if sim.ivf_sidecar_exists(out):
+        meta = sim.ivf_load_sidecar(out).get("meta", {})
+        stale = meta.get("source_fp") != fp or meta.get("appends") != 1
+    if stale:
+        shutil.rmtree(out, ignore_errors=True)
+        emb = _emb(spark, sf_dir)
+        first = emb.filter(F.col("vec_id") % 2 == 0)
+        rest = emb.filter(F.col("vec_id") % 2 == 1)
+        sim.ivf_build_index(first, out, n_clusters=8, meta={"source_fp": fp})
+        sim.ivf_append(rest, out)
+    return out
+
+
+@q(
+    "embedding_ivf_append",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_indexed,
+           CAST(20 AS BIGINT) AS n_results,
+           CAST(20 AS BIGINT) AS n_agree,
+           CAST(1 AS BIGINT) AS n_appends,
+           CAST(1 AS BIGINT) AS partition_pruned
+    FROM embeddings
+    """,
+)
+def embedding_ivf_append(spark, sf_dir):
+    """Incremental IVF append (the growth path ivf_build_index promises):
+    index built from HALF the corpus, the other half appended with the
+    FROZEN quantizer.  Invariants the oracle pins:
+
+    * the grown index holds every corpus row (n_indexed == n_total);
+    * a probe over the appended index agrees EXACTLY with the on-the-fly
+      IVF using the same frozen centroids over the full corpus
+      (n_agree == n_results == 20 — a theorem: identical quantizer,
+      identical candidate set, identical scoring);
+    * probes stay partition-pruned after the append (from the executed
+      plan's PartitionFilters, as in embedding_ivf_indexed);
+    * the sidecar records exactly one append."""
+    idx = ensure_ivf_appended_index(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).first()
+    qv = list(qrow["embedding"])
+    side = sim.ivf_load_sidecar(idx)
+    cents = side["centroids"]
+    n_appends = int(side.get("meta", {}).get("appends", 0))
+
+    probe_df = sim.ivf_topk_indexed(spark, idx, qv, k=20, nprobe=3)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    probe = sim.probe_clusters(cents, qv, 3)
+    pruned = int(
+        bool(pf)
+        and "cluster" in pf[0]
+        and all(str(int(c)) in pf[0] for c in probe)
+    )
+
+    indexed = probe_df.select("vec_id", F.round("score", 9).alias("score"))
+    onthefly = sim.ivf_topk(emb, qv, k=20, nprobe=3, centroids=cents).select(
+        "vec_id", F.round("score", 9).alias("score"), F.lit(1).alias("_m")
+    )
+    n_indexed = spark.read.parquet(idx).count()
+    joined = indexed.join(onthefly, ["vec_id", "score"], "left")
+    return joined.agg(
+        F.lit(int(emb.count())).cast("long").alias("n_total"),
+        F.lit(int(n_indexed)).cast("long").alias("n_indexed"),
+        F.count(F.lit(1)).cast("long").alias("n_results"),
+        F.coalesce(F.sum("_m"), F.lit(0)).cast("long").alias("n_agree"),
+        F.lit(n_appends).cast("long").alias("n_appends"),
+        F.lit(pruned).cast("long").alias("partition_pruned"),
+    )
+
+
+@q(
+    "embedding_ivf_drift",
+    """
+    SELECT CAST(8 AS BIGINT) AS n_clusters,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST(1 AS BIGINT) AS dist_ordered
+    FROM embeddings
+    """,
+)
+def embedding_ivf_drift(spark, sf_dir):
+    """Index-health report over the APPENDED index (sim.ivf_drift_report):
+    per-cluster quantization error.  Oracle invariants: every corpus row is
+    accounted for across clusters, the cluster count matches the build, and
+    mean <= max error in every cluster (dist_ordered — a structural zero
+    like the sketch-family oracles; the error VALUES are seeded kmeans
+    outputs DuckDB cannot recompute)."""
+    idx = ensure_ivf_appended_index(spark, sf_dir)
+    rep = sim.ivf_drift_report(spark, idx)
+    return rep.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("n_rows").cast("long").alias("n_rows_total"),
+        F.min((F.col("mean_dist") <= F.col("max_dist")).cast("int"))
+        .cast("long")
+        .alias("dist_ordered"),
     )
 
 
@@ -2576,6 +2686,77 @@ def warp_cross_crs_lcc(spark, sf_dir):
     )
 
 
+# Albers Equal-Area cross-CRS warp (C6: the equal-area national grids —
+# CONUS EPSG:5070 mosaics): NEAR-warp the 5070 fixture raster onto a 4326
+# grid; oracle = the same Snyder AEA forward re-derived in SQL, so the
+# floor()ed source indices are bit-identical like the UTM/polar/LCC twins.
+from geocube_spark.functions.crs import aea_forward_sql_columns  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_albers",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(-1, 3) obx, range(-1, 3) oby, range(0, 4096) i
+    ),
+    en AS (
+        SELECT obx, oby, idx,
+               {aea_forward_sql_columns(
+                   "-97.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625",
+                   "38.125 - (oby*64 + (idx // 64) + 0.5) * 0.015625",
+                   5070,
+               )}
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((aea_e - (-65536.0)) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((1671168.0 - aea_n) / 1024.0) AS BIGINT) AS iy
+        FROM en
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_albers(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_aea.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(-97.0, 38.125),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=5070,
+        dst_srid=4326,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
 # R3 continuous resampling kernels (variable.go:18-61): 2× upsample of the
 # warp_src interior through the real regrid path, one query per kernel.
 # Output pixel centers land at exact quarter-pixel phases (binary-exact
@@ -3063,6 +3244,129 @@ def timeseries_block_read(spark, sf_dir):
         "record_id",
         "band",
         F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6).alias("px_sum"),
+    )
+
+
+def ensure_mucog(spark: SparkSession) -> str:
+    """Materialize ONE real MuCOG container (operators/consolidation.
+    consolidate_to_mucog → sources/gtiff.write_tiff bytes) from the tile
+    fixtures: 12 record images × 2×2 blocks, block-interlaced so a
+    time-series of one block is one contiguous byte range."""
+    out = os.path.join(FIXTURE_DIR, "mucog_fixture.tif")
+    if not os.path.exists(out):
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        fd = ensure_fixtures()
+        tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+        datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+        records = spark.read.parquet(f"{fd}/records.parquet")
+        # image identity = SOURCE CONTAINER (several containers can share a
+        # record in the fixtures); record time orders the images, container
+        # uri tie-breaks deterministically
+        joined = (
+            tiles.join(
+                datasets.select("container_uri", "record_id").dropDuplicates(
+                    ["container_uri"]
+                ),
+                "container_uri",
+            )
+            .join(
+                F.broadcast(
+                    records.select(
+                        F.col("id").alias("record_id"),
+                        F.col("datetime").alias("record_datetime"),
+                    )
+                ),
+                "record_id",
+            )
+            .withColumn("record_id", F.col("container_uri"))
+            .withColumn("out_container_uri", F.lit("mucog://fixture"))
+        )
+        row = consolidate_to_mucog(
+            joined, dtype="float64", compression="deflate", tile_order="block"
+        ).collect()[0]
+        with open(out, "wb") as f:
+            f.write(bytes(row["tiff"]))
+    return out
+
+
+# S5/S6 at the BYTE level: the reference's headline benchmark restated
+# against the real MuCOG file (docs/architecture/mucog.md) — read ONE
+# block's time series across all record images from the TIFF produced by
+# consolidate_to_mucog, verifying (a) pixel parity with the tile table and
+# (b) that the block's payloads are physically CONTIGUOUS across images
+# (the interlacing property that makes the read one ranged GET).  Decode
+# runs executor-side (binaryFile → mapInPandas); only tile offsets and the
+# one block's payloads are touched, not the whole container.
+@q(
+    "mucog_block_read",
+    f"""
+    WITH m AS (
+        SELECT t.container_uri, r.datetime, t.px
+        FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') t
+        JOIN (
+            SELECT DISTINCT container_uri, record_id
+            FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        ) d ON t.container_uri = d.container_uri
+        JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r ON d.record_id = r.id
+        WHERE t.band = 1 AND t.level = 0 AND t.block_x = 1 AND t.block_y = 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY datetime, container_uri) - 1 AS BIGINT)
+               AS img_idx,
+           round(list_aggregate(list_filter(px, x -> NOT isnan(x)), 'sum'), 6)
+               AS px_sum,
+           CAST(len(list_filter(px, x -> NOT isnan(x))) AS BIGINT) AS n_valid,
+           CAST(1 AS BIGINT) AS contiguous
+    FROM m ORDER BY img_idx
+    """,
+)
+def mucog_block_read(spark, sf_dir):
+    path = ensure_mucog(spark)
+    binary = spark.read.format("binaryFile").load(path)
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from geocube_spark.sources.gtiff import read_tiff
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                images = [
+                    im for im in read_tiff(bytes(content)) if im.subfile_type == 0
+                ]
+                # block (1, 0) on the 2×2 grid -> tile index 1 per image
+                tidx = 1
+                spans = [
+                    (im.tile_offsets[tidx], im.tile_byte_counts[tidx])
+                    for im in images
+                ]
+                contig = all(
+                    spans[i][0] + spans[i][1] == spans[i + 1][0]
+                    for i in range(len(spans) - 1)
+                )
+                for idx, im in enumerate(images):
+                    blk = im.bands[0, 0:64, 64:128]
+                    finite = blk[~np.isnan(blk)]
+                    rows.append(
+                        {
+                            "img_idx": idx,
+                            "px_sum": round(float(finite.sum()), 6),
+                            "n_valid": int(finite.size),
+                            "contiguous": int(contig),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["img_idx", "px_sum", "n_valid", "contiguous"]
+            )
+
+    return (
+        binary.select("content")
+        .mapInPandas(
+            decode, "img_idx long, px_sum double, n_valid long, contiguous long"
+        )
+        .orderBy("img_idx")
     )
 
 

@@ -458,6 +458,101 @@ class TestLambertConformalConic:
         np.testing.assert_allclose(by, ys, atol=1e-6)
 
 
+
+class TestAlbersEqualArea:
+    """Snyder 14-1..14-21 ellipsoidal Albers (EPSG:5070/3577 + ESRI 102003)."""
+
+    @pytest.mark.parametrize("srid", [5070, 3577, 102003])
+    def test_roundtrip_machine_precision(self, srid):
+        from geocube_spark.functions.crs import (
+            _AEA_PARAMS,
+            aea_forward,
+            aea_inverse,
+        )
+
+        lat1, lat2, lat0, lon0, _, _ = _AEA_PARAMS[srid]
+        rng = np.random.default_rng(srid)
+        lon = lon0 + rng.uniform(-12, 12, 200)
+        lat = (
+            rng.uniform(-40, -12, 200)
+            if srid == 3577
+            else lat0 + rng.uniform(-10, 10, 200)
+        )
+        e, n = aea_forward(lon, lat, srid)
+        lon2, lat2_ = aea_inverse(e, n, srid)
+        np.testing.assert_allclose(lon2, lon, atol=1e-11)
+        np.testing.assert_allclose(lat2_, lat, atol=1e-11)
+
+    @pytest.mark.parametrize("srid", [5070, 3577, 102003])
+    def test_natural_origin_maps_to_false_origin(self, srid):
+        from geocube_spark.functions.crs import _AEA_PARAMS, aea_forward
+
+        _, _, lat0, lon0, fe, fn = _AEA_PARAMS[srid]
+        e, n = aea_forward(np.array([lon0]), np.array([lat0]), srid)
+        assert abs(e[0] - fe) < 1e-6 and abs(n[0] - fn) < 1e-6
+
+    def test_equal_area_property(self):
+        """Definitional: a small geographic quad's projected area equals
+        its ellipsoidal area (M·N·cosφ·dλ·dφ) to first order — the
+        property conformal projections deliberately do NOT have."""
+        import math
+
+        from geocube_spark.functions.crs import WGS84_A, _TM_E, aea_forward
+
+        for lat0 in (30.0, 37.5, 45.0):
+            h = 0.01
+            lon = np.array([-96.0, -96.0 + h, -96.0 + h, -96.0])
+            lat = np.array([lat0, lat0, lat0 + h, lat0 + h])
+            E, N = aea_forward(lon, lat, 5070)
+            proj = 0.5 * abs(
+                sum(
+                    E[i] * N[(i + 1) % 4] - E[(i + 1) % 4] * N[i]
+                    for i in range(4)
+                )
+            )
+            e2 = _TM_E**2
+            p = math.radians(lat0 + h / 2)
+            sp = math.sin(p)
+            W = math.sqrt(1 - e2 * sp * sp)
+            M = WGS84_A * (1 - e2) / W**3
+            Nr = WGS84_A / W
+            true = M * Nr * math.cos(p) * math.radians(h) ** 2
+            assert proj / true == pytest.approx(1.0, rel=1e-4)
+
+    def test_sql_twin_matches_numpy(self):
+        import duckdb
+
+        from geocube_spark.functions.crs import aea_forward, aea_forward_sql_columns
+
+        rng = np.random.default_rng(9)
+        lo = -96.0 + rng.uniform(-8, 8, 64)
+        la = 37.5 + rng.uniform(-8, 8, 64)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+        con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lo, la)))
+        rows = con.execute(
+            f"SELECT lon, lat, {aea_forward_sql_columns('lon', 'lat', 5070)} FROM pts"
+        ).fetchall()
+        names = [d[0] for d in con.description]
+        ie, iN = names.index("aea_e"), names.index("aea_n")
+        E, Nn = aea_forward(
+            np.array([r[0] for r in rows]), np.array([r[1] for r in rows]), 5070
+        )
+        np.testing.assert_allclose(np.array([r[ie] for r in rows]), E, atol=1e-7)
+        np.testing.assert_allclose(np.array([r[iN] for r in rows]), Nn, atol=1e-7)
+
+    def test_registry_composition(self):
+        from geocube_spark.functions.crs import transform_points
+
+        # CONUS Albers <-> CONUS LCC composes through lon/lat
+        xs = np.array([0.0, 300000.0])
+        ys = np.array([1606786.0, 2000000.0])
+        ax, ay = transform_points(5070, 102004, xs, ys)
+        bx, by = transform_points(102004, 5070, ax, ay)
+        np.testing.assert_allclose(bx, xs, atol=1e-6)
+        np.testing.assert_allclose(by, ys, atol=1e-6)
+
+
 class TestURI:
     def test_gdal_uri_roundtrip(self):
         u = gdal_uri("file:///c.tif", "GTIFF_DIR:2")

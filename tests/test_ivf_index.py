@@ -65,3 +65,64 @@ def test_indexed_matches_on_the_fly(spark, emb, index_path):
     assert [(r["vec_id"], round(r["score"], 9)) for r in a] == [
         (r["vec_id"], round(r["score"], 9)) for r in b
     ]
+
+
+class TestIncrementalAppend:
+    @pytest.fixture(scope="class")
+    def appended_index(self, spark, emb, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("ivf_app") / "index")
+        first = emb.filter(F.col("vec_id") % 2 == 0)
+        rest = emb.filter(F.col("vec_id") % 2 == 1)
+        sim.ivf_build_index(first, p, n_clusters=4)
+        sim.ivf_append(rest, p)
+        return p
+
+    def test_append_lands_in_existing_partitions(self, spark, appended_index, emb):
+        total = spark.read.parquet(appended_index).count()
+        assert total == emb.count()
+        subdirs = [
+            d for d in os.listdir(appended_index) if d.startswith("cluster=")
+        ]
+        assert len(subdirs) <= 4  # no new partition values invented
+
+    def test_sidecar_records_append_and_freezes_quantizer(
+        self, spark, appended_index, emb
+    ):
+        side = sim.ivf_load_sidecar(appended_index)
+        assert side["meta"]["appends"] == 1
+        # appending again bumps the counter, centroids unchanged
+        cents_before = side["centroids"]
+        extra = emb.filter(F.col("vec_id") < 0)  # empty append is legal
+        sim.ivf_append(extra, appended_index)
+        side2 = sim.ivf_load_sidecar(appended_index)
+        assert side2["meta"]["appends"] == 2
+        assert side2["centroids"] == cents_before
+
+    def test_appended_probe_matches_on_the_fly(self, spark, appended_index, emb):
+        cents = sim.ivf_load_centroids(appended_index)
+        qv = list(emb.filter(F.col("vec_id") == 1).first()["embedding"])
+        a = sim.ivf_topk_indexed(spark, appended_index, qv, k=10, nprobe=2).collect()
+        b = sim.ivf_topk(emb, qv, k=10, nprobe=2, centroids=cents).collect()
+        assert [(r["vec_id"], round(r["score"], 9)) for r in a] == [
+            (r["vec_id"], round(r["score"], 9)) for r in b
+        ]
+
+    def test_assignment_consistency_after_append(self, spark, appended_index):
+        """Every stored row sits in the partition its vector assigns to
+        under the frozen quantizer — append did not scramble placement."""
+        cents = sim.ivf_load_centroids(appended_index)
+        df = spark.read.parquet(appended_index)
+        mismatch = (
+            df.withColumn(
+                "want", sim.ivf_assign_udf(cents)(F.col("embedding"))
+            )
+            .filter(F.col("want") != F.col("cluster"))
+            .count()
+        )
+        assert mismatch == 0
+
+    def test_drift_report_shape(self, spark, appended_index, emb):
+        rep = sim.ivf_drift_report(spark, appended_index).collect()
+        assert sum(r["n_rows"] for r in rep) == emb.count()
+        assert all(r["mean_dist"] >= 0 for r in rep)
+        assert all(r["max_dist"] >= r["mean_dist"] for r in rep)
