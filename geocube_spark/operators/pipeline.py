@@ -170,12 +170,15 @@ def mixture_report(
         .groupBy(source_col)
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
+    # left join: a source that keeps ZERO rows (cutoff 0, e.g. when a
+    # weighted-but-empty source forces T = 0) still reports n_kept = 0
+    # instead of vanishing from the report
     return (
-        before.join(after, source_col)
+        before.join(after, source_col, "left")
         .select(
             F.col(source_col),
             F.col("n_before").cast("long"),
-            F.col("n_kept").cast("long"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
         .orderBy(source_col)
     )

@@ -1427,6 +1427,22 @@ def embedding_ivf_drift(spark, sf_dir):
     )
 
 
+# Passage-level dedup (Lee et al. 2022 exact-substring style): spans of
+# word-8-grams repeated >= 2x corpus-wide, merged per doc via
+# gaps-and-islands — the curation step that cuts boilerplate without
+# dropping whole documents.  Exact value oracle (same tokenization + span
+# algebra in SQL).
+from geocube_spark.operators.passages import (  # noqa: E402
+    duplicated_passage_report,
+    duplicated_passage_report_sql,
+)
+
+
+@q("duplicated_passages", duplicated_passage_report_sql(k=8, min_count=2))
+def duplicated_passages(spark, sf_dir):
+    return duplicated_passage_report(_docs(spark, sf_dir), k=8, min_count=2)
+
+
 # ============================================================= text analysis
 
 
@@ -2172,6 +2188,29 @@ def valid_shape_rotated_cells(spark, sf_dir):
         "cell_uri", "record_id", "n_datasets",
         F.round("v_area", 6).alias("v_area"),
     ).orderBy("cell_uri")
+
+
+# F10/J2: FindRecords with an AOI spatial filter — records ⋈ aoi (the dim
+# side broadcast) gated on the coarse bbox phase of ST_Intersects
+# (pg_records.go:93-107), time-ordered like every record listing.
+@q(
+    "find_records_aoi",
+    f"""
+    SELECT r.id, r.name, a.id AS aoi_id
+    FROM read_parquet('{FIXTURE_DIR}/records.parquet') r
+    JOIN read_parquet('{FIXTURE_DIR}/aoi.parquet') a ON r.aoi_id = a.id
+    WHERE a.bbox.xmin <= -150.0 AND a.bbox.xmax >= -165.0
+      AND a.bbox.ymin <= -20.0 AND a.bbox.ymax >= -38.0
+    ORDER BY r.datetime, r.id
+    """,
+)
+def find_records_aoi(spark, sf_dir):
+    fd = ensure_fixtures()
+    records = spark.read.parquet(f"{fd}/records.parquet")
+    aoi = spark.read.parquet(f"{fd}/aoi.parquet")
+    flt = RecordFilters(aoi_extent=(-165.0, -38.0, -150.0, -20.0))
+    out = find_records(records, aoi, flt)
+    return out.select("id", "name", "aoi_id")
 
 
 # A4: user-supplied record groups merged into slices, group order preserved.
@@ -3247,6 +3286,129 @@ def timeseries_block_read(spark, sf_dir):
     )
 
 
+# S2 bulk ingest through the COMMIT-LOG catalog (pg_records.go:19-55 COPY
+# restated): the records fixture is written via Catalog.write (immutable
+# snapshot dir + atomic put-if-absent commit file) and read back through
+# Catalog.read's commit resolution; the oracle reads the SOURCE parquet
+# directly — count and per-name tag/datetime checksums must survive the
+# ingest round trip exactly.
+def ensure_ingested_catalog(spark: SparkSession) -> str:
+    from geocube_spark.sources.catalog import Catalog
+
+    root = os.path.join(FIXTURE_DIR, "ingested_catalog")
+    cat = Catalog(spark, root)
+    if not cat.exists("records"):
+        fd = ensure_fixtures()
+        cat.write("records", spark.read.parquet(f"{fd}/records.parquet"))
+    return root
+
+
+@q(
+    "bulk_ingest_roundtrip",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT aoi_id) AS BIGINT) AS n_aois,
+           min(name) AS first_name,
+           CAST(max(datetime) AS VARCHAR) AS max_dt
+    FROM read_parquet('{FIXTURE_DIR}/records.parquet')
+    """,
+)
+def bulk_ingest_roundtrip(spark, sf_dir):
+    from geocube_spark.sources.catalog import Catalog
+
+    root = ensure_ingested_catalog(spark)
+    r = Catalog(spark, root).read("records")
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.count_distinct("aoi_id").cast("long").alias("n_aois"),
+        F.min("name").alias("first_name"),
+        F.max("datetime").cast("string").alias("max_dt"),
+    )
+
+
+# S7 as REAL bytes: one tile slice through the reference's PNG path
+# (image.go:522-584 — DataMapping to external values, scale to 8-bit,
+# encode) then decoded back by the pure-stdlib reader; the oracle
+# recomputes the gray statistics from the tile table with the identical
+# value mapping (round_even = numpy's banker's rounding).  Driver-side by
+# design: SURVEY §2.1 S7 declares the PNG sink an edge feature, and the
+# payload is ONE bounded block.
+@q(
+    "png_tile_roundtrip",
+    f"""
+    WITH c AS (
+        SELECT min(container_uri) AS cu
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE dmapping.dtype = 'Int16' AND dmapping.exponent = 1.0
+    ),
+    t AS (
+        SELECT px FROM read_parquet('{FIXTURE_DIR}/tiles.parquet'), c
+        WHERE container_uri = c.cu AND band = 1 AND level = 0
+          AND block_x = 0 AND block_y = 0
+    ),
+    u AS (SELECT unnest(px) AS v FROM t)
+    SELECT CAST(64 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS height,
+           CAST(sum(CASE WHEN v = -32768.0 THEN 0
+                ELSE CAST(round_even(least(greatest(v / 10000.0, 0), 1) * 255, 0)
+                     AS BIGINT) END) AS BIGINT) AS gray_sum,
+           CAST(count(*) FILTER (v = -32768.0) AS BIGINT) AS n_nodata_px
+    FROM u
+    """,
+)
+def png_tile_roundtrip(spark, sf_dir):
+    from geocube_spark.functions.localdf import values_df
+    from geocube_spark.sources.png import decode_png, slice_to_png
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    cu = (
+        datasets.filter(
+            (F.col("dmapping.dtype") == "Int16")
+            & (F.col("dmapping.exponent") == 1.0)
+        )
+        .agg(F.min("container_uri"))
+        .first()[0]
+    )
+    tile = (
+        spark.read.parquet(f"{fd}/tiles.parquet")
+        .filter(
+            (F.col("container_uri") == cu)
+            & (F.col("band") == 1)
+            & (F.col("level") == 0)
+            & (F.col("block_x") == 0)
+            & (F.col("block_y") == 0)
+        )
+        .first()
+    )
+    dm = {
+        "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0,
+        "max_value": 10000.0, "real_min_value": 0.0, "real_max_value": 1.0,
+        "exponent": 1.0,
+    }
+    png = slice_to_png(list(tile["px"]), 64, 64, dm)
+    gray = decode_png(png)
+    import numpy as _np
+
+    px = _np.asarray(tile["px"]).reshape(64, 64)
+    n_nodata = int((px == -32768.0).sum())
+    return values_df(
+        spark,
+        [(
+            int(gray.shape[1]),
+            int(gray.shape[0]),
+            int(gray.astype("int64").sum()),
+            n_nodata,
+        )],
+        ["width", "height", "gray_sum", "n_nodata_px"],
+    ).select(
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("gray_sum").cast("long"),
+        F.col("n_nodata_px").cast("long"),
+    )
+
+
 def ensure_mucog(spark: SparkSession) -> str:
     """Materialize ONE real MuCOG container (operators/consolidation.
     consolidate_to_mucog → sources/gtiff.write_tiff bytes) from the tile
@@ -3603,8 +3765,9 @@ def _mixture_oracle() -> str:
            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', p.cutoff)
         GROUP BY d.source
     )
-    SELECT p.source, p.n AS n_before, k.n_kept
-    FROM plan p JOIN kept k ON p.source = k.source
+    SELECT p.source, p.n AS n_before,
+           coalesce(k.n_kept, 0) AS n_kept
+    FROM plan p LEFT JOIN kept k ON p.source = k.source
     ORDER BY p.source
     """
 

@@ -76,3 +76,43 @@ def slice_to_png(
     rgba = lut[idx]
     rgba[mask] = (0, 0, 0, 0)  # transparent nodata
     return encode_png(rgba)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Minimal decoder for THIS encoder's output (8-bit, filter 0 per
+    scanline, color type 0/2/6, non-interlaced) — the read-back
+    verification path of the S7 sink, like gtiff.read_tiff for S5."""
+    if data[: len(_SIGNATURE)] != _SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = len(_SIGNATURE)
+    w = h = color_type = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        crc_want = struct.unpack_from(">I", data, pos + 8 + length)[0]
+        if (zlib.crc32(tag + payload) & 0xFFFFFFFF) != crc_want:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG variant")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = 1 + w * channels
+    rows = []
+    for r in range(h):
+        line = raw[r * stride : (r + 1) * stride]
+        if line[0] != 0:
+            raise ValueError("only filter type 0 is produced/read")
+        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
+    out = np.stack(rows).reshape(h, w, channels)
+    return out[:, :, 0] if channels == 1 else out

@@ -70,3 +70,41 @@ class TestCurationChain:
         r = dedup_report(corpus).first()
         assert r["n_docs"] == corpus.count()
         assert r["n_docs"] == r["n_unique"] + r["n_duplicates"]
+
+
+class TestMixtureZeroRowSource:
+    def test_weighted_but_empty_source_forces_zero_total(self, spark):
+        """A source present in weights with NO rows makes the achievable
+        total 0 (nothing can be kept without upsampling it) — it must not
+        be silently ignored, and the report keeps every source row with
+        n_kept = 0."""
+        from geocube_spark.operators.pipeline import (
+            mixture_report,
+            mixture_resample,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "src0" if i % 2 else "src1") for i in range(40)],
+            "doc_id LONG, source STRING",
+        )
+        weights = {"src0": 1, "src1": 1, "ghost": 2}
+        assert mixture_resample(docs, weights).count() == 0
+        rep = {
+            r["source"]: (r["n_before"], r["n_kept"])
+            for r in mixture_report(docs, weights).collect()
+        }
+        assert rep["src0"][1] == 0 and rep["src1"][1] == 0
+        assert rep["src0"][0] == 20  # before-counts survive the left join
+
+    def test_all_sources_present_unchanged(self, spark):
+        from geocube_spark.operators.pipeline import mixture_report
+
+        docs = spark.createDataFrame(
+            [(i, f"src{i % 2}") for i in range(256)],
+            "doc_id LONG, source STRING",
+        )
+        rep = {
+            r["source"]: r for r in mixture_report(docs, {"src0": 1, "src1": 1}).collect()
+        }
+        # balanced corpus + equal weights: nearly everything kept
+        assert rep["src0"]["n_kept"] > 0 and rep["src1"]["n_kept"] > 0

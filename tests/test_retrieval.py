@@ -144,3 +144,55 @@ class TestDecontamination:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+class TestDuplicatedPassages:
+    def test_known_spans(self, spark):
+        from geocube_spark.operators.passages import (
+            duplicated_passage_report,
+            duplicated_passage_spans,
+        )
+
+        boiler = "all rights reserved no part may be reproduced " \
+                 "without permission"  # 10 tokens
+        rows = [
+            (0, f"alpha beta {boiler} gamma delta"),
+            (1, f"{boiler} something completely different here follows now"),
+            (2, "no duplication in this document at all whatsoever today"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        spans = {
+            r["doc_id"]: r
+            for r in duplicated_passage_spans(docs, k=8, min_count=2).collect()
+        }
+        # doc 0: boiler occupies tokens 3..12 -> shared k-grams start 3..5
+        assert (spans[0]["span_start"], spans[0]["span_end"]) == (3, 12)
+        assert spans[0]["n_grams"] == 3
+        # doc 1: boiler at tokens 1..10 -> gram starts 1..3
+        assert (spans[1]["span_start"], spans[1]["span_end"]) == (1, 10)
+        assert 2 not in spans  # clean doc emits nothing
+
+        rep = {
+            r["doc_id"]: r
+            for r in duplicated_passage_report(docs, k=8, min_count=2).collect()
+        }
+        assert rep[0]["n_dup_tokens"] == 10 and rep[0]["n_spans"] == 1
+        assert rep[1]["longest_span"] == 10
+
+    def test_two_disjoint_spans_not_merged(self, spark):
+        from geocube_spark.operators.passages import duplicated_passage_report
+
+        a = "one two three four five six seven eight"  # 8 tokens
+        b = "red orange yellow green blue indigo violet ultraviolet"
+        rows = [
+            (0, f"{a} filler words in the middle of it {b}"),
+            (1, f"{a} completely other tail content here now today ok"),
+            (2, f"prefix stuff before the rainbow starts here now {b}"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        rep = {
+            r["doc_id"]: r
+            for r in duplicated_passage_report(docs, k=8, min_count=2).collect()
+        }
+        assert rep[0]["n_spans"] == 2
+        assert rep[0]["n_dup_tokens"] == 16
