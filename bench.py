@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -58,7 +59,7 @@ def main() -> None:
             n = len(df.collect())
             runs.append(time.time() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 3)  # median
+        timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
         print(
             f"# {name}: {timings[name]:.2f}s ±{spreads[name]:.2f} ({n} rows)",

@@ -588,10 +588,9 @@ def aea_inverse(easting, northing, srid: int):
     x = np.asarray(easting, dtype=np.float64) - fe
     y = rho0 - (np.asarray(northing, dtype=np.float64) - fn)
     rho = np.hypot(x, y)
-    theta = np.arctan2(x, y)
-    if n < 0.0:  # southern cone: both rho and theta flip sign
-        rho = -rho
-        theta = np.arctan2(-x, -y)
+    # southern cone (n < 0): only theta needs the sign treatment — rho
+    # enters q strictly squared, so its sign is immaterial
+    theta = np.arctan2(-x, -y) if n < 0.0 else np.arctan2(x, y)
     q = (C - (rho * n / WGS84_A) ** 2) / n
     # initial guess: authalic sphere
     qp = _aea_q_scalar(math.pi / 2.0)

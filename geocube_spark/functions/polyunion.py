@@ -27,6 +27,7 @@ map-side because union is associative.
 
 from __future__ import annotations
 
+import math
 import struct
 
 import numpy as np
@@ -202,8 +203,6 @@ def rect_union(rects: list[Rect]) -> tuple[list[tuple[np.ndarray, list[np.ndarra
 # Pure numpy/stdlib; runs inside the same bounded applyInPandas groups as
 # rect_union.  O(E² log E) in the group's edge count — fine for job/cell
 # groups (bounded dataset counts), never pointed at a whole corpus.
-
-Poly = "list[tuple[float, float]]"
 
 
 def _dedupe_ring(poly) -> np.ndarray | None:
@@ -399,15 +398,12 @@ def poly_union(
             else:
                 cx, cy = pts[cur]
 
-                def turn(nk: tuple) -> tuple[int, float]:
+                def turn(nk: tuple) -> float:
                     nx_, ny_ = pts[nk]
                     d = (nx_ - cx, ny_ - cy)
                     cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
                     dot = prev_dir[0] * d[0] + prev_dir[1] * d[1]
-                    import math
-
-                    ang = math.atan2(cross, dot)  # (-pi, pi], left > 0
-                    return (1, ang)
+                    return math.atan2(cross, dot)  # (-pi, pi], left > 0
 
                 nxt = max(cands, key=turn)
             cands.remove(nxt)

@@ -509,14 +509,16 @@ def connected_components(
         return partial.groupBy("u").agg(agg.alias("m"))
 
     def join_mins(sym: DataFrame, mins: DataFrame) -> DataFrame:
-        """edges ⋈ per-node min on u; salted replication when S > 1."""
+        """edges ⋈ per-node min on u; salted replication when S > 1
+        (skew.salted_join with a deterministic hash(v) salt so retries
+        shuffle identically)."""
         if S == 1:
             return sym.join(mins, "u")
-        salted = sym.withColumn("_s", F.pmod(F.xxhash64("v"), F.lit(S)))
-        rep = mins.withColumn(
-            "_s", F.explode(F.sequence(F.lit(0), F.lit(S - 1)))
+        from geocube_spark.operators.skew import salted_join
+
+        return salted_join(
+            sym, mins, "u", S, salt_expr=F.pmod(F.xxhash64("v"), F.lit(S))
         )
-        return salted.join(rep, ["u", "_s"]).drop("_s")
 
     def large_star(e: DataFrame) -> DataFrame:
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

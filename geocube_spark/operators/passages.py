@@ -45,9 +45,13 @@ def positional_kgram_hashes(
     functions accept arrays).  Hashing 8 longs instead of rebuilding an
     8-word string per position is ~7× faster end-to-end at sf0.1 —
     identical equality semantics (the oracle compares gram TEXT, so any
-    behavioral drift would hash-mismatch)."""
+    behavioral drift would hash-mismatch).
+
+    NULL-text documents are dropped: xxhash64(NULL) is the constant seed,
+    which would make every null doc a mutual "duplicate" of the others,
+    while SQL's NULL gram joins nothing — both engines skip them instead."""
     toks = tokens_expr(F.col(text_col))
-    hashed = docs.select(
+    hashed = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("th"),
     )
@@ -133,6 +137,7 @@ def duplicated_passage_report_sql(
     return f"""
     WITH base AS (
         SELECT CAST({id_col} AS BIGINT) AS doc_id, {toks} AS t FROM {table}
+        WHERE {text_col} IS NOT NULL
     ),
     g AS (
         SELECT doc_id, CAST(u.i AS BIGINT) AS pos,

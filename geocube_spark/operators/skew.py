@@ -25,14 +25,21 @@ def salted_join(
     dim: DataFrame,
     key: str,
     salt_buckets: int = 16,
+    salt_expr=None,
 ) -> DataFrame:
-    """Skewed fact ⋈ small-ish dim equi-join: salt the fact side with a
-    random bucket, EXPLODE the dim side across all buckets, join on
-    (key, salt).  The hot key's rows land on ``salt_buckets`` different
-    reducers instead of one."""
-    salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
-    )
+    """Skewed fact ⋈ small-ish dim equi-join: salt the fact side, EXPLODE
+    the dim side across all buckets, join on (key, salt).  The hot key's
+    rows land on ``salt_buckets`` different reducers instead of one.
+
+    ``salt_expr`` (a Column in [0, salt_buckets)) overrides the default
+    random salt when the caller needs a DETERMINISTIC spread — e.g.
+    connected_components salts by hash of the neighbor column so retries
+    and resumes shuffle identically."""
+    if salt_expr is None:
+        salt_expr = F.pmod(
+            F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+        )
+    salted_fact = fact.withColumn("_salt", salt_expr)
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>"))
     )

@@ -1254,6 +1254,25 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     return hashlib.sha1("|".join(parts).encode()).hexdigest()
 
 
+def _scan_partition_pruned(plan: str, probe) -> int:
+    """1 iff the executed plan's FileSourceScan carries PartitionFilters on
+    ``cluster`` whose literal set contains EVERY probed id.  Parses the
+    filter body (attribute ids like ``cluster#125`` stripped first) instead
+    of bare substring matching — ``'1' in line`` would false-pass via the
+    digits of an attribute id even when partition 1 is not pruned to."""
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    if not pf or "cluster" not in pf[0]:
+        return 0
+    m = re.search(r"PartitionFilters:\s*\[(.*?)\]", pf[0])
+    if not m or not m.group(1).strip():
+        return 0
+    body = re.sub(r"#\d+", "", m.group(1))  # cluster#125 -> cluster
+    lits = {int(x) for x in re.findall(r"(?<![\w.])(\d+)(?![\w.])", body)}
+    return int(bool(lits) and all(int(c) in lits for c in probe))
+
+
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the persisted IVF layout once per SF: cluster id as a
     partition column + centroid sidecar (similarity.ivf_build_index).
@@ -1298,13 +1317,8 @@ def embedding_ivf_indexed(spark, sf_dir):
     qv = list(qrow["embedding"])
     probe_df = sim.ivf_topk_indexed(spark, idx, qv, k=20, nprobe=3)
     plan = probe_df._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     probe = sim.probe_clusters(sim.ivf_load_centroids(idx), qv, 3)
-    pruned = int(
-        bool(pf)
-        and "cluster" in pf[0]
-        and all(str(int(c)) in pf[0] for c in probe)
-    )
+    pruned = _scan_partition_pruned(plan, probe)
     ivf = probe_df.select("vec_id", F.round("score", 6).alias("score"))
     exact_all = sim.brute_force_topk(emb, qv, k=20)
     flagged = ivf.join(
@@ -1376,13 +1390,8 @@ def embedding_ivf_append(spark, sf_dir):
 
     probe_df = sim.ivf_topk_indexed(spark, idx, qv, k=20, nprobe=3)
     plan = probe_df._jdf.queryExecution().executedPlan().toString()
-    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     probe = sim.probe_clusters(cents, qv, 3)
-    pruned = int(
-        bool(pf)
-        and "cluster" in pf[0]
-        and all(str(int(c)) in pf[0] for c in probe)
-    )
+    pruned = _scan_partition_pruned(plan, probe)
 
     indexed = probe_df.select("vec_id", F.round("score", 9).alias("score"))
     onthefly = sim.ivf_topk(emb, qv, k=20, nprobe=3, centroids=cents).select(

@@ -100,13 +100,27 @@ def _tile_grid(w: int, h: int, tw: int, th: int) -> tuple[int, int]:
     return -(-w // tw), -(-h // th)
 
 
-def _cut_tiles(img: RasterImage, tw: int, th: int) -> list[bytes]:
-    """Planar tile payloads, plane-major then row-major (TIFF PC=2 order).
-    Edge tiles are padded to full tile size with nodata (or 0)."""
+def _cut_tiles(img: RasterImage, tw: int, th: int, planar: int = 2) -> list[bytes]:
+    """Tile payloads: planar (PC=2, per-band planes, plane-major) or chunky
+    (PC=1, samples interleaved per pixel — what GDAL writes by default for
+    multiband).  Edge tiles are padded to full tile size with nodata/0."""
     nb, h, w = img.bands.shape
     across, down = _tile_grid(w, h, tw, th)
     pad = img.nodata if img.nodata is not None else 0
     out: list[bytes] = []
+    if planar == 1 and nb > 1:
+        interleaved = np.moveaxis(img.bands, 0, -1)  # (h, w, nb)
+        for ty in range(down):
+            for tx in range(across):
+                tile = interleaved[
+                    ty * th : ty * th + th, tx * tw : tx * tw + tw, :
+                ]
+                if tile.shape[:2] != (th, tw):
+                    full = np.full((th, tw, nb), pad, dtype=tile.dtype)
+                    full[: tile.shape[0], : tile.shape[1], :] = tile
+                    tile = full
+                out.append(np.ascontiguousarray(tile).tobytes())
+        return out
     for b in range(nb):
         plane = img.bands[b]
         for ty in range(down):
@@ -278,6 +292,7 @@ def write_tiff(
     compression: str = "deflate",
     tile_order: str = "image",
     predictor: int = 1,
+    planar: int | None = None,
 ) -> bytes:
     """Serialize images into one tiled (Geo)TIFF.
 
@@ -289,6 +304,9 @@ def write_tiff(
     compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec).
     predictor=2 applies TIFF horizontal differencing before compression
     (integer dtypes only) — the LZW+predictor combination GDAL emits.
+    planar: None = this writer's default (per-band planes for multiband),
+    1 forces chunky pixel-interleaved tiles (GDAL's multiband default) —
+    mainly to produce externally-shaped fixtures for the ingest path.
     """
     if not images:
         raise ValueError("no images")
@@ -303,11 +321,15 @@ def write_tiff(
     for img in images:
         nb, h, w = img.bands.shape
         dt = img.bands.dtype
-        payloads = _cut_tiles(img, tw, th)
+        pc = planar if planar is not None else (2 if nb > 1 else 1)
+        payloads = _cut_tiles(img, tw, th, planar=pc)
         if predictor == 2:
             payloads = [
                 _predict2_encode(
-                    np.frombuffer(p, dtype=dt).reshape(th, tw)
+                    np.frombuffer(p, dtype=dt).reshape(
+                        (th, tw, nb) if (pc == 1 and nb > 1) else (th, tw)
+                    ),
+                    axis=1 if (pc == 1 and nb > 1) else -1,
                 ).tobytes()
                 for p in payloads
             ]
@@ -324,7 +346,7 @@ def write_tiff(
             (_COMPRESSION, _T_SHORT, 1, _pack_array(_T_SHORT, [comp_code])),
             (_PHOTOMETRIC, _T_SHORT, 1, _pack_array(_T_SHORT, [1])),
             (_SAMPLES_PER_PIXEL, _T_SHORT, 1, _pack_array(_T_SHORT, [nb])),
-            (_PLANAR_CONFIG, _T_SHORT, 1, _pack_array(_T_SHORT, [2 if nb > 1 else 1])),
+            (_PLANAR_CONFIG, _T_SHORT, 1, _pack_array(_T_SHORT, [pc])),
             (_PREDICTOR, _T_SHORT, 1, _pack_array(_T_SHORT, [predictor])),
             (_TILE_WIDTH, _T_SHORT, 1, _pack_array(_T_SHORT, [tw])),
             (_TILE_LENGTH, _T_SHORT, 1, _pack_array(_T_SHORT, [th])),
@@ -431,6 +453,9 @@ class TiffImage:
     subfile_type: int
     tile_offsets: list[int]
     tile_byte_counts: list[int]
+    tile_width: int = 0
+    tile_height: int = 0
+    planar: int = 1  # TIFF PlanarConfiguration: 1 chunky, 2 per-band planes
 
 
 def read_tiff(data: bytes) -> list[TiffImage]:
@@ -528,6 +553,9 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                 subfile_type=tags.get(_NEW_SUBFILE_TYPE, [0])[0],
                 tile_offsets=offsets,
                 tile_byte_counts=counts,
+                tile_width=tw,
+                tile_height=th,
+                planar=planar,
             )
         )
     return images

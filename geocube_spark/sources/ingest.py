@@ -71,11 +71,15 @@ def tiff_bytes_to_tile_rows(data: bytes, container_uri: str) -> list[dict]:
 
     Levels: the full-res IFD (NewSubfileType=0) is level 0; each overview
     IFD gets level = round(log2(fullres_width / width)).  Pixels are cast
-    to float64 to match the tile-table px column.
+    to float64 to match the tile-table px column.  Every emitted row
+    carries the LEVEL-0 pix_to_crs (the tile-table convention that
+    pyramid.build_level establishes and consolidate_to_mucog's 2^level
+    scaling assumes) — the overview IFD's own pre-scaled transform is
+    dropped in favor of the full-res one.
     """
     import math
 
-    from geocube_spark.sources.gtiff import read_tiff
+    from geocube_spark.sources.gtiff import _tile_grid, read_tiff
 
     images = read_tiff(data)
     full = [im for im in images if im.subfile_type == 0]
@@ -86,26 +90,12 @@ def tiff_bytes_to_tile_rows(data: bytes, container_uri: str) -> list[dict]:
     for im in images:
         nb, h, w = im.bands.shape
         level = 0 if im.subfile_type == 0 else int(round(math.log2(full_w / w)))
-        # recover the file's own tile grid from the offsets count so block
-        # (x, y) indexes agree with the physical layout the COG was written
-        # with: tiles_per_plane = across × down with ceil(w/tw) == across
-        # and ceil(h/th) == down; prefer the most-square tile shape
-        tiles_per_plane = len(im.tile_offsets) // nb
-        best = None
-        for down_c in range(1, tiles_per_plane + 1):
-            if tiles_per_plane % down_c:
-                continue
-            across_c = tiles_per_plane // down_c
-            tw_c = -(-w // across_c)
-            th_c = -(-h // down_c)
-            if -(-w // tw_c) == across_c and -(-h // th_c) == down_c:
-                cand = (abs(tw_c - th_c), across_c, down_c, tw_c, th_c)
-                if best is None or cand < best:
-                    best = cand
-        if best is None:
-            raise ValueError("cannot infer tile grid from offsets")
-        _, across, down, tw, th = best
-        a, b, c, d, e, f = im.transform
+        # the file's own physical tile grid, straight from the IFD tags
+        # (works for planar AND chunky multiband — chunky holds all bands
+        # per tile, so the grid is never derived from the offsets count)
+        tw, th = im.tile_width, im.tile_height
+        across, down = _tile_grid(w, h, tw, th)
+        a, b, c, d, e, f = full[0].transform
         for band in range(nb):
             plane = im.bands[band]
             for ty in range(down):

@@ -259,3 +259,84 @@ class TestExternalCOGIngest:
         )
         problems = validate_datasets_against_tiles(datasets, tiles).collect()
         assert [p["problem"] for p in problems] == ["missing_band"]
+
+
+class TestChunkyMultiband:
+    """GDAL's multiband default is PIXEL-interleaved (PlanarConfig=1);
+    the writer can emit it and the ingest path derives the tile grid from
+    the IFD tags, not from the per-plane offsets count."""
+
+    @pytest.mark.parametrize("compression", ["none", "deflate", "lzw"])
+    def test_chunky_roundtrip(self, compression):
+        rng = np.random.default_rng(13)
+        arr = rng.integers(0, 255, (3, 40, 60)).astype("uint8")
+        img = RasterImage(bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0))
+        data = write_tiff(
+            [img], tile_size=(32, 32), compression=compression, planar=1
+        )
+        [out] = read_tiff(data)
+        assert out.planar == 1
+        np.testing.assert_array_equal(out.bands, arr)
+
+    def test_chunky_predictor_roundtrip(self):
+        rng = np.random.default_rng(14)
+        arr = rng.integers(0, 65535, (3, 40, 60)).astype("uint16")
+        img = RasterImage(bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0))
+        data = write_tiff(
+            [img], tile_size=(32, 32), compression="lzw", predictor=2, planar=1
+        )
+        [out] = read_tiff(data)
+        np.testing.assert_array_equal(out.bands, arr)
+
+    def test_chunky_multiband_ingest_grid(self):
+        """Regression: a pixel-interleaved 3-band COG with a 2x2 tile grid
+        has 4 tile offsets (NOT 12); the grid must come from the tile-size
+        tags, and each band must land in its own tile rows."""
+        rng = np.random.default_rng(15)
+        arr = rng.integers(0, 255, (3, 64, 64)).astype("uint8")
+        img = RasterImage(
+            bands=arr, transform=(10.0, 0, 0, 0, -10.0, 640.0), epsg=32631
+        )
+        data = write_tiff([img], tile_size=(32, 32), planar=1)
+        rows = tiff_bytes_to_tile_rows(data, "ext://chunky.tif")
+        assert len(rows) == 12  # 3 bands x 2x2 blocks
+        assert {r["band"] for r in rows} == {1, 2, 3}
+        blk = next(
+            r for r in rows if (r["band"], r["block_x"], r["block_y"]) == (2, 1, 1)
+        )
+        np.testing.assert_array_equal(
+            np.array(blk["px"]).reshape(32, 32),
+            arr[1, 32:64, 32:64].astype("float64"),
+        )
+
+    def test_single_tile_rgba_ingest(self):
+        """Regression: a one-tile 4-band RGBA chunky file previously made
+        the offsets-count grid inference divide 1 // 4 = 0 and raise."""
+        rng = np.random.default_rng(16)
+        arr = rng.integers(0, 255, (4, 16, 16)).astype("uint8")
+        img = RasterImage(bands=arr, transform=(1.0, 0, 0, 0, -1.0, 16.0))
+        data = write_tiff([img], tile_size=(16, 16), planar=1)
+        rows = tiff_bytes_to_tile_rows(data, "ext://rgba.tif")
+        assert len(rows) == 4 and {r["band"] for r in rows} == {1, 2, 3, 4}
+
+
+class TestIngestOverviewTransformConvention:
+    def test_overview_rows_carry_level0_transform(self):
+        """Regression: the tile-table convention is that EVERY row carries
+        the level-0 pix_to_crs (consolidate_to_mucog scales by 2^level on
+        that assumption); the overview IFD's own pre-scaled transform must
+        not leak onto ingested overview rows."""
+        full = _img(dtype="uint16", w=64, h=64)
+        ovr = RasterImage(
+            bands=full.bands[0][::2, ::2].copy(),
+            transform=(20.0, 0.0, 500000.0, 0.0, -20.0, 4500000.0),  # 2x
+            epsg=32631,
+            subfile_type=1,
+        )
+        data = write_tiff([full, ovr], tile_size=(32, 32))
+        rows = tiff_bytes_to_tile_rows(data, "ext://ovr.tif")
+        lvl1 = [r for r in rows if r["level"] == 1]
+        assert lvl1
+        for r in lvl1:
+            assert r["pix_to_crs"]["a"] == 10.0  # level-0 scale, not 20
+            assert r["pix_to_crs"]["e"] == -10.0

@@ -126,3 +126,36 @@ class TestIncrementalAppend:
         assert sum(r["n_rows"] for r in rep) == emb.count()
         assert all(r["mean_dist"] >= 0 for r in rep)
         assert all(r["max_dist"] >= r["mean_dist"] for r in rep)
+
+
+class TestPartitionPrunedParser:
+    """_scan_partition_pruned must parse the filter's literal set — bare
+    digit substring matching false-passes via attribute ids."""
+
+    def test_attribute_id_digits_do_not_false_pass(self):
+        from geocube_spark.registry import _scan_partition_pruned
+
+        plan = "FileSourceScan ... PartitionFilters: [cluster#125 IN (0,3,5)], ..."
+        assert _scan_partition_pruned(plan, [0, 3]) == 1
+        assert _scan_partition_pruned(plan, [0, 3, 5]) == 1
+        # '1' and '2' appear in 'cluster#125' but are NOT pruned-to values
+        assert _scan_partition_pruned(plan, [1]) == 0
+        assert _scan_partition_pruned(plan, [2, 0]) == 0
+
+    def test_empty_or_missing_filters_fail(self):
+        from geocube_spark.registry import _scan_partition_pruned
+
+        assert _scan_partition_pruned("no partition filters here", [0]) == 0
+        assert (
+            _scan_partition_pruned("Scan ... PartitionFilters: [], ...", [0]) == 0
+        )
+
+    def test_real_plan_still_passes(self, spark, index_path):
+        from geocube_spark.registry import _scan_partition_pruned
+
+        cents = sim.ivf_load_centroids(index_path)
+        qv = list(cents[0])
+        df = sim.ivf_topk_indexed(spark, index_path, qv, k=5, nprobe=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        probe = sim.probe_clusters(cents, qv, 2)
+        assert _scan_partition_pruned(plan, probe) == 1

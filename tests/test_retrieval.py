@@ -196,3 +196,18 @@ class TestDuplicatedPassages:
         }
         assert rep[0]["n_spans"] == 2
         assert rep[0]["n_dup_tokens"] == 16
+
+    def test_null_text_docs_are_skipped(self, spark):
+        """Regression: xxhash64(NULL) is the constant seed, so null-text
+        docs would otherwise all collide into one fake duplicate cluster
+        (and diverge from SQL, where a NULL gram joins nothing)."""
+        from geocube_spark.operators.passages import duplicated_passage_report
+
+        rows = [
+            (0, None),
+            (1, None),
+            (2, None),
+            (3, "totally unique text right here for this one document"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+        assert duplicated_passage_report(docs, k=8, min_count=2).count() == 0
