@@ -34,8 +34,11 @@ _NEW_SUBFILE_TYPE = 254
 _IMAGE_WIDTH = 256
 _IMAGE_LENGTH = 257
 _BITS_PER_SAMPLE = 258
-_COMPRESSION = 259  # 1 = none, 5 = LZW, 8 = deflate (zlib)
+_COMPRESSION = 259  # 1 = none, 5 = LZW, 8 = deflate (zlib), 32773 = PackBits
 _PHOTOMETRIC = 262  # 1 = BlackIsZero
+_STRIP_OFFSETS = 273
+_ROWS_PER_STRIP = 278
+_STRIP_BYTE_COUNTS = 279
 _SAMPLES_PER_PIXEL = 277
 _PLANAR_CONFIG = 284  # 1 = chunky, 2 = planar (per-band planes)
 _TILE_WIDTH = 322
@@ -255,6 +258,57 @@ def lzw_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ----------------------------------------------------------- PackBits codec
+#
+# TIFF 6.0 §9 PackBits: byte-oriented run-length.  Control byte n in 0..127
+# means copy the next n+1 literal bytes; n in -127..-1 (two's complement
+# 129..255) means repeat the next byte 1-n times; -128 (128) is a no-op.
+# Still common in scanned/archival GeoTIFFs; GDAL reads and writes it
+# (reference ingests them via GDAL, internal/image/image.go:260-286).
+
+
+def packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ctrl = data[i]
+        i += 1
+        if ctrl < 128:  # literal run of ctrl+1 bytes
+            out += data[i : i + ctrl + 1]
+            i += ctrl + 1
+        elif ctrl > 128:  # repeat next byte 257-ctrl times
+            out += data[i : i + 1] * (257 - ctrl)
+            i += 1
+        # ctrl == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal stretch: until the next >=3 repeat (2-runs aren't worth
+        # breaking a literal for) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
 def _predict2_encode(tile: np.ndarray, axis: int = -1) -> np.ndarray:
     """Horizontal differencing (predictor=2) along the pixel-column axis;
     integer dtypes only, wraparound via the dtype's modular arithmetic."""
@@ -286,6 +340,28 @@ class _PlannedIFD:
     tile_offsets: list[int] = field(default_factory=list)
 
 
+def _cut_strips(
+    img: RasterImage, rps: int, planar: int
+) -> list[bytes]:
+    """Strip payloads (full-width row bands, NOT padded — TIFF 6.0 strips).
+    planar=1: rows interleaved (h, w, nb); planar=2: per-band planes
+    sequential (all strips of band 0, then band 1, ...)."""
+    nb, h, w = img.bands.shape
+    out: list[bytes] = []
+    if planar == 1 and nb > 1:
+        interleaved = np.moveaxis(img.bands, 0, -1)  # (h, w, nb)
+        for y0 in range(0, h, rps):
+            out.append(np.ascontiguousarray(interleaved[y0 : y0 + rps]).tobytes())
+        return out
+    for b in range(nb):
+        for y0 in range(0, h, rps):
+            out.append(np.ascontiguousarray(img.bands[b, y0 : y0 + rps]).tobytes())
+    return out
+
+
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
 def write_tiff(
     images: list[RasterImage],
     tile_size: tuple[int, int] = (256, 256),
@@ -293,27 +369,37 @@ def write_tiff(
     tile_order: str = "image",
     predictor: int = 1,
     planar: int | None = None,
+    layout: str = "tile",
+    rows_per_strip: int = 64,
 ) -> bytes:
-    """Serialize images into one tiled (Geo)TIFF.
+    """Serialize images into one tiled or stripped (Geo)TIFF.
 
     tile_order='image': tiles grouped per image (COG: full-res first, then
     overviews).  tile_order='block': MuCOG interlacing — tile payloads
     ordered (block, image) so one block across all images is contiguous;
     requires every image on the same grid.
 
-    compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec).
+    compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec) |
+    'packbits' (RLE, common in archival GeoTIFFs).
     predictor=2 applies TIFF horizontal differencing before compression
     (integer dtypes only) — the LZW+predictor combination GDAL emits.
     planar: None = this writer's default (per-band planes for multiband),
     1 forces chunky pixel-interleaved tiles (GDAL's multiband default) —
     mainly to produce externally-shaped fixtures for the ingest path.
+    layout='strip' writes StripOffsets/RowsPerStrip instead of tiles —
+    what plain (non-COG) gdal_translate emits; fixture path for the
+    external-GeoTIFF ingest tests.
     """
     if not images:
         raise ValueError("no images")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if layout not in ("tile", "strip"):
+        raise ValueError("layout must be 'tile' or 'strip'")
+    if layout == "strip" and tile_order == "block":
+        raise ValueError("tile_order='block' requires layout='tile'")
     tw, th = tile_size
-    comp_code = {"none": 1, "lzw": 5, "deflate": 8}[compression]
+    comp_code = _COMP_CODES[compression]
     if predictor == 2 and comp_code == 1:
         raise ValueError("predictor=2 requires a compression codec")
 
@@ -322,14 +408,21 @@ def write_tiff(
         nb, h, w = img.bands.shape
         dt = img.bands.dtype
         pc = planar if planar is not None else (2 if nb > 1 else 1)
-        payloads = _cut_tiles(img, tw, th, planar=pc)
+        if layout == "strip":
+            payloads = _cut_strips(img, rows_per_strip, planar=pc)
+        else:
+            payloads = _cut_tiles(img, tw, th, planar=pc)
         if predictor == 2:
+            chunky = pc == 1 and nb > 1
+            row_bytes = (w if layout == "strip" else tw) * (nb if chunky else 1)
             payloads = [
                 _predict2_encode(
                     np.frombuffer(p, dtype=dt).reshape(
-                        (th, tw, nb) if (pc == 1 and nb > 1) else (th, tw)
+                        (-1, row_bytes // (nb if chunky else 1), nb)
+                        if chunky
+                        else (-1, row_bytes)
                     ),
-                    axis=1 if (pc == 1 and nb > 1) else -1,
+                    axis=1 if chunky else -1,
                 ).tobytes()
                 for p in payloads
             ]
@@ -337,7 +430,13 @@ def write_tiff(
             payloads = [zlib.compress(p, 6) for p in payloads]
         elif comp_code == 5:
             payloads = [lzw_encode(p) for p in payloads]
+        elif comp_code == 32773:
+            payloads = [packbits_encode(p) for p in payloads]
         bits, fmt = _DTYPE_TIFF[str(img.bands.dtype)]
+        offsets_tag = _STRIP_OFFSETS if layout == "strip" else _TILE_OFFSETS
+        counts_tag = (
+            _STRIP_BYTE_COUNTS if layout == "strip" else _TILE_BYTE_COUNTS
+        )
         entries = [
             (_NEW_SUBFILE_TYPE, _T_LONG, 1, _pack_array(_T_LONG, [img.subfile_type])),
             (_IMAGE_WIDTH, _T_LONG, 1, _pack_array(_T_LONG, [w])),
@@ -348,17 +447,22 @@ def write_tiff(
             (_SAMPLES_PER_PIXEL, _T_SHORT, 1, _pack_array(_T_SHORT, [nb])),
             (_PLANAR_CONFIG, _T_SHORT, 1, _pack_array(_T_SHORT, [pc])),
             (_PREDICTOR, _T_SHORT, 1, _pack_array(_T_SHORT, [predictor])),
-            (_TILE_WIDTH, _T_SHORT, 1, _pack_array(_T_SHORT, [tw])),
-            (_TILE_LENGTH, _T_SHORT, 1, _pack_array(_T_SHORT, [th])),
-            (_TILE_OFFSETS, _T_LONG, len(payloads), b""),  # patched later
+            (offsets_tag, _T_LONG, len(payloads), b""),  # patched later
             (
-                _TILE_BYTE_COUNTS,
+                counts_tag,
                 _T_LONG,
                 len(payloads),
                 _pack_array(_T_LONG, [len(p) for p in payloads]),
             ),
             (_SAMPLE_FORMAT, _T_SHORT, nb, _pack_array(_T_SHORT, [fmt] * nb)),
         ]
+        if layout == "strip":
+            entries.append(
+                (_ROWS_PER_STRIP, _T_LONG, 1, _pack_array(_T_LONG, [rows_per_strip]))
+            )
+        else:
+            entries.append((_TILE_WIDTH, _T_SHORT, 1, _pack_array(_T_SHORT, [tw])))
+            entries.append((_TILE_LENGTH, _T_SHORT, 1, _pack_array(_T_SHORT, [th])))
         a, _b, c, _d, e, f = img.transform
         entries.append(
             (_MODEL_PIXEL_SCALE, _T_DOUBLE, 3, _pack_array(_T_DOUBLE, [abs(a), abs(e), 0.0]))
@@ -374,7 +478,9 @@ def write_tiff(
         entries.sort(key=lambda entry: entry[0])
         p = _PlannedIFD(entries, payloads, len(payloads))
         p.offsets_entry_idx = next(
-            i for i, entry in enumerate(entries) if entry[0] == _TILE_OFFSETS
+            i
+            for i, entry in enumerate(entries)
+            if entry[0] in (_TILE_OFFSETS, _STRIP_OFFSETS)
         )
         planned.append(p)
 
@@ -385,7 +491,11 @@ def write_tiff(
         pos += 2 + 12 * len(p.entries) + 4
         p.extra_offset = pos
         for tag, _ft, _cnt, payload in p.entries:
-            size = 4 * p.n_tiles if tag == _TILE_OFFSETS else len(payload)
+            size = (
+                4 * p.n_tiles
+                if tag in (_TILE_OFFSETS, _STRIP_OFFSETS)
+                else len(payload)
+            )
             if size > 4:
                 pos += (size + 1) & ~1  # keep offsets even
 
@@ -421,7 +531,7 @@ def write_tiff(
         extra = bytearray()
         extra_pos = p.extra_offset
         for tag, ftype, count, payload in p.entries:
-            if tag == _TILE_OFFSETS:
+            if tag in (_TILE_OFFSETS, _STRIP_OFFSETS):
                 payload = _pack_array(_T_LONG, p.tile_offsets)
             if len(payload) <= 4:
                 out += struct.pack("<HHI", tag, ftype, count)
@@ -487,9 +597,8 @@ def read_tiff(data: bytes) -> list[TiffImage]:
 
         w, h = tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]
         nb = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
-        tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
         comp = tags.get(_COMPRESSION, [1])[0]
-        if comp not in (1, 5, 8):
+        if comp not in (1, 5, 8, 32773):
             raise ValueError(f"unsupported TIFF compression code {comp}")
         predictor = tags.get(_PREDICTOR, [1])[0]
         if predictor not in (1, 2):
@@ -498,8 +607,6 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         fmt = tags.get(_SAMPLE_FORMAT, [1])[0]
         dtype = np.dtype(_TIFF_DTYPE[(bits, fmt)])
         planar = tags.get(_PLANAR_CONFIG, [1])[0]
-        offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
-        across, down = _tile_grid(w, h, tw, th)
 
         def _payload(off: int, cnt: int) -> bytes:
             payload = data[off : off + cnt]
@@ -507,7 +614,52 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                 payload = zlib.decompress(payload)
             elif comp == 5:
                 payload = lzw_decode(payload)
+            elif comp == 32773:
+                payload = packbits_decode(payload)
             return payload
+
+        if _TILE_WIDTH not in tags:
+            # strip-based layout — plain gdal_translate output (non-COG)
+            rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+            offsets = tags[_STRIP_OFFSETS]
+            counts = tags[_STRIP_BYTE_COUNTS]
+            strips_per_plane = -(-h // rps)
+            bands = np.zeros((nb, h, w), dtype=dtype)
+            for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+                raw = _payload(off, cnt)
+                if planar == 1 and nb > 1:
+                    strip = np.frombuffer(raw, dtype=dtype).reshape(-1, w, nb)
+                    if predictor == 2:
+                        strip = _predict2_decode(strip, axis=1)
+                    y0 = idx * rps
+                    for b in range(nb):
+                        bands[b, y0 : y0 + strip.shape[0]] = strip[:, :, b]
+                else:
+                    strip = np.frombuffer(raw, dtype=dtype).reshape(-1, w)
+                    if predictor == 2:
+                        strip = _predict2_decode(strip, axis=1)
+                    b, si = divmod(idx, strips_per_plane)
+                    y0 = si * rps
+                    bands[b, y0 : y0 + strip.shape[0]] = strip
+            images.append(
+                TiffImage(
+                    bands=bands,
+                    transform=_geo_transform(tags),
+                    epsg=_geo_epsg(tags),
+                    nodata=_geo_nodata(tags),
+                    subfile_type=tags.get(_NEW_SUBFILE_TYPE, [0])[0],
+                    tile_offsets=offsets,
+                    tile_byte_counts=counts,
+                    tile_width=w,
+                    tile_height=rps,
+                    planar=planar,
+                )
+            )
+            continue
+
+        tw, th = tags[_TILE_WIDTH][0], tags[_TILE_LENGTH][0]
+        offsets, counts = tags[_TILE_OFFSETS], tags[_TILE_BYTE_COUNTS]
+        across, down = _tile_grid(w, h, tw, th)
 
         if planar == 2 or nb == 1:
             bands = np.zeros((nb, down * th, across * tw), dtype=dtype)
@@ -531,25 +683,12 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                     bands[b, ty * th : (ty + 1) * th, tx * tw : (tx + 1) * tw] = tile[:, :, b]
         bands = bands[:, :h, :w]
 
-        scale = tags.get(_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
-        tie = tags.get(_MODEL_TIEPOINT, [0.0] * 6)
-        transform = (scale[0], 0.0, tie[3], 0.0, -scale[1], tie[4])
-        epsg = 0
-        gk = tags.get(_GEO_KEY_DIRECTORY)
-        if gk:
-            for i in range(gk[3]):
-                kid, loc, _cnt, val = gk[4 + 4 * i : 8 + 4 * i]
-                if loc == 0 and kid in (_GEOGRAPHIC_TYPE, _PROJECTED_CS_TYPE):
-                    epsg = val
-        nodata = None
-        if _GDAL_NODATA in tags:
-            nodata = float(tags[_GDAL_NODATA][0])
         images.append(
             TiffImage(
                 bands=bands,
-                transform=transform,
-                epsg=epsg,
-                nodata=nodata,
+                transform=_geo_transform(tags),
+                epsg=_geo_epsg(tags),
+                nodata=_geo_nodata(tags),
                 subfile_type=tags.get(_NEW_SUBFILE_TYPE, [0])[0],
                 tile_offsets=offsets,
                 tile_byte_counts=counts,
@@ -559,6 +698,28 @@ def read_tiff(data: bytes) -> list[TiffImage]:
             )
         )
     return images
+
+
+def _geo_transform(tags: dict) -> tuple[float, float, float, float, float, float]:
+    scale = tags.get(_MODEL_PIXEL_SCALE, [1.0, 1.0, 0.0])
+    tie = tags.get(_MODEL_TIEPOINT, [0.0] * 6)
+    return (scale[0], 0.0, tie[3], 0.0, -scale[1], tie[4])
+
+
+def _geo_epsg(tags: dict) -> int:
+    gk = tags.get(_GEO_KEY_DIRECTORY)
+    if gk:
+        for i in range(gk[3]):
+            kid, loc, _cnt, val = gk[4 + 4 * i : 8 + 4 * i]
+            if loc == 0 and kid in (_GEOGRAPHIC_TYPE, _PROJECTED_CS_TYPE):
+                return val
+    return 0
+
+
+def _geo_nodata(tags: dict) -> float | None:
+    if _GDAL_NODATA in tags:
+        return float(tags[_GDAL_NODATA][0])
+    return None
 
 
 def header_size(data: bytes) -> int:

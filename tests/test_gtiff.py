@@ -15,6 +15,8 @@ from geocube_spark.sources.gtiff import (
     header_size,
     lzw_decode,
     lzw_encode,
+    packbits_decode,
+    packbits_encode,
     read_tiff,
     write_tiff,
 )
@@ -340,3 +342,108 @@ class TestIngestOverviewTransformConvention:
         for r in lvl1:
             assert r["pix_to_crs"]["a"] == 10.0  # level-0 scale, not 20
             assert r["pix_to_crs"]["e"] == -10.0
+
+
+class TestPackBits:
+    def test_roundtrip_random(self):
+        rng = np.random.default_rng(3)
+        for n in (0, 1, 2, 127, 128, 129, 300, 70000):
+            raw = rng.integers(0, 256, n).astype("uint8").tobytes()
+            assert packbits_decode(packbits_encode(raw)) == raw
+
+    def test_roundtrip_runs(self):
+        raw = b"\x00" * 1000 + b"ab" * 300 + b"\xff" * 129 + b"xyz"
+        enc = packbits_encode(raw)
+        assert packbits_decode(enc) == raw
+        assert len(enc) < len(raw) // 2
+
+    def test_long_literal_boundary(self):
+        # exactly 128 non-repeating bytes then a run
+        raw = bytes(range(128)) + b"\x07" * 5
+        assert packbits_decode(packbits_encode(raw)) == raw
+
+    def test_noop_control_skipped(self):
+        # 0x80 is a documented no-op between runs
+        assert packbits_decode(b"\x80\x00A\x80\xfeB") == b"ABBB"
+
+
+class TestStripLayout:
+    """Strip-based TIFFs — what plain (non-COG) gdal_translate writes.
+
+    The reference ingests them via GDAL (internal/image/image.go:260-286);
+    here read_tiff handles StripOffsets/RowsPerStrip/StripByteCounts so the
+    binaryFile ingest path accepts non-cloud-optimized external products."""
+
+    @pytest.mark.parametrize("compression", ["none", "deflate", "lzw", "packbits"])
+    def test_singleband_roundtrip(self, compression):
+        img = _img(seed=21, dtype="uint16", w=70, h=50)
+        data = write_tiff(
+            [img], compression=compression, layout="strip", rows_per_strip=16
+        )
+        out = read_tiff(data)[0]
+        np.testing.assert_array_equal(out.bands, img.bands)
+        assert out.transform == img.transform
+        assert out.epsg == img.epsg
+
+    def test_planar_multiband_roundtrip(self):
+        rng = np.random.default_rng(5)
+        img = RasterImage(
+            bands=rng.integers(0, 255, (3, 33, 47)).astype("uint8"),
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+            epsg=4326,
+        )
+        data = write_tiff([img], compression="deflate", layout="strip",
+                          rows_per_strip=8)
+        out = read_tiff(data)[0]
+        np.testing.assert_array_equal(out.bands, img.bands)
+
+    def test_chunky_multiband_predictor_lzw(self):
+        rng = np.random.default_rng(6)
+        img = RasterImage(
+            bands=rng.integers(0, 255, (3, 40, 31)).astype("uint8"),
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+            epsg=32631,
+        )
+        data = write_tiff([img], compression="lzw", predictor=2, planar=1,
+                          layout="strip", rows_per_strip=13)
+        out = read_tiff(data)[0]
+        assert out.planar == 1
+        np.testing.assert_array_equal(out.bands, img.bands)
+
+    def test_last_strip_short(self):
+        # h=50 rps=16 -> strips of 16,16,16,2: last strip is NOT padded
+        img = _img(seed=22, w=20, h=50)
+        data = write_tiff([img], compression="none", layout="strip",
+                          rows_per_strip=16)
+        out = read_tiff(data)[0]
+        assert out.tile_byte_counts[-1] == 2 * 20 * 2  # 2 rows x 20 px x 2 B
+        np.testing.assert_array_equal(out.bands, img.bands)
+
+    def test_float_strip_roundtrip(self):
+        img = _img(seed=23, dtype="float32", w=30, h=21)
+        data = write_tiff([img], compression="deflate", layout="strip",
+                          rows_per_strip=7)
+        np.testing.assert_array_equal(read_tiff(data)[0].bands, img.bands)
+
+    def test_strip_ingest_to_tile_rows(self):
+        img = _img(seed=24, w=40, h=40, epsg=32631)
+        data = write_tiff([img], compression="packbits", layout="strip",
+                          rows_per_strip=16)
+        rows = tiff_bytes_to_tile_rows(data, "ext://strips.tif")
+        # grid is 1 across x ceil(40/16)=3 down
+        assert {(r["block_x"], r["block_y"]) for r in rows} == {
+            (0, 0), (0, 1), (0, 2)
+        }
+        assert all(len(r["px"]) == 16 * 40 for r in rows)
+        # reassemble and compare (last strip padded with 0)
+        got = np.zeros((48, 40))
+        for r in rows:
+            got[r["block_y"] * 16 : (r["block_y"] + 1) * 16] = np.array(
+                r["px"]
+            ).reshape(16, 40)
+        np.testing.assert_array_equal(got[:40], img.bands[0].astype("float64"))
+
+    def test_tiled_packbits_roundtrip(self):
+        img = _img(seed=25, w=70, h=50)
+        data = write_tiff([img], compression="packbits", tile_size=(32, 32))
+        np.testing.assert_array_equal(read_tiff(data)[0].bands, img.bands)
