@@ -559,6 +559,39 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_sinu: source tiles for the SINUSOIDAL (MODIS grid,
+    # SR-ORG:6974) cross-CRS warp oracle.  Same closed-form v(i,j) =
+    # (13i + 7j) mod 97, grid in the MODIS sinusoidal projection
+    # (R = 6371007.181 m): res 1024 m, origin E=732160 / N=4971520
+    # (multiples of 1024), 128x128 px centered near (10E, 44N).  Oracle
+    # re-derives the 4326->sinusoidal forward in SQL
+    # (functions/crs.py sinu_forward_sql_columns).
+    sinu_res = 1024.0
+    sinu_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            sinu_rows.append(
+                {
+                    "container_uri": "warp://src-sinu",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 6974,
+                    "pix_to_crs": {
+                        "a": sinu_res, "b": 0.0, "c": 732160.0,
+                        "d": 0.0, "e": -sinu_res, "f": 4971520.0,
+                    },
+                    "record_id": _uuid("warp-sinu-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     # ---- rotated_footprints: NON-rectilinear dataset footprints for the
     # general polygon-union oracle (A1/A2 beyond the rectilinear domain).
     # Every union-area correction is CLOSED-FORM from the construction —
@@ -644,6 +677,7 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "warp_src_ps": ps_rows,
         "warp_src_lcc": lcc_rows,
         "warp_src_aea": aea_rows,
+        "warp_src_sinu": sinu_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

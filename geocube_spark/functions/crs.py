@@ -88,6 +88,19 @@ def parse_crs(text: str | int) -> int:
             ):
                 raise CRSError(f"non-WGS84 utm proj4 spec: {s!r}")
             return (32700 if re.search(r"\+south\b", s) else 32600) + zone
+        if re.search(r"\+proj\s*=\s*sinu\b", s):
+            flat = s.replace(" ", "")
+            if "+R=6371007.181" in flat or "+a=6371007.181" in flat:
+                return 6974  # MODIS sinusoidal grid (SR-ORG:6974)
+            if "+R=6371000" in flat or (
+                "R=" not in flat and "a=" not in flat
+            ):
+                return 53008
+            raise CRSError(f"unrecognized sinusoidal sphere: {s!r}")
+        if re.search(r"\+proj\s*=\s*moll\b", s):
+            return 53009
+        if re.search(r"\+proj\s*=\s*eqc\b", s):
+            return 32662
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
     raise CRSError(f"unsupported CRS spec: {text!r}")
 
@@ -623,6 +636,105 @@ def aea_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
         {fn!r} + {rho0!r} - aea_rho * cos(aea_theta) AS aea_n"""
 
 
+# ------------------------------------------- spherical world projections
+#
+# Sinusoidal (Snyder eq 30-1/30-2), Mollweide (Snyder 31-1..31-8) and
+# Plate Carree / spherical equirectangular (EPSG method 9823) on a sphere —
+# the formulas the MODIS land grid (SR-ORG:6974, R = 6371007.181 m), the
+# ESRI world sphere grids (53008/53009) and EPSG:32662 actually use.
+# Reference accepts these via PROJ (internal/utils/proj/proj.go:47-73).
+
+_SINU_PARAMS: dict[int, float] = {
+    # srid -> sphere radius (meters)
+    6974: 6371007.181,  # SR-ORG:6974 — the MODIS sinusoidal land grid
+    53008: 6371000.0,  # ESRI Sphere_Sinusoidal
+}
+_MOLL_PARAMS: dict[int, float] = {
+    53009: 6371000.0,  # ESRI Sphere_Mollweide
+}
+_EQC_PARAMS: dict[int, float] = {
+    32662: 6378137.0,  # WGS 84 / Plate Carree (spherical method, R = a)
+}
+
+
+def sinu_forward(lon, lat, srid: int):
+    """(lon, lat) degrees -> sinusoidal (x, y) meters: x = R·λ·cosφ,
+    y = R·φ (equal-area, pseudocylindrical)."""
+    R = _SINU_PARAMS[srid]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    return R * lam * np.cos(phi), R * phi
+
+
+def sinu_inverse(x, y, srid: int):
+    R = _SINU_PARAMS[srid]
+    phi = np.asarray(y, dtype=np.float64) / R
+    cphi = np.cos(phi)
+    # at the exact pole every x maps to the pole point; keep lon finite
+    lam = np.where(
+        np.abs(cphi) < 1e-12, 0.0, np.asarray(x, dtype=np.float64) / (R * np.maximum(cphi, 1e-12))
+    )
+    return np.degrees(lam), np.degrees(phi)
+
+
+def sinu_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB fragment computing ``sinu_x``/``sinu_y`` with the numpy
+    kernel's exact operation sequence (oracle twin)."""
+    R = repr(_SINU_PARAMS[srid])
+    return f"""
+        {R} * radians({lon_expr}) * cos(radians({lat_expr})) AS sinu_x,
+        {R} * radians({lat_expr}) AS sinu_y"""
+
+
+def moll_forward(lon, lat, srid: int):
+    """Mollweide: solve 2θ + sin2θ = π·sinφ by Newton (Snyder 31-5), then
+    x = (2√2/π)·R·λ·cosθ, y = √2·R·sinθ."""
+    R = _MOLL_PARAMS[srid]
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64))
+    pi_sin = np.pi * np.sin(phi)
+    theta = phi.copy()
+    for _ in range(12):
+        f = 2.0 * theta + np.sin(2.0 * theta) - pi_sin
+        fp = 2.0 + 2.0 * np.cos(2.0 * theta)
+        step = np.where(np.abs(fp) < 1e-12, 0.0, f / np.maximum(np.abs(fp), 1e-12) * np.sign(fp))
+        theta = theta - step
+    x = (2.0 * math.sqrt(2.0) / np.pi) * R * lam * np.cos(theta)
+    y = math.sqrt(2.0) * R * np.sin(theta)
+    return x, y
+
+
+def moll_inverse(x, y, srid: int):
+    R = _MOLL_PARAMS[srid]
+    theta = np.arcsin(np.clip(np.asarray(y, dtype=np.float64) / (math.sqrt(2.0) * R), -1.0, 1.0))
+    phi = np.arcsin(np.clip((2.0 * theta + np.sin(2.0 * theta)) / np.pi, -1.0, 1.0))
+    ct = np.cos(theta)
+    lam = np.where(
+        np.abs(ct) < 1e-12,
+        0.0,
+        np.pi * np.asarray(x, dtype=np.float64)
+        / (2.0 * math.sqrt(2.0) * R * np.maximum(ct, 1e-12)),
+    )
+    return np.degrees(lam), np.degrees(phi)
+
+
+def eqc_forward(lon, lat, srid: int):
+    """Plate Carree: x = R·λ, y = R·φ (EPSG method 9823, spherical)."""
+    R = _EQC_PARAMS[srid]
+    return (
+        R * np.radians(np.asarray(lon, dtype=np.float64)),
+        R * np.radians(np.asarray(lat, dtype=np.float64)),
+    )
+
+
+def eqc_inverse(x, y, srid: int):
+    R = _EQC_PARAMS[srid]
+    return (
+        np.degrees(np.asarray(x, dtype=np.float64) / R),
+        np.degrees(np.asarray(y, dtype=np.float64) / R),
+    )
+
+
 def _compose(f: Transform, g: Transform) -> Transform:
     return lambda xs, ys: g(*f(xs, ys))
 
@@ -647,6 +759,12 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: lcc_inverse(xs, ys, srid)
         if srid in _AEA_PARAMS:
             return lambda xs, ys: aea_inverse(xs, ys, srid)
+        if srid in _SINU_PARAMS:
+            return lambda xs, ys: sinu_inverse(xs, ys, srid)
+        if srid in _MOLL_PARAMS:
+            return lambda xs, ys: moll_inverse(xs, ys, srid)
+        if srid in _EQC_PARAMS:
+            return lambda xs, ys: eqc_inverse(xs, ys, srid)
         return None
 
     def from_lonlat(srid: int) -> Transform | None:
@@ -664,6 +782,12 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: lcc_forward(xs, ys, srid)
         if srid in _AEA_PARAMS:
             return lambda xs, ys: aea_forward(xs, ys, srid)
+        if srid in _SINU_PARAMS:
+            return lambda xs, ys: sinu_forward(xs, ys, srid)
+        if srid in _MOLL_PARAMS:
+            return lambda xs, ys: moll_forward(xs, ys, srid)
+        if srid in _EQC_PARAMS:
+            return lambda xs, ys: eqc_forward(xs, ys, srid)
         return None
 
     f = to_lonlat(src)

@@ -65,7 +65,7 @@ _DST_DM = {
 
 def ensure_fixtures() -> str:
     # probe the NEWEST fixture table so stale fixture dirs regenerate
-    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_aea.parquet")):
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_sinu.parquet")):
         from geocube_spark import fixtures
 
         fixtures.generate(FIXTURE_DIR, n_records=200)
@@ -2718,6 +2718,78 @@ def warp_cross_crs_lcc(spark, sf_dir):
         nodata=-1.0,
         resampling="NEAR",
         src_srid=2154,
+        dst_srid=4326,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
+# Sinusoidal (MODIS land grid) cross-CRS warp (C6: SR-ORG:6974,
+# R = 6371007.181 m — the grid every MOD09/MCD43 product ships in):
+# NEAR-warp the sinusoidal fixture raster onto a 4326 grid; oracle = the
+# same spherical sinusoidal forward re-derived in SQL, so the floor()ed
+# source indices are bit-identical like the UTM/polar/LCC/AEA twins.
+from geocube_spark.functions.crs import sinu_forward_sql_columns  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_sinusoidal",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(-1, 3) obx, range(-1, 3) oby, range(0, 4096) i
+    ),
+    en AS (
+        SELECT obx, oby, idx,
+               {sinu_forward_sql_columns(
+                   "9.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625",
+                   "45.125 - (oby*64 + (idx // 64) + 0.5) * 0.015625",
+                   6974,
+               )}
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((sinu_x - 732160.0) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((4971520.0 - sinu_y) / 1024.0) AS BIGINT) AS iy
+        FROM en
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_sinusoidal(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_sinu.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(9.0, 45.125),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=6974,
         dst_srid=4326,
     )
     return (

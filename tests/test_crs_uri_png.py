@@ -674,3 +674,108 @@ class TestExtendedKernels:
         assert px[0] == pytest.approx(expect)
         # the other 3 output pixels pool missing quadrants -> nodata
         assert px[1:] == [-1.0, -1.0, -1.0]
+
+
+class TestSphericalWorldProjections:
+    """Sinusoidal (MODIS SR-ORG:6974), Mollweide (ESRI:53009) and Plate
+    Carree (EPSG:32662) — the spherical world-grid family (Snyder eqs
+    30-1/30-2, 31-1..31-8; EPSG method 9823).  Reference accepts these via
+    PROJ (internal/utils/proj/proj.go:47-73)."""
+
+    LON = np.array([-170.0, -10.0, 0.0, 10.0, 95.5, 179.0])
+    LAT = np.array([-80.0, -45.0, 0.0, 30.0, 45.0, 72.0])
+
+    @pytest.mark.parametrize("srid", [6974, 53008])
+    def test_sinusoidal_roundtrip(self, srid):
+        from geocube_spark.functions.crs import sinu_forward, sinu_inverse
+
+        x, y = sinu_forward(self.LON, self.LAT, srid)
+        lo, la = sinu_inverse(x, y, srid)
+        np.testing.assert_allclose(lo, self.LON, atol=1e-9)
+        np.testing.assert_allclose(la, self.LAT, atol=1e-9)
+
+    def test_modis_grid_half_width(self):
+        # the published MODIS sinusoidal grid extent: x(180, 0) = R*pi
+        from geocube_spark.functions.crs import sinu_forward
+
+        x, y = sinu_forward(np.array([180.0]), np.array([0.0]), 6974)
+        assert abs(x[0] - 20015109.3558) < 1e-3
+        assert y[0] == 0.0
+
+    def test_sinusoidal_equal_area_property(self):
+        # pseudocylindrical equal-area: d(x)/d(lon) proportional to cos(lat)
+        from geocube_spark.functions.crs import sinu_forward
+
+        x1, _ = sinu_forward(np.array([10.0]), np.array([60.0]), 6974)
+        x0, _ = sinu_forward(np.array([10.0]), np.array([0.0]), 6974)
+        np.testing.assert_allclose(x1[0] / x0[0], np.cos(np.radians(60.0)),
+                                   rtol=1e-12)
+
+    def test_mollweide_roundtrip(self):
+        from geocube_spark.functions.crs import moll_forward, moll_inverse
+
+        x, y = moll_forward(self.LON, self.LAT, 53009)
+        lo, la = moll_inverse(x, y, 53009)
+        np.testing.assert_allclose(lo, self.LON, atol=1e-9)
+        np.testing.assert_allclose(la, self.LAT, atol=1e-9)
+
+    def test_mollweide_frame(self):
+        # equator half-width is 2*sqrt(2)*R/pi * pi = 2 sqrt 2 R / ... :
+        # x(180, 0) = 2*sqrt(2)*R*pi/(pi) /2 ... assert the two classic
+        # frame constants directly: x(180,0) = 2*sqrt(2)*R, y(0,90) = sqrt(2)*R
+        from geocube_spark.functions.crs import moll_forward
+
+        R = 6371000.0
+        x, _ = moll_forward(np.array([180.0]), np.array([0.0]), 53009)
+        np.testing.assert_allclose(x[0], 2.0 * np.sqrt(2.0) * R, rtol=1e-12)
+        _, y = moll_forward(np.array([0.0]), np.array([90.0]), 53009)
+        np.testing.assert_allclose(y[0], np.sqrt(2.0) * R, rtol=1e-9)
+
+    def test_plate_carree_roundtrip_and_scale(self):
+        from geocube_spark.functions.crs import eqc_forward, eqc_inverse
+
+        x, y = eqc_forward(self.LON, self.LAT, 32662)
+        # linear in both axes: x(180,0) = R*pi
+        np.testing.assert_allclose(
+            eqc_forward(np.array([180.0]), np.array([0.0]), 32662)[0][0],
+            6378137.0 * np.pi, rtol=1e-15)
+        lo, la = eqc_inverse(x, y, 32662)
+        np.testing.assert_allclose(lo, self.LON, atol=1e-12)
+        np.testing.assert_allclose(la, self.LAT, atol=1e-12)
+
+    def test_parse_proj4_signatures(self):
+        assert parse_crs("+proj=sinu +R=6371007.181 +nadgrids=@null") == 6974
+        assert parse_crs("+proj=sinu") == 53008
+        assert parse_crs("+proj=moll +lon_0=0") == 53009
+        assert parse_crs("+proj=eqc +lat_ts=0") == 32662
+
+    def test_hub_composition(self):
+        # 3857 -> MODIS sinusoidal goes through the lon/lat hub
+        from geocube_spark.functions.crs import resolve_transform
+
+        fn = resolve_transform(3857, 6974)
+        back = resolve_transform(6974, 3857)
+        x, y = fn(np.array([1113194.9]), np.array([5621521.5]))
+        mx, my = back(x, y)
+        np.testing.assert_allclose(mx[0], 1113194.9, atol=1e-6)
+        np.testing.assert_allclose(my[0], 5621521.5, atol=1e-6)
+
+    def test_sql_twin_matches_numpy(self):
+        import duckdb
+
+        from geocube_spark.functions.crs import (
+            sinu_forward,
+            sinu_forward_sql_columns,
+        )
+
+        frag = sinu_forward_sql_columns("lon", "lat", 6974)
+        rel = duckdb.sql(
+            f"SELECT {frag} FROM (SELECT 10.0 + range * 7.3 AS lon, "
+            "-60.0 + range * 13.1 AS lat FROM range(0, 9))"
+        ).fetchall()
+        lon = np.array([10.0 + i * 7.3 for i in range(9)])
+        lat = np.array([-60.0 + i * 13.1 for i in range(9)])
+        x, y = sinu_forward(lon, lat, 6974)
+        got = np.array(rel)[:, -2:]
+        np.testing.assert_allclose(got[:, 0], x, rtol=1e-12)
+        np.testing.assert_allclose(got[:, 1], y, rtol=1e-12)
