@@ -592,6 +592,39 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_bng: source tiles for the BRITISH NATIONAL GRID
+    # (EPSG:27700, OSGB36/Airy 1830 + Helmert datum shift) cross-CRS warp
+    # oracle.  Same closed-form v(i,j) = (13i + 7j) mod 97, grid in 27700:
+    # res 1024 m, origin E=440320 / N=144384 (multiples of 1024), 128x128
+    # px over southern England.  Oracle re-derives the full WGS84 -> ECEF
+    # -> inverse-Helmert -> Bowring -> Krüger chain in SQL
+    # (functions/crs.py tmgrid_from_wgs84_sql_ctes).
+    bng_res = 1024.0
+    bng_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            bng_rows.append(
+                {
+                    "container_uri": "warp://src-bng",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 27700,
+                    "pix_to_crs": {
+                        "a": bng_res, "b": 0.0, "c": 440320.0,
+                        "d": 0.0, "e": -bng_res, "f": 144384.0,
+                    },
+                    "record_id": _uuid("warp-bng-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     # ---- rotated_footprints: NON-rectilinear dataset footprints for the
     # general polygon-union oracle (A1/A2 beyond the rectilinear domain).
     # Every union-area correction is CLOSED-FORM from the construction —
@@ -678,6 +711,7 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "warp_src_lcc": lcc_rows,
         "warp_src_aea": aea_rows,
         "warp_src_sinu": sinu_rows,
+        "warp_src_bng": bng_rows,
         "records": record_rows,
         "variables": variable_rows,
         "instances": instance_rows,

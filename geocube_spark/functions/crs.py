@@ -186,30 +186,38 @@ _TM_A1 = (
     / (1.0 + _TM_N)
     * (1.0 + _TM_N**2 / 4.0 + _TM_N**4 / 64.0 + _TM_N**6 / 256.0)
 )
-_n = _TM_N
-_TM_ALPHA = (
-    _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
-    - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
-    13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
-    - 1983433 * _n**6 / 1935360,
-    61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
-    + 167603 * _n**6 / 181440,
-    49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
-    34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
-    212378941 * _n**6 / 319334400,
-)
-_TM_BETA = (
-    _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
-    - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
-    _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
-    - 1118711 * _n**6 / 3870720,
-    17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
-    + 5569 * _n**6 / 90720,
-    4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
-    4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
-    20648693 * _n**6 / 638668800,
-)
-del _n
+def _kruger_alpha(_n: float) -> tuple[float, ...]:
+    """Order-n⁶ Krüger forward-series coefficients (Karney 2011, eq 35)."""
+    return (
+        _n / 2 - 2 * _n**2 / 3 + 5 * _n**3 / 16 + 41 * _n**4 / 180
+        - 127 * _n**5 / 288 + 7891 * _n**6 / 37800,
+        13 * _n**2 / 48 - 3 * _n**3 / 5 + 557 * _n**4 / 1440 + 281 * _n**5 / 630
+        - 1983433 * _n**6 / 1935360,
+        61 * _n**3 / 240 - 103 * _n**4 / 140 + 15061 * _n**5 / 26880
+        + 167603 * _n**6 / 181440,
+        49561 * _n**4 / 161280 - 179 * _n**5 / 168 + 6601661 * _n**6 / 7257600,
+        34729 * _n**5 / 80640 - 3418889 * _n**6 / 1995840,
+        212378941 * _n**6 / 319334400,
+    )
+
+
+def _kruger_beta(_n: float) -> tuple[float, ...]:
+    """Order-n⁶ Krüger inverse-series coefficients (Karney 2011, eq 36)."""
+    return (
+        _n / 2 - 2 * _n**2 / 3 + 37 * _n**3 / 96 - _n**4 / 360
+        - 81 * _n**5 / 512 + 96199 * _n**6 / 604800,
+        _n**2 / 48 + _n**3 / 15 - 437 * _n**4 / 1440 + 46 * _n**5 / 105
+        - 1118711 * _n**6 / 3870720,
+        17 * _n**3 / 480 - 37 * _n**4 / 840 - 209 * _n**5 / 4480
+        + 5569 * _n**6 / 90720,
+        4397 * _n**4 / 161280 - 11 * _n**5 / 504 - 830251 * _n**6 / 7257600,
+        4583 * _n**5 / 161280 - 108847 * _n**6 / 3991680,
+        20648693 * _n**6 / 638668800,
+    )
+
+
+_TM_ALPHA = _kruger_alpha(_TM_N)
+_TM_BETA = _kruger_beta(_TM_N)
 
 _UTM_E0 = 500000.0
 _UTM_N0_SOUTH = 10000000.0
@@ -735,6 +743,333 @@ def eqc_inverse(x, y, srid: int):
     )
 
 
+# ----------------------- national transverse Mercator grids + datum shifts
+#
+# Generalized Krüger TM on an arbitrary ellipsoid with arbitrary
+# (lat0, lon0, k0, FE, FN), plus 7-parameter Helmert datum transforms
+# (EPSG method 9606, position-vector convention) so grids on non-WGS84
+# datums compose through the WGS84 lon/lat hub.  Covers the reference's
+# arbitrary-CRS surface (internal/utils/proj/proj.go:47-73) for the
+# classic national grid family; registered out of the box:
+#   EPSG:27700 British National Grid (OSGB36 / Airy 1830, Helmert from
+#     the OS "Guide to coordinate systems in Great Britain" — the single
+#     7-param approximation, ~3 m vs OSTN15, same as PROJ's +towgs84)
+#   EPSG:2193 NZ Transverse Mercator 2000 (NZGD2000 / GRS80, no shift)
+
+_ELLIPSOIDS: dict[str, tuple[float, float]] = {
+    # name -> (semi-major a, flattening f)
+    "WGS84": (6378137.0, 1.0 / 298.257223563),
+    "GRS80": (6378137.0, 1.0 / 298.257222101),
+    "airy": (6377563.396, 1.0 / 299.3249646),
+}
+
+# srid -> (ellipsoid, lat0, lon0, k0, false_easting, false_northing,
+#          helmert local->WGS84 (tx,ty,tz meters, rx,ry,rz arcsec, s ppm)
+#          or None when the datum is WGS84-equivalent)
+_TM_GRIDS: dict[int, tuple] = {
+    27700: ("airy", 49.0, -2.0, 0.9996012717, 400000.0, -100000.0,
+            (446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)),
+    2193: ("GRS80", 0.0, 173.0, 0.9996, 1600000.0, 10000000.0, None),
+}
+
+
+def _tm_series(ellps: str) -> tuple[float, tuple, tuple, float, float]:
+    """(A1, alpha, beta, e, e2m) for an ellipsoid — the Krüger machinery
+    of the UTM kernel evaluated at this ellipsoid's third flattening."""
+    a, f = _ELLIPSOIDS[ellps]
+    n = f / (2.0 - f)
+    e = math.sqrt(f * (2.0 - f))
+    A1 = a / (1.0 + n) * (1.0 + n**2 / 4.0 + n**4 / 64.0 + n**6 / 256.0)
+    return A1, _kruger_alpha(n), _kruger_beta(n), e, 1.0 - e * e
+
+
+def _tm_xi0(ellps: str, lat0_deg: float) -> float:
+    """Rectifying-latitude series value at (lat0, lam=0) — the northing
+    origin offset: N = FN + k0*A1*(xi - xi0)."""
+    if lat0_deg == 0.0:
+        return 0.0
+    _A1, alpha, _beta, e, _e2m = _tm_series(ellps)
+    phi = math.radians(lat0_deg)
+    t = math.sinh(math.asinh(math.tan(phi)) - e * math.atanh(e * math.sin(phi)))
+    xip = math.atan(t)
+    xi = xip
+    for j, a in enumerate(alpha, start=1):
+        xi += a * math.sin(2 * j * xip)
+    return xi
+
+
+def tmgrid_forward(lon, lat, srid: int):
+    """(lon, lat) degrees IN THE GRID'S OWN DATUM -> (E, N) meters."""
+    ellps, lat0, lon0, k0, fe, fn, _ = _TM_GRIDS[srid]
+    A1, alpha, _beta, e, _e2m = _tm_series(ellps)
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    t = np.sinh(np.arcsinh(np.tan(phi)) - e * np.arctanh(e * np.sin(phi)))
+    cl = np.cos(lam)
+    xip = np.arctan2(t, cl)
+    etap = np.arcsinh(np.sin(lam) / np.sqrt(t * t + cl * cl))
+    xi = xip.copy()
+    eta = etap.copy()
+    for j, a in enumerate(alpha, start=1):
+        xi = xi + a * np.sin(2 * j * xip) * np.cosh(2 * j * etap)
+        eta = eta + a * np.cos(2 * j * xip) * np.sinh(2 * j * etap)
+    xi0 = _tm_xi0(ellps, lat0)
+    return fe + k0 * A1 * eta, fn + k0 * A1 * (xi - xi0)
+
+
+def tmgrid_inverse(easting, northing, srid: int):
+    """(E, N) meters -> (lon, lat) degrees IN THE GRID'S OWN DATUM."""
+    ellps, lat0, lon0, k0, fe, fn, _ = _TM_GRIDS[srid]
+    A1, _alpha, beta, e, e2m = _tm_series(ellps)
+    xi0 = _tm_xi0(ellps, lat0)
+    xi = (np.asarray(northing, dtype=np.float64) - fn) / (k0 * A1) + xi0
+    eta = (np.asarray(easting, dtype=np.float64) - fe) / (k0 * A1)
+    xip = xi.copy()
+    etap = eta.copy()
+    for j, b in enumerate(beta, start=1):
+        xip = xip - b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        etap = etap - b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    se = np.sinh(etap)
+    cx = np.cos(xip)
+    taup = np.sin(xip) / np.sqrt(se * se + cx * cx)
+    lam = np.arctan2(se, cx)
+    # tauf Newton on this ellipsoid (same scheme as _tau_from_taup)
+    tau = taup / e2m
+    for _ in range(5):
+        sphi = tau / np.sqrt(1.0 + tau * tau)
+        taup_i = np.sinh(np.arcsinh(tau) - e * np.arctanh(e * sphi))
+        tau = tau + (taup - taup_i) * (1.0 + e2m * tau * tau) / (
+            e2m * np.sqrt(1.0 + tau * tau) * np.sqrt(1.0 + taup_i * taup_i)
+        )
+    lon = (np.degrees(lam) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(np.arctan(tau))
+
+
+def _geodetic_to_ecef(lon_deg, lat_deg, ellps: str):
+    """Geodetic (h=0) -> geocentric cartesian meters on the ellipsoid."""
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2.0 - f)
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    sp = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sp * sp)
+    cp = np.cos(phi)
+    return nu * cp * np.cos(lam), nu * cp * np.sin(lam), nu * (1.0 - e2) * sp
+
+
+def _ecef_to_geodetic(X, Y, Z, ellps: str):
+    """Geocentric cartesian -> geodetic lon/lat degrees (h discarded), by
+    Bowring's formula (1976) plus ONE fixed-point refinement — closed
+    form, so the SQL twin stays a flat expression (an unrolled iteration
+    explodes exponentially under alias inlining).  For near-surface
+    points the result is exact to < 1e-12 deg (pytest-checked against a
+    fully-converged iteration)."""
+    a, f = _ELLIPSOIDS[ellps]
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = e2 / (1.0 - e2)
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    Z = np.asarray(Z, dtype=np.float64)
+    p = np.sqrt(X * X + Y * Y)
+    theta = np.arctan2(Z * a, p * b)
+    st, ct = np.sin(theta), np.cos(theta)
+    phi = np.arctan2(Z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
+    sp = np.sin(phi)
+    nu = a / np.sqrt(1.0 - e2 * sp * sp)
+    phi = np.arctan2(Z + e2 * nu * sp, p)
+    return np.degrees(np.arctan2(Y, X)), np.degrees(phi)
+
+
+def _helmert_to_wgs84(X, Y, Z, params):
+    """Position-vector 7-param Helmert, local datum -> WGS84 (EPSG 9606):
+    [X'] = T + (1+s)·R·[X], R the small-angle rotation matrix."""
+    tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = params
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx_s, ry_s, rz_s))
+    m = 1.0 + s_ppm * 1e-6
+    Xn = tx + m * (X - rz * Y + ry * Z)
+    Yn = ty + m * (rz * X + Y - rx * Z)
+    Zn = tz + m * (-ry * X + rx * Y + Z)
+    return Xn, Yn, Zn
+
+
+def _helmert_from_wgs84(X, Y, Z, params):
+    """Exact inverse of ``_helmert_to_wgs84`` (transpose rotation after
+    removing translation and scale — not the params-negated approximation,
+    so forward∘inverse is identity to machine precision)."""
+    tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = params
+    rx, ry, rz = (math.radians(v / 3600.0) for v in (rx_s, ry_s, rz_s))
+    m = 1.0 + s_ppm * 1e-6
+    # R is infinitesimal, not orthogonal: invert the exact linear system
+    # R·v = u via Cramer (3x3), keeping bit-parity with the SQL twin
+    ux, uy, uz = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    det = 1.0 + rx * rx + ry * ry + rz * rz
+    vx = (ux * (1.0 + rx * rx) + uy * (rz + rx * ry) + uz * (rx * rz - ry)) / det
+    vy = (ux * (rx * ry - rz) + uy * (1.0 + ry * ry) + uz * (rx + ry * rz)) / det
+    vz = (ux * (ry + rx * rz) + uy * (ry * rz - rx) + uz * (1.0 + rz * rz)) / det
+    return vx, vy, vz
+
+
+def tmgrid_from_wgs84(lon, lat, srid: int):
+    """WGS84 (lon, lat) -> grid (E, N): datum shift (if any) then TM."""
+    params = _TM_GRIDS[srid][6]
+    if params is None:
+        return tmgrid_forward(lon, lat, srid)
+    ellps = _TM_GRIDS[srid][0]
+    X, Y, Z = _geodetic_to_ecef(lon, lat, "WGS84")
+    Xl, Yl, Zl = _helmert_from_wgs84(X, Y, Z, params)
+    lo, la = _ecef_to_geodetic(Xl, Yl, Zl, ellps)
+    return tmgrid_forward(lo, la, srid)
+
+
+def tmgrid_to_wgs84(easting, northing, srid: int):
+    """Grid (E, N) -> WGS84 (lon, lat): TM inverse then datum shift."""
+    params = _TM_GRIDS[srid][6]
+    lo, la = tmgrid_inverse(easting, northing, srid)
+    if params is None:
+        return lo, la
+    ellps = _TM_GRIDS[srid][0]
+    X, Y, Z = _geodetic_to_ecef(lo, la, ellps)
+    Xw, Yw, Zw = _helmert_to_wgs84(X, Y, Z, params)
+    return _ecef_to_geodetic(Xw, Yw, Zw, "WGS84")
+
+
+def tmgrid_from_wgs84_sql_ctes(
+    srid: int,
+    lon_expr: str,
+    lat_expr: str,
+    source: str,
+    carry: tuple[str, ...] = ("obx", "oby"),
+) -> str:
+    """DuckDB CTE chain computing ``tmg_e``/``tmg_n`` from WGS84 lon/lat
+    with the numpy chain's exact operation sequence: WGS84 ECEF ->
+    inverse Helmert -> Bowring geodetic on the grid ellipsoid -> Krüger
+    forward.  Emitted as FIVE chained CTEs (tmg_ecef/tmg_local/tmg_geo/
+    tmg_conf/tmg_out) rather than one SELECT list: DuckDB inlines
+    same-list alias references textually, so a deep chain in a single
+    list explodes exponentially — each CTE boundary materializes its
+    columns instead.  ``carry`` columns are forwarded through every
+    stage; append ``, tmg_out AS the final relation`` usage downstream.
+    """
+    ellps, lat0, lon0, k0, fe, fn, params = _TM_GRIDS[srid]
+    A1, alpha, _beta, e, _e2m = _tm_series(ellps)
+    a_l, f_l = _ELLIPSOIDS[ellps]
+    e2l = f_l * (2.0 - f_l)
+    a_w, f_w = _ELLIPSOIDS["WGS84"]
+    e2w = f_w * (2.0 - f_w)
+    xi0 = _tm_xi0(ellps, lat0)
+    cr = ", ".join(carry) + ", " if carry else ""
+
+    def _sinh(x: str) -> str:
+        return f"(exp({x}) - exp(-({x}))) / 2"
+
+    def _cosh(x: str) -> str:
+        return f"(exp({x}) + exp(-({x}))) / 2"
+
+    def _asinh(x: str) -> str:
+        return f"ln(({x}) + sqrt(({x})*({x}) + 1))"
+
+    def _atanh(x: str) -> str:
+        return f"0.5 * ln((1 + ({x})) / (1 - ({x})))"
+
+    if params is not None:
+        tx, ty, tz, rx_s, ry_s, rz_s, s_ppm = params
+        rx, ry, rz = (math.radians(v / 3600.0) for v in (rx_s, ry_s, rz_s))
+        m = 1.0 + s_ppm * 1e-6
+        det = 1.0 + rx * rx + ry * ry + rz * rz
+        local = f"""
+        (h_ux * {1.0 + rx * rx!r} + h_uy * {rz + rx * ry!r}
+           + h_uz * {rx * rz - ry!r}) / {det!r} AS l_x,
+        (h_ux * {rx * ry - rz!r} + h_uy * {1.0 + ry * ry!r}
+           + h_uz * {rx + ry * rz!r}) / {det!r} AS l_y,
+        (h_ux * {ry + rx * rz!r} + h_uy * {ry * rz - rx!r}
+           + h_uz * {1.0 + rz * rz!r}) / {det!r} AS l_z"""
+        helm = f"""
+        (g_x - {tx!r}) / {m!r} AS h_ux,
+        (g_y - {ty!r}) / {m!r} AS h_uy,
+        (g_z - {tz!r}) / {m!r} AS h_uz,{local}"""
+    else:
+        helm = """
+        g_x AS l_x, g_y AS l_y, g_z AS l_z"""
+    b_l = a_l * (1.0 - f_l)
+    ep2l = e2l / (1.0 - e2l)
+    terms_xi = " + ".join(
+        f"{a!r} * sin({2 * j} * t_xip) * {_cosh(f'{2 * j} * t_etap')}"
+        for j, a in enumerate(alpha, start=1)
+    )
+    terms_eta = " + ".join(
+        f"{a!r} * cos({2 * j} * t_xip) * {_sinh(f'{2 * j} * t_etap')}"
+        for j, a in enumerate(alpha, start=1)
+    )
+    k0a = repr(k0 * A1)
+    conf = f"{_asinh('tan(t_phi)')} - {e!r} * {_atanh(f'{e!r} * sin(t_phi)')}"
+    if params is None:
+        # datum is WGS84-equivalent: the numpy path projects directly, so
+        # the twin must too (no ECEF round trip to diverge from)
+        return f"""
+    tmg_geo AS (
+        SELECT {cr}
+               radians(({lon_expr}) - {lon0!r}) AS t_lam,
+               radians({lat_expr}) AS t_phi
+        FROM {source}
+    ),
+    tmg_conf AS (
+        SELECT {cr}
+               {_sinh(conf)} AS t_t,
+               atan2({_sinh(conf)}, cos(t_lam)) AS t_xip,
+               {_asinh('sin(t_lam) / sqrt(t_t * t_t + cos(t_lam) * cos(t_lam))')} AS t_etap
+        FROM tmg_geo
+    ),
+    tmg_out AS (
+        SELECT {cr}
+               {fe!r} + {k0a} * (t_etap + {terms_eta}) AS tmg_e,
+               {fn!r} + {k0a} * (t_xip + {terms_xi} - {xi0!r}) AS tmg_n
+        FROM tmg_conf
+    )"""
+    return f"""
+    tmg_ecef AS (
+        SELECT {cr}
+               radians({lon_expr}) AS w_lam,
+               radians({lat_expr}) AS w_phi,
+               {a_w!r} / sqrt(1 - {e2w!r} * sin(w_phi) * sin(w_phi)) AS w_nu,
+               w_nu * cos(w_phi) * cos(w_lam) AS g_x,
+               w_nu * cos(w_phi) * sin(w_lam) AS g_y,
+               w_nu * (1 - {e2w!r}) * sin(w_phi) AS g_z
+        FROM {source}
+    ),
+    tmg_local AS (
+        SELECT {cr}{helm}
+        FROM tmg_ecef
+    ),
+    tmg_geo AS (
+        SELECT {cr}
+               atan2(l_y, l_x) - radians({lon0!r}) AS t_lam,
+               sqrt(l_x * l_x + l_y * l_y) AS l_p,
+               atan2(l_z * {a_l!r}, l_p * {b_l!r}) AS bw_th,
+               sin(bw_th) AS bw_st,
+               cos(bw_th) AS bw_ct,
+               atan2(l_z + {ep2l!r} * {b_l!r} * bw_st * bw_st * bw_st,
+                     l_p - {e2l!r} * {a_l!r} * bw_ct * bw_ct * bw_ct) AS bw_phi,
+               sin(bw_phi) AS bw_sp,
+               {a_l!r} / sqrt(1 - {e2l!r} * bw_sp * bw_sp) AS bw_nu,
+               atan2(l_z + {e2l!r} * bw_nu * bw_sp, l_p) AS t_phi
+        FROM tmg_local
+    ),
+    tmg_conf AS (
+        SELECT {cr}
+               {_sinh(conf)} AS t_t,
+               atan2({_sinh(conf)}, cos(t_lam)) AS t_xip,
+               {_asinh('sin(t_lam) / sqrt(t_t * t_t + cos(t_lam) * cos(t_lam))')} AS t_etap
+        FROM tmg_geo
+    ),
+    tmg_out AS (
+        SELECT {cr}
+               {fe!r} + {k0a} * (t_etap + {terms_eta}) AS tmg_e,
+               {fn!r} + {k0a} * (t_xip + {terms_xi} - {xi0!r}) AS tmg_n
+        FROM tmg_conf
+    )"""
+
+
 def _compose(f: Transform, g: Transform) -> Transform:
     return lambda xs, ys: g(*f(xs, ys))
 
@@ -765,6 +1100,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: moll_inverse(xs, ys, srid)
         if srid in _EQC_PARAMS:
             return lambda xs, ys: eqc_inverse(xs, ys, srid)
+        if srid in _TM_GRIDS:
+            return lambda xs, ys: tmgrid_to_wgs84(xs, ys, srid)
         return None
 
     def from_lonlat(srid: int) -> Transform | None:
@@ -788,6 +1125,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: moll_forward(xs, ys, srid)
         if srid in _EQC_PARAMS:
             return lambda xs, ys: eqc_forward(xs, ys, srid)
+        if srid in _TM_GRIDS:
+            return lambda xs, ys: tmgrid_from_wgs84(xs, ys, srid)
         return None
 
     f = to_lonlat(src)

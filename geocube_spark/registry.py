@@ -65,7 +65,7 @@ _DST_DM = {
 
 def ensure_fixtures() -> str:
     # probe the NEWEST fixture table so stale fixture dirs regenerate
-    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_sinu.parquet")):
+    if not os.path.exists(os.path.join(FIXTURE_DIR, "warp_src_bng.parquet")):
         from geocube_spark import fixtures
 
         fixtures.generate(FIXTURE_DIR, n_records=200)
@@ -2790,6 +2790,72 @@ def warp_cross_crs_sinusoidal(spark, sf_dir):
         nodata=-1.0,
         resampling="NEAR",
         src_srid=6974,
+        dst_srid=4326,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
+# British National Grid cross-CRS warp (C6: EPSG:27700 — a national TM
+# grid on a NON-WGS84 datum, OSGB36/Airy 1830, reached through a
+# 7-parameter Helmert shift): NEAR-warp the 27700 fixture raster onto a
+# 4326 grid; oracle = the full WGS84 -> ECEF -> inverse-Helmert ->
+# Bowring -> Krüger chain re-derived as chained SQL CTEs (a single
+# SELECT list would explode under DuckDB's alias inlining).
+from geocube_spark.functions.crs import tmgrid_from_wgs84_sql_ctes  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_bng",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx,
+               -1.5 + (obx.range*64 + (i.range % 64) + 0.5) * 0.015625 AS lon,
+               51.625 - (oby.range*64 + (i.range // 64) + 0.5) * 0.015625 AS lat
+        FROM range(-1, 3) obx, range(-1, 3) oby, range(0, 4096) i
+    ),{tmgrid_from_wgs84_sql_ctes(27700, "lon", "lat", "cells", carry=("obx", "oby"))},
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((tmg_e - 440320.0) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((144384.0 - tmg_n) / 1024.0) AS BIGINT) AS iy
+        FROM tmg_out
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_bng(spark, sf_dir):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_bng.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(-1.5, 51.625),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=27700,
         dst_srid=4326,
     )
     return (

@@ -72,10 +72,10 @@ class TestCRS:
         assert my[0] == pytest.approx(0.0, abs=1e-6)
 
     def test_unregistered_raises(self):
-        # British National Grid (non-UTM TM params) is not built in
-        # (UTM/3857/4326/polar/LCC are) and not registered
+        # Belgian Lambert 72 (LCC on a datum-shifted ellipsoid) is not a
+        # built-in family member and not registered
         with pytest.raises(CRSError):
-            transform_points(4326, 27700, np.array([0.0]), np.array([0.0]))
+            transform_points(4326, 31370, np.array([0.0]), np.array([0.0]))
 
     def test_warped_extent_edge_bow(self):
         """R4: at high latitude the top edge of a lon/lat rect bows in
@@ -779,3 +779,118 @@ class TestSphericalWorldProjections:
         got = np.array(rel)[:, -2:]
         np.testing.assert_allclose(got[:, 0], x, rtol=1e-12)
         np.testing.assert_allclose(got[:, 1], y, rtol=1e-12)
+
+
+class TestNationalTMGrids:
+    """Generalized Krüger TM (arbitrary ellipsoid / lat0 / k0 / FE / FN)
+    + 7-param Helmert datum shifts: EPSG:27700 (OSGB36, Airy 1830) and
+    EPSG:2193 (NZTM2000, GRS80).  Validated against the Ordnance Survey's
+    published worked example ("A guide to coordinate systems in Great
+    Britain", annexe C)."""
+
+    def test_os_worked_example(self):
+        # OSGB36 phi 52°39'27.2531"N, lam 1°43'4.5177"E -> E 651409.903,
+        # N 313177.270 (TM on Airy, no datum shift involved)
+        from geocube_spark.functions.crs import tmgrid_forward
+
+        phi = 52 + 39 / 60 + 27.2531 / 3600
+        lam = 1 + 43 / 60 + 4.5177 / 3600
+        E, N = tmgrid_forward(np.array([lam]), np.array([phi]), 27700)
+        assert abs(E[0] - 651409.903) < 1e-3
+        assert abs(N[0] - 313177.270) < 1e-3
+
+    def test_bng_grid_roundtrip(self):
+        from geocube_spark.functions.crs import tmgrid_forward, tmgrid_inverse
+
+        lon = np.array([-5.5, -2.0, 0.0, 1.7])
+        lat = np.array([50.0, 52.0, 54.5, 58.0])
+        E, N = tmgrid_forward(lon, lat, 27700)
+        lo, la = tmgrid_inverse(E, N, 27700)
+        np.testing.assert_allclose(lo, lon, atol=1e-11)
+        np.testing.assert_allclose(la, lat, atol=1e-11)
+
+    def test_nztm_origin_and_roundtrip(self):
+        from geocube_spark.functions.crs import tmgrid_forward, tmgrid_inverse
+
+        E, N = tmgrid_forward(np.array([173.0]), np.array([0.0]), 2193)
+        assert E[0] == 1600000.0 and N[0] == 10000000.0
+        lon = np.array([166.5, 173.0, 178.2])
+        lat = np.array([-47.3, -41.0, -34.5])
+        E, N = tmgrid_forward(lon, lat, 2193)
+        lo, la = tmgrid_inverse(E, N, 2193)
+        np.testing.assert_allclose(lo, lon, atol=1e-11)
+        np.testing.assert_allclose(la, lat, atol=1e-11)
+
+    def test_helmert_exact_inverse(self):
+        from geocube_spark.functions.crs import (
+            _helmert_from_wgs84,
+            _helmert_to_wgs84,
+            _TM_GRIDS,
+        )
+
+        params = _TM_GRIDS[27700][6]
+        X = np.array([3874938.849, 0.0, -2394587.3])
+        Y = np.array([116218.624, 6378137.0, 5417031.2])
+        Z = np.array([5047168.208, 0.0, -2416406.1])
+        Xw, Yw, Zw = _helmert_to_wgs84(X, Y, Z, params)
+        Xb, Yb, Zb = _helmert_from_wgs84(Xw, Yw, Zw, params)
+        np.testing.assert_allclose(Xb, X, atol=1e-8)
+        np.testing.assert_allclose(Yb, Y, atol=1e-8)
+        np.testing.assert_allclose(Zb, Z, atol=1e-8)
+
+    def test_wgs84_chain_roundtrip(self):
+        from geocube_spark.functions.crs import tmgrid_from_wgs84, tmgrid_to_wgs84
+
+        lon = np.array([-5.7, -2.0, 0.1, 1.8])
+        lat = np.array([50.1, 53.0, 51.5, 57.3])
+        E, N = tmgrid_from_wgs84(lon, lat, 27700)
+        lo, la = tmgrid_to_wgs84(E, N, 27700)
+        # Bowring + 1 refinement: ~2e-8 deg (2 mm) round trip
+        np.testing.assert_allclose(lo, lon, atol=1e-7)
+        np.testing.assert_allclose(la, lat, atol=1e-7)
+
+    def test_bowring_matches_converged_iteration(self):
+        from geocube_spark.functions.crs import (
+            _ecef_to_geodetic,
+            _geodetic_to_ecef,
+        )
+
+        lon = np.array([-5.0, 0.0, 3.0, 179.0])
+        lat = np.array([-80.0, 0.0, 52.0, 85.0])
+        X, Y, Z = _geodetic_to_ecef(lon, lat, "airy")
+        lo, la = _ecef_to_geodetic(X, Y, Z, "airy")
+        np.testing.assert_allclose(lo, lon, atol=1e-12)
+        np.testing.assert_allclose(la, lat, atol=1e-9)
+
+    def test_hub_composition_bng_utm(self):
+        # 27700 -> UTM 30N composes through the WGS84 hub
+        from geocube_spark.functions.crs import resolve_transform
+
+        fwd = resolve_transform(27700, 32630)
+        back = resolve_transform(32630, 27700)
+        E, N = fwd(np.array([530000.0]), np.array([180000.0]))
+        Eb, Nb = back(E, N)
+        np.testing.assert_allclose(Eb[0], 530000.0, atol=1e-2)
+        np.testing.assert_allclose(Nb[0], 180000.0, atol=1e-2)
+
+    def test_sql_cte_twin_matches_numpy(self):
+        import duckdb
+
+        from geocube_spark.functions.crs import (
+            tmgrid_from_wgs84,
+            tmgrid_from_wgs84_sql_ctes,
+        )
+
+        lons = [-6.0 + i * 0.93 for i in range(9)]
+        lats = [50.0 + i * 0.81 for i in range(9)]
+        vals = ", ".join(
+            f"({i}, {lo}, {la})" for i, (lo, la) in enumerate(zip(lons, lats))
+        )
+        ctes = tmgrid_from_wgs84_sql_ctes(27700, "lon", "lat", "pts", carry=("i",))
+        rows = duckdb.sql(
+            f"WITH pts AS (SELECT * FROM (VALUES {vals}) t(i, lon, lat)),"
+            f"{ctes} SELECT * FROM tmg_out ORDER BY i"
+        ).df()
+        E, N = tmgrid_from_wgs84(np.array(lons), np.array(lats), 27700)
+        np.testing.assert_allclose(rows["tmg_e"].values, E, atol=1e-6)
+        np.testing.assert_allclose(rows["tmg_n"].values, N, atol=1e-6)
