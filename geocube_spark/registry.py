@@ -1476,6 +1476,71 @@ def text_quality(spark, sf_dir):
 
 
 @q(
+    "pii_redaction",
+    r"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 64)
+                    ELSE substr(text, 1, 64)
+                         || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com ph +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' ip 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                         || '.7 ssn 123-45-6789'
+               END AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(length(regexp_extract_all(text2,
+               '\+?\d{1,3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+           CAST(length(regexp_extract_all(text2,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+             AS n_ip,
+           CAST(length(regexp_extract_all(text2,
+               '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\+?\d{1,3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS redacted
+    FROM injected
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII scrub (LLM-pipeline op): per-class counts + sequential
+    redaction, all JVM-side regexp (operators/pii.py).  The synthetic
+    corpus has no natural PII, so both engines deterministically inject
+    identical email/phone/IP/SSN spans into 2/3 of the documents first —
+    the oracle then checks count AND byte-identical redacted text."""
+    from geocube_spark.operators.pii import pii_redact
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.substring("text", 1, 64)
+        ).otherwise(
+            F.concat(
+                F.substring("text", 1, 64),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com ph +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                F.lit(" ip 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7 ssn 123-45-6789"),
+            )
+        ).alias("text2"),
+    )
+    return pii_redact(injected, text_col="text2", out_col="redacted").drop(
+        "text2"
+    )
+
+
+@q(
     "text_langid",
     f"""
     SELECT doc_id, {lang_guess_sql('text')} AS lang_guess, lang AS lang_label

@@ -400,3 +400,40 @@ class TestSkewUtils:
         )
         plain = fact.join(dim, "k").count()
         assert salted_join(fact, dim, "k").count() == plain
+
+
+class TestPIIRedaction:
+    """operators/pii.py: JVM-regex PII scrub (no UDF, no shuffle)."""
+
+    def test_counts_and_redaction(self, spark):
+        from geocube_spark.operators.pii import pii_redact
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b+c@x-corp.io and call +44-207-1234 now"),
+                (2, "server at 10.0.255.3, owner ssn 078-05-1120"),
+                (3, "clean text, no identifiers here"),
+                (4, "two mails: a@b.co c@d.org and ip 1.2.3.4"),
+            ],
+            "doc_id int, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in pii_redact(df).collect()
+        }
+        assert (rows[1]["n_email"], rows[1]["n_phone"]) == (1, 1)
+        assert rows[1]["redacted"] == "mail [EMAIL] and call [PHONE] now"
+        assert (rows[2]["n_ip"], rows[2]["n_ssn"]) == (1, 1)
+        assert rows[2]["redacted"] == "server at [IP], owner ssn [SSN]"
+        assert rows[3]["redacted"] == rows[3]["text"]
+        assert all(rows[3][f"n_{c}"] == 0 for c in ("email", "phone", "ip", "ssn"))
+        assert rows[4]["n_email"] == 2 and rows[4]["n_ip"] == 1
+        assert rows[4]["redacted"] == "two mails: [EMAIL] [EMAIL] and ip [IP]"
+
+    def test_no_python_in_plan(self, spark):
+        from geocube_spark.operators.pii import pii_redact
+
+        df = spark.createDataFrame([(1, "x@y.zz")], "doc_id int, text string")
+        plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
