@@ -1097,6 +1097,32 @@ def embedding_topk(spark, sf_dir):
     )
 
 
+# SQ8 scalar-quantized ANN (LLM-pipeline op): 8-bit per-dimension codes
+# prefilter 4x over-retrieved candidates, exact cosine rescores only those.
+# At deployment the 1-byte code column is what's persisted/scanned (4x
+# fewer bytes than float32); the oracle is the EXACT brute-force top-k —
+# the claim under test is that the quantized prefilter + rescore recovers
+# it identically.
+@q(
+    "embedding_sq8_topk",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    q0 AS (SELECT embedding AS qv FROM e WHERE vec_id = 0)
+    SELECT e.vec_id, round({cosine_sql('e.embedding', 'q0.qv')}, 6) AS score
+    FROM e, q0
+    ORDER BY {cosine_sql('e.embedding', 'q0.qv')} DESC, e.vec_id
+    LIMIT 15
+    """,
+)
+def embedding_sq8_topk(spark, sf_dir):
+    from geocube_spark.operators.similarity import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = sq8_topk(emb, list(qv), k=15, expand=4)
+    return out.select("vec_id", F.round("score", 6).alias("score"))
+
+
 # All-pairs exact near-dup: distributed block GEMM (no driver collect, no
 # corpus broadcast).  Membership is decided on the 6-dp-ROUNDED cosine in
 # BOTH engines (the GEMM sieves with 1e-9 slack), so numpy-blocked vs

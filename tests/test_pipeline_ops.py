@@ -437,3 +437,67 @@ class TestPIIRedaction:
         plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestSQ8Quantization:
+    """operators/similarity.py SQ8: 8-bit scalar-quantized ANN with exact
+    rescore — the FAISS/ScaNN SQ8 recipe as DataFrame ops."""
+
+    def _emb(self, spark):
+        from pyspark.sql import functions as F
+
+        return spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+
+    def test_codes_bounded_and_reconstruction(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.similarity import (
+            sq8_dequant_expr,
+            sq8_quantize,
+            sq8_stats,
+        )
+        from pyspark.sql import functions as F
+
+        emb = self._emb(spark)
+        dim = len(emb.first()["embedding"])
+        mins, scales = sq8_stats(emb, dim)
+        coded = sq8_quantize(emb, mins, scales)
+        rows = coded.select(
+            "embedding",
+            "codes",
+            sq8_dequant_expr(F.col("codes"), mins, scales).alias("approx"),
+        ).collect()
+        for r in rows:
+            assert all(0 <= c <= 255 for c in r["codes"])
+            err = np.abs(np.array(r["approx"]) - np.array(r["embedding"]))
+            # reconstruction error bounded by half a quantization step
+            assert (err <= np.array(scales) * 0.5 + 1e-12).all()
+
+    def test_topk_recovers_exact(self, spark):
+        from geocube_spark.operators.similarity import (
+            brute_force_topk,
+            sq8_topk,
+        )
+        from pyspark.sql import functions as F
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+        got = [(r["vec_id"], round(r["score"], 6)) for r in
+               sq8_topk(emb, list(q), k=10, expand=4).collect()]
+        want = [(r["vec_id"], round(r["score"], 6)) for r in
+                brute_force_topk(emb, list(q), k=10).collect()]
+        assert got == want
+
+    def test_rescore_is_broadcast_semi_join(self, spark):
+        from geocube_spark.operators.similarity import sq8_topk
+        from pyspark.sql import functions as F
+
+        emb = self._emb(spark)
+        q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        plan = sq8_topk(emb, list(q), k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan
