@@ -981,6 +981,79 @@ def dedup_components(spark, sf_dir):
     return dd.connected_components(pairs).orderBy("node")
 
 
+# Canonical-document selection: the step AFTER clustering — keep the
+# highest-quality member of every duplicate cluster (what a curation
+# pipeline actually ships downstream).  Plan: the same O(log n) CC rounds,
+# then ONE max-struct aggregation per cluster (map-side partial combine,
+# no per-cluster sort).  Argmax is decided on the 6-dp-ROUNDED quality in
+# BOTH engines so a last-ulp scoring difference cannot flip the winner;
+# ties break to the lowest doc_id.  Singletons keep themselves
+# (component = own id via left join + coalesce).
+def _canonical_oracle() -> str:
+    jacc = _ngram_jaccard_sql(0.5, select="SELECT doc_a, doc_b")
+    return f"""
+    WITH RECURSIVE p AS ({jacc}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS node, min(lbl) AS component FROM reach GROUP BY u),
+    scored AS (
+        SELECT coalesce(l.component, d.doc_id) AS component,
+               d.doc_id,
+               round({quality_score_sql('d.text')}, 6) AS q
+        FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+    ),
+    ranked AS (
+        SELECT component, doc_id, q,
+               row_number() OVER (
+                   PARTITION BY component ORDER BY q DESC, doc_id
+               ) AS rk,
+               count(*) OVER (PARTITION BY component) AS n
+        FROM scored
+    )
+    SELECT component, doc_id AS kept_doc_id, q AS kept_quality,
+           CAST(n AS BIGINT) AS n_members,
+           CAST(n - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rk = 1 ORDER BY component
+    """
+
+
+@q("dedup_canonical", _canonical_oracle())
+def dedup_canonical(spark, sf_dir):
+    from geocube_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    comp = dd.connected_components(pairs).select("node", "component")
+    scored = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            F.coalesce("component", "doc_id").alias("component"),
+            "doc_id",
+            F.round(quality_score(F.col("text")), 6).alias("q"),
+        )
+    )
+    agg = scored.groupBy("component").agg(
+        F.max(
+            F.struct(F.col("q"), (-F.col("doc_id")).alias("nid"))
+        ).alias("m"),
+        F.count("*").alias("n"),
+    )
+    return (
+        agg.select(
+            "component",
+            (-F.col("m.nid")).alias("kept_doc_id"),
+            F.col("m.q").alias("kept_quality"),
+            F.col("n").cast("long").alias("n_members"),
+            (F.col("n") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("component")
+    )
+
+
 # Skew-hardened CC: a deterministic POWER-LAW pair graph (two hub docs
 # receive ~1/3 and ~2/3 of all edges — the crawl-boilerplate shape that
 # makes one groupBy/join key hot) run through the SALTED large-star/
@@ -2822,6 +2895,114 @@ def warp_cross_crs_lcc(spark, sf_dir):
             .alias("n_valid"),
         )
         .filter(F.col("n_valid") > 0)
+    )
+
+
+# Zonal statistics (classic EO analysis pushed into the engine): 9
+# deterministic zones over the warp_src fixture raster; per-zone count/
+# sum/min/max/mean via broadcast θ-join + HOF window aggregation + one
+# O(#overlaps) shuffle (operators/zonal.py).  Oracle re-derives every
+# zone in pixel space against the closed-form v(i,j) = (13i+7j) mod 97.
+@q(
+    "zonal_statistics",
+    """
+    WITH zones AS (
+        SELECT CAST(z.range AS INT) AS zone_id,
+               (z.range % 3) * 40 + 2 AS x0p,
+               (z.range // 3) * 40 + 3 AS y0p
+        FROM range(0, 9) z
+    ),
+    px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    hit AS (
+        SELECT zone_id, v FROM zones JOIN px
+        ON gi >= x0p AND gi < x0p + 35 AND gj >= y0p AND gj < y0p + 30
+    )
+    SELECT zone_id, CAST(count(*) AS BIGINT) AS n_pixels,
+           sum(v) AS sum_value, min(v) AS min_value, max(v) AS max_value,
+           round(sum(v) / count(*), 6) AS mean_value
+    FROM hit GROUP BY zone_id ORDER BY zone_id
+    """,
+)
+def zonal_statistics(spark, sf_dir):
+    from geocube_spark.operators.zonal import zonal_stats
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    res = 0.015625
+    zones = spark.range(9).select(
+        F.col("id").cast("int").alias("zone_id"),
+        ((F.col("id") % 3) * 40 + 2).alias("x0p"),
+        ((F.col("id") / 3).cast("int") * 40 + 3).alias("y0p"),
+    ).select(
+        "zone_id",
+        (F.col("x0p") * res).alias("xmin"),
+        (50.0 - (F.col("y0p") + 30) * res).alias("ymin"),
+        ((F.col("x0p") + 35) * res).alias("xmax"),
+        (50.0 - F.col("y0p") * res).alias("ymax"),
+    )
+    out = zonal_stats(tiles, zones, block=64)
+    return out.select(
+        "zone_id", "n_pixels", "sum_value", "min_value", "max_value",
+        F.round("mean_value", 6).alias("mean_value"),
+    ).orderBy("zone_id")
+
+
+# Map algebra / normalized difference (operators/algebra.py): derive a
+# second band deterministically from the fixture band ((3x+7) mod 97 —
+# never zero-sum against band 1), compute per-pixel (b2-b1)/(b2+b1) with
+# zip_with, and reduce per block.  Pure HOF codegen — no UDF, no shuffle
+# before the 4-row final agg; the oracle replays the same algebra in
+# pixel space.
+@q(
+    "band_normalized_difference",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS b1
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    nd AS (
+        SELECT gi // 64 AS block_x, gj // 64 AS block_y,
+               (((b1 * 3 + 7) % 97) - b1) / (((b1 * 3 + 7) % 97) + b1) AS v
+        FROM px
+    )
+    SELECT CAST(block_x AS INT) AS block_x, CAST(block_y AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(v), 6) AS nd_sum,
+           round(min(v), 6) AS nd_min,
+           round(max(v), 6) AS nd_max
+    FROM nd GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def band_normalized_difference(spark, sf_dir):
+    from geocube_spark.operators.algebra import normalized_difference
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    two_band = tiles.withColumn(
+        "px2", F.transform(F.col("px"), lambda x: (x * 3 + 7) % 97)
+    )
+    nd = normalized_difference(two_band, "px", "px2", out_col="nd")
+    return (
+        nd.select(
+            "block_x", "block_y",
+            F.size("nd").alias("n_px"),
+            F.aggregate("nd", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_min("nd").alias("mn"),
+            F.array_max("nd").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 6).alias("nd_sum"),
+            F.round(F.min("mn"), 6).alias("nd_min"),
+            F.round(F.max("mx"), 6).alias("nd_max"),
+        )
+        .orderBy("block_x", "block_y")
     )
 
 

@@ -219,3 +219,104 @@ class TestCover:
         for px, py in rng.uniform(0, 10, size=(400, 2)):
             if pip(px, py):
                 assert (int(px), int(py)) in got, (px, py)
+
+
+class TestZonalStats:
+    """operators/zonal.py: broadcast θ-join + HOF window aggregation."""
+
+    def _tiles(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rows = []
+        for by in range(2):
+            for bx in range(2):
+                cc, rr = np.meshgrid(np.arange(4), np.arange(4))
+                v = (10.0 * (by * 2 + bx) + rr * 4 + cc).ravel().tolist()
+                rows.append((bx, by, v, {"a": 1.0, "b": 0.0, "c": 0.0,
+                                         "d": 0.0, "e": -1.0, "f": 8.0}))
+        return spark.createDataFrame(
+            rows,
+            "block_x int, block_y int, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+
+    def test_zone_spanning_tiles(self, spark):
+        from geocube_spark.operators.zonal import zonal_stats
+
+        # 8x8 raster of 2x2 tiles (4px each), origin (0, 8), res 1.
+        # zone covers pixel cols 2..5, rows 2..5 -> 16 px across all 4 tiles
+        zones = spark.createDataFrame(
+            [(0, 2.0, 8.0 - 6.0, 6.0, 8.0 - 2.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        out = zonal_stats(self._tiles(spark), zones, block=4).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_pixels"] == 16
+        # manual expectation
+        import numpy as np
+
+        full = np.zeros((8, 8))
+        for by in range(2):
+            for bx in range(2):
+                cc, rr = np.meshgrid(np.arange(4), np.arange(4))
+                full[by * 4:(by + 1) * 4, bx * 4:(bx + 1) * 4] = (
+                    10.0 * (by * 2 + bx) + rr * 4 + cc
+                )
+        win = full[2:6, 2:6]
+        assert r["sum_value"] == win.sum()
+        assert r["min_value"] == win.min()
+        assert r["max_value"] == win.max()
+        assert abs(r["mean_value"] - win.mean()) < 1e-12
+
+    def test_zone_off_raster_empty(self, spark):
+        from geocube_spark.operators.zonal import zonal_stats
+
+        zones = spark.createDataFrame(
+            [(7, 100.0, 100.0, 110.0, 110.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        assert zonal_stats(self._tiles(spark), zones, block=4).count() == 0
+
+    def test_nodata_excluded(self, spark):
+        from geocube_spark.operators.zonal import zonal_stats
+
+        zones = spark.createDataFrame(
+            [(0, 0.0, 4.0, 4.0, 8.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        out = zonal_stats(
+            self._tiles(spark), zones, block=4, nodata=0.0
+        ).collect()[0]
+        # tile (0,0) holds values 0..15; value 0.0 is dropped
+        assert out["n_pixels"] == 15
+        assert out["min_value"] == 1.0
+
+
+class TestMapAlgebra:
+    def test_single_band_transform(self, spark):
+        from geocube_spark.operators.algebra import map_algebra
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "px array<double>")
+        out = map_algebra(df, lambda x: x * 2 + 1, out_col="y").first()["y"]
+        assert out == [3.0, 5.0, 7.0]
+
+    def test_normalized_difference(self, spark):
+        from geocube_spark.operators.algebra import normalized_difference
+
+        df = spark.createDataFrame(
+            [([1.0, 3.0], [3.0, 1.0])], "a array<double>, b array<double>"
+        )
+        nd = normalized_difference(df, "a", "b").first()["nd"]
+        assert nd == [0.5, -0.5]
+
+    def test_rejects_three_bands(self, spark):
+        import pytest as _pytest
+
+        from geocube_spark.operators.algebra import map_algebra
+
+        df = spark.createDataFrame([([1.0],)], "px array<double>")
+        with _pytest.raises(ValueError):
+            map_algebra(df, lambda a, b, c: a, in_cols=("px", "px", "px"))
