@@ -100,3 +100,61 @@ def filter_valid_slices(
     nd = F.lit(float(nodata))
     k = int(math.ceil(min_valid_fraction * block_pixels))
     return mosaic.filter(valid_count_expr(F.col(px_col), nd) >= k)
+
+
+def temporal_composite(
+    tiles: DataFrame,
+    stat: str = "median",
+    block: int = 64,
+    px_col: str = "px",
+    keys: tuple[str, ...] = ("block_x", "block_y"),
+) -> DataFrame:
+    """Per-pixel temporal composite across the time layers of each block —
+    the monthly-median/mean cloud-free composite of EO pipelines (the
+    step after latest-wins mosaicking when ALL acquisitions contribute,
+    not just the newest; same A7 surface, reduce semantics instead of
+    coalesce).
+
+    Plan: ONE groupBy(keys) shuffling each block's layers to a single
+    reducer row (collect_list of k px arrays — bounded by the records-
+    per-block fan-in, never by raster size), then a pure HOF per-pixel
+    sort/median (or mean) with no Python.  At 100 TB the shuffle is
+    O(pixels) — the same volume any temporal reduce must move — and the
+    per-group state is k·block² doubles, safely under executor memory
+    for any practical layer count (k=1000 × 64² = 32 MB worst case;
+    beyond that, switch to a two-level partial-histogram reduce).
+    """
+    if stat not in ("median", "mean"):
+        raise ValueError("stat must be 'median' or 'mean'")
+    n = block * block
+    grouped = tiles.groupBy(*keys).agg(
+        F.collect_list(px_col).alias("layers"),
+        F.count("*").cast("int").alias("n_layers"),
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    if stat == "mean":
+        per_px = F.transform(
+            idx,
+            lambda i: F.aggregate(
+                F.col("layers"),
+                F.lit(0.0),
+                lambda acc, a: acc + F.element_at(a, (i + 1).cast("int")),
+            )
+            / F.col("n_layers"),
+        )
+    else:
+        # element-wise median: gather pixel i across layers, sort, take
+        # the middle (lower-middle for even layer counts)
+        per_px = F.transform(
+            idx,
+            lambda i: F.element_at(
+                F.array_sort(
+                    F.transform(
+                        F.col("layers"),
+                        lambda a: F.element_at(a, (i + 1).cast("int")),
+                    )
+                ),
+                ((F.col("n_layers") + 1) / 2).cast("int"),
+            ),
+        )
+    return grouped.select(*keys, "n_layers", per_px.alias("px"))

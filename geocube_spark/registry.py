@@ -1639,6 +1639,75 @@ def pii_redaction(spark, sf_dir):
     )
 
 
+# Corpus reporting rollup: multi-level aggregates in ONE pass via
+# GROUPING SETS (rollup source -> (source, lang) -> grand total) — the
+# Spark rollup() lowering Catalyst expands to a single Expand + hash agg,
+# so corpus dashboards don't re-scan per level.  Rolled-up levels are
+# labeled '<all>' on both engines.
+@q(
+    "corpus_rollup",
+    """
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    ORDER BY source, lang
+    """,
+)
+def corpus_rollup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# Exact length percentiles per source (corpus length distribution — the
+# filter-threshold picker of every curation pipeline).  Spark's exact
+# percentile agg and DuckDB's quantile_cont share the linear-interpolation
+# definition, so values match to rounding.
+@q(
+    "doc_length_percentiles",
+    """
+    SELECT source,
+           round(quantile_cont(n_chars, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars, 0.75), 6) AS p75,
+           round(quantile_cont(n_chars, 0.95), 6) AS p95
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def doc_length_percentiles(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    pct = F.percentile(F.col("n_chars"), F.array(
+        F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)
+    ))
+    return (
+        docs.groupBy("source")
+        .agg(pct.alias("p"))
+        .select(
+            "source",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p95"),
+        )
+        .orderBy("source")
+    )
+
+
 @q(
     "text_langid",
     f"""
@@ -3001,6 +3070,65 @@ def band_normalized_difference(spark, sf_dir):
             F.round(F.sum("s"), 6).alias("nd_sum"),
             F.round(F.min("mn"), 6).alias("nd_min"),
             F.round(F.max("mx"), 6).alias("nd_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
+# Temporal median composite (A7 companion: reduce-all-acquisitions
+# instead of latest-wins).  Five deterministic time layers are derived
+# from the fixture band (v + 13t mod 97), the per-pixel median is taken
+# across layers with pure HOF sort (operators/mosaic.temporal_composite),
+# and blocks are summarized.  Oracle replays the same five-layer median
+# per pixel in SQL.
+@q(
+    "temporal_median_composite",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    layered AS (
+        SELECT gi, gj, (v + 13 * t.range) % 97 AS vt
+        FROM px, range(0, 5) t
+    ),
+    med AS (
+        SELECT gi // 64 AS block_x, gj // 64 AS block_y,
+               median(vt) AS m
+        FROM layered GROUP BY gi, gj, gi // 64, gj // 64
+    )
+    SELECT CAST(block_x AS INT) AS block_x, CAST(block_y AS INT) AS block_y,
+           CAST(5 AS INT) AS n_layers,
+           round(sum(m), 6) AS med_sum,
+           round(min(m), 6) AS med_min,
+           round(max(m), 6) AS med_max
+    FROM med GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def temporal_median_composite(spark, sf_dir):
+    from geocube_spark.operators.mosaic import temporal_composite
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    layers = tiles.select(
+        "block_x", "block_y", "px",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in range(5)])
+        ).alias("t"),
+    ).select(
+        "block_x", "block_y",
+        F.transform(F.col("px"), lambda x: (x + 13 * F.col("t")) % 97).alias("px"),
+    )
+    out = temporal_composite(layers, stat="median", block=64)
+    return (
+        out.select(
+            "block_x", "block_y", "n_layers",
+            F.round(
+                F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6
+            ).alias("med_sum"),
+            F.round(F.array_min("px"), 6).alias("med_min"),
+            F.round(F.array_max("px"), 6).alias("med_max"),
         )
         .orderBy("block_x", "block_y")
     )

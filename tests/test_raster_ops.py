@@ -320,3 +320,34 @@ class TestMapAlgebra:
         df = spark.createDataFrame([([1.0],)], "px array<double>")
         with _pytest.raises(ValueError):
             map_algebra(df, lambda a, b, c: a, in_cols=("px", "px", "px"))
+
+
+class TestTemporalComposite:
+    def _layers(self, spark):
+        rows = []
+        for t in range(4):
+            rows.append((0, 0, [float(t), float(10 + t), float(5 - t), 1.0]))
+        return spark.createDataFrame(rows, "block_x int, block_y int, px array<double>")
+
+    def test_median_even_layer_count(self, spark):
+        from geocube_spark.operators.mosaic import temporal_composite
+
+        out = temporal_composite(self._layers(spark), stat="median", block=2).first()
+        # per-pixel sorted values: [0,1,2,3] [10..13] [2,3,4,5] [1,1,1,1]
+        # lower-middle of 4 = 2nd smallest
+        assert out["px"] == [1.0, 11.0, 3.0, 1.0]
+        assert out["n_layers"] == 4
+
+    def test_mean(self, spark):
+        from geocube_spark.operators.mosaic import temporal_composite
+
+        out = temporal_composite(self._layers(spark), stat="mean", block=2).first()
+        assert out["px"] == [1.5, 11.5, 3.5, 1.0]
+
+    def test_rejects_unknown_stat(self, spark):
+        import pytest as _pytest
+
+        from geocube_spark.operators.mosaic import temporal_composite
+
+        with _pytest.raises(ValueError):
+            temporal_composite(self._layers(spark), stat="mode")
