@@ -1889,6 +1889,61 @@ def sequence_packing(spark, sf_dir):
     )
 
 
+# Event-time interval join (streaming/joins.py interval_join — the
+# stream-stream attribution shape, run here in batch mode through the
+# SAME code path; stream==batch convergence is pytest-checked): attribute
+# each purchase to the same user's clicks in the preceding 30 minutes.
+@q(
+    "events_click_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(count(c.event_id) AS BIGINT) AS n_clicks,
+           round(coalesce(sum(c.value), 0.0), 6) AS clicked_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+     AND c.ts < p.ts
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def events_click_attribution(spark, sf_dir):
+    from geocube_spark.streaming.joins import interval_join
+
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = interval_join(
+        purchases, clicks, key="user_id", lookback="30 minutes"
+    )
+    # LEFT-join semantics for the report: purchases with no clicks keep a
+    # zero row (the streaming operator is inner by contract; re-attach
+    # unmatched purchases via the purchase dim)
+    counts = joined.groupBy("purchase_id").agg(
+        F.count("click_id").cast("long").alias("n_clicks"),
+        F.round(F.sum("click_value"), 6).alias("clicked_value"),
+    )
+    return (
+        purchases.select("purchase_id")
+        .join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce("n_clicks", F.lit(0)).cast("long").alias("n_clicks"),
+            F.coalesce("clicked_value", F.lit(0.0)).alias("clicked_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
 # Gap-based sessionization (batch twin of the streaming stateful operator,
 # streaming/sessions.py): new session when the same-user gap exceeds 30 min.
 @q(

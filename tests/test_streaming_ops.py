@@ -345,3 +345,74 @@ class TestStreamingDedupTTL:
         assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
             "RocksDBStateStoreProvider"
         )
+
+
+class TestIntervalJoin:
+    """streaming/joins.py interval_join: stream-stream event-time join with
+    watermark-bounded state; one code path for batch and stream."""
+
+    def _frames(self, spark):
+        from datetime import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        purchases = spark.createDataFrame(
+            [
+                (100, 1, dt(2024, 1, 1, 9, 0)),
+                (101, 1, dt(2024, 1, 1, 10, 0)),
+                (102, 2, dt(2024, 1, 1, 9, 30)),
+            ],
+            "purchase_id long, user_id long, l_ts timestamp",
+        )
+        clicks = spark.createDataFrame(
+            [
+                # u1: 8:40 and 8:59 in window of 9:00; 9:00 itself excluded
+                (1, 1, dt(2024, 1, 1, 8, 40), 1.0),
+                (2, 1, dt(2024, 1, 1, 8, 59), 2.0),
+                (3, 1, dt(2024, 1, 1, 9, 0), 4.0),
+                # u1: 9:45 in window of 10:00
+                (4, 1, dt(2024, 1, 1, 9, 45), 8.0),
+                # u2: 8:55 too old for 9:30 (35 min)
+                (5, 2, dt(2024, 1, 1, 8, 55), 16.0),
+            ],
+            "click_id long, user_id long, r_ts timestamp, click_value double",
+        )
+        return purchases, clicks
+
+    def _expected(self):
+        return {(100, 1), (100, 2), (101, 4)}
+
+    def test_batch_semantics(self, spark):
+        from geocube_spark.streaming.joins import interval_join
+
+        purchases, clicks = self._frames(spark)
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in interval_join(purchases, clicks).collect()
+        }
+        assert got == self._expected()
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from geocube_spark.streaming.joins import interval_join
+
+        purchases, clicks = self._frames(spark)
+        pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+        purchases.write.parquet(pdir)
+        clicks.write.parquet(cdir)
+        ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+        cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+        out = interval_join(ps, cs)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("attribution_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql("SELECT * FROM attribution_out").collect()
+        }
+        assert got == self._expected()
