@@ -57,8 +57,14 @@ _T_ASCII = 2
 _T_SHORT = 3
 _T_LONG = 4
 _T_DOUBLE = 12
-_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8}
-_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d"}
+_T_LONG8 = 16  # BigTIFF 64-bit unsigned
+_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
+_TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
+
+# auto-switch to BigTIFF when the classic 32-bit offset space would
+# overflow (with slack for the header block): consolidated containers at
+# production scale routinely exceed 4 GiB
+_BIGTIFF_AUTO_THRESHOLD = 2**32 - 2**26
 
 # numpy dtype -> (bits, sample_format)
 _DTYPE_TIFF = {
@@ -371,6 +377,7 @@ def write_tiff(
     planar: int | None = None,
     layout: str = "tile",
     rows_per_strip: int = 64,
+    bigtiff: bool | None = None,
 ) -> bytes:
     """Serialize images into one tiled or stripped (Geo)TIFF.
 
@@ -389,6 +396,10 @@ def write_tiff(
     layout='strip' writes StripOffsets/RowsPerStrip instead of tiles —
     what plain (non-COG) gdal_translate emits; fixture path for the
     external-GeoTIFF ingest tests.
+    bigtiff: True forces the BigTIFF (version 43, 64-bit offsets) layout;
+    None auto-switches when payloads approach the classic 4 GiB offset
+    limit — the size every consolidated container reaches at production
+    scale.  Offsets arrays are LONG8; everything else stays identical.
     """
     if not images:
         raise ValueError("no images")
@@ -484,19 +495,33 @@ def write_tiff(
         )
         planned.append(p)
 
+    big = bigtiff
+    if big is None:
+        total_payload = sum(len(b) for p in planned for b in p.tile_payloads)
+        big = total_payload > _BIGTIFF_AUTO_THRESHOLD
+    if big:
+        for p in planned:
+            tag, _ft, cnt, payload = p.entries[p.offsets_entry_idx]
+            p.entries[p.offsets_entry_idx] = (tag, _T_LONG8, cnt, payload)
+
     # ---- layout pass: header | IFD+values per image | tile data
-    pos = 8
+    off_sz = 8 if big else 4  # per-element size of the offsets arrays
+    inline_cap = 8 if big else 4  # value-fits-in-entry capacity
+    entry_sz = 20 if big else 12
+    pos = 16 if big else 8
     for p in planned:
         p.ifd_offset = pos
-        pos += 2 + 12 * len(p.entries) + 4
+        pos += (8 + entry_sz * len(p.entries) + 8) if big else (
+            2 + entry_sz * len(p.entries) + 4
+        )
         p.extra_offset = pos
         for tag, _ft, _cnt, payload in p.entries:
             size = (
-                4 * p.n_tiles
+                off_sz * p.n_tiles
                 if tag in (_TILE_OFFSETS, _STRIP_OFFSETS)
                 else len(payload)
             )
-            if size > 4:
+            if size > inline_cap:
                 pos += (size + 1) & ~1  # keep offsets even
 
     # tile data region
@@ -523,25 +548,34 @@ def write_tiff(
 
     # ---- emit
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, planned[0].ifd_offset)
+    if big:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, planned[0].ifd_offset)
+    else:
+        out += struct.pack("<2sHI", b"II", 42, planned[0].ifd_offset)
     for idx, p in enumerate(planned):
         assert len(out) == p.ifd_offset
         next_ifd = planned[idx + 1].ifd_offset if idx + 1 < len(planned) else 0
-        out += struct.pack("<H", len(p.entries))
+        out += struct.pack("<Q" if big else "<H", len(p.entries))
         extra = bytearray()
         extra_pos = p.extra_offset
         for tag, ftype, count, payload in p.entries:
             if tag in (_TILE_OFFSETS, _STRIP_OFFSETS):
-                payload = _pack_array(_T_LONG, p.tile_offsets)
-            if len(payload) <= 4:
-                out += struct.pack("<HHI", tag, ftype, count)
-                out += payload.ljust(4, b"\x00")
+                payload = _pack_array(ftype, p.tile_offsets)
+            if len(payload) <= inline_cap:
+                if big:
+                    out += struct.pack("<HHQ", tag, ftype, count)
+                else:
+                    out += struct.pack("<HHI", tag, ftype, count)
+                out += payload.ljust(inline_cap, b"\x00")
             else:
-                out += struct.pack("<HHII", tag, ftype, count, extra_pos)
+                if big:
+                    out += struct.pack("<HHQQ", tag, ftype, count, extra_pos)
+                else:
+                    out += struct.pack("<HHII", tag, ftype, count, extra_pos)
                 padded = payload + (b"\x00" if len(payload) % 2 else b"")
                 extra += padded
                 extra_pos += len(padded)
-        out += struct.pack("<I", next_ifd)
+        out += struct.pack("<Q" if big else "<I", next_ifd)
         out += extra
     for pi, ti in order:
         p = planned[pi]
@@ -568,32 +602,60 @@ class TiffImage:
     planar: int = 1  # TIFF PlanarConfiguration: 1 chunky, 2 per-band planes
 
 
+def _tiff_version(data: bytes) -> bool:
+    """True for BigTIFF (version 43), False for classic (42); raises on
+    anything else."""
+    if data[:4] == b"II\x2a\x00":
+        return False
+    if data[:4] == b"II\x2b\x00":
+        bytesize, zero = struct.unpack_from("<HH", data, 4)
+        if bytesize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        return True
+    raise ValueError("not a little-endian TIFF/BigTIFF")
+
+
 def read_tiff(data: bytes) -> list[TiffImage]:
-    """Minimal tiled-TIFF reader (the writer's inverse; also reads GDAL
-    planar/chunky single-band output).  Used by tests and the read-back
-    verification path of the consolidation sink."""
-    if data[:4] != b"II\x2a\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    """Minimal tiled/strip (Big)TIFF reader (the writer's inverse; also
+    reads GDAL planar/chunky single-band output).  Used by tests and the
+    read-back verification path of the consolidation sink."""
+    big = _tiff_version(data)
+    if big:
+        (ifd_off,) = struct.unpack_from("<Q", data, 8)
+    else:
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+    entry_sz = 20 if big else 12
     images: list[TiffImage] = []
     while ifd_off:
-        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        if big:
+            (n_entries,) = struct.unpack_from("<Q", data, ifd_off)
+            entries_base = ifd_off + 8
+        else:
+            (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+            entries_base = ifd_off + 2
         tags: dict[int, list] = {}
         for i in range(n_entries):
-            tag, ftype, count, raw = struct.unpack_from(
-                "<HHI4s", data, ifd_off + 2 + 12 * i
-            )
+            if big:
+                tag, ftype, count, raw = struct.unpack_from(
+                    "<HHQ8s", data, entries_base + entry_sz * i
+                )
+            else:
+                tag, ftype, count, raw = struct.unpack_from(
+                    "<HHI4s", data, entries_base + entry_sz * i
+                )
             size = _TYPE_SIZE[ftype] * count
-            if size <= 4:
+            if size <= len(raw):
                 buf = raw[:size]
             else:
-                (off,) = struct.unpack("<I", raw)
+                (off,) = struct.unpack("<Q" if big else "<I", raw)
                 buf = data[off : off + size]
             if ftype == _T_ASCII:
                 tags[tag] = [buf.rstrip(b"\x00").decode()]
             else:
                 tags[tag] = list(struct.unpack(f"<{count}{_TYPE_FMT[ftype]}", buf))
-        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n_entries)
+        (ifd_off,) = struct.unpack_from(
+            "<Q" if big else "<I", data, entries_base + entry_sz * n_entries
+        )
 
         w, h = tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]
         nb = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
@@ -729,28 +791,43 @@ def header_size(data: bytes) -> int:
     Walks only the IFD chain and TileOffsets arrays; never touches (much
     less decompresses) tile payloads, so it is O(header) not O(container).
     """
-    if data[:4] != b"II\x2a\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    big = _tiff_version(data)
+    if big:
+        (ifd_off,) = struct.unpack_from("<Q", data, 8)
+    else:
+        (ifd_off,) = struct.unpack_from("<I", data, 4)
+    entry_sz = 20 if big else 12
     first: int | None = None
     while ifd_off:
-        (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+        if big:
+            (n_entries,) = struct.unpack_from("<Q", data, ifd_off)
+            entries_base = ifd_off + 8
+        else:
+            (n_entries,) = struct.unpack_from("<H", data, ifd_off)
+            entries_base = ifd_off + 2
         for i in range(n_entries):
-            tag, ftype, count, raw = struct.unpack_from(
-                "<HHI4s", data, ifd_off + 2 + 12 * i
-            )
+            if big:
+                tag, ftype, count, raw = struct.unpack_from(
+                    "<HHQ8s", data, entries_base + entry_sz * i
+                )
+            else:
+                tag, ftype, count, raw = struct.unpack_from(
+                    "<HHI4s", data, entries_base + entry_sz * i
+                )
             if tag != _TILE_OFFSETS:
                 continue
             size = _TYPE_SIZE[ftype] * count
-            if size <= 4:
+            if size <= len(raw):
                 buf = raw[:size]
             else:
-                (off,) = struct.unpack("<I", raw)
+                (off,) = struct.unpack("<Q" if big else "<I", raw)
                 buf = data[off : off + size]
             offsets = struct.unpack(f"<{count}{_TYPE_FMT[ftype]}", buf)
             lo = min(offsets)
             first = lo if first is None else min(first, lo)
-        (ifd_off,) = struct.unpack_from("<I", data, ifd_off + 2 + 12 * n_entries)
+        (ifd_off,) = struct.unpack_from(
+            "<Q" if big else "<I", data, entries_base + entry_sz * n_entries
+        )
     if first is None:
         raise ValueError("no tiled IFDs")
     return first

@@ -447,3 +447,74 @@ class TestStripLayout:
         img = _img(seed=25, w=70, h=50)
         data = write_tiff([img], compression="packbits", tile_size=(32, 32))
         np.testing.assert_array_equal(read_tiff(data)[0].bands, img.bands)
+
+
+class TestBigTIFF:
+    """BigTIFF (version 43, 64-bit offsets): the layout every consolidated
+    container needs past 4 GiB.  Same IFD semantics, LONG8 offset arrays,
+    16-byte header; reader/writer/header_size all branch on the magic."""
+
+    def test_roundtrip_tile_and_strip(self):
+        img = _img(seed=31, dtype="uint16", w=70, h=50)
+        for layout in ("tile", "strip"):
+            data = write_tiff(
+                [img], compression="deflate", layout=layout, bigtiff=True,
+                tile_size=(32, 32), rows_per_strip=16,
+            )
+            assert data[:4] == b"II\x2b\x00"  # version 43
+            out = read_tiff(data)[0]
+            np.testing.assert_array_equal(out.bands, img.bands)
+            assert out.transform == img.transform
+
+    def test_header_structure(self):
+        import struct
+
+        data = write_tiff([_img(seed=32)], bigtiff=True)
+        bytesize, zero = struct.unpack_from("<HH", data, 4)
+        assert (bytesize, zero) == (8, 0)
+        (first_ifd,) = struct.unpack_from("<Q", data, 8)
+        assert first_ifd == 16  # IFD directly after the 16-byte header
+
+    def test_multi_image_block_interlace(self):
+        imgs = [_img(seed=40 + i, w=64, h=64) for i in range(3)]
+        data = write_tiff(
+            imgs, tile_size=(32, 32), tile_order="block", bigtiff=True
+        )
+        outs = read_tiff(data)
+        assert len(outs) == 3
+        for got, want in zip(outs, imgs):
+            np.testing.assert_array_equal(got.bands, want.bands)
+        # MuCOG contract: a block's payloads across images are contiguous
+        offs = [im.tile_offsets for im in outs]
+        for ti in range(4):
+            for pi in range(2):
+                assert offs[pi][ti] < offs[pi + 1][ti]
+            if ti < 3:
+                assert offs[2][ti] < offs[0][ti + 1]
+
+    def test_header_size_works(self):
+        data = write_tiff([_img(seed=33)], bigtiff=True)
+        hs = header_size(data)
+        assert 0 < hs < len(data)
+        # every tile offset at/after the header boundary
+        for im in read_tiff(data):
+            assert min(im.tile_offsets) >= hs
+
+    def test_auto_threshold_switches(self, monkeypatch):
+        from geocube_spark.sources import gtiff as g
+
+        img = _img(seed=34, w=40, h=40)
+        monkeypatch.setattr(g, "_BIGTIFF_AUTO_THRESHOLD", 100)
+        data = g.write_tiff([img], compression="none")
+        assert data[:4] == b"II\x2b\x00"
+        monkeypatch.setattr(g, "_BIGTIFF_AUTO_THRESHOLD", 2**32 - 2**26)
+        data = g.write_tiff([img], compression="none")
+        assert data[:4] == b"II\x2a\x00"
+
+    def test_bigtiff_ingest_to_tile_rows(self):
+        img = _img(seed=35, w=64, h=64, epsg=32631)
+        data = write_tiff([img], tile_size=(32, 32), bigtiff=True)
+        rows = tiff_bytes_to_tile_rows(data, "ext://big.tif")
+        assert {(r["block_x"], r["block_y"]) for r in rows} == {
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        }
