@@ -88,6 +88,13 @@ def parse_crs(text: str | int) -> int:
             ):
                 raise CRSError(f"non-WGS84 utm proj4 spec: {s!r}")
             return (32700 if re.search(r"\+south\b", s) else 32600) + zone
+        if re.search(r"\+proj\s*=\s*(lcc|aea|tmerc)\b", s):
+            srid = _proj4_match_registered(s)
+            if srid is not None:
+                return srid
+            raise CRSError(
+                f"conic/TM proj4 spec matches no registered grid: {s!r}"
+            )
         if re.search(r"\+proj\s*=\s*sinu\b", s):
             flat = s.replace(" ", "")
             if "+R=6371007.181" in flat or "+a=6371007.181" in flat:
@@ -103,6 +110,38 @@ def parse_crs(text: str | int) -> int:
             return 32662
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
     raise CRSError(f"unsupported CRS spec: {text!r}")
+
+
+def _proj4_num(spec: str, key: str) -> float | None:
+    m = re.search(rf"\+{key}\s*=\s*(-?\d+(?:\.\d+)?)", spec)
+    return float(m.group(1)) if m else None
+
+
+def _proj4_match_registered(spec: str) -> int | None:
+    """Resolve a +proj=lcc/aea/tmerc spec to a registered SRID by matching
+    its numeric parameters against the built-in grid tables — the same
+    families the closed-form kernels implement.  Returns None when no
+    registered grid matches (callers raise CRSError rather than guess)."""
+    fam = re.search(r"\+proj\s*=\s*(\w+)", spec).group(1)
+    lat0 = _proj4_num(spec, "lat_0") or 0.0
+    lon0 = _proj4_num(spec, "lon_0") or 0.0
+    fe = _proj4_num(spec, "x_0") or 0.0
+    fn = _proj4_num(spec, "y_0") or 0.0
+    if fam in ("lcc", "aea"):
+        lat1 = _proj4_num(spec, "lat_1")
+        lat2 = _proj4_num(spec, "lat_2")
+        table = _LCC_PARAMS if fam == "lcc" else _AEA_PARAMS
+        for srid, (p1, p2, p0, l0, e0, n0) in table.items():
+            if (lat1, lat2) == (p1, p2) and (lat0, lon0) == (p0, l0) and (
+                fe, fn
+            ) == (e0, n0):
+                return srid
+        return None
+    k0 = _proj4_num(spec, "k") or _proj4_num(spec, "k_0") or 1.0
+    for srid, (_ellps, p0, l0, kk, e0, n0, _helm) in _TM_GRIDS.items():
+        if (lat0, lon0, k0, fe, fn) == (p0, l0, kk, e0, n0):
+            return srid
+    return None
 
 
 _WKT_AUTH_RE = re.compile(

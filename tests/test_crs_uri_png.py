@@ -894,3 +894,41 @@ class TestNationalTMGrids:
         E, N = tmgrid_from_wgs84(np.array(lons), np.array(lats), 27700)
         np.testing.assert_allclose(rows["tmg_e"].values, E, atol=1e-6)
         np.testing.assert_allclose(rows["tmg_n"].values, N, atol=1e-6)
+
+
+class TestProj4FamilyMatching:
+    """parse_crs resolves +proj=lcc/aea/tmerc specs by matching numeric
+    parameters against the registered grid tables (no guessing: an
+    unregistered parameter set raises)."""
+
+    def test_lambert93(self):
+        assert parse_crs(
+            "+proj=lcc +lat_1=49 +lat_2=44 +lat_0=46.5 +lon_0=3 "
+            "+x_0=700000 +y_0=6600000 +ellps=GRS80 +units=m"
+        ) == 2154
+
+    def test_conus_albers(self):
+        assert parse_crs(
+            "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 "
+            "+x_0=0 +y_0=0 +datum=NAD83"
+        ) == 5070
+
+    def test_british_national_grid(self):
+        assert parse_crs(
+            "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+            "+x_0=400000 +y_0=-100000 +ellps=airy"
+        ) == 27700
+
+    def test_nztm(self):
+        assert parse_crs(
+            "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 "
+            "+x_0=1600000 +y_0=10000000 +ellps=GRS80"
+        ) == 2193
+
+    def test_unregistered_conic_raises(self):
+        with pytest.raises(CRSError):
+            parse_crs("+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0")
+
+    def test_unregistered_tmerc_raises(self):
+        with pytest.raises(CRSError):
+            parse_crs("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0")
