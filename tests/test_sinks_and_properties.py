@@ -163,3 +163,48 @@ class TestCastProperties:
         lo, hi = DTYPE_BOUNDS["UInt8"]
         finite = out[np.isfinite(out)]
         assert ((finite >= lo) & (finite <= hi)).all() or math.isnan(src["exponent"])
+
+
+class TestCodecProperties:
+    """Hypothesis round-trips for the byte codecs under arbitrary inputs
+    (the structured fixtures elsewhere only exercise raster-shaped data)."""
+
+    @given(raw=st.binary(max_size=4096))
+    @settings(max_examples=60, deadline=None)
+    def test_packbits_roundtrip(self, raw):
+        from geocube_spark.sources.gtiff import packbits_decode, packbits_encode
+
+        assert packbits_decode(packbits_encode(raw)) == raw
+
+    @given(raw=st.binary(max_size=4096))
+    @settings(max_examples=40, deadline=None)
+    def test_lzw_roundtrip(self, raw):
+        from geocube_spark.sources.gtiff import lzw_decode, lzw_encode
+
+        assert lzw_decode(lzw_encode(raw)) == raw
+
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        rps=st.integers(1, 41),
+        seed=st.integers(0, 2**16),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_strip_layout_any_geometry(self, w, h, rps, seed):
+        import numpy as np
+
+        from geocube_spark.sources.gtiff import (
+            RasterImage,
+            read_tiff,
+            write_tiff,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = RasterImage(
+            bands=rng.integers(0, 255, (1, h, w)).astype("uint8"),
+            transform=(1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
+        )
+        data = write_tiff(
+            [img], compression="packbits", layout="strip", rows_per_strip=rps
+        )
+        np.testing.assert_array_equal(read_tiff(data)[0].bands, img.bands)
