@@ -128,6 +128,51 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return self._current(name) is not None
 
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 1,
+    ) -> dict[str, int]:
+        """Rewrite the current snapshot into ~target_file_bytes part files
+        (the small-files lever: a table accreted by many incremental
+        writes ends up with hundreds of KB-scale parts, and at 1000
+        executors every query then pays per-file open/footer costs that
+        dwarf the scan).  Uses coalesce (no shuffle) and publishes through
+        the same commit path, so readers of the old version are never
+        disturbed and a crash mid-compaction leaves only invisible
+        garbage.  Returns {'files_before', 'files_after', 'bytes'}."""
+        cur = self._current(name)
+        if cur is None:
+            raise FileNotFoundError(f"catalog table {name!r} does not exist")
+        _version, path = cur
+        parts = [
+            os.path.join(dp, f)
+            for dp, _dn, fns in os.walk(path)
+            for f in fns
+            if f.endswith(".parquet")
+        ]
+        total = sum(os.path.getsize(p) for p in parts)
+        n_target = max(min_files, -(-total // max(target_file_bytes, 1)))
+        df = self.spark.read.parquet(path)
+        if n_target < len(parts):
+            self.write(name, df.coalesce(int(n_target)))
+        after = self._current(name)
+        n_after = (
+            len(parts)
+            if n_target >= len(parts)
+            else sum(
+                f.endswith(".parquet")
+                for _dp, _dn, fns in os.walk(after[1])
+                for f in fns
+            )
+        )
+        return {
+            "files_before": len(parts),
+            "files_after": n_after,
+            "bytes": total,
+        }
+
     def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
         """Commit a new table version: materialize the snapshot to a fresh
         immutable dir (safe while a lazy plan still reads the current

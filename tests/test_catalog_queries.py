@@ -229,3 +229,40 @@ class TestHeadersOnlyCube:
         assert all(r["n_datasets"] >= 1 for r in rows)
         keys = [(r["record_datetime"], r["record_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+class TestCatalogCompaction:
+    """Catalog.compact: small-files rewrite through the commit log."""
+
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        df = spark.range(1000).withColumnRenamed("id", "k")
+        # accrete a fragmented snapshot: 16 part files for 1000 tiny rows
+        cat.write("frag", df.repartition(16))
+        stats = cat.compact("frag")
+        assert stats["files_before"] == 16
+        assert stats["files_after"] == 1
+        out = cat.read("frag")
+        assert out.count() == 1000
+        assert {r["k"] for r in out.collect()} == set(range(1000))
+
+    def test_compact_noop_when_already_compact(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("tiny", spark.range(10).coalesce(1))
+        v_before = cat._current("tiny")[0]
+        stats = cat.compact("tiny")
+        assert stats["files_after"] == stats["files_before"]
+        # no new version published for a no-op
+        assert cat._current("tiny")[0] == v_before
+
+    def test_compact_missing_table_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from geocube_spark.sources.catalog import Catalog
+
+        with _pytest.raises(FileNotFoundError):
+            Catalog(spark, str(tmp_path)).compact("nope")
