@@ -3022,6 +3022,85 @@ def warp_cross_crs_lcc(spark, sf_dir):
     )
 
 
+# Focal 3x3 mean via distributed halo exchange (operators/focal.py):
+# tiles ship only 1-px edge strips to their 8 neighbors (shuffle ~1.6 %
+# of the raster at block=64, never O(pixels)); each block assembles a
+# padded window and runs a vectorized numpy stencil.  Raster borders
+# clamp like np.pad(mode='edge').  Oracle recomputes every pixel's
+# clamped neighborhood mean from the closed-form grid.
+@q(
+    "focal_mean_blocks",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    n AS (
+        SELECT gi, gj,
+               CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                     + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                    AS DOUBLE) AS v
+        FROM centers, range(-1, 2) di, range(-1, 2) dj
+    ),
+    m AS (SELECT gi, gj, sum(v) / 9 AS fm FROM n GROUP BY gi, gj)
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(fm), 6) AS fm_sum
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_mean_blocks(spark, sf_dir):
+    from geocube_spark.operators.focal import focal_mean
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    out = focal_mean(tiles, block=64)
+    return (
+        out.select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            F.size("px").alias("n_px"),
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 6).alias("fm_sum"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
+# Point sampling (operators/focal.py sample_points): extract raster
+# values under labeled points — the training-data-extraction primitive.
+# Points broadcast; each probes one block row by equi-join on computed
+# (block_x, block_y); no raster shuffle.  Oracle evaluates the
+# closed-form grid at the same pixel indices.
+@q(
+    "raster_point_sample",
+    """
+    SELECT CAST(k.range AS BIGINT) AS point_id,
+           CAST((13 * (5 + 7 * k.range) + 7 * (3 + 6 * k.range)) % 97
+                AS DOUBLE) AS value
+    FROM range(0, 16) k ORDER BY point_id
+    """,
+)
+def raster_point_sample(spark, sf_dir):
+    from geocube_spark.operators.focal import sample_points
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    res = 0.015625
+    points = spark.range(16).select(
+        F.col("id").alias("point_id"),
+        ((5 + 7 * F.col("id") + 0.5) * res).alias("x"),
+        (50.0 - (3 + 6 * F.col("id") + 0.5) * res).alias("y"),
+    )
+    return sample_points(
+        tiles, points, transform=(res, 0.0, 0.0, 0.0, -res, 50.0), block=64
+    ).orderBy("point_id")
+
+
 # Zonal statistics (classic EO analysis pushed into the engine): 9
 # deterministic zones over the warp_src fixture raster; per-zone count/
 # sum/min/max/mean via broadcast θ-join + HOF window aggregation + one

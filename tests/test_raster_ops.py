@@ -351,3 +351,96 @@ class TestTemporalComposite:
 
         with _pytest.raises(ValueError):
             temporal_composite(self._layers(spark), stat="mode")
+
+
+class TestFocalOps:
+    """operators/focal.py: halo-exchange focal mean + point sampling."""
+
+    def _tiles(self, spark, nx=3, ny=3, B=4):
+        import numpy as np
+
+        rows = []
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                v = (13 * (bx * B + cc) + 7 * (by * B + rr)) % 97
+                rows.append(
+                    (bx, by, v.astype(float).ravel().tolist(),
+                     {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0,
+                      "f": float(ny * B)})
+                )
+        return spark.createDataFrame(
+            rows,
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+
+    def _reference(self, nx=3, ny=3, B=4):
+        import numpy as np
+
+        full = np.zeros((ny * B, nx * B))
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                full[by * B:(by + 1) * B, bx * B:(bx + 1) * B] = (
+                    13 * (bx * B + cc) + 7 * (by * B + rr)
+                ) % 97
+        return full
+
+    def test_matches_full_raster_stencil(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_mean
+
+        B, nx, ny = 4, 3, 3
+        full = self._reference(nx, ny, B)
+        pad = np.pad(full, 1, mode="edge")
+        N, M = full.shape
+        ref = sum(
+            pad[a:a + N, b:b + M] for a in range(3) for b in range(3)
+        ) / 9.0
+        out = focal_mean(self._tiles(spark, nx, ny, B), block=B).collect()
+        assert len(out) == nx * ny
+        got = np.zeros_like(full)
+        for r in out:
+            got[
+                r["block_y"] * B:(r["block_y"] + 1) * B,
+                r["block_x"] * B:(r["block_x"] + 1) * B,
+            ] = np.array(r["px"]).reshape(B, B)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_single_tile_clamps_everywhere(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_mean
+
+        B = 4
+        out = focal_mean(self._tiles(spark, 1, 1, B), block=B).collect()
+        full = self._reference(1, 1, B)
+        pad = np.pad(full, 1, mode="edge")
+        ref = sum(pad[a:a + B, b:b + B] for a in range(3) for b in range(3)) / 9.0
+        np.testing.assert_allclose(
+            np.array(out[0]["px"]).reshape(B, B), ref, atol=1e-12
+        )
+
+    def test_point_sampling_values_and_plan(self, spark):
+        from geocube_spark.operators.focal import sample_points
+
+        B = 4
+        tiles = self._tiles(spark, 2, 2, B)
+        full = self._reference(2, 2, B)
+        pts = spark.createDataFrame(
+            [(1, 2.5, 5.5), (2, 6.5, 1.5), (3, 0.5, 7.5)],
+            "point_id long, x double, y double",
+        )
+        tf = (1.0, 0.0, 0.0, 0.0, -1.0, 8.0)
+        res = {
+            r["point_id"]: r["value"]
+            for r in sample_points(tiles, pts, tf, block=B).collect()
+        }
+        assert res == {1: full[2, 2], 2: full[6, 6], 3: full[0, 0]}
+        plan = (
+            sample_points(tiles, pts, tf, block=B)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan  # equi-join on computed keys
