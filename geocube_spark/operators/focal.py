@@ -61,16 +61,68 @@ def sample_points(
     )
 
 
+def _mean_kernel(pad: np.ndarray) -> np.ndarray:
+    """3×3 mean over the padded window."""
+    return (
+        pad[:-2, :-2] + pad[:-2, 1:-1] + pad[:-2, 2:]
+        + pad[1:-1, :-2] + pad[1:-1, 1:-1] + pad[1:-1, 2:]
+        + pad[2:, :-2] + pad[2:, 1:-1] + pad[2:, 2:]
+    ) / 9.0
+
+
+def horn_slope_kernel(cellsize: float):
+    """Horn's method (the gdaldem slope algorithm): slope = atan(√(zx²+zy²))
+    with zx/zy the 3rd-order finite differences over the 3×3 window,
+    weighted 1-2-1, divided by 8·cellsize.  Returns radians."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        zx = (
+            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
+        ) / (8.0 * cellsize)
+        zy = (
+            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
+        ) / (8.0 * cellsize)
+        return np.arctan(np.sqrt(zx * zx + zy * zy))
+
+    return kernel
+
+
 def focal_mean(
     tiles: DataFrame,
     block: int = 64,
     px_col: str = "px",
 ) -> DataFrame:
-    """3×3 focal mean over the full raster via halo exchange.
+    """3×3 focal mean over the full raster via halo exchange."""
+    return focal_apply(tiles, _mean_kernel, block=block, px_col=px_col)
 
-    Returns the tile table shape with ``px`` replaced by the smoothed
-    values.  Raster borders clamp (edge replication), interior tile edges
-    are exact because each tile receives its neighbors' 1-px strips.
+
+def focal_slope(
+    tiles: DataFrame,
+    cellsize: float,
+    block: int = 64,
+    px_col: str = "px",
+) -> DataFrame:
+    """Horn slope (radians) — terrain analysis over the tile table with
+    the same halo-exchange plan as focal_mean."""
+    return focal_apply(
+        tiles, horn_slope_kernel(cellsize), block=block, px_col=px_col
+    )
+
+
+def focal_apply(
+    tiles: DataFrame,
+    kernel,
+    block: int = 64,
+    px_col: str = "px",
+) -> DataFrame:
+    """Run an arbitrary 3×3-window kernel over the full raster via halo
+    exchange.  ``kernel`` receives the (block+2)² padded window and
+    returns the block² output.  Returns the tile table shape with ``px``
+    replaced by the kernel output.  Raster borders clamp (edge
+    replication); interior tile edges are exact because each tile
+    receives its neighbors' 1-px strips.
     """
     n = block * block
     idx = F.sequence(F.lit(0), F.lit(n - 1))
@@ -174,11 +226,7 @@ def focal_mean(
         for ci, cj in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
             if np.isnan(pad[ci, cj]):
                 pad[ci, cj] = pad[ci, 1 if cj == 0 else -2]
-        out = (
-            pad[:-2, :-2] + pad[:-2, 1:-1] + pad[:-2, 2:]
-            + pad[1:-1, :-2] + pad[1:-1, 1:-1] + pad[1:-1, 2:]
-            + pad[2:, :-2] + pad[2:, 1:-1] + pad[2:, 2:]
-        ) / 9.0
+        out = kernel(pad)
         return pd.DataFrame(
             {"block_x": [bx], "block_y": [by], "px": [out.ravel().tolist()]}
         )

@@ -3071,6 +3071,68 @@ def focal_mean_blocks(spark, sf_dir):
     )
 
 
+# Horn slope (the gdaldem slope algorithm) over the same halo-exchange
+# plan: 1-2-1-weighted finite differences / 8·cellsize, slope =
+# atan(sqrt(zx²+zy²)) in radians.  Oracle recomputes each pixel's clamped
+# Horn derivative from the closed-form grid.
+@q(
+    "focal_slope_blocks",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    n AS (
+        SELECT gi, gj, di.range AS di, dj.range AS dj,
+               CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                     + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                    AS DOUBLE) AS v
+        FROM centers, range(-1, 2) di, range(-1, 2) dj
+    ),
+    d AS (
+        SELECT gi, gj,
+               sum(CASE WHEN di = 1 THEN (CASE WHEN dj = 0 THEN 2 ELSE 1 END) * v
+                        WHEN di = -1 THEN -(CASE WHEN dj = 0 THEN 2 ELSE 1 END) * v
+                        ELSE 0 END) / (8 * 1024.0) AS zx,
+               sum(CASE WHEN dj = 1 THEN (CASE WHEN di = 0 THEN 2 ELSE 1 END) * v
+                        WHEN dj = -1 THEN -(CASE WHEN di = 0 THEN 2 ELSE 1 END) * v
+                        ELSE 0 END) / (8 * 1024.0) AS zy
+        FROM n GROUP BY gi, gj
+    ),
+    m AS (SELECT gi, gj, atan(sqrt(zx * zx + zy * zy)) AS slope FROM d)
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(slope), 6) AS slope_sum,
+           round(max(slope), 6) AS slope_max
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_slope_blocks(spark, sf_dir):
+    from geocube_spark.operators.focal import focal_slope
+
+    fd = ensure_fixtures()
+    # use the 1024 m UTM fixture grid so cellsize is in meters (terrain
+    # semantics), matching the oracle's 8*1024 divisor
+    tiles = spark.read.parquet(f"{fd}/warp_src_utm.parquet")
+    out = focal_slope(tiles, cellsize=1024.0, block=64)
+    return (
+        out.select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            F.size("px").alias("n_px"),
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_max("px").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 6).alias("slope_sum"),
+            F.round(F.max("mx"), 6).alias("slope_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Point sampling (operators/focal.py sample_points): extract raster
 # values under labeled points — the training-data-extraction primitive.
 # Points broadcast; each probes one block row by equi-join on computed

@@ -444,3 +444,61 @@ class TestFocalOps:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan  # equi-join on computed keys
+
+
+class TestFocalSlope:
+    def test_horn_slope_matches_full_raster(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_slope
+
+        B, nx, ny = 4, 2, 2
+        rows = []
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                v = (13 * (bx * B + cc) + 7 * (by * B + rr)) % 97
+                rows.append((bx, by, v.astype(float).ravel().tolist(),
+                             {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0,
+                              "e": -1.0, "f": 8.0}))
+        tiles = spark.createDataFrame(
+            rows,
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        full = np.zeros((8, 8))
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                full[by * B:(by + 1) * B, bx * B:(bx + 1) * B] = (
+                    13 * (bx * B + cc) + 7 * (by * B + rr)
+                ) % 97
+        pad = np.pad(full, 1, mode="edge")
+        cs = 2.0
+        zx = ((pad[:-2, 2:] + 2 * pad[1:-1, 2:] + pad[2:, 2:])
+              - (pad[:-2, :-2] + 2 * pad[1:-1, :-2] + pad[2:, :-2])) / (8 * cs)
+        zy = ((pad[2:, :-2] + 2 * pad[2:, 1:-1] + pad[2:, 2:])
+              - (pad[:-2, :-2] + 2 * pad[:-2, 1:-1] + pad[:-2, 2:])) / (8 * cs)
+        ref = np.arctan(np.sqrt(zx * zx + zy * zy))
+        got = np.zeros_like(full)
+        for r in focal_slope(tiles, cellsize=cs, block=B).collect():
+            got[
+                r["block_y"] * B:(r["block_y"] + 1) * B,
+                r["block_x"] * B:(r["block_x"] + 1) * B,
+            ] = np.array(r["px"]).reshape(B, B)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_flat_surface_zero_slope(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_slope
+
+        B = 4
+        tiles = spark.createDataFrame(
+            [(0, 0, [42.0] * (B * B),
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        out = focal_slope(tiles, cellsize=30.0, block=B).first()["px"]
+        assert out == [0.0] * (B * B)
