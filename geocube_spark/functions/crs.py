@@ -88,6 +88,24 @@ def parse_crs(text: str | int) -> int:
             ):
                 raise CRSError(f"non-WGS84 utm proj4 spec: {s!r}")
             return (32700 if re.search(r"\+south\b", s) else 32600) + zone
+        if re.search(r"\+proj\s*=\s*stere\b", s):
+            lat0 = _proj4_num(s, "lat_0")
+            if lat0 not in (90.0, -90.0):
+                raise CRSError(f"non-polar stereographic proj4 spec: {s!r}")
+            south = lat0 == -90.0
+            lat_ts = _proj4_num(s, "lat_ts")
+            k0 = _proj4_num(s, "k") or _proj4_num(s, "k_0")
+            lon0 = _proj4_num(s, "lon_0") or 0.0
+            fe = _proj4_num(s, "x_0") or 0.0
+            fn = _proj4_num(s, "y_0") or 0.0
+            for srid, (sth, ts, kk, l0, e0, n0) in _PS_PARAMS.items():
+                if sth == south and lat_ts == ts and (
+                    k0 == kk or (k0 is None and kk is None)
+                ) and (lon0, fe, fn) == (l0, e0, n0):
+                    return srid
+            raise CRSError(
+                f"polar stereographic proj4 spec matches no registered CRS: {s!r}"
+            )
         if re.search(r"\+proj\s*=\s*(lcc|aea|tmerc)\b", s):
             srid = _proj4_match_registered(s)
             if srid is not None:

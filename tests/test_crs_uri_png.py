@@ -925,6 +925,24 @@ class TestProj4FamilyMatching:
             "+x_0=1600000 +y_0=10000000 +ellps=GRS80"
         ) == 2193
 
+    def test_polar_stereographic_signatures(self):
+        assert parse_crs(
+            "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +x_0=0 +y_0=0 "
+            "+ellps=WGS84"
+        ) == 3031
+        assert parse_crs(
+            "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +x_0=0 +y_0=0"
+        ) == 3413
+        assert parse_crs(
+            "+proj=stere +lat_0=90 +k=0.994 +lon_0=0 +x_0=2000000 "
+            "+y_0=2000000"
+        ) == 5041
+
+    def test_oblique_stereographic_raises(self):
+        # oblique stereographic (e.g. Dutch RD) is outside the polar family
+        with pytest.raises(CRSError):
+            parse_crs("+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999")
+
     def test_unregistered_conic_raises(self):
         with pytest.raises(CRSError):
             parse_crs("+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0")
