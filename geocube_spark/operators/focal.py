@@ -89,6 +89,56 @@ def horn_slope_kernel(cellsize: float):
     return kernel
 
 
+def hillshade_kernel(
+    cellsize: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+):
+    """GDAL-style analytical hillshade: Horn derivatives then
+    255 · (cos(zenith)·cos(slope) + sin(zenith)·sin(slope)·cos(az − aspect)),
+    clamped at 0 — the standard cartographic relief shading."""
+    zenith = np.radians(90.0 - altitude_deg)
+    az = np.radians(360.0 - azimuth_deg + 90.0)
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        zx = (
+            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
+        ) / (8.0 * cellsize) * z_factor
+        zy = (
+            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
+        ) / (8.0 * cellsize) * z_factor
+        slope = np.arctan(np.sqrt(zx * zx + zy * zy))
+        aspect = np.arctan2(zy, -zx)
+        shade = 255.0 * (
+            np.cos(zenith) * np.cos(slope)
+            + np.sin(zenith) * np.sin(slope) * np.cos(az - aspect)
+        )
+        return np.maximum(shade, 0.0)
+
+    return kernel
+
+
+def focal_hillshade(
+    tiles: DataFrame,
+    cellsize: float,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    z_factor: float = 1.0,
+    block: int = 64,
+    px_col: str = "px",
+) -> DataFrame:
+    """Analytical hillshade over the tile table (same halo-exchange plan)."""
+    return focal_apply(
+        tiles,
+        hillshade_kernel(cellsize, azimuth_deg, altitude_deg, z_factor),
+        block=block,
+        px_col=px_col,
+    )
+
+
 def focal_mean(
     tiles: DataFrame,
     block: int = 64,

@@ -3133,6 +3133,70 @@ def focal_slope_blocks(spark, sf_dir):
     )
 
 
+# Analytical hillshade (GDAL formula: Horn derivatives -> slope/aspect ->
+# 255·(cos z·cos s + sin z·sin s·cos(az−aspect)), clamped at 0) — the
+# third halo-exchange kernel; oracle re-derives every pixel in SQL.
+@q(
+    "focal_hillshade_blocks",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    n AS (
+        SELECT gi, gj, di.range AS di, dj.range AS dj,
+               CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                     + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                    AS DOUBLE) AS v
+        FROM centers, range(-1, 2) di, range(-1, 2) dj
+    ),
+    d AS (
+        SELECT gi, gj,
+               sum(CASE WHEN di = 1 THEN (CASE WHEN dj = 0 THEN 2 ELSE 1 END) * v
+                        WHEN di = -1 THEN -(CASE WHEN dj = 0 THEN 2 ELSE 1 END) * v
+                        ELSE 0 END) / (8 * 1024.0) * 30.0 AS zx,
+               sum(CASE WHEN dj = 1 THEN (CASE WHEN di = 0 THEN 2 ELSE 1 END) * v
+                        WHEN dj = -1 THEN -(CASE WHEN di = 0 THEN 2 ELSE 1 END) * v
+                        ELSE 0 END) / (8 * 1024.0) * 30.0 AS zy
+        FROM n GROUP BY gi, gj
+    ),
+    m AS (
+        SELECT gi, gj,
+               GREATEST(0.0,
+                   255.0 * (cos(radians(45.0)) * cos(atan(sqrt(zx*zx + zy*zy)))
+                   + sin(radians(45.0)) * sin(atan(sqrt(zx*zx + zy*zy)))
+                     * cos(radians(360.0 - 315.0 + 90.0) - atan2(zy, -zx)))
+               ) AS shade
+        FROM d
+    )
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(shade), 4) AS shade_sum
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_hillshade_blocks(spark, sf_dir):
+    from geocube_spark.operators.focal import focal_hillshade
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_utm.parquet")
+    out = focal_hillshade(tiles, cellsize=1024.0, z_factor=30.0, block=64)
+    return (
+        out.select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            F.size("px").alias("n_px"),
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 4).alias("shade_sum"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Point sampling (operators/focal.py sample_points): extract raster
 # values under labeled points — the training-data-extraction primitive.
 # Points broadcast; each probes one block row by equi-join on computed

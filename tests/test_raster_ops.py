@@ -502,3 +502,43 @@ class TestFocalSlope:
         )
         out = focal_slope(tiles, cellsize=30.0, block=B).first()["px"]
         assert out == [0.0] * (B * B)
+
+
+class TestHillshade:
+    def test_flat_surface_uniform_shade(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_hillshade
+
+        B = 4
+        tiles = spark.createDataFrame(
+            [(0, 0, [100.0] * (B * B),
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        out = focal_hillshade(tiles, cellsize=30.0, altitude_deg=45.0,
+                              block=B).first()["px"]
+        # flat terrain: shade = 255*cos(zenith) = 255*cos(45 deg) everywhere
+        expect = 255.0 * np.cos(np.radians(45.0))
+        np.testing.assert_allclose(out, [expect] * (B * B), rtol=1e-12)
+
+    def test_shade_clamped_nonnegative(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_hillshade
+
+        B = 4
+        # steep slope facing AWAY from the light (azimuth 315 -> NW light;
+        # surface rising to the NW gives a dark SE-facing... use extreme
+        # gradient so raw shade would go negative
+        cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+        v = (cc * 1000.0 + rr * 1000.0).ravel().tolist()
+        tiles = spark.createDataFrame(
+            [(0, 0, v,
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        out = focal_hillshade(tiles, cellsize=1.0, block=B).first()["px"]
+        assert min(out) >= 0.0
