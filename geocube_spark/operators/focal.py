@@ -161,36 +161,70 @@ def focal_slope(
     )
 
 
+def gaussian5_kernel():
+    """5×5 binomial (Gaussian-approximating) smoothing: the outer product
+    of [1, 4, 6, 4, 1] / 256 — radius-2 showcase of the general halo."""
+    w1 = np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+    w = np.outer(w1, w1) / 256.0
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 4
+        out = np.zeros((b, b))
+        for di in range(5):
+            for dj in range(5):
+                out += w[di, dj] * pad[di:di + b, dj:dj + b]
+        return out
+
+    return kernel
+
+
+def focal_gaussian(
+    tiles: DataFrame,
+    block: int = 64,
+    px_col: str = "px",
+) -> DataFrame:
+    """5×5 binomial smoothing via the radius-2 halo exchange."""
+    return focal_apply(
+        tiles, gaussian5_kernel(), block=block, px_col=px_col, radius=2
+    )
+
+
 def focal_apply(
     tiles: DataFrame,
     kernel,
     block: int = 64,
     px_col: str = "px",
+    radius: int = 1,
 ) -> DataFrame:
-    """Run an arbitrary 3×3-window kernel over the full raster via halo
-    exchange.  ``kernel`` receives the (block+2)² padded window and
-    returns the block² output.  Returns the tile table shape with ``px``
-    replaced by the kernel output.  Raster borders clamp (edge
+    """Run an arbitrary (2·radius+1)²-window kernel over the full raster
+    via halo exchange.  ``kernel`` receives the (block+2r)² padded window
+    and returns the block² output.  Returns the tile table shape with
+    ``px`` replaced by the kernel output.  Raster borders clamp (edge
     replication); interior tile edges are exact because each tile
-    receives its neighbors' 1-px strips.
+    receives its neighbors' r-px strips.  radius must stay < block
+    (multi-hop halos are a deployment variant, not implemented).
     """
+    r = radius
+    if not 1 <= r < block:
+        raise ValueError("radius must be in [1, block)")
     n = block * block
     idx = F.sequence(F.lit(0), F.lit(n - 1))
 
     # strip extraction: the neighbor in direction (dx, dy) needs this
-    # tile's facing edge — a column strip for horizontal neighbors, a row
-    # strip for vertical ones, a single corner pixel for diagonals.
+    # tile's facing r-deep edge — r columns for horizontal neighbors, r
+    # rows for vertical ones, an r×r corner for diagonals.  Row-major
+    # filter order is preserved, so the receiver reshapes directly.
     def strip(dx: int, dy: int):
         def pred(i):
             conds = []
             if dx == -1:
-                conds.append(i % block == 0)
+                conds.append(i % block < r)
             elif dx == 1:
-                conds.append(i % block == block - 1)
+                conds.append(i % block >= block - r)
             if dy == -1:
-                conds.append(F.floor(i / block) == 0)
+                conds.append(F.floor(i / block) < r)
             elif dy == 1:
-                conds.append(F.floor(i / block) == block - 1)
+                conds.append(F.floor(i / block) >= block - r)
             out = conds[0]
             for c in conds[1:]:
                 out = out & c
@@ -231,24 +265,30 @@ def focal_apply(
         bx = int(pdf["block_x"].iloc[0])
         by = int(pdf["block_y"].iloc[0])
         body = None
-        pad = np.full((block + 2, block + 2), np.nan)
-        for _, r in pdf.iterrows():
-            vals = np.asarray(r["vals"], dtype=np.float64)
-            dx, dy = int(r["dx"]), int(r["dy"])
+        pad = np.full((block + 2 * r, block + 2 * r), np.nan)
+        core = slice(r, r + block)
+        for _, row in pdf.iterrows():  # <= 9 rows per group
+            vals = np.asarray(row["vals"], dtype=np.float64)
+            dx, dy = int(row["dx"]), int(row["dy"])
             if dx == 0 and dy == 0:
                 if vals.size != block * block:
                     continue
                 body = vals.reshape(block, block)
-                pad[1:-1, 1:-1] = body
-            elif dx == 0:  # vertical neighbor: row strip
-                if vals.size == block:
-                    pad[0 if dy == -1 else -1, 1:-1] = vals
-            elif dy == 0:  # horizontal neighbor: column strip
-                if vals.size == block:
-                    pad[1:-1, 0 if dx == -1 else -1] = vals
-            else:  # diagonal: single corner pixel
-                if vals.size == 1:
-                    pad[0 if dy == -1 else -1, 0 if dx == -1 else -1] = vals[0]
+                pad[core, core] = body
+            elif dx == 0:  # vertical neighbor: r×block row band
+                if vals.size == r * block:
+                    band = vals.reshape(r, block)
+                    pad[slice(0, r) if dy == -1 else slice(r + block, None), core] = band
+            elif dy == 0:  # horizontal neighbor: block×r column band
+                if vals.size == block * r:
+                    band = vals.reshape(block, r)
+                    pad[core, slice(0, r) if dx == -1 else slice(r + block, None)] = band
+            else:  # diagonal: r×r corner
+                if vals.size == r * r:
+                    corner = vals.reshape(r, r)
+                    rs = slice(0, r) if dy == -1 else slice(r + block, None)
+                    cs = slice(0, r) if dx == -1 else slice(r + block, None)
+                    pad[rs, cs] = corner
         if body is None:  # halo rows addressed to a nonexistent tile
             return pd.DataFrame(
                 {
@@ -258,24 +298,29 @@ def focal_apply(
                 }
             )
         # raster edge: clamp (edge replication, matching np.pad mode=edge
-        # on the full raster).  Copy the WHOLE adjacent pad row/column —
-        # including its halo cells — so corners land on the neighbor's
-        # clamped pixel, not this tile's body corner: fill rows first,
-        # then columns (a doubly-missing corner then resolves to the
-        # nearest body pixel, exactly like np.pad).
-        if np.isnan(pad[0, 1:-1]).all():
-            pad[0, :] = pad[1, :]
-        if np.isnan(pad[-1, 1:-1]).all():
-            pad[-1, :] = pad[-2, :]
-        if np.isnan(pad[1:-1, 0]).all():
-            pad[:, 0] = pad[:, 1]
-        if np.isnan(pad[1:-1, -1]).all():
-            pad[:, -1] = pad[:, -2]
+        # on the full raster).  Replicate the nearest filled row across
+        # the WHOLE pad width — including halo columns — then columns, so
+        # corners land on the neighbor's clamped pixel; a doubly-missing
+        # corner resolves to the nearest body pixel, exactly like np.pad.
+        if np.isnan(pad[:r, core]).all():
+            pad[:r, :] = pad[r:r + 1, :]
+        if np.isnan(pad[r + block:, core]).all():
+            pad[r + block:, :] = pad[r + block - 1:r + block, :]
+        if np.isnan(pad[core, :r]).all():
+            pad[:, :r] = pad[:, r:r + 1]
+        if np.isnan(pad[core, r + block:]).all():
+            pad[:, r + block:] = pad[:, r + block - 1:r + block]
         # sparse coverage fallback: a diagonal hole between two present
         # neighbors (can't happen on a gap-free grid) clamps sideways
-        for ci, cj in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
-            if np.isnan(pad[ci, cj]):
-                pad[ci, cj] = pad[ci, 1 if cj == 0 else -2]
+        for rs, cs in (
+            (slice(0, r), slice(0, r)),
+            (slice(0, r), slice(r + block, None)),
+            (slice(r + block, None), slice(0, r)),
+            (slice(r + block, None), slice(r + block, None)),
+        ):
+            if np.isnan(pad[rs, cs]).any():
+                fill = pad[rs, r:r + 1] if cs == slice(0, r) else pad[rs, r + block - 1:r + block]
+                pad[rs, cs] = fill
         out = kernel(pad)
         return pd.DataFrame(
             {"block_x": [bx], "block_y": [by], "px": [out.ravel().tolist()]}

@@ -3197,6 +3197,59 @@ def focal_hillshade_blocks(spark, sf_dir):
     )
 
 
+# 5x5 binomial (Gaussian) smoothing — the RADIUS-2 halo exchange (r-px
+# strips, (block+2r)² windows), proving the halo machinery generalizes
+# past 3x3.  Weights are the [1,4,6,4,1] outer product / 256; integer
+# sums stay exact so the SQL oracle matches bit-for-bit before rounding.
+@q(
+    "focal_gaussian_blocks",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    n AS (
+        SELECT gi, gj,
+               (CASE ABS(di.range) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+               * (CASE ABS(dj.range) WHEN 0 THEN 6 WHEN 1 THEN 4 ELSE 1 END)
+                 AS w,
+               CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                     + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                    AS DOUBLE) AS v
+        FROM centers, range(-2, 3) di, range(-2, 3) dj
+    ),
+    m AS (SELECT gi, gj, sum(w * v) / 256.0 AS g FROM n GROUP BY gi, gj)
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(g), 6) AS g_sum,
+           round(max(g), 6) AS g_max
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_gaussian_blocks(spark, sf_dir):
+    from geocube_spark.operators.focal import focal_gaussian
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    out = focal_gaussian(tiles, block=64)
+    return (
+        out.select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            F.size("px").alias("n_px"),
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_max("px").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 6).alias("g_sum"),
+            F.round(F.max("mx"), 6).alias("g_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Point sampling (operators/focal.py sample_points): extract raster
 # values under labeled points — the training-data-extraction primitive.
 # Points broadcast; each probes one block row by equi-join on computed

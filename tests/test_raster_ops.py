@@ -542,3 +542,58 @@ class TestHillshade:
         )
         out = focal_hillshade(tiles, cellsize=1.0, block=B).first()["px"]
         assert min(out) >= 0.0
+
+
+class TestRadius2Halo:
+    def test_gaussian_matches_full_raster(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_gaussian
+
+        B, nx, ny = 8, 3, 3
+        rows = []
+        full = np.zeros((ny * B, nx * B))
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                v = (13 * (bx * B + cc) + 7 * (by * B + rr)) % 97
+                full[by * B:(by + 1) * B, bx * B:(bx + 1) * B] = v
+                rows.append((bx, by, v.astype(float).ravel().tolist(),
+                             {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0,
+                              "e": -1.0, "f": float(ny * B)}))
+        tiles = spark.createDataFrame(
+            rows,
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        pad = np.pad(full, 2, mode="edge")
+        w1 = np.array([1.0, 4.0, 6.0, 4.0, 1.0])
+        w = np.outer(w1, w1) / 256.0
+        N = ny * B
+        ref = sum(
+            w[di, dj] * pad[di:di + N, dj:dj + N]
+            for di in range(5) for dj in range(5)
+        )
+        got = np.zeros_like(full)
+        for r in focal_gaussian(tiles, block=B).collect():
+            got[
+                r["block_y"] * B:(r["block_y"] + 1) * B,
+                r["block_x"] * B:(r["block_x"] + 1) * B,
+            ] = np.array(r["px"]).reshape(B, B)
+        np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    def test_radius_bounds_enforced(self, spark):
+        import pytest as _pytest
+
+        from geocube_spark.operators.focal import focal_apply
+
+        tiles = spark.createDataFrame(
+            [(0, 0, [1.0] * 16,
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        with _pytest.raises(ValueError):
+            focal_apply(tiles, lambda p: p, block=4, radius=4)
+        with _pytest.raises(ValueError):
+            focal_apply(tiles, lambda p: p, block=4, radius=0)
