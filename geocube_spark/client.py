@@ -286,6 +286,61 @@ class GeocubeClient:
 
     # ----------------------------------------------------------------- jobs
 
+    # ---- engine extensions (beyond the reference API surface; same
+    # tile-table inputs as get_cube, so a cube result pipes straight in)
+
+    def zonal_statistics(
+        self, tiles: DataFrame, zones: DataFrame, block: int = 64,
+        nodata: float | None = None,
+    ) -> DataFrame:
+        """Per-zone count/sum/min/max/mean over a tile table (A11)."""
+        from geocube_spark.operators.zonal import zonal_stats
+
+        return zonal_stats(tiles, zones, block=block, nodata=nodata)
+
+    def sample_points(
+        self, tiles: DataFrame, points: DataFrame,
+        transform: tuple[float, float, float, float, float, float],
+        block: int = 64,
+    ) -> DataFrame:
+        """Raster values under labeled points (A14)."""
+        from geocube_spark.operators.focal import sample_points
+
+        return sample_points(tiles, points, transform, block=block)
+
+    def focal(
+        self, tiles: DataFrame, op: str, block: int = 64, **kwargs
+    ) -> DataFrame:
+        """Neighborhood ops via halo exchange (A13): op in
+        'mean' | 'gaussian' | 'slope' | 'hillshade'."""
+        from geocube_spark.operators import focal as _f
+
+        if op == "mean":
+            return _f.focal_mean(tiles, block=block)
+        if op == "gaussian":
+            return _f.focal_gaussian(tiles, block=block)
+        if op == "slope":
+            return _f.focal_slope(tiles, block=block, **kwargs)
+        if op == "hillshade":
+            return _f.focal_hillshade(tiles, block=block, **kwargs)
+        raise ValueError(f"unknown focal op {op!r}")
+
+    def temporal_composite(
+        self, tiles: DataFrame, stat: str = "median", block: int = 64
+    ) -> DataFrame:
+        """Per-pixel median/mean across all acquisitions (A7b)."""
+        from geocube_spark.operators.mosaic import temporal_composite
+
+        return temporal_composite(tiles, stat=stat, block=block)
+
+    def normalized_difference(
+        self, tiles: DataFrame, band_a: str, band_b: str
+    ) -> DataFrame:
+        """(b−a)/(b+a) per pixel — NDVI-family map algebra (A12)."""
+        from geocube_spark.operators.algebra import normalized_difference
+
+        return normalized_difference(tiles, band_a, band_b)
+
     def list_jobs(self) -> DataFrame:
         return self.catalog.read("jobs")
 

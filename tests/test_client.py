@@ -176,3 +176,38 @@ class TestLayoutSurface:
 
         with _pytest.raises(KeyError):
             client.get_consolidation_params("nope")
+
+
+class TestClientExtensions:
+    def test_focal_dispatch_and_zonal(self, spark, tmp_path):
+        import numpy as np
+
+        from geocube_spark.client import GeocubeClient
+
+        gc = GeocubeClient(spark, str(tmp_path / "cat"))
+        B = 4
+        rows = [(0, 0, list(map(float, range(16))),
+                 {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})]
+        tiles = spark.createDataFrame(
+            rows,
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        assert gc.focal(tiles, "mean", block=B).count() == 1
+        assert gc.focal(tiles, "slope", block=B, cellsize=30.0).count() == 1
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            gc.focal(tiles, "sobel", block=B)
+        zones = spark.createDataFrame(
+            [(0, 0.0, 0.0, 4.0, 4.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        z = gc.zonal_statistics(tiles, zones, block=B).collect()[0]
+        assert z["n_pixels"] == 16 and z["sum_value"] == sum(range(16))
+        pts = spark.createDataFrame([(7, 1.5, 2.5)],
+                                    "point_id long, x double, y double")
+        v = gc.sample_points(
+            tiles, pts, transform=(1.0, 0.0, 0.0, 0.0, -1.0, 4.0), block=B
+        ).collect()[0]["value"]
+        assert v == np.arange(16.0).reshape(4, 4)[1, 1]
