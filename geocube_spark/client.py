@@ -312,7 +312,7 @@ class GeocubeClient:
         self, tiles: DataFrame, op: str, block: int = 64, **kwargs
     ) -> DataFrame:
         """Neighborhood ops via halo exchange (A13): op in
-        'mean' | 'gaussian' | 'slope' | 'hillshade'."""
+        'mean' | 'gaussian' | 'slope' | 'aspect' | 'hillshade'."""
         from geocube_spark.operators import focal as _f
 
         if op == "mean":
@@ -321,6 +321,8 @@ class GeocubeClient:
             return _f.focal_gaussian(tiles, block=block)
         if op == "slope":
             return _f.focal_slope(tiles, block=block, **kwargs)
+        if op == "aspect":
+            return _f.focal_aspect(tiles, block=block, **kwargs)
         if op == "hillshade":
             return _f.focal_hillshade(tiles, block=block, **kwargs)
         raise ValueError(f"unknown focal op {op!r}")

@@ -161,6 +161,41 @@ def focal_slope(
     )
 
 
+def horn_aspect_kernel(cellsize: float):
+    """Aspect (downslope direction) from Horn derivatives, GDAL
+    convention: degrees clockwise from north in [0, 360); flat cells
+    (both derivatives zero) report -1 like gdaldem's flat flag."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        zx = (
+            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
+        ) / (8.0 * cellsize)
+        zy = (
+            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
+            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
+        ) / (8.0 * cellsize)
+        az = np.degrees(np.arctan2(zy, -zx))  # math convention, CCW from +x
+        aspect = np.mod(450.0 - az, 360.0)  # -> CW from north
+        flat = (zx == 0.0) & (zy == 0.0)
+        return np.where(flat, -1.0, aspect)
+
+    return kernel
+
+
+def focal_aspect(
+    tiles: DataFrame,
+    cellsize: float,
+    block: int = 64,
+    px_col: str = "px",
+) -> DataFrame:
+    """Horn aspect (degrees CW from north; -1 for flat) — completes the
+    slope/aspect/hillshade terrain trio on the halo-exchange plan."""
+    return focal_apply(
+        tiles, horn_aspect_kernel(cellsize), block=block, px_col=px_col
+    )
+
+
 def gaussian5_kernel():
     """5×5 binomial (Gaussian-approximating) smoothing: the outer product
     of [1, 4, 6, 4, 1] / 256 — radius-2 showcase of the general halo."""

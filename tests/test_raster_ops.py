@@ -597,3 +597,82 @@ class TestRadius2Halo:
             focal_apply(tiles, lambda p: p, block=4, radius=4)
         with _pytest.raises(ValueError):
             focal_apply(tiles, lambda p: p, block=4, radius=0)
+
+
+class TestAspect:
+    def _plane(self, spark, zx_per_px, zy_per_px, B=4):
+        import numpy as np
+
+        cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+        v = (cc * zx_per_px + rr * zy_per_px).astype(float)
+        return spark.createDataFrame(
+            [(0, 0, v.ravel().tolist(),
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+
+    def test_cardinal_directions(self, spark):
+        from geocube_spark.operators.focal import focal_aspect
+
+        # rises to the east (zx>0): downslope faces west -> 270
+        west = focal_aspect(self._plane(spark, 1.0, 0.0), cellsize=1.0,
+                            block=4).first()["px"]
+        assert all(abs(a - 270.0) < 1e-9 for a in west)
+        # rises downward in grid rows (south, zy>0): downslope faces north
+        north = focal_aspect(self._plane(spark, 0.0, 1.0), cellsize=1.0,
+                             block=4).first()["px"]
+        assert all(abs(a - 0.0) < 1e-9 for a in north)
+
+    def test_flat_is_minus_one(self, spark):
+        from geocube_spark.operators.focal import focal_aspect
+
+        flat = focal_aspect(self._plane(spark, 0.0, 0.0), cellsize=1.0,
+                            block=4).first()["px"]
+        assert flat == [-1.0] * 16
+
+
+class TestZonalHypothesis:
+    def test_random_zone_boxes_match_numpy(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.zonal import zonal_stats
+
+        rng = np.random.default_rng(77)
+        B, nx, ny = 4, 2, 2
+        rows, full = [], np.zeros((ny * B, nx * B))
+        for by in range(ny):
+            for bx in range(nx):
+                cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+                v = (13 * (bx * B + cc) + 7 * (by * B + rr)) % 97
+                full[by * B:(by + 1) * B, bx * B:(bx + 1) * B] = v
+                rows.append((bx, by, v.astype(float).ravel().tolist(),
+                             {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0,
+                              "e": -1.0, "f": float(ny * B)}))
+        tiles = spark.createDataFrame(
+            rows,
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        N = ny * B
+        zone_rows = []
+        expected = {}
+        for z in range(12):
+            x0, y0 = rng.integers(0, N, 2)
+            w, h = rng.integers(1, N, 2)
+            x1, y1 = min(N, x0 + w), min(N, y0 + h)
+            # pixel rows y0..y1-1 -> CRS y in (N - y1, N - y0]
+            zone_rows.append(
+                (z, float(x0), float(N - y1), float(x1), float(N - y0))
+            )
+            win = full[y0:y1, x0:x1]
+            expected[z] = (win.size, win.sum(), win.min(), win.max())
+        zones = spark.createDataFrame(
+            zone_rows,
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        got = {r["zone_id"]: r for r in zonal_stats(tiles, zones, block=B).collect()}
+        for z, (n, s_, mn, mx) in expected.items():
+            r = got[z]
+            assert (r["n_pixels"], r["sum_value"], r["min_value"],
+                    r["max_value"]) == (n, s_, mn, mx), z
