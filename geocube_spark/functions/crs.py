@@ -123,9 +123,24 @@ def parse_crs(text: str | int) -> int:
                 return 53008
             raise CRSError(f"unrecognized sinusoidal sphere: {s!r}")
         if re.search(r"\+proj\s*=\s*moll\b", s):
-            return 53009
+            flat = s.replace(" ", "")
+            if "+R=6371000" in flat or (
+                "R=" not in flat and "a=" not in flat
+            ):
+                return 53009
+            raise CRSError(f"unrecognized Mollweide sphere: {s!r}")
         if re.search(r"\+proj\s*=\s*eqc\b", s):
-            return 32662
+            ts = _proj4_num(s, "lat_ts")
+            if ts not in (None, 0.0):
+                raise CRSError(
+                    f"equirectangular with lat_ts != 0 not registered: {s!r}"
+                )
+            flat = s.replace(" ", "")
+            if "+R=6378137" in flat or "+a=6378137" in flat or (
+                "R=" not in flat and "a=" not in flat
+            ):
+                return 32662
+            raise CRSError(f"unrecognized equirectangular sphere: {s!r}")
         raise CRSError(f"unrecognized proj4 spec: {s!r}")
     raise CRSError(f"unsupported CRS spec: {text!r}")
 

@@ -54,9 +54,19 @@ def sample_points(
         F.floor(F.col("gj") / block).alias("block_y"),
     )
     joined = tiles.join(F.broadcast(keyed), ["block_x", "block_y"])
-    idx = (F.col("gj") % block) * block + (F.col("gi") % block) + 1
+    # pmod, not %: Spark's % is sign-preserving, and grids extending west/
+    # north of the origin have negative global indices (regrid emits
+    # negative blocks) — a negative in-block offset would silently read
+    # from the END of the px array via element_at's negative indexing
+    idx = (
+        F.pmod(F.col("gj"), F.lit(block)) * block
+        + F.pmod(F.col("gi"), F.lit(block))
+        + 1
+    )
+    carry = [k for k in ("band", "level") if k in tiles.columns]
     return joined.select(
         "point_id",
+        *carry,
         F.element_at(F.col(px_col), idx.cast("int")).alias("value"),
     )
 
@@ -76,14 +86,7 @@ def horn_slope_kernel(cellsize: float):
     weighted 1-2-1, divided by 8·cellsize.  Returns radians."""
 
     def kernel(pad: np.ndarray) -> np.ndarray:
-        zx = (
-            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
-        ) / (8.0 * cellsize)
-        zy = (
-            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
-        ) / (8.0 * cellsize)
+        zx, zy = _horn_derivatives(pad, cellsize)
         return np.arctan(np.sqrt(zx * zx + zy * zy))
 
     return kernel
@@ -102,14 +105,7 @@ def hillshade_kernel(
     az = np.radians(360.0 - azimuth_deg + 90.0)
 
     def kernel(pad: np.ndarray) -> np.ndarray:
-        zx = (
-            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
-        ) / (8.0 * cellsize) * z_factor
-        zy = (
-            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
-        ) / (8.0 * cellsize) * z_factor
+        zx, zy = _horn_derivatives(pad, cellsize, z_factor)
         slope = np.arctan(np.sqrt(zx * zx + zy * zy))
         aspect = np.arctan2(zy, -zx)
         shade = 255.0 * (
@@ -161,20 +157,28 @@ def focal_slope(
     )
 
 
+def _horn_derivatives(pad, cellsize: float, z_factor: float = 1.0):
+    """(zx, zy) Horn 3rd-order finite differences (1-2-1 weights over
+    8·cellsize) on a radius-1 padded window — shared by slope, aspect and
+    hillshade so the stencil exists exactly once."""
+    zx = (
+        (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
+        - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
+    ) / (8.0 * cellsize) * z_factor
+    zy = (
+        (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
+        - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
+    ) / (8.0 * cellsize) * z_factor
+    return zx, zy
+
+
 def horn_aspect_kernel(cellsize: float):
     """Aspect (downslope direction) from Horn derivatives, GDAL
     convention: degrees clockwise from north in [0, 360); flat cells
     (both derivatives zero) report -1 like gdaldem's flat flag."""
 
     def kernel(pad: np.ndarray) -> np.ndarray:
-        zx = (
-            (pad[:-2, 2:] + 2.0 * pad[1:-1, 2:] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[1:-1, :-2] + pad[2:, :-2])
-        ) / (8.0 * cellsize)
-        zy = (
-            (pad[2:, :-2] + 2.0 * pad[2:, 1:-1] + pad[2:, 2:])
-            - (pad[:-2, :-2] + 2.0 * pad[:-2, 1:-1] + pad[:-2, 2:])
-        ) / (8.0 * cellsize)
+        zx, zy = _horn_derivatives(pad, cellsize)
         az = np.degrees(np.arctan2(zy, -zx))  # math convention, CCW from +x
         aspect = np.mod(450.0 - az, 360.0)  # -> CW from north
         flat = (zx == 0.0) & (zy == 0.0)
@@ -272,6 +276,10 @@ def focal_apply(
 
     # emit (target_block, dx, dy, strip_values) for the 8 neighbors plus
     # the tile body itself (dx = dy = 0, full array)
+    # a tile table carries one row per (band, level, block); halo exchange
+    # and assembly must stay within each (band, level) plane or multiband
+    # input would mix planes nondeterministically
+    carry = [k for k in ("band", "level") if k in tiles.columns]
     pieces = []
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
@@ -286,9 +294,10 @@ def focal_apply(
                 )
             )
     exploded = tiles.select(
-        "block_x", "block_y", px_col,
+        *carry, "block_x", "block_y", px_col,
         F.explode(F.array(*pieces)).alias("m"),
     ).select(
+        *carry,
         F.col("m.tgt_x").alias("block_x"),
         F.col("m.tgt_y").alias("block_y"),
         F.col("m.dx").alias("dx"),
@@ -299,6 +308,7 @@ def focal_apply(
     def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
         bx = int(pdf["block_x"].iloc[0])
         by = int(pdf["block_y"].iloc[0])
+        keys = {k: [pdf[k].iloc[0]] for k in carry}
         body = None
         pad = np.full((block + 2 * r, block + 2 * r), np.nan)
         core = slice(r, r + block)
@@ -327,6 +337,7 @@ def focal_apply(
         if body is None:  # halo rows addressed to a nonexistent tile
             return pd.DataFrame(
                 {
+                    **{k: pd.Series([], dtype="int64") for k in carry},
                     "block_x": pd.Series([], dtype="int64"),
                     "block_y": pd.Series([], dtype="int64"),
                     "px": pd.Series([], dtype="object"),
@@ -358,9 +369,14 @@ def focal_apply(
                 pad[rs, cs] = fill
         out = kernel(pad)
         return pd.DataFrame(
-            {"block_x": [bx], "block_y": [by], "px": [out.ravel().tolist()]}
+            {**keys, "block_x": [bx], "block_y": [by],
+             "px": [out.ravel().tolist()]}
         )
 
-    return exploded.groupBy("block_x", "block_y").applyInPandas(
-        assemble, "block_x long, block_y long, px array<double>"
+    schema = ", ".join(
+        [f"{k} long" for k in carry]
+        + ["block_x long", "block_y long", "px array<double>"]
+    )
+    return exploded.groupBy(*carry, "block_x", "block_y").applyInPandas(
+        assemble, schema
     )

@@ -144,17 +144,24 @@ def temporal_composite(
         )
     else:
         # element-wise median: gather pixel i across layers, sort, take
-        # the middle (lower-middle for even layer counts)
-        per_px = F.transform(
-            idx,
-            lambda i: F.element_at(
-                F.array_sort(
-                    F.transform(
-                        F.col("layers"),
-                        lambda a: F.element_at(a, (i + 1).cast("int")),
-                    )
-                ),
-                ((F.col("n_layers") + 1) / 2).cast("int"),
-            ),
-        )
+        # the middle — INTERPOLATING for even layer counts (mean of the
+        # two middle values), the same convention as DuckDB median()/
+        # quantile_cont that every oracle in this repo compares against
+        def _median(i):
+            sorted_vals = F.array_sort(
+                F.transform(
+                    F.col("layers"),
+                    lambda a: F.element_at(a, (i + 1).cast("int")),
+                )
+            )
+            lo = F.element_at(
+                sorted_vals, ((F.col("n_layers") + 1) / 2).cast("int")
+            )
+            hi = F.element_at(
+                sorted_vals,
+                (F.col("n_layers") / 2 + 1).cast("int"),
+            )
+            return (lo + hi) / 2.0
+
+        per_px = F.transform(idx, _median)
     return grouped.select(*keys, "n_layers", per_px.alias("px"))

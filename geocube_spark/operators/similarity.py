@@ -75,26 +75,30 @@ def sq8_quantize(
     vec_col: str = "embedding",
     code_col: str = "codes",
 ) -> DataFrame:
-    """Append an 8-bit code array: code_i = round((x_i - min_i)/scale_i),
-    clamped to [0, 255].  Pure JVM transform (no UDF); at 100 TB this is
-    the column you PERSIST — 4x smaller than float32, 8x smaller than
-    float64, so the ANN scan reads a quarter of the bytes."""
+    """Append an 8-bit code array: code_i = round((x_i - min_i)/scale_i)
+    clamped to [0, 255], stored OFFSET BY -128 as a signed tinyint so the
+    persisted element is truly ONE byte.  Pure JVM transform (no UDF); at
+    100 TB this is the column you PERSIST — 4x smaller than float32, 8x
+    smaller than float64, so the ANN scan reads a quarter of the bytes."""
     mins_arr = F.array(*[F.lit(m) for m in mins])
     scales_arr = F.array(*[F.lit(sc) for sc in scales])
     idx = F.transform(F.col(vec_col), lambda _x, i: i + 1)
     codes = F.zip_with(
         F.col(vec_col),
         idx,
-        lambda x, i: F.least(
-            F.lit(255.0),
-            F.greatest(
-                F.lit(0.0),
-                F.round(
-                    (x - F.element_at(mins_arr, i.cast("int")))
-                    / F.element_at(scales_arr, i.cast("int"))
+        lambda x, i: (
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.round(
+                        (x - F.element_at(mins_arr, i.cast("int")))
+                        / F.element_at(scales_arr, i.cast("int"))
+                    ),
                 ),
-            ),
-        ).cast("smallint"),
+            )
+            - 128.0
+        ).cast("tinyint"),
     )
     return embeddings.withColumn(code_col, codes)
 
@@ -110,7 +114,7 @@ def sq8_dequant_expr(
         code_col,
         idx,
         lambda c, i: F.element_at(mins_arr, i.cast("int"))
-        + c.cast("double") * F.element_at(scales_arr, i.cast("int")),
+        + (c.cast("double") + 128.0) * F.element_at(scales_arr, i.cast("int")),
     )
 
 

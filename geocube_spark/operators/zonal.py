@@ -64,13 +64,17 @@ def zonal_stats(
         F.lit(block - 1),
         (F.ceil((F.col("xmax") - F.col("tile_x0")) / a - 0.5) - 1),
     ).cast("int")
-    # rows: center_y = tile_y0 + (j + 0.5)·e with e < 0; ymin <= y < ymax
+    # rows: center_y = tile_y0 + (j + 0.5)·e with e < 0; ymin <= y < ymax.
+    # Dividing by e < 0 flips the inequalities, so the inclusive bound is
+    # floor+1 / floor here (ceil/ceil-1 would treat ymax as inclusive and
+    # ymin as exclusive whenever a zone edge lands exactly on pixel
+    # centers — the x axis keeps its ceil forms because a > 0)
     ry0 = F.greatest(
-        F.lit(0), F.ceil((F.col("ymax") - F.col("tile_y0")) / e - 0.5)
+        F.lit(0), F.floor((F.col("ymax") - F.col("tile_y0")) / e - 0.5) + 1
     ).cast("int")
     ry1 = F.least(
         F.lit(block - 1),
-        (F.ceil((F.col("ymin") - F.col("tile_y0")) / e - 0.5) - 1),
+        F.floor((F.col("ymin") - F.col("tile_y0")) / e - 0.5),
     ).cast("int")
     w = (
         joined.withColumn("cx0", cx0)
@@ -92,8 +96,10 @@ def zonal_stats(
     if nodata is not None:
         vals = F.filter(vals, lambda v: v != F.lit(float(nodata)))
 
+    carry = [k for k in ("band", "level") if k in tiles.columns]
     partial = w.select(
         "zone_id",
+        *carry,
         F.size(vals).alias("p_n"),
         F.aggregate(vals, F.lit(0.0), lambda acc, v: acc + v).alias("p_sum"),
         F.array_min(vals).alias("p_min"),
@@ -101,7 +107,7 @@ def zonal_stats(
     ).filter(F.col("p_n") > 0)
 
     return (
-        partial.groupBy("zone_id")
+        partial.groupBy("zone_id", *carry)
         .agg(
             F.sum("p_n").cast("long").alias("n_pixels"),
             F.sum("p_sum").alias("sum_value"),

@@ -3275,9 +3275,12 @@ def raster_point_sample(spark, sf_dir):
         ((5 + 7 * F.col("id") + 0.5) * res).alias("x"),
         (50.0 - (3 + 6 * F.col("id") + 0.5) * res).alias("y"),
     )
-    return sample_points(
+    out = sample_points(
         tiles, points, transform=(res, 0.0, 0.0, 0.0, -res, 50.0), block=64
-    ).orderBy("point_id")
+    )
+    # single-band level-0 fixture: project the plane keys away so the
+    # oracle twin stays two columns
+    return out.select("point_id", "value").orderBy("point_id")
 
 
 # Zonal statistics (classic EO analysis pushed into the engine): 9

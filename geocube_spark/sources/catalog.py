@@ -173,7 +173,13 @@ class Catalog:
             "bytes": total,
         }
 
-    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        commit_meta: dict | None = None,
+    ) -> None:
         """Commit a new table version: materialize the snapshot to a fresh
         immutable dir (safe while a lazy plan still reads the current
         version — nothing is overwritten in place), then publish it with a
@@ -199,7 +205,10 @@ class Catalog:
             version = (cur[0] if cur else 0) + 1
             tmp = f"{log_dir}/.tmp_commit_{name}_{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
-                json.dump({"version": version, "dir": snap, "ts": time.time()}, fh)
+                rec = {"version": version, "dir": snap, "ts": time.time()}
+                if commit_meta:
+                    rec.update(commit_meta)
+                json.dump(rec, fh)
                 fh.flush()
                 os.fsync(fh.fileno())
             final = f"{log_dir}/{version:020d}.json"

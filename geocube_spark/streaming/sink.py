@@ -14,7 +14,6 @@ job.go:350-641's ACTIVE<->TODELETE idempotence).
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame
 
@@ -49,26 +48,10 @@ def catalog_stream_sink(catalog: Catalog, name: str, mode: str = "append"):
             out = catalog.read(name).unionByName(df)
         else:
             out = df
-        _write_with_batch_id(catalog, name, out, batch_id)
+        # the batchId rides INSIDE the atomic commit record — there is no
+        # window where the data is committed but the id is not, so a
+        # crash anywhere before the os.link publish replays cleanly and a
+        # crash after it is caught by the id check above
+        catalog.write(name, out, commit_meta={"stream_batch_id": batch_id})
 
     return write_batch
-
-
-def _write_with_batch_id(
-    catalog: Catalog, name: str, df: DataFrame, batch_id: int
-) -> None:
-    """Catalog.write, then stamp the batchId into the just-published
-    commit record (the stamp is advisory metadata for idempotence; the
-    commit itself was already atomic)."""
-    catalog.write(name, df)
-    commits = catalog._commits(name)
-    version, cpath = commits[-1]
-    with open(cpath) as fh:
-        rec = json.load(fh)
-    rec["stream_batch_id"] = batch_id
-    tmp = cpath + ".stamp"
-    with open(tmp, "w") as fh:
-        json.dump(rec, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, cpath)

@@ -472,7 +472,8 @@ class TestSQ8Quantization:
             sq8_dequant_expr(F.col("codes"), mins, scales).alias("approx"),
         ).collect()
         for r in rows:
-            assert all(0 <= c <= 255 for c in r["codes"])
+            # offset-stored signed tinyint: one byte per element on disk
+            assert all(-128 <= c <= 127 for c in r["codes"])
             err = np.abs(np.array(r["approx"]) - np.array(r["embedding"]))
             # reconstruction error bounded by half a quantization step
             assert (err <= np.array(scales) * 0.5 + 1e-12).all()

@@ -334,8 +334,9 @@ class TestTemporalComposite:
 
         out = temporal_composite(self._layers(spark), stat="median", block=2).first()
         # per-pixel sorted values: [0,1,2,3] [10..13] [2,3,4,5] [1,1,1,1]
-        # lower-middle of 4 = 2nd smallest
-        assert out["px"] == [1.0, 11.0, 3.0, 1.0]
+        # interpolating median of 4 = mean of the two middles (the
+        # DuckDB median()/quantile_cont convention the oracles use)
+        assert out["px"] == [1.5, 11.5, 3.5, 1.0]
         assert out["n_layers"] == 4
 
     def test_mean(self, spark):
@@ -676,3 +677,86 @@ class TestZonalHypothesis:
             r = got[z]
             assert (r["n_pixels"], r["sum_value"], r["min_value"],
                     r["max_value"]) == (n, s_, mn, mx), z
+
+
+class TestMultibandPlaneIsolation:
+    """Review fix: focal/zonal/sample must stay within each (band, level)
+    plane — multiband input previously mixed planes nondeterministically."""
+
+    def _two_band_tiles(self, spark, B=4):
+        import numpy as np
+
+        rows = []
+        for band in (1, 2):
+            cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+            v = (rr * B + cc + 100.0 * band).astype(float)
+            rows.append((band, 0, 0, 0, v.ravel().tolist(),
+                         {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0,
+                          "e": -1.0, "f": 4.0}))
+        return spark.createDataFrame(
+            rows,
+            "band int, level int, block_x long, block_y long, "
+            "px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+
+    def test_focal_per_band(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_mean
+
+        B = 4
+        tiles = self._two_band_tiles(spark, B)
+        out = {r["band"]: np.array(r["px"]).reshape(B, B)
+               for r in focal_mean(tiles, block=B).collect()}
+        assert set(out) == {1, 2}
+        for band in (1, 2):
+            cc, rr = np.meshgrid(np.arange(B), np.arange(B))
+            full = (rr * B + cc + 100.0 * band).astype(float)
+            pad = np.pad(full, 1, mode="edge")
+            ref = sum(pad[a:a + B, b:b + B]
+                      for a in range(3) for b in range(3)) / 9.0
+            np.testing.assert_allclose(out[band], ref, atol=1e-12)
+
+    def test_zonal_per_band(self, spark):
+        from geocube_spark.operators.zonal import zonal_stats
+
+        tiles = self._two_band_tiles(spark)
+        zones = spark.createDataFrame(
+            [(0, 0.0, 0.0, 4.0, 4.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        rows = {r["band"]: r for r in zonal_stats(tiles, zones, block=4).collect()}
+        assert rows[1]["n_pixels"] == 16 and rows[2]["n_pixels"] == 16
+        assert rows[2]["sum_value"] - rows[1]["sum_value"] == 1600.0
+
+    def test_sample_points_per_band(self, spark):
+        from geocube_spark.operators.focal import sample_points
+
+        tiles = self._two_band_tiles(spark)
+        pts = spark.createDataFrame([(1, 0.5, 3.5)],
+                                    "point_id long, x double, y double")
+        rows = {r["band"]: r["value"] for r in sample_points(
+            tiles, pts, (1.0, 0.0, 0.0, 0.0, -1.0, 4.0), block=4
+        ).collect()}
+        assert rows == {1: 100.0, 2: 200.0}
+
+    def test_sample_points_negative_blocks(self, spark):
+        # pmod fix: a grid extending west/north of the origin (negative
+        # global indices) must index the px array correctly
+        from geocube_spark.operators.focal import sample_points
+
+        B = 4
+        tiles = spark.createDataFrame(
+            [(-1, -1, [float(i) for i in range(16)],
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 0.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        # block (-1,-1) covers x in [-4,0), y in (0, 4]; pixel (gi=-3,
+        # gj=-2) = in-block (col 1, row 2) = value 9; center (-2.5, 1.5)
+        pts = spark.createDataFrame([(1, -2.5, 1.5)],
+                                    "point_id long, x double, y double")
+        out = sample_points(tiles, pts, (1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
+                            block=B).collect()
+        assert out[0]["value"] == 9.0
