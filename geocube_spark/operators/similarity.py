@@ -45,6 +45,60 @@ def brute_force_topk(
     )
 
 
+def matryoshka_candidates(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n: int,
+    prefix_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-n by cosine over the FIRST prefix_dim coordinates only — the
+    Matryoshka prefilter stage (per-partition partial top-n, no corpus
+    shuffle; reads a prefix_dim/dim fraction of the vector bytes when
+    embeddings are stored dimension-chunked)."""
+    prefix_q = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
+    prefix = F.slice(F.col(vec_col), 1, prefix_dim)
+    return (
+        embeddings.select(
+            F.col(id_col), cosine_expr(prefix, prefix_q).alias("approx_score")
+        )
+        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        .limit(n)
+    )
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    prefix_dim: int = 16,
+    expand: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k by cosine with a TRUNCATED-DIMENSION prefilter + exact
+    rescore (the Matryoshka-embedding retrieval recipe: score on the
+    first ``prefix_dim`` coordinates — 4x fewer multiply-adds at
+    prefix 16/64 — then rescore only expand·k candidates exactly).
+
+    Same plan shape as sq8_topk: prefilter scan -> partial
+    top-(expand·k) -> broadcast candidate ids -> exact rescore.  At
+    deployment the prefix slice is what a column-pruned scan reads when
+    embeddings are stored as per-dimension-range chunks.  On MRL-trained
+    embeddings the prefix ranking is near-exact; on generic embeddings
+    the expand factor buys back the difference (oracle-checked equal to
+    brute force on the test corpora)."""
+    candidates = matryoshka_candidates(
+        embeddings, query_vec, expand * k, prefix_dim, vec_col, id_col
+    ).select(id_col)
+    full_q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
+        F.col(id_col), cosine_expr(F.col(vec_col), full_q).alias("score")
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def sq8_stats(
     embeddings: DataFrame, dim: int, vec_col: str = "embedding"
 ) -> tuple[list[float], list[float]]:

@@ -1196,6 +1196,79 @@ def embedding_sq8_topk(spark, sf_dir):
     return out.select("vec_id", F.round("score", 6).alias("score"))
 
 
+# Matryoshka (truncated-dimension) prefilter quality: rank by cosine
+# over only the first d coordinates, measure recall of the exact top-15
+# within the top-60 prefix candidates, for d = 16/32/48.  On MRL-trained
+# embeddings the prefix ranking is near-exact; on this random corpus the
+# measured recall curve IS the result — both engines derive both
+# rankings, so the oracle is exact (no tuned equality claim).
+@q(
+    "embedding_matryoshka_recall",
+    f"""
+    WITH e AS ({_EMB_SQL}),
+    q0 AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    dims AS (SELECT CAST(d.range AS INT) AS prefix_dim FROM (VALUES (16), (32), (48)) AS v(x), LATERAL (SELECT v.x AS range) d),
+    exact AS (
+        SELECT e.vec_id, row_number() OVER (
+            ORDER BY {cosine_sql('e.embedding', 'q0.qv')} DESC, e.vec_id
+        ) AS rk
+        FROM e, q0
+    ),
+    pre AS (
+        SELECT dims.prefix_dim, e.vec_id, row_number() OVER (
+            PARTITION BY dims.prefix_dim
+            ORDER BY {cosine_sql('list_slice(e.embedding, 1, dims.prefix_dim)',
+                                  'list_slice(q0.qv, 1, dims.prefix_dim)')} DESC,
+                     e.vec_id
+        ) AS prk
+        FROM e, q0, dims
+    )
+    SELECT p.prefix_dim,
+           CAST(60 AS BIGINT) AS n_candidates,
+           round(CAST(count(x.vec_id) AS DOUBLE) / 15, 6) AS recall_at_15
+    FROM pre p
+    LEFT JOIN (SELECT vec_id FROM exact WHERE rk <= 15) x
+      ON p.vec_id = x.vec_id AND p.prk <= 60
+    WHERE p.prk <= 60 OR FALSE
+    GROUP BY p.prefix_dim
+    ORDER BY p.prefix_dim
+    """,
+)
+def embedding_matryoshka_recall(spark, sf_dir):
+    from functools import reduce
+
+    from geocube_spark.operators.similarity import (
+        brute_force_topk,
+        matryoshka_candidates,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = brute_force_topk(emb, qv, k=15).select(
+        "vec_id", F.lit(1).alias("is_exact")
+    )
+    tagged = [
+        matryoshka_candidates(emb, qv, 60, d)
+        .select("vec_id")
+        .withColumn("prefix_dim", F.lit(d))
+        for d in (16, 32, 48)
+    ]
+    # one distributed plan: union the tagged candidate sets, broadcast-join
+    # the exact top-k, aggregate recall per prefix length (no driver loop)
+    cands = reduce(lambda a, b: a.unionByName(b), tagged)
+    return (
+        cands.join(F.broadcast(exact), "vec_id", "left")
+        .groupBy("prefix_dim")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.round(F.sum(F.coalesce("is_exact", F.lit(0))) / 15.0, 6).alias(
+                "recall_at_15"
+            ),
+        )
+        .orderBy("prefix_dim")
+    )
+
+
 # All-pairs exact near-dup: distributed block GEMM (no driver collect, no
 # corpus broadcast).  Membership is decided on the 6-dp-ROUNDED cosine in
 # BOTH engines (the GEMM sieves with 1e-9 slack), so numpy-blocked vs

@@ -502,3 +502,49 @@ class TestSQ8Quantization:
         plan = sq8_topk(emb, list(q), k=5)._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestMatryoshka:
+    def test_full_prefix_recovers_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.similarity import (
+            brute_force_topk,
+            matryoshka_topk,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = list(emb.filter(F.col("vec_id") == 2).first()["embedding"])
+        # prefix_dim = full dim: the prefilter IS the exact ranking
+        got = [(r["vec_id"], round(r["score"], 6)) for r in
+               matryoshka_topk(emb, q, k=8, prefix_dim=len(q)).collect()]
+        want = [(r["vec_id"], round(r["score"], 6)) for r in
+                brute_force_topk(emb, q, k=8).collect()]
+        assert got == want
+
+    def test_recall_monotone_in_prefix(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.similarity import (
+            brute_force_topk,
+            matryoshka_candidates,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+        rec = {}
+        for d in (16, 64):
+            cand = {r["vec_id"] for r in
+                    matryoshka_candidates(emb, q, 40, d).collect()}
+            rec[d] = len(cand & exact)
+        assert rec[64] == 10  # full-dim prefix always contains the exact set
+        assert rec[16] <= rec[64]
