@@ -200,6 +200,27 @@ def focal_aspect(
     )
 
 
+def nan_mean_kernel():
+    """3×3 mean that IGNORES NaN neighbors (nodata-as-NaN rasters, C14
+    convention): each output is the mean of the valid values in its
+    window; a fully-invalid window stays NaN."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2
+        acc = np.zeros((b, b))
+        cnt = np.zeros((b, b))
+        for di in range(3):
+            for dj in range(3):
+                w = pad[di:di + b, dj:dj + b]
+                valid = ~np.isnan(w)
+                acc += np.where(valid, w, 0.0)
+                cnt += valid
+        with np.errstate(invalid="ignore"):
+            return np.where(cnt > 0, acc / np.maximum(cnt, 1), np.nan)
+
+    return kernel
+
+
 def gaussian5_kernel():
     """5×5 binomial (Gaussian-approximating) smoothing: the outer product
     of [1, 4, 6, 4, 1] / 256 — radius-2 showcase of the general halo."""

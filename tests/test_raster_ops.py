@@ -760,3 +760,31 @@ class TestMultibandPlaneIsolation:
         out = sample_points(tiles, pts, (1.0, 0.0, 0.0, 0.0, -1.0, 0.0),
                             block=B).collect()
         assert out[0]["value"] == 9.0
+
+
+class TestNanMeanKernel:
+    def test_ignores_nodata_neighbors(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_apply, nan_mean_kernel
+
+        B = 4
+        v = np.arange(16.0)
+        v[5] = np.nan  # interior nodata pixel
+        tiles = spark.createDataFrame(
+            [(0, 0, v.tolist(),
+              {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -1.0, "f": 4.0})],
+            "block_x long, block_y long, px array<double>, "
+            "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+        )
+        out = np.array(
+            focal_apply(tiles, nan_mean_kernel(), block=B).first()["px"]
+        ).reshape(B, B)
+        full = v.reshape(B, B)
+        pad = np.pad(full, 1, mode="edge")
+        for i in range(B):
+            for j in range(B):
+                win = pad[i:i + 3, j:j + 3]
+                assert abs(out[i, j] - np.nanmean(win)) < 1e-12
+        # the nodata CENTER still gets a value from its valid neighbors
+        assert not np.isnan(out[1, 1])
