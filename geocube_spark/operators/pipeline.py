@@ -182,3 +182,155 @@ def mixture_report(
         )
         .orderBy(source_col)
     )
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023, public
+    method): score every document by how target-like its hashed n-gram
+    profile is, so a web-scale corpus can be resampled toward a small
+    high-quality target domain.
+
+    Features are word uni+bigrams hashed into ``n_buckets`` buckets
+    (md5-based, engine-portable — the same hash DuckDB recomputes in the
+    oracle).  Bucket unigram models with Laplace smoothing:
+
+        p_T(b) = (c_T(b) + 1) / (N_T + B)     (target slice)
+        p_S(b) = (c_S(b) + 1) / (N_S + B)     (whole corpus)
+
+    and the per-document log importance weight is
+    sum_b c_doc(b) * (ln p_T(b) - ln p_S(b)).  Selection is then a
+    deterministic top-k / threshold on the weight (the paper adds Gumbel
+    noise for sampled selection; deterministic scoring is the resumable-
+    pipeline variant).
+
+    Scale shape: the corpus is scanned ONCE into the hashed feature
+    stream; the only corpus-sized shuffle is the per-(doc, bucket) count.
+    Both model tables are B-row aggregates that broadcast at any corpus
+    size, so scoring is a map-side join — no all-pairs work anywhere.
+    """
+    toks_expr = F.filter(
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+            " ",
+        ),
+        lambda t: t != "",
+    )
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        toks_expr.alias("t"),
+    )
+    bigrams = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", 1, F.size("t") - 1),
+            F.slice("t", 2, F.size("t") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = base.select(
+        "doc_id",
+        "is_target",
+        F.explode(F.concat(F.col("t"), bigrams)).alias("f"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (
+            F.conv(F.substring(F.md5(F.col("f")), 1, 8), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    doc_b = stream.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c_doc")
+    )
+    src_b = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt_b = (
+        stream.filter("is_target")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    totals = stream.agg(
+        F.count(F.lit(1)).cast("double").alias("n_s"),
+        F.sum(F.col("is_target").cast("long")).cast("double").alias("n_t"),
+    )
+    ratio = (
+        src_b.join(tgt_b, "bucket", "left")
+        .withColumn("c_t", F.coalesce(F.col("c_t"), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_t") + 1) / (F.col("n_t") + n_buckets))
+                - F.log((F.col("c_s") + 1) / (F.col("n_s") + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").cast("long").alias("n_features"),
+            F.round(F.sum(F.col("c_doc") * F.col("lr")), 4).alias("log_weight"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    target_pred_sql: str,
+    n_buckets: int = 256,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = (
+        f"list_filter(string_split(trim(regexp_replace(lower({text_col}), "
+        f"'[^a-z0-9]+', ' ', 'g')), ' '), x -> x != '')"
+    )
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, ({target_pred_sql}) AS is_target, {toks} AS t
+      FROM {table}
+    ),
+    feats AS (
+      SELECT doc_id, is_target,
+             list_concat(
+               t,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> array_to_string(t[i : i + 1], ' '))
+             ) AS fs
+      FROM base
+    ),
+    stream AS (
+      SELECT doc_id, is_target,
+             CAST(('0x' || substr(md5(u.f), 1, 8)) AS BIGINT) % {n_buckets} AS bucket
+      FROM feats, UNNEST(fs) AS u(f)
+    ),
+    doc_b AS (SELECT doc_id, bucket, count(*) AS c_doc FROM stream GROUP BY 1, 2),
+    src_b AS (SELECT bucket, count(*) AS c_s FROM stream GROUP BY 1),
+    tgt_b AS (SELECT bucket, count(*) AS c_t FROM stream WHERE is_target GROUP BY 1),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_s,
+             CAST(count(*) FILTER (is_target) AS DOUBLE) AS n_t
+      FROM stream
+    ),
+    ratio AS (
+      SELECT s.bucket,
+             ln((COALESCE(t.c_t, 0) + 1) / (tot.n_t + {n_buckets}))
+               - ln((s.c_s + 1) / (tot.n_s + {n_buckets})) AS lr
+      FROM src_b s LEFT JOIN tgt_b t USING (bucket), tot
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c_doc) AS BIGINT) AS n_features,
+           round(sum(d.c_doc * r.lr), 4) AS log_weight
+    FROM doc_b d JOIN ratio r USING (bucket)
+    GROUP BY d.doc_id
+    """

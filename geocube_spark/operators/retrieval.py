@@ -311,6 +311,130 @@ def unigram_logprob_sql(
     """
 
 
+def bigram_logprob(
+    docs: DataFrame,
+    lam: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated-bigram-LM quality score: mean negative log-probability
+    of each document's token stream under the corpus's own Jelinek–Mercer
+    smoothed bigram model
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                           + (1-lam) * c(w_i)/N
+
+    — the next step up from :func:`unigram_logprob` toward the KenLM-style
+    perplexity filters used in CCNet/RedPajama corpus curation.  The first
+    token of every document is scored by the unigram back-off alone (no
+    left context).
+
+    Shuffle shape: one groupBy over bigram keys and one over unigram keys
+    (both map-side-combined counts — O(distinct n-grams) rows, never the
+    corpus), then the model joins back onto the exploded bigram stream on
+    the bigram key.  The bigram model table can rival the corpus vocabulary
+    squared, so it is NOT forced broadcast — Catalyst/AQE picks sort-merge
+    when it is big; the unigram table is vocabulary-sized and broadcasts.
+    Everything is expressible as exact MLE counts, so the DuckDB oracle
+    recomputes it bit-for-bit (no sketching, no RNG).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    # positional explode keeps (prev, cur) adjacency without a window sort
+    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    bi_stream = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("i", "bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bi = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    # unigram logprob of the FIRST token of each doc (no left context)
+    first = (
+        toks.select("doc_id", F.element_at("t", 1).alias("term"))
+        .join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (F.log(F.col("c1")) - F.log("n_total")).alias("lp"))
+    )
+    ctx = uni.select(F.col("term").alias("prev"), F.col("c1").alias("c_prev"))
+    scored = (
+        bi_stream.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("cur"), F.col("c1").alias("c_cur"))
+            ),
+            "cur",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(lam) * F.col("c2") / F.col("c_prev")
+                + F.lit(1.0 - lam) * F.col("c_cur") / F.col("n_total")
+            ).alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(-F.avg("lp"), 4).alias("mean_nll"),
+        )
+    )
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    lam: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
+    terms AS (SELECT doc_id, u.term AS term FROM nonempty, UNNEST(t) AS u(term)),
+    uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY term),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
+    bi_stream AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM nonempty, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bi AS (SELECT prev, cur, count(*) AS c2 FROM bi_stream GROUP BY prev, cur),
+    first_tok AS (
+      SELECT doc_id, ln(c1) - ln(n_total) AS lp
+      FROM (SELECT doc_id, t[1] AS term FROM nonempty) f
+      JOIN uni USING (term), tot
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             ln({lam} * b.c2 / up.c1 + {1.0 - lam} * uc.c1 / tot.n_total) AS lp
+      FROM bi_stream s
+      JOIN bi b ON s.prev = b.prev AND s.cur = b.cur
+      JOIN uni up ON up.term = s.prev
+      JOIN uni uc ON uc.term = s.cur
+      CROSS JOIN tot
+    ),
+    allx AS (SELECT * FROM first_tok UNION ALL SELECT * FROM scored)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(-avg(lp), 4) AS mean_nll
+    FROM allx
+    GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------- decontamination
 
 

@@ -818,3 +818,97 @@ def ivf_topk_indexed(
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    threshold: float = 0.97,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public method): within each embedding
+    cluster, flag every vector whose cosine similarity to a LOWER-id
+    cluster member is >= ``threshold`` — the deterministic keep-first
+    variant of semantic deduplication (the paper's centroid-distance
+    keep-rule needs the centroids; keep-lowest-id is the engine-portable
+    policy an oracle can recompute).
+
+    ``cluster_col`` is the cluster assignment INPUT: at corpus scale it
+    comes from the IVF coarse quantizer (``ivf_assign_udf`` /
+    the persisted index's partition column), which bounds the quadratic
+    within-cluster work exactly as SemDeDup prescribes; here the fixture's
+    ``label`` column plays that role so the oracle can recompute clusters
+    trivially.
+
+    Plan shape: ONE shuffle of the embeddings to their cluster, then one
+    blocked numpy GEMM per cluster (same tile discipline as
+    :func:`embedding_near_duplicates` — task memory is cluster_rows·dim +
+    block_rows² doubles, never an O(n²) crossJoin node).  Membership is
+    decided on the 6-dp ROUNDED cosine so float summation order can't
+    flip a borderline pair between engines.
+
+    Returns every input row with ``is_dup`` — the kept corpus is
+    ``filter(~is_dup)``.
+    """
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    out_schema = ST(
+        [
+            SF("vec_id", LongType(), False),
+            SF("cluster", LongType(), False),
+            SF("is_dup", BooleanType(), False),
+        ]
+    )
+    thr = float(threshold)
+    blk = int(block_rows)
+
+    def cluster_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": ids, "cluster": pdf["cluster"].to_numpy()[:n], "is_dup": np.zeros(n, bool)}
+            )
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["v"].to_numpy()[order]]
+        )
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat /= np.where(nrm == 0, 1.0, nrm)
+        dup = np.zeros(n, dtype=bool)
+        for j0 in range(0, n, blk):
+            b = mat[j0 : j0 + blk]
+            hit = np.zeros(b.shape[0], dtype=bool)
+            for i0 in range(0, j0 + blk, blk):
+                if i0 >= j0 + b.shape[0]:
+                    break
+                sims = np.round(mat[i0 : i0 + blk] @ b.T, 6)
+                ii, jj = np.where(sims >= thr)
+                keep = (ii + i0) < (jj + j0)  # strictly lower-id partner
+                hit |= np.bincount(jj[keep], minlength=b.shape[0]).astype(bool)
+            dup[j0 : j0 + b.shape[0]] = hit
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": np.full(n, int(pdf["cluster"].iloc[0]), dtype=np.int64),
+                "is_dup": dup,
+            }
+        )
+
+    prepped = embeddings.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.col(cluster_col).cast("long").alias("cluster"),
+    )
+    return prepped.groupBy("cluster").applyInPandas(cluster_kernel, out_schema)

@@ -1290,6 +1290,28 @@ def embedding_near_dup_exact(spark, sf_dir):
     )
 
 
+# SemDeDup (Abbas et al. 2023): within-cluster cosine dedup, keep-lowest-id.
+# Cluster input = the fixture label column (at corpus scale: the IVF coarse
+# quantizer); fixture vectors are near-orthogonal so the threshold is set
+# low (0.3) to exercise the flagging path — real corpora run 0.95+.
+@q(
+    "semantic_dedup",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS embedding, CAST(label AS BIGINT) AS cl FROM embeddings),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE round({cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    )
+    SELECT e.vec_id, e.cl AS cluster, (d.vec_id IS NOT NULL) AS is_dup
+    FROM e LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def semantic_dedup_q(spark, sf_dir):
+    return sim.semantic_dedup(_emb(spark, sf_dir), cluster_col="label", threshold=0.3)
+
+
 @q(
     "embedding_lsh_topk",
     """
@@ -1849,6 +1871,8 @@ def doc_fingerprints(spark, sf_dir):
 _BM25_TERMS = ["join", "hash", "vector"]
 
 from geocube_spark.operators.retrieval import (  # noqa: E402
+    bigram_logprob,
+    bigram_logprob_sql,
     bm25_topk,
     bm25_topk_sql,
     decontamination_overlap,
@@ -1886,6 +1910,14 @@ def document_chunking(spark, sf_dir):
 @q("unigram_logprob", unigram_logprob_sql())
 def unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+# Interpolated bigram LM (Jelinek–Mercer): the KenLM-perplexity-filter
+# stand-in one order up from the unigram score — exact MLE counts, so the
+# DuckDB oracle recomputes the identical model (operators/retrieval.py).
+@q("bigram_logprob", bigram_logprob_sql(lam=0.8))
+def bigram_logprob_q(spark, sf_dir):
+    return bigram_logprob(_docs(spark, sf_dir), lam=0.8)
 
 
 # Corpus profiling: exact token-count quantiles per source-language slice —
@@ -4634,9 +4666,22 @@ from geocube_spark.operators.pipeline import (  # noqa: E402
     curate,
     deterministic_sample_sql,
     dedup_report,
+    dsir_importance,
+    dsir_importance_sql,
     stratified_sample,
     token_budget_report,
 )
+
+
+# DSIR (Xie et al. 2023): hashed-ngram importance weights toward a target
+# domain slice — the corpus-resampling step of a pretraining data pipeline.
+# Exact MLE bucket models, md5 hashing shared with the oracle.
+@q("dsir_importance", dsir_importance_sql("source = 'src0' AND lang = 'en'"))
+def dsir_importance_q(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(
+        docs, (F.col("source") == "src0") & (F.col("lang") == "en")
+    )
 
 
 # Deterministic md5-threshold sampling — reproducible across engines/retries.

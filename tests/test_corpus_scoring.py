@@ -1,0 +1,153 @@
+"""Round-5 corpus-scoring operators: interpolated bigram LM, DSIR
+importance weights, SemDeDup — DuckDB oracle parity at sf0.001 plus the
+edge cases the oracle fixtures can't reach (single-token docs, empty
+target slices, singleton clusters)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.operators.pipeline import dsir_importance, dsir_importance_sql
+from geocube_spark.operators.retrieval import bigram_logprob, bigram_logprob_sql
+from geocube_spark.operators.similarity import semantic_dedup
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+class TestBigramLM:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        got = {
+            r["doc_id"]: (r["n_scored"], r["mean_nll"])
+            for r in bigram_logprob(docs, lam=0.8).collect()
+        }
+        want = {
+            d: (n, m)
+            for d, n, m in duck.sql(bigram_logprob_sql(lam=0.8)).fetchall()
+        }
+        assert got == want
+
+    def test_single_token_doc_scored_by_unigram_only(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha"), (2, "alpha beta alpha")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        # doc 1 has one token -> exactly one scored position (the unigram)
+        assert rows[1]["n_scored"] == 1
+        # doc 2: first token + 2 bigram positions
+        assert rows[2]["n_scored"] == 3
+
+    def test_empty_doc_dropped(self, spark):
+        df = spark.createDataFrame(
+            [(1, "!!!"), (2, "a b")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in bigram_logprob(df).collect()}
+        assert ids == {2}
+
+    def test_repeated_corpus_lower_nll(self, spark):
+        # a doc made of the corpus's dominant bigram scores lower NLL than
+        # a doc of rare transitions
+        rows = [(i, "the cat sat") for i in range(20)] + [(99, "zap qux")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r["mean_nll"] for r in bigram_logprob(df).collect()}
+        assert out[0] < out[99]
+
+
+class TestDSIR:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        pred = (F.col("source") == "src0") & (F.col("lang") == "en")
+        got = {
+            r["doc_id"]: (r["n_features"], r["log_weight"])
+            for r in dsir_importance(docs, pred, n_buckets=64).collect()
+        }
+        want = {
+            d: (n, w)
+            for d, n, w in duck.sql(
+                dsir_importance_sql("source = 'src0' AND lang = 'en'", n_buckets=64)
+            ).fetchall()
+        }
+        assert got == want
+
+    def test_target_docs_rank_higher_on_average(self, docs):
+        pred = F.col("source") == "src0"
+        out = dsir_importance(docs, pred).join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+        avg = {
+            r["t"]: r["w"]
+            for r in out.groupBy((F.col("source") == "src0").alias("t"))
+            .agg(F.avg("log_weight").alias("w"))
+            .collect()
+        }
+        assert avg[True] > avg[False]
+
+    def test_empty_target_slice_is_uniform_prior(self, spark):
+        # no target rows -> p_T is the pure Laplace prior; weights must
+        # still be finite (the +1 smoothing guards the log)
+        df = spark.createDataFrame(
+            [(1, "a b c", "x"), (2, "d e f", "x")],
+            "doc_id long, text string, source string",
+        )
+        rows = dsir_importance(df, F.col("source") == "nope").collect()
+        assert len(rows) == 2
+        assert all(r["log_weight"] is not None for r in rows)
+
+
+class TestSemDeDup:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int"
+        )
+
+    def test_keep_lowest_id_within_cluster(self, spark):
+        e = self._emb(
+            spark,
+            [
+                (1, [1.0, 0.0], 0),
+                (2, [1.0, 0.0], 0),   # dup of 1 (same cluster)
+                (3, [0.0, 1.0], 0),   # orthogonal -> kept
+                (4, [1.0, 0.0], 1),   # same vector, OTHER cluster -> kept
+            ],
+        )
+        out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(e, threshold=0.97).collect()}
+        assert out == {1: False, 2: True, 3: False, 4: False}
+
+    def test_singleton_cluster_never_dup(self, spark):
+        e = self._emb(spark, [(7, [1.0, 2.0], 5)])
+        rows = semantic_dedup(e).collect()
+        assert rows[0]["is_dup"] is False
+
+    def test_chain_dedup_keeps_only_first(self, spark):
+        # 3 mutually-similar vectors: only the lowest id survives
+        e = self._emb(
+            spark,
+            [(i, [1.0, float(i) * 1e-4], 0) for i in (10, 11, 12)],
+        )
+        out = {r["vec_id"]: r["is_dup"] for r in semantic_dedup(e, threshold=0.99).collect()}
+        assert out == {10: False, 11: True, 12: True}
+
+    def test_blocking_matches_unblocked(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = [
+            (int(i), (rng.standard_normal(8)).tolist(), int(i % 3))
+            for i in range(60)
+        ]
+        e = self._emb(spark, rows)
+        a = {
+            (r["vec_id"], r["is_dup"])
+            for r in semantic_dedup(e, threshold=0.5, block_rows=7).collect()
+        }
+        b = {
+            (r["vec_id"], r["is_dup"])
+            for r in semantic_dedup(e, threshold=0.5, block_rows=4096).collect()
+        }
+        assert a == b
