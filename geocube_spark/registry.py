@@ -4673,6 +4673,17 @@ from geocube_spark.operators.pipeline import (  # noqa: E402
 )
 
 
+# Distributed BPE training (Sennrich et al. 2016): word-frequency table +
+# per-round pair-count argmax + greedy string-fold rewrite, all in-plan
+# (no driver collect); oracle replays the same rounds via list_reduce.
+from geocube_spark.operators.bpe import bpe_train, bpe_train_sql  # noqa: E402
+
+
+@q("bpe_merges", bpe_train_sql(n_merges=4))
+def bpe_merges_q(spark, sf_dir):
+    return bpe_train(_docs(spark, sf_dir), n_merges=4)
+
+
 # DSIR (Xie et al. 2023): hashed-ngram importance weights toward a target
 # domain slice — the corpus-resampling step of a pretraining data pipeline.
 # Exact MLE bucket models, md5 hashing shared with the oracle.
