@@ -47,6 +47,7 @@ _PREDICTOR = 317  # 1 = none, 2 = horizontal differencing
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
 _SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = ieeefp, 6 = complex ieeefp
+_JPEG_TABLES = 347  # abbreviated DQT/DHT stream shared by all JPEG tiles
 _MODEL_PIXEL_SCALE = 33550
 _MODEL_TIEPOINT = 33922
 _GEO_KEY_DIRECTORY = 34735
@@ -56,9 +57,13 @@ _GDAL_NODATA = 42113
 _T_ASCII = 2
 _T_SHORT = 3
 _T_LONG = 4
+_T_UNDEFINED = 7  # opaque bytes (JPEGTables)
 _T_DOUBLE = 12
 _T_LONG8 = 16  # BigTIFF 64-bit unsigned
-_TYPE_SIZE = {_T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_DOUBLE: 8, _T_LONG8: 8}
+_TYPE_SIZE = {
+    _T_ASCII: 1, _T_SHORT: 2, _T_LONG: 4, _T_UNDEFINED: 1, _T_DOUBLE: 8,
+    _T_LONG8: 8,
+}
 _TYPE_FMT = {_T_SHORT: "H", _T_LONG: "I", _T_DOUBLE: "d", _T_LONG8: "Q"}
 
 # auto-switch to BigTIFF when the classic 32-bit offset space would
@@ -365,7 +370,7 @@ def _cut_strips(
     return out
 
 
-_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_CODES = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773}
 
 
 def write_tiff(
@@ -378,6 +383,7 @@ def write_tiff(
     layout: str = "tile",
     rows_per_strip: int = 64,
     bigtiff: bool | None = None,
+    jpeg_quality: int = 90,
 ) -> bytes:
     """Serialize images into one tiled or stripped (Geo)TIFF.
 
@@ -387,7 +393,10 @@ def write_tiff(
     requires every image on the same grid.
 
     compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec) |
-    'packbits' (RLE, common in archival GeoTIFFs).
+    'packbits' (RLE, common in archival GeoTIFFs) | 'jpeg' (LOSSY, 8-bit
+    1- or 3-band only; 3-band is stored YCbCr with PhotometricInterpretation
+    6 — the GDAL JPEG-COG shape; per-tile standalone baseline streams,
+    quality via ``jpeg_quality``).
     predictor=2 applies TIFF horizontal differencing before compression
     (integer dtypes only) — the LZW+predictor combination GDAL emits.
     planar: None = this writer's default (per-band planes for multiband),
@@ -419,6 +428,14 @@ def write_tiff(
         nb, h, w = img.bands.shape
         dt = img.bands.dtype
         pc = planar if planar is not None else (2 if nb > 1 else 1)
+        if comp_code == 7:
+            if dt != np.uint8:
+                raise ValueError("JPEG compression requires uint8 bands")
+            if nb not in (1, 3):
+                raise ValueError("JPEG compression requires 1 or 3 bands")
+            if predictor == 2:
+                raise ValueError("predictor does not apply to JPEG")
+            pc = 1  # chunky pixel-interleaved, the JPEG-in-TIFF shape
         if layout == "strip":
             payloads = _cut_strips(img, rows_per_strip, planar=pc)
         else:
@@ -437,7 +454,21 @@ def write_tiff(
                 ).tobytes()
                 for p in payloads
             ]
-        if comp_code == 8:
+        if comp_code == 7:
+            from geocube_spark.sources.jpeg import encode_jpeg, rgb_to_ycbcr
+
+            cols = w if layout == "strip" else tw
+            enc = []
+            for p in payloads:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                arr = arr.reshape((-1, cols, nb) if nb > 1 else (-1, cols))
+                if nb == 3:
+                    arr = rgb_to_ycbcr(arr)
+                    enc.append(encode_jpeg(arr, jpeg_quality, ycbcr=True))
+                else:
+                    enc.append(encode_jpeg(arr, jpeg_quality))
+            payloads = enc
+        elif comp_code == 8:
             payloads = [zlib.compress(p, 6) for p in payloads]
         elif comp_code == 5:
             payloads = [lzw_encode(p) for p in payloads]
@@ -454,7 +485,12 @@ def write_tiff(
             (_IMAGE_LENGTH, _T_LONG, 1, _pack_array(_T_LONG, [h])),
             (_BITS_PER_SAMPLE, _T_SHORT, nb, _pack_array(_T_SHORT, [bits] * nb)),
             (_COMPRESSION, _T_SHORT, 1, _pack_array(_T_SHORT, [comp_code])),
-            (_PHOTOMETRIC, _T_SHORT, 1, _pack_array(_T_SHORT, [1])),
+            (
+                _PHOTOMETRIC,
+                _T_SHORT,
+                1,
+                _pack_array(_T_SHORT, [6 if comp_code == 7 and nb == 3 else 1]),
+            ),
             (_SAMPLES_PER_PIXEL, _T_SHORT, 1, _pack_array(_T_SHORT, [nb])),
             (_PLANAR_CONFIG, _T_SHORT, 1, _pack_array(_T_SHORT, [pc])),
             (_PREDICTOR, _T_SHORT, 1, _pack_array(_T_SHORT, [predictor])),
@@ -651,6 +687,8 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                 buf = data[off : off + size]
             if ftype == _T_ASCII:
                 tags[tag] = [buf.rstrip(b"\x00").decode()]
+            elif ftype == _T_UNDEFINED:
+                tags[tag] = [bytes(buf)]
             else:
                 tags[tag] = list(struct.unpack(f"<{count}{_TYPE_FMT[ftype]}", buf))
         (ifd_off,) = struct.unpack_from(
@@ -660,7 +698,7 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         w, h = tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]
         nb = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         comp = tags.get(_COMPRESSION, [1])[0]
-        if comp not in (1, 5, 8, 32773):
+        if comp not in (1, 5, 7, 8, 32773):
             raise ValueError(f"unsupported TIFF compression code {comp}")
         predictor = tags.get(_PREDICTOR, [1])[0]
         if predictor not in (1, 2):
@@ -670,8 +708,26 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         dtype = np.dtype(_TIFF_DTYPE[(bits, fmt)])
         planar = tags.get(_PLANAR_CONFIG, [1])[0]
 
+        photometric = tags.get(_PHOTOMETRIC, [1])[0]
+        jpeg_tables = None
+        if comp == 7:
+            from geocube_spark.sources import jpeg as _jpeg
+
+            if dtype != np.uint8:
+                raise ValueError("JPEG compression requires 8-bit samples")
+            raw_tables = tags.get(_JPEG_TABLES)
+            if raw_tables:
+                jpeg_tables = _jpeg.parse_tables(raw_tables[0])
+
         def _payload(off: int, cnt: int) -> bytes:
             payload = data[off : off + cnt]
+            if comp == 7:
+                # decode to pixels, re-serialize in the layout the tile/strip
+                # reshape below expects (chunky interleaved or single plane)
+                arr = _jpeg.decode_jpeg(payload, jpeg_tables)
+                if photometric == 6 and arr.ndim == 3:
+                    arr = _jpeg.ycbcr_to_rgb(arr)
+                return arr.astype(dtype).tobytes()
             if comp == 8:
                 payload = zlib.decompress(payload)
             elif comp == 5:

@@ -1,0 +1,196 @@
+"""Baseline JPEG codec: analytic vectors, round-trips, TIFF integration,
+and the abbreviated-stream (JPEGTables) path external JPEG COGs use.
+
+No image library exists in this container, so spec conformance is pinned
+analytically: constant blocks are DC-only and must reconstruct exactly;
+the DCT basis is checked orthonormal; marker structure is asserted
+byte-level."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from geocube_spark.sources.gtiff import RasterImage, read_tiff, write_tiff
+from geocube_spark.sources.jpeg import (
+    _C,
+    decode_jpeg,
+    encode_jpeg,
+    parse_tables,
+    rgb_to_ycbcr,
+    scaled_quant,
+    ycbcr_to_rgb,
+    QUANT_LUM,
+)
+
+
+def _split_abbreviated(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone JPEG into (tables stream, abbreviated image
+    stream) — the layout TIFF JPEGTables (tag 347) prescribes."""
+    pos = 2
+    tables = bytearray(b"\xff\xd8")
+    image = bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        marker = stream[pos + 1]
+        (seglen,) = struct.unpack_from(">H", stream, pos + 2)
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4):  # DQT / DHT -> tables stream
+            tables += seg
+        elif marker == 0xDA:  # SOS: rest of the stream is entropy data
+            image += stream[pos:]
+            break
+        else:
+            image += seg
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(image)
+
+
+class TestCodecMath:
+    def test_dct_basis_orthonormal(self):
+        assert np.allclose(_C @ _C.T, np.eye(8), atol=1e-12)
+
+    def test_constant_blocks_exact_any_value(self):
+        for v in (0, 1, 37, 128, 200, 255):
+            img = np.full((16, 16), v, dtype=np.uint8)
+            assert np.array_equal(decode_jpeg(encode_jpeg(img, 75)), img), v
+
+    def test_quality_scaling_monotone(self):
+        q10 = scaled_quant(QUANT_LUM, 10)
+        q90 = scaled_quant(QUANT_LUM, 90)
+        assert (q10 >= q90).all() and (q10 > q90).any()
+        assert scaled_quant(QUANT_LUM, 50).tolist() == QUANT_LUM.tolist()
+
+    def test_smooth_gradient_near_exact_high_quality(self):
+        x = np.linspace(0, 255, 64)
+        img = np.clip(np.round(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(img, 95))
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 2
+
+    def test_noise_roundtrip_bounded_error(self):
+        rng = np.random.RandomState(0)
+        img = rng.randint(0, 256, (33, 41), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(img, 95))
+        assert d.shape == img.shape
+        rmse = np.sqrt(((d.astype(float) - img) ** 2).mean())
+        assert rmse < 4.0
+
+    def test_ycbcr_roundtrip_identity_within_rounding(self):
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, (10, 10, 3), dtype=np.uint8)
+        back = ycbcr_to_rgb(rgb_to_ycbcr(rgb))
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 2
+
+    def test_color_image_roundtrip(self):
+        rng = np.random.RandomState(5)
+        base = np.clip(
+            np.round(np.add.outer(np.linspace(20, 230, 24), np.linspace(0, 20, 24))),
+            0,
+            255,
+        ).astype(np.uint8)
+        img = np.stack([base, base[::-1], np.full_like(base, 90)], axis=-1)
+        dec = ycbcr_to_rgb(decode_jpeg(encode_jpeg(img, 95)))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 16
+
+
+class TestStreamStructure:
+    def test_markers_in_order(self):
+        s = encode_jpeg(np.zeros((8, 8), np.uint8))
+        assert s[:2] == b"\xff\xd8" and s[-2:] == b"\xff\xd9"
+        order = [s.find(bytes([0xFF, m])) for m in (0xDB, 0xC0, 0xC4, 0xDA)]
+        assert all(p > 0 for p in order) and order == sorted(order)
+
+    def test_progressive_stream_raises(self):
+        s = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+        s[s.index(b"\xff\xc0") + 1] = 0xC2  # masquerade as progressive
+        with pytest.raises(ValueError, match="baseline"):
+            decode_jpeg(bytes(s))
+
+    def test_non_jpeg_raises(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"II\x2a\x00nope")
+
+    def test_abbreviated_stream_with_jpeg_tables(self):
+        img = np.clip(
+            np.round(np.add.outer(np.linspace(5, 250, 32), np.zeros(32))), 0, 255
+        ).astype(np.uint8)
+        tables, abbrev = _split_abbreviated(encode_jpeg(img, 90))
+        # abbreviated stream alone lacks tables
+        with pytest.raises(Exception):
+            decode_jpeg(abbrev)
+        d = decode_jpeg(abbrev, parse_tables(tables))
+        full = decode_jpeg(encode_jpeg(img, 90))
+        assert np.array_equal(d, full)
+
+
+class TestTiffIntegration:
+    def _img(self, bands):
+        return RasterImage(
+            bands=bands,
+            transform=(10.0, 0.0, 500.0, 0.0, -10.0, 600.0),
+            epsg=32631,
+            nodata=None,
+        )
+
+    def test_gray_tiled_roundtrip(self):
+        x = np.linspace(10, 240, 100)
+        smooth = np.clip(
+            np.round(np.add.outer(x, np.linspace(0, 15, 130))), 0, 255
+        ).astype(np.uint8)
+        data = write_tiff(
+            [self._img(smooth[None])],
+            tile_size=(64, 64),
+            compression="jpeg",
+            jpeg_quality=95,
+        )
+        out = read_tiff(data)[0]
+        assert out.bands.shape == (1, 100, 130)
+        assert np.abs(out.bands.astype(int) - smooth.astype(int)).max() <= 4
+        assert out.epsg == 32631 and out.transform[0] == 10.0
+
+    def test_rgb_chunky_ycbcr_roundtrip(self):
+        x = np.linspace(10, 240, 96)
+        base = np.clip(np.round(np.add.outer(x, x * 0.1)), 0, 255).astype(np.uint8)
+        rgb = np.stack([base, base[::-1], np.full_like(base, 77)])
+        data = write_tiff(
+            [self._img(rgb)], tile_size=(64, 64), compression="jpeg", jpeg_quality=95
+        )
+        out = read_tiff(data)[0]
+        assert out.bands.shape == rgb.shape
+        assert np.abs(out.bands.astype(int) - rgb.astype(int)).max() <= 16
+
+    def test_strip_layout_roundtrip(self):
+        g = np.tile(np.linspace(0, 250, 80).astype(np.uint8), (50, 1))
+        data = write_tiff(
+            [self._img(g[None])],
+            compression="jpeg",
+            layout="strip",
+            rows_per_strip=16,
+            jpeg_quality=95,
+        )
+        out = read_tiff(data)[0]
+        assert np.abs(out.bands.astype(int) - g.astype(int)).max() <= 2
+
+    def test_jpeg_rejects_nonuint8(self):
+        with pytest.raises(ValueError, match="uint8"):
+            write_tiff(
+                [self._img(np.zeros((1, 16, 16), np.int16))], compression="jpeg"
+            )
+
+    def test_jpeg_rejects_predictor(self):
+        with pytest.raises(ValueError, match="predictor"):
+            write_tiff(
+                [self._img(np.zeros((1, 16, 16), np.uint8))],
+                compression="jpeg",
+                predictor=2,
+            )
+
+    def test_jpeg_smaller_than_lossless_on_smooth_data(self):
+        x = np.linspace(10, 240, 256)
+        smooth = np.clip(np.round(np.add.outer(x, x * 0.05)), 0, 255).astype(np.uint8)
+        imgs = [self._img(smooth[None])]
+        jp = write_tiff(imgs, compression="jpeg", jpeg_quality=75)
+        lz = write_tiff(imgs, compression="lzw")
+        assert len(jp) < len(lz)
