@@ -4377,6 +4377,93 @@ def png_tile_roundtrip(spark, sf_dir):
     )
 
 
+# S5/S3 interop edge as REAL bytes: the SAME dmapping-scaled gray tile as
+# png_tile_roundtrip, pushed through the lossy JPEG TIFF codec (compression
+# 7 — the aerial/basemap COG shape the reference ingests via GDAL).  The
+# oracle recomputes the EXACT pre-encode gray_sum from the tile table (the
+# value-mapping pipeline), and the lossy legs are DETERMINISTIC INVARIANTS:
+# byte-identical re-encode (boolean), reconstruction within the q95
+# tolerance, and JPEG actually compressing below the raw payload.
+@q(
+    "jpeg_tile_roundtrip",
+    f"""
+    WITH c AS (
+        SELECT min(container_uri) AS cu
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE dmapping.dtype = 'Int16' AND dmapping.exponent = 1.0
+    ),
+    t AS (
+        SELECT px FROM read_parquet('{FIXTURE_DIR}/tiles.parquet'), c
+        WHERE container_uri = c.cu AND band = 1 AND level = 0
+          AND block_x = 0 AND block_y = 0
+    ),
+    u AS (SELECT unnest(px) AS v FROM t)
+    SELECT CAST(64 AS BIGINT) AS width,
+           CAST(64 AS BIGINT) AS height,
+           CAST(sum(CASE WHEN v = -32768.0 THEN 0
+                ELSE CAST(round_even(least(greatest(v / 10000.0, 0), 1) * 255, 0)
+                     AS BIGINT) END) AS BIGINT) AS gray_sum,
+           TRUE AS reencode_identical,
+           TRUE AS maxerr_le_8,
+           TRUE AS compresses
+    FROM u
+    """,
+)
+def jpeg_tile_roundtrip(spark, sf_dir):
+    import numpy as _np
+
+    from geocube_spark.functions.localdf import values_df
+    from geocube_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    cu = (
+        datasets.filter(
+            (F.col("dmapping.dtype") == "Int16")
+            & (F.col("dmapping.exponent") == 1.0)
+        )
+        .agg(F.min("container_uri"))
+        .first()[0]
+    )
+    tile = (
+        spark.read.parquet(f"{fd}/tiles.parquet")
+        .filter(
+            (F.col("container_uri") == cu)
+            & (F.col("band") == 1)
+            & (F.col("level") == 0)
+            & (F.col("block_x") == 0)
+            & (F.col("block_y") == 0)
+        )
+        .first()
+    )
+    px = _np.asarray(tile["px"]).reshape(64, 64)
+    scaled = _np.clip(px / 10000.0, 0.0, 1.0) * 255
+    # round-half-even matches the PNG path and the DuckDB round_even oracle
+    gray = _np.where(px == -32768.0, 0, _np.rint(scaled)).astype(_np.uint8)
+    enc = encode_jpeg(gray, quality=95)
+    dec = decode_jpeg(enc)
+    maxerr = int(_np.abs(dec.astype(int) - gray.astype(int)).max())
+    return values_df(
+        spark,
+        [(
+            int(dec.shape[1]),
+            int(dec.shape[0]),
+            int(gray.astype("int64").sum()),
+            encode_jpeg(gray, quality=95) == enc,
+            maxerr <= 8,
+            len(enc) < gray.size,
+        )],
+        ["width", "height", "gray_sum", "reencode_identical", "maxerr_le_8", "compresses"],
+    ).select(
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("gray_sum").cast("long"),
+        "reencode_identical",
+        "maxerr_le_8",
+        "compresses",
+    )
+
+
 def ensure_mucog(spark: SparkSession) -> str:
     """Materialize ONE real MuCOG container (operators/consolidation.
     consolidate_to_mucog → sources/gtiff.write_tiff bytes) from the tile

@@ -194,3 +194,35 @@ class TestTiffIntegration:
         jp = write_tiff(imgs, compression="jpeg", jpeg_quality=75)
         lz = write_tiff(imgs, compression="lzw")
         assert len(jp) < len(lz)
+
+
+class TestJpegIngest:
+    def test_jpeg_external_tiff_to_tile_rows(self):
+        """An externally-shaped JPEG-compressed GeoTIFF flows through the
+        same byte-level ingest as deflate/LZW/PackBits COGs."""
+        from geocube_spark.sources.ingest import tiff_bytes_to_tile_rows
+
+        x = np.linspace(20, 200, 64)
+        smooth = np.clip(np.round(np.add.outer(x, x * 0.1)), 0, 255).astype(
+            np.uint8
+        )
+        img = RasterImage(
+            bands=smooth[None],
+            transform=(10.0, 0.0, 100.0, 0.0, -10.0, 200.0),
+            epsg=32631,
+            nodata=None,
+        )
+        data = write_tiff([img], tile_size=(32, 32), compression="jpeg",
+                          jpeg_quality=95)
+        rows = tiff_bytes_to_tile_rows(data, "ext://jpeg.tif")
+        assert {(r["block_x"], r["block_y"]) for r in rows} == {
+            (0, 0), (0, 1), (1, 0), (1, 1)
+        }
+        got = np.zeros((64, 64))
+        for r in rows:
+            got[
+                r["block_y"] * 32 : (r["block_y"] + 1) * 32,
+                r["block_x"] * 32 : (r["block_x"] + 1) * 32,
+            ] = np.array(r["px"]).reshape(32, 32)
+        assert np.abs(got - smooth).max() <= 4  # lossy, bounded
+        assert rows[0]["crs_srid"] == 32631
