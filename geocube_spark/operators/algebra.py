@@ -51,3 +51,40 @@ def normalized_difference(
         in_cols=(band_a, band_b),
         out_col=out_col,
     )
+
+
+def pansharpen_brovey(
+    tiles: DataFrame,
+    r_col: str,
+    g_col: str,
+    b_col: str,
+    pan_col: str,
+    out_prefix: str = "sharp_",
+) -> DataFrame:
+    """Brovey-transform pansharpening (the classical ratio method, public
+    remote-sensing algebra): each multispectral band is scaled by the
+    ratio of the high-resolution panchromatic band to the MS intensity,
+
+        out_i = ms_i * pan / ((r + g + b) / 3)
+
+    Pure nested ``zip_with`` — JVM codegen end-to-end, no UDF, no shuffle;
+    composes with the tile table's (level, block) partition pruning, so at
+    100 TB it runs at scan speed like every other map-algebra op.  The
+    bands must be block-aligned arrays (the tile-table invariant); a zero
+    intensity yields 0 (nodata-safe), matching the GDAL pansharpen
+    convention of guarding the ratio.
+    """
+    r, g, b, p = (F.col(c) for c in (r_col, g_col, b_col, pan_col))
+    intensity = F.zip_with(r, F.zip_with(g, b, lambda x, y: x + y), lambda x, s: (x + s) / 3.0)
+    ratio = F.zip_with(
+        p,
+        intensity,
+        lambda pan, i: F.when(i != 0, pan / i).otherwise(F.lit(0.0)),
+    )
+    out = tiles.withColumn("_ratio", ratio)
+    for c in (r_col, g_col, b_col):
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            F.zip_with(F.col(c), F.col("_ratio"), lambda v, q: v * q),
+        )
+    return out.drop("_ratio")

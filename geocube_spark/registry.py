@@ -3496,6 +3496,70 @@ def band_normalized_difference(spark, sf_dir):
     )
 
 
+# Brovey pansharpening (R2/A12 companion): three deterministic MS bands +
+# a pan band derived from the fixture px, ratio-scaled per pixel with pure
+# nested zip_with (operators/algebra.pansharpen_brovey); oracle replays
+# the identical algebra over the regenerated 128x128 grid.
+@q(
+    "pansharpen_brovey",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS r
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    bands AS (
+        SELECT gi // 64 AS block_x, gj // 64 AS block_y, r,
+               (r * 3 + 7) % 97 AS g,
+               (r * 5 + 11) % 97 AS b,
+               (r * 7 + 3) % 97 AS pan
+        FROM px
+    ),
+    sharp AS (
+        SELECT block_x, block_y,
+               CASE WHEN (r + g + b) / 3 != 0
+                    THEN pan / ((r + g + b) / 3) ELSE 0 END AS q,
+               r, g, b
+        FROM bands
+    )
+    SELECT CAST(block_x AS INT) AS block_x, CAST(block_y AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(r * q), 4) AS sharp_r_sum,
+           round(sum(g * q), 4) AS sharp_g_sum,
+           round(sum(b * q), 4) AS sharp_b_sum
+    FROM sharp GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def pansharpen_brovey_q(spark, sf_dir):
+    from geocube_spark.operators.algebra import pansharpen_brovey
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    multiband = (
+        tiles.withColumn("g", F.transform(F.col("px"), lambda x: (x * 3 + 7) % 97))
+        .withColumn("b", F.transform(F.col("px"), lambda x: (x * 5 + 11) % 97))
+        .withColumn("pan", F.transform(F.col("px"), lambda x: (x * 7 + 3) % 97))
+    )
+    sharp = pansharpen_brovey(multiband, "px", "g", "b", "pan")
+    return (
+        sharp.select(
+            "block_x", "block_y",
+            F.size("px").alias("n_px"),
+            F.aggregate("sharp_px", F.lit(0.0), lambda a, v: a + v).alias("sr"),
+            F.aggregate("sharp_g", F.lit(0.0), lambda a, v: a + v).alias("sg"),
+            F.aggregate("sharp_b", F.lit(0.0), lambda a, v: a + v).alias("sb"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("sr"), 4).alias("sharp_r_sum"),
+            F.round(F.sum("sg"), 4).alias("sharp_g_sum"),
+            F.round(F.sum("sb"), 4).alias("sharp_b_sum"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Temporal median composite (A7 companion: reduce-all-acquisitions
 # instead of latest-wins).  Five deterministic time layers are derived
 # from the fixture band (v + 13t mod 97), the per-pixel median is taken

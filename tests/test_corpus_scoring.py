@@ -151,3 +151,18 @@ class TestSemDeDup:
             for r in semantic_dedup(e, threshold=0.5, block_rows=4096).collect()
         }
         assert a == b
+
+
+class TestBroveyPansharpen:
+    def test_ratio_algebra_and_zero_guard(self, spark):
+        from geocube_spark.operators.algebra import pansharpen_brovey
+
+        df = spark.createDataFrame(
+            [([3.0, 0.0], [6.0, 0.0], [9.0, 0.0], [12.0, 5.0])],
+            "r array<double>, g array<double>, b array<double>, pan array<double>",
+        )
+        row = pansharpen_brovey(df, "r", "g", "b", "pan").first()
+        # intensity = (3+6+9)/3 = 6, ratio = 12/6 = 2
+        assert row["sharp_r"] == [6.0, 0.0]
+        assert row["sharp_g"] == [12.0, 0.0]
+        assert row["sharp_b"] == [18.0, 0.0]  # zero intensity -> 0, no NaN
