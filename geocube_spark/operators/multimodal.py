@@ -68,20 +68,46 @@ def _fake_decode(payload: bytes, meta: dict) -> np.ndarray:
     return rng.randint(0, 256, size=(hgt, w, c)).astype(np.float64)
 
 
-_DECODER: Callable[[bytes, dict], np.ndarray] = _fake_decode
+def jpeg_decoder(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL image decoder for JPEG payloads, backed by the repo's own
+    baseline codec (sources/jpeg.py — the one the TIFF compression-7 path
+    uses).  Returns (h, w) or (h, w, 3) float64 pixels; 3-component
+    streams are taken as JFIF YCbCr and converted to RGB."""
+    from geocube_spark.sources.jpeg import decode_jpeg, ycbcr_to_rgb
+
+    arr = decode_jpeg(payload)
+    if arr.ndim == 3 and arr.shape[-1] == 3:
+        arr = ycbcr_to_rgb(arr)
+    return arr.astype(np.float64)
+
+
+def _default_decode(payload: bytes, meta: dict) -> np.ndarray:
+    """Route on content: real JPEG bytes decode for real (SOI magic or
+    ``meta.codec == 'jpeg'``); anything else falls back to the
+    deterministic fake so non-JPEG fixtures stay testable without PIL."""
+    if payload[:2] == b"\xff\xd8" or (meta or {}).get("codec") == "jpeg":
+        return jpeg_decoder(payload, meta)
+    return _fake_decode(payload, meta)
+
+
+_DECODER: Callable[[bytes, dict], np.ndarray] = _default_decode
 
 
 def set_decoder(fn: Callable[[bytes, dict], np.ndarray]) -> None:
-    """Install a real decoder (e.g. PIL-based).  The default deterministic
-    fake keeps the pipeline testable in this container."""
+    """Install an external decoder (e.g. PIL-based).  The default routes
+    JPEG payloads through the in-repo codec and everything else through
+    the deterministic fake."""
     global _DECODER
     _DECODER = fn
 
 
 def real_decoder_stub(payload: bytes, meta: dict) -> np.ndarray:
-    """Where a real implementation would go — PIL.Image.open / soundfile /
-    pyav frame sampling.  Not available in this environment."""
-    raise NotImplementedError("media codecs are not installed in this container")
+    """Where a broader implementation would go — PIL.Image.open /
+    soundfile / pyav frame sampling.  Only JPEG has an in-repo codec;
+    other formats are not available in this environment."""
+    raise NotImplementedError(
+        "non-JPEG media codecs are not installed in this container"
+    )
 
 
 def extract_features(media: DataFrame, pool: int = 4) -> DataFrame:

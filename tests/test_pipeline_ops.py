@@ -274,7 +274,7 @@ class TestMultimodal:
             assert row["feature"][:8] == [255.0] * 8  # top two pooled rows
             assert row["feature"][8:] == [0.0] * 8
         finally:
-            mm.set_decoder(mm._fake_decode)
+            mm.set_decoder(mm._default_decode)
 
     def test_real_decoder_stub_raises(self):
         with pytest.raises(NotImplementedError):
@@ -548,3 +548,30 @@ class TestMatryoshka:
             rec[d] = len(cand & exact)
         assert rec[64] == 10  # full-dim prefix always contains the exact set
         assert rec[16] <= rec[64]
+
+
+class TestJpegMediaDecode:
+    def test_real_jpeg_payload_decodes_for_real(self, spark):
+        """A genuine JPEG byte stream in the payload column is decoded by
+        the in-repo codec (content-routed default), not the fake: the
+        pooled features must match the actual image's block means."""
+        import numpy as np
+
+        from geocube_spark.operators import multimodal as mm
+        from geocube_spark.sources.jpeg import encode_jpeg
+
+        img = np.zeros((16, 16), np.uint8)
+        img[:8, :] = 200  # top half bright
+        payload = encode_jpeg(img, 95)
+        media = spark.createDataFrame(
+            [("j0", "image", bytearray(payload),
+              (16, 16, 1, None, None, "jpeg"))],
+            "media_id STRING, kind STRING, payload BINARY, "
+            "meta STRUCT<width:INT,height:INT,channels:INT,sample_rate:INT,"
+            "duration_ms:INT,codec:STRING>",
+        )
+        [row] = mm.extract_features(media, pool=4).collect()
+        feats = np.array(row["feature"]).reshape(4, 4)
+        # constant halves survive JPEG exactly (DC-only blocks)
+        assert np.allclose(feats[:2], 200.0)
+        assert np.allclose(feats[2:], 0.0)
