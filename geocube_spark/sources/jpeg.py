@@ -508,10 +508,18 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75, ycbcr: bool | None = None) -> bytes:
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 75,
+    ycbcr: bool | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) colour uint8 to a standalone
     baseline JPEG (4:4:4, standard tables).  3-channel input is treated as
-    RGB and converted to YCbCr unless ``ycbcr=True`` (already converted)."""
+    RGB and converted to YCbCr unless ``ycbcr=True`` (already converted).
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    that many MCUs (what scanned/streamed encoders emit for error
+    resilience — and what exercises the decoder's restart path)."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and img.shape[-1] != 3:
@@ -548,6 +556,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, ycbcr: bool | None = None) -
     for tcth, (bits, vals) in hts:
         seg = bytes([tcth]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    # DRI
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     sos = bytes([ncomp])
     for i in range(ncomp):
@@ -565,8 +576,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 75, ycbcr: bool | None = None) -
     ]
     preds = [0] * len(planes)
     n_by, n_bx = blocks[0].shape[:2]
+    mcu = 0
+    rst = 0
     for by in range(n_by):
         for bx in range(n_bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * len(planes)
+            mcu += 1
             for ci in range(len(planes)):
                 dc_codes = dc_lum_codes if ci == 0 else dc_chr_codes
                 ac_codes = ac_lum_codes if ci == 0 else ac_chr_codes

@@ -226,3 +226,26 @@ class TestJpegIngest:
             ] = np.array(r["px"]).reshape(32, 32)
         assert np.abs(got - smooth).max() <= 4  # lossy, bounded
         assert rows[0]["crs_srid"] == 32631
+
+
+class TestRestartMarkers:
+    def test_restart_interval_roundtrip_matches(self):
+        """DRI/RSTn streams decode identically to marker-free streams —
+        the decoder's restart resync + DC-predictor reset path."""
+        x = np.linspace(0, 255, 48)
+        img = np.clip(np.round(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+        ref = decode_jpeg(encode_jpeg(img, 95))
+        for ri in (1, 2, 5):
+            enc = encode_jpeg(img, 95, restart_interval=ri)
+            assert b"\xff\xd0" in enc  # RST0 present
+            assert b"\xff\xdd" in enc  # DRI segment present
+            assert np.array_equal(decode_jpeg(enc), ref), ri
+
+    def test_restart_interval_color(self):
+        x = np.linspace(0, 255, 48)
+        g = np.clip(np.round(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+        img = np.stack([g, g[::-1], g], axis=-1)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, 90, restart_interval=2)),
+            decode_jpeg(encode_jpeg(img, 90)),
+        )
