@@ -97,6 +97,20 @@ def bm25_topk(
     is always positive.  Scores are rounded to 4 dp and ranked with
     ``(score DESC, doc_id)`` so the top-k frontier is engine-independent.
     """
+    scored = bm25_scores(docs, query_terms, k1, b, id_col, text_col)
+    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc BM25 scores for every document matching >= 1 query term —
+    the unranked core of :func:`bm25_topk`, reused by the RRF fusion."""
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
@@ -136,7 +150,123 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("term_score"), 4).alias("score"))
     )
-    return scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+    return scored
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 15,
+    n_list: int = 100,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack et al. 2009, the standard public fusion rule):
+
+        rrf(d) = sum_lists 1 / (k_rrf + rank_list(d))
+
+    over the BM25 top-``n_list`` and the cosine top-``n_list`` — a doc
+    absent from one list simply contributes nothing for it.  This is the
+    list-fusion form (NOT full-corpus ranking), which is exactly what
+    scales: each side is a TakeOrderedAndProject over its own scorer (at
+    production scale the semantic side comes from the IVF/LSH index's
+    top-N), and the fusion join touches <= 2·n_list rows.  Ranks are made
+    engine-independent by rounding each side's score (4 dp BM25 / 6 dp
+    cosine) and tie-breaking on doc id.
+
+    Assumes doc ids and embedding ids share the key space (``vec_id`` ==
+    ``doc_id`` — the documents/embeddings fixture contract).
+    """
+    from pyspark.sql import Window
+
+    from geocube_spark.functions.vectors import cosine_expr
+
+    bm = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col)
+    w_bm = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm_top = (
+        bm.orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(n_list)
+        .withColumn("r_lex", F.row_number().over(w_bm))
+        .select("doc_id", "r_lex")
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = embeddings.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.round(cosine_expr(F.col(vec_col), qv), 6).alias("cs"),
+    )
+    w_cos = Window.orderBy(F.col("cs").desc(), F.col("doc_id"))
+    cos_top = (
+        cos.orderBy(F.col("cs").desc(), F.col("doc_id"))
+        .limit(n_list)
+        .withColumn("r_sem", F.row_number().over(w_cos))
+        .select("doc_id", "r_sem")
+    )
+    fused = (
+        bm_top.join(cos_top, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_sem")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+            # rank 0 = absent from that list (ranks are 1-based) — a
+            # non-null sentinel keeps the cross-engine compare int-typed
+            F.coalesce(F.col("r_lex"), F.lit(0)).alias("r_lex"),
+            F.coalesce(F.col("r_sem"), F.lit(0)).alias("r_sem"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(k)
+
+
+def hybrid_rrf_sql(
+    query_terms: list[str],
+    k: int = 15,
+    n_list: int = 100,
+    k_rrf: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    from geocube_spark.functions.vectors import cosine_sql
+
+    bm_core = bm25_topk_sql(query_terms, k=n_list, k1=k1, b=b)
+    return f"""
+    WITH bm_list AS ({bm_core}),
+    bm_top AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM bm_list
+    ),
+    e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                   AS embedding FROM embeddings),
+    q0 AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round({cosine_sql('e.embedding', 'q0.qv')}, 6) AS cs
+      FROM e, q0
+    ),
+    cos_top AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cs DESC, doc_id) AS r_sem
+      FROM (SELECT * FROM cos ORDER BY cs DESC, doc_id LIMIT {n_list})
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             round(COALESCE(1.0 / ({k_rrf} + b.r_lex), 0)
+                   + COALESCE(1.0 / ({k_rrf} + c.r_sem), 0), 6) AS rrf_score,
+             b.r_lex AS r_lex, c.r_sem AS r_sem
+      FROM bm_top b FULL OUTER JOIN cos_top c ON b.doc_id = c.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf_score,
+           CAST(COALESCE(r_lex, 0) AS INT) AS r_lex,
+           CAST(COALESCE(r_sem, 0) AS INT) AS r_sem
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {k}
+    """
 
 
 def bm25_topk_sql(

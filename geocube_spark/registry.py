@@ -1879,9 +1879,23 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     decontamination_overlap_sql,
     document_chunks,
     document_chunks_sql,
+    hybrid_rrf,
+    hybrid_rrf_sql,
     unigram_logprob,
     unigram_logprob_sql,
 )
+
+
+# Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the BM25
+# top-N and cosine top-N lists (Cormack et al. 2009) — list fusion, not
+# full-corpus ranking, so both sides stay TakeOrdered at any scale.
+@q("hybrid_search_rrf", hybrid_rrf_sql(_BM25_TERMS, k=15, n_list=100))
+def hybrid_search_rrf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return hybrid_rrf(
+        _docs(spark, sf_dir), emb, _BM25_TERMS, qv, k=15, n_list=100
+    )
 
 
 @q("text_bm25_topk", bm25_topk_sql(_BM25_TERMS, k=15))

@@ -211,3 +211,40 @@ class TestDuplicatedPassages:
         ]
         docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
         assert duplicated_passage_report(docs, k=8, min_count=2).count() == 0
+
+
+class TestHybridRRF:
+    def test_matches_duckdb_oracle(self, spark, docs, duck):
+        from geocube_spark.operators.retrieval import hybrid_rrf, hybrid_rrf_sql
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        got = [
+            (r["doc_id"], r["rrf_score"], r["r_lex"], r["r_sem"])
+            for r in hybrid_rrf(docs, emb, ["join", "hash"], qv, k=10).collect()
+        ]
+        want = duck.sql(hybrid_rrf_sql(["join", "hash"], k=10)).fetchall()
+        assert got == [tuple(w) for w in want]
+
+    def test_doc_in_both_lists_beats_single_list_peer(self, spark):
+        from geocube_spark.operators.retrieval import hybrid_rrf
+
+        # doc 1 matches the query term AND has the closest embedding;
+        # doc 2 only matches the term; doc 3 only the embedding
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "alpha gamma"), (3, "delta")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.9, 0.1])],
+            "vec_id long, embedding array<double>",
+        )
+        rows = hybrid_rrf(docs, emb, ["alpha"], [1.0, 0.0], k=3).collect()
+        assert rows[0]["doc_id"] == 1
+        assert rows[0]["r_lex"] >= 1 and rows[0]["r_sem"] == 1
+        # absent-list sentinel: doc 3 never matched the term
+        d3 = next(r for r in rows if r["doc_id"] == 3)
+        assert d3["r_lex"] == 0
