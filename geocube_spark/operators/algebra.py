@@ -88,3 +88,82 @@ def pansharpen_brovey(
             F.zip_with(F.col(c), F.col("_ratio"), lambda v, q: v * q),
         )
     return out.drop("_ratio")
+
+
+def histogram_equalize(
+    tiles: DataFrame,
+    px_col: str = "px",
+    bins: int = 256,
+    vmin: float = 0.0,
+    vmax: float = 256.0,
+    out_col: str = "px_eq",
+) -> DataFrame:
+    """Global histogram equalization (the classical contrast-stretch:
+    remap each pixel through the corpus-wide value CDF so the output
+    histogram is ~uniform):
+
+        eq(v) = round((cdf(bin(v)) - cdf_min) / (N - cdf_min) * (bins-1))
+
+    with cdf_min = the CDF at the first non-empty bin (Gonzalez & Woods'
+    standard formulation); a constant image maps to 0.
+
+    Scale shape: ONE pass builds the histogram (explode + groupBy(bin)
+    with map-side partial combine — the shuffle is O(partitions·bins),
+    never the pixels); the CDF is a bins-row window; the lookup table
+    rides back as a 1-row broadcast array and the remap is a pure
+    ``transform`` at scan speed.  All arithmetic is integer counts, so
+    any engine reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    width = (float(vmax) - float(vmin)) / bins
+
+    def bin_of(v):
+        return F.least(
+            F.lit(bins - 1),
+            F.greatest(F.lit(0), F.floor((v - F.lit(float(vmin))) / F.lit(width))),
+        ).cast("int")
+
+    hist = (
+        tiles.select(F.explode(px_col).alias("v"))
+        .select(bin_of(F.col("v")).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    all_w = Window.partitionBy()
+    lut_rows = (
+        hist.withColumn("cdf", F.sum("n").over(w))
+        .withColumn("n_total", F.sum("n").over(all_w))
+        .withColumn("cdf_min", F.min("cdf").over(all_w))
+        .select(
+            "bin",
+            F.when(
+                F.col("n_total") > F.col("cdf_min"),
+                F.round(
+                    (F.col("cdf") - F.col("cdf_min"))
+                    / (F.col("n_total") - F.col("cdf_min"))
+                    * (bins - 1)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("remap"),
+        )
+    )
+    # dense LUT: empty bins inherit the previous non-empty bin's remap is
+    # unnecessary — no pixel maps to an empty bin by construction, so a
+    # sparse (bin -> remap) array with sentinel 0 gaps is sufficient
+    lut = lut_rows.agg(
+        F.map_from_arrays(
+            F.collect_list("bin"), F.collect_list("remap")
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bins - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i), F.lit(0.0)),
+        ).alias("lut")
+    )
+    return tiles.crossJoin(F.broadcast(lut)).withColumn(
+        out_col,
+        F.transform(F.col(px_col), lambda v: F.element_at(F.col("lut"), bin_of(v) + 1)),
+    ).drop("lut")

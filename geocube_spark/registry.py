@@ -3574,6 +3574,64 @@ def pansharpen_brovey_q(spark, sf_dir):
     )
 
 
+# Global histogram equalization (contrast stretch): one histogram pass
+# (map-side-combined bin counts), bins-row CDF window, 1-row broadcast LUT,
+# scan-speed remap (operators/algebra.histogram_equalize).  Integer-count
+# math — the oracle replays it exactly over the regenerated grid.
+@q(
+    "histogram_equalization",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    hist AS (SELECT CAST(floor(v) AS INT) AS bin, count(*) AS n FROM px GROUP BY 1),
+    c AS (SELECT bin, n, sum(n) OVER (ORDER BY bin) AS cdf FROM hist),
+    s AS (SELECT bin, cdf,
+                 (SELECT CAST(sum(n) AS DOUBLE) FROM hist) AS n_total,
+                 (SELECT CAST(min(cdf) AS DOUBLE) FROM c) AS cdf_min
+          FROM c),
+    lut AS (SELECT bin,
+                   CASE WHEN n_total > cdf_min
+                        THEN round((cdf - cdf_min) / (n_total - cdf_min) * 96, 0)
+                        ELSE 0 END AS remap
+            FROM s),
+    eq AS (SELECT p.gi // 64 AS block_x, p.gj // 64 AS block_y, l.remap AS e
+           FROM px p JOIN lut l ON CAST(floor(p.v) AS INT) = l.bin)
+    SELECT CAST(block_x AS INT) AS block_x, CAST(block_y AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(e) AS BIGINT) AS eq_sum,
+           CAST(min(e) AS BIGINT) AS eq_min,
+           CAST(max(e) AS BIGINT) AS eq_max
+    FROM eq GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def histogram_equalization(spark, sf_dir):
+    from geocube_spark.operators.algebra import histogram_equalize
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    eq = histogram_equalize(tiles, bins=97, vmin=0.0, vmax=97.0)
+    return (
+        eq.select(
+            "block_x", "block_y",
+            F.size("px_eq").alias("n_px"),
+            F.aggregate("px_eq", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_min("px_eq").alias("mn"),
+            F.array_max("px_eq").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("s").cast("long").alias("eq_sum"),
+            F.min("mn").cast("long").alias("eq_min"),
+            F.max("mx").cast("long").alias("eq_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Temporal median composite (A7 companion: reduce-all-acquisitions
 # instead of latest-wins).  Five deterministic time layers are derived
 # from the fixture band (v + 13t mod 97), the per-pixel median is taken

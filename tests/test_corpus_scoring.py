@@ -166,3 +166,38 @@ class TestBroveyPansharpen:
         assert row["sharp_r"] == [6.0, 0.0]
         assert row["sharp_g"] == [12.0, 0.0]
         assert row["sharp_b"] == [18.0, 0.0]  # zero intensity -> 0, no NaN
+
+
+class TestHistogramEqualize:
+    def test_hand_computed_small_case(self, spark):
+        from geocube_spark.operators.algebra import histogram_equalize
+
+        df = spark.createDataFrame(
+            [(0, [0.0, 0.0, 1.0, 2.0, 3.0, 3.0, 3.0, 3.0])],
+            "block int, px array<double>",
+        )
+        out = histogram_equalize(df, bins=4, vmin=0.0, vmax=4.0).first()
+        # hist 2/1/1/4, cdf 2/3/4/8, cdf_min=2, N=8:
+        # eq = round((cdf-2)/6*3) -> 0, 1 (0.5 rounds up), 1, 3
+        assert out["px_eq"] == [0.0, 0.0, 1.0, 1.0, 3.0, 3.0, 3.0, 3.0]
+
+    def test_constant_image_maps_to_zero(self, spark):
+        from geocube_spark.operators.algebra import histogram_equalize
+
+        df = spark.createDataFrame(
+            [(0, [5.0] * 8)], "block int, px array<double>"
+        )
+        out = histogram_equalize(df, bins=16, vmin=0.0, vmax=16.0).first()
+        assert out["px_eq"] == [0.0] * 8
+
+    def test_full_range_spread(self, spark):
+        from geocube_spark.operators.algebra import histogram_equalize
+
+        # already-uniform values equalize onto the full [0, bins-1] range
+        df = spark.createDataFrame(
+            [(0, [float(i) for i in range(16)])], "block int, px array<double>"
+        )
+        out = histogram_equalize(df, bins=16, vmin=0.0, vmax=16.0).first()
+        assert out["px_eq"][0] == 0.0
+        assert out["px_eq"][-1] == 15.0
+        assert out["px_eq"] == sorted(out["px_eq"])
