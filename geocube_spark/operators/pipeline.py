@@ -249,18 +249,25 @@ def dsir_importance(
             % n_buckets
         ).alias("bucket"),
     )
+    # ONE corpus-sized pass: everything downstream (source/target bucket
+    # models, totals) derives from the per-(doc, bucket) counts — without
+    # this, Catalyst re-executes the tokenize+hash stream once per
+    # aggregate (4 corpus scans instead of 1)
     doc_b = stream.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("c_doc")
-    )
-    src_b = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+        F.count(F.lit(1)).alias("c_doc"),
+        F.first("is_target").alias("is_target"),
+    ).localCheckpoint()  # 4 consumers; Catalyst does not reuse the exchange
+    src_b = doc_b.groupBy("bucket").agg(F.sum("c_doc").alias("c_s"))
     tgt_b = (
-        stream.filter("is_target")
+        doc_b.filter("is_target")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+        .agg(F.sum("c_doc").alias("c_t"))
     )
-    totals = stream.agg(
-        F.count(F.lit(1)).cast("double").alias("n_s"),
-        F.sum(F.col("is_target").cast("long")).cast("double").alias("n_t"),
+    totals = doc_b.agg(
+        F.sum("c_doc").cast("double").alias("n_s"),
+        F.sum(F.when(F.col("is_target"), F.col("c_doc")).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("n_t"),
     )
     ratio = (
         src_b.join(tgt_b, "bucket", "left")
