@@ -384,6 +384,7 @@ def write_tiff(
     rows_per_strip: int = 64,
     bigtiff: bool | None = None,
     jpeg_quality: int = 90,
+    jpeg_subsampling: str = "444",
 ) -> bytes:
     """Serialize images into one tiled or stripped (Geo)TIFF.
 
@@ -464,7 +465,12 @@ def write_tiff(
                 arr = arr.reshape((-1, cols, nb) if nb > 1 else (-1, cols))
                 if nb == 3:
                     arr = rgb_to_ycbcr(arr)
-                    enc.append(encode_jpeg(arr, jpeg_quality, ycbcr=True))
+                    enc.append(
+                        encode_jpeg(
+                            arr, jpeg_quality, ycbcr=True,
+                            subsampling=jpeg_subsampling,
+                        )
+                    )
                 else:
                     enc.append(encode_jpeg(arr, jpeg_quality))
             payloads = enc

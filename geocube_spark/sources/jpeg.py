@@ -459,10 +459,11 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def _fdct_quant(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
-    """(n_by, n_bx, 8, 8) quantized coefficient blocks of a padded plane."""
+def _fdct_quant(plane: np.ndarray, qt: np.ndarray, pad_to: int = 8) -> np.ndarray:
+    """(n_by, n_bx, 8, 8) quantized coefficient blocks of a padded plane.
+    ``pad_to=16`` pads the luma plane so a 4:2:0 MCU grid stays whole."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ph, pw = -(-h // pad_to) * pad_to, -(-w // pad_to) * pad_to
     padded = np.pad(plane.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3) - 128.0
     coefs = np.einsum("ij,abjk,lk->abil", _C, blocks, _C)
@@ -508,15 +509,27 @@ def _encode_block(
     return dc
 
 
+def _box_downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-mean chroma downsampling (edge-padded to even dims)."""
+    h, w = plane.shape
+    p = np.pad(plane.astype(np.float64), ((0, h % 2), (0, w % 2)), mode="edge")
+    return np.round(
+        p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+    )
+
+
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 75,
     ycbcr: bool | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) colour uint8 to a standalone
-    baseline JPEG (4:4:4, standard tables).  3-channel input is treated as
-    RGB and converted to YCbCr unless ``ycbcr=True`` (already converted).
+    baseline JPEG (standard tables).  3-channel input is treated as RGB
+    and converted to YCbCr unless ``ycbcr=True`` (already converted).
+    ``subsampling``: '444' (no chroma subsampling) or '420' (2x2 box —
+    GDAL's PHOTOMETRIC=YCBCR default shape, ~half the payload).
     ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
     that many MCUs (what scanned/streamed encoders emit for error
     resilience — and what exercises the decoder's restart path)."""
@@ -524,6 +537,9 @@ def encode_jpeg(
     gray = img.ndim == 2
     if not gray and img.shape[-1] != 3:
         raise ValueError("encode_jpeg wants (h,w) or (h,w,3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420" and not gray
     h, w = img.shape[:2]
     if h == 0 or w == 0 or h > 65535 or w > 65535:
         raise ValueError("bad JPEG dimensions")
@@ -534,6 +550,8 @@ def encode_jpeg(
         if gray
         else list(np.moveaxis(img if ycbcr else rgb_to_ycbcr(img), -1, 0))
     )
+    if sub:
+        planes = [planes[0], _box_downsample2(planes[1]), _box_downsample2(planes[2])]
 
     out = bytearray(b"\xff\xd8")
     # DQT
@@ -547,7 +565,8 @@ def encode_jpeg(
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for i in range(ncomp):
-        sof += bytes([i + 1, 0x11, 0 if i == 0 else 1])
+        hv = 0x22 if (sub and i == 0) else 0x11
+        sof += bytes([i + 1, hv, 0 if i == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     # DHT
     hts = [(0x00, DC_LUM), (0x10, AC_LUM)]
@@ -572,26 +591,54 @@ def encode_jpeg(
     ac_chr_codes = _canonical_codes(*AC_CHROM)
     writer = _BitWriter()
     blocks = [
-        _fdct_quant(p, qlum if i == 0 else qchr) for i, p in enumerate(planes)
+        _fdct_quant(p, qlum if i == 0 else qchr, pad_to=16 if (sub and i == 0) else 8)
+        for i, p in enumerate(planes)
     ]
     preds = [0] * len(planes)
-    n_by, n_bx = blocks[0].shape[:2]
     mcu = 0
     rst = 0
-    for by in range(n_by):
-        for bx in range(n_bx):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                writer.flush()
-                writer.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                preds = [0] * len(planes)
-            mcu += 1
-            for ci in range(len(planes)):
-                dc_codes = dc_lum_codes if ci == 0 else dc_chr_codes
-                ac_codes = ac_lum_codes if ci == 0 else ac_chr_codes
-                preds[ci] = _encode_block(
-                    writer, blocks[ci][by, bx], preds[ci], dc_codes, ac_codes
-                )
+
+    def _emit_rst_if_due():
+        nonlocal rst, preds
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * len(planes)
+
+    if sub:
+        # 4:2:0 MCU = 2x2 luma blocks + 1 Cb + 1 Cr
+        mcus_y, mcus_x = blocks[1].shape[:2]
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                _emit_rst_if_due()
+                mcu += 1
+                for by in (0, 1):
+                    for bx in (0, 1):
+                        preds[0] = _encode_block(
+                            writer,
+                            blocks[0][2 * my + by, 2 * mx + bx],
+                            preds[0],
+                            dc_lum_codes,
+                            ac_lum_codes,
+                        )
+                for ci in (1, 2):
+                    preds[ci] = _encode_block(
+                        writer, blocks[ci][my, mx], preds[ci],
+                        dc_chr_codes, ac_chr_codes,
+                    )
+    else:
+        n_by, n_bx = blocks[0].shape[:2]
+        for by in range(n_by):
+            for bx in range(n_bx):
+                _emit_rst_if_due()
+                mcu += 1
+                for ci in range(len(planes)):
+                    dc_codes = dc_lum_codes if ci == 0 else dc_chr_codes
+                    ac_codes = ac_lum_codes if ci == 0 else ac_chr_codes
+                    preds[ci] = _encode_block(
+                        writer, blocks[ci][by, bx], preds[ci], dc_codes, ac_codes
+                    )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"

@@ -249,3 +249,59 @@ class TestRestartMarkers:
             decode_jpeg(encode_jpeg(img, 90, restart_interval=2)),
             decode_jpeg(encode_jpeg(img, 90)),
         )
+
+
+class TestSubsampling420:
+    def _color(self, n=50):
+        x = np.linspace(10, 240, n)
+        base = np.clip(np.round(np.add.outer(x, x * 0.2)), 0, 255).astype(np.uint8)
+        return np.stack([base, base[::-1], np.full_like(base, 90)], axis=-1)
+
+    def test_420_roundtrip_bounded_error(self):
+        img = self._color()
+        d = ycbcr_to_rgb(decode_jpeg(encode_jpeg(img, 90, subsampling="420")))
+        assert d.shape == img.shape
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 20
+
+    def test_420_smaller_than_444(self):
+        rng = np.random.RandomState(2)
+        img = rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+        assert len(encode_jpeg(img, 90, subsampling="420")) < len(
+            encode_jpeg(img, 90)
+        )
+
+    def test_420_gray_content_luma_clean(self):
+        # equal channels -> constant chroma: subsampling loses nothing
+        x = np.linspace(10, 240, 50)
+        base = np.clip(np.round(np.add.outer(x, x * 0.2)), 0, 255).astype(np.uint8)
+        img = np.stack([base] * 3, axis=-1)
+        d = ycbcr_to_rgb(decode_jpeg(encode_jpeg(img, 95, subsampling="420")))
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 2
+
+    def test_420_with_restart_markers(self):
+        img = self._color()
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, 90, subsampling="420", restart_interval=2)),
+            decode_jpeg(encode_jpeg(img, 90, subsampling="420")),
+        )
+
+    def test_420_odd_dimensions(self):
+        img = self._color(33)  # 33x33: odd vs both the MCU and chroma grids
+        d = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+        assert d.shape == (33, 33, 3)
+
+    def test_tiff_writer_420_passthrough(self):
+        img = self._color(64)
+        rast = RasterImage(
+            bands=np.moveaxis(img, -1, 0),
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+            epsg=4326,
+            nodata=None,
+        )
+        d444 = write_tiff([rast], compression="jpeg", jpeg_quality=90)
+        d420 = write_tiff(
+            [rast], compression="jpeg", jpeg_quality=90, jpeg_subsampling="420"
+        )
+        assert len(d420) < len(d444)
+        out = read_tiff(d420)[0]
+        assert np.abs(out.bands.astype(int) - rast.bands.astype(int)).max() <= 20
