@@ -565,6 +565,132 @@ def bigram_logprob_sql(
     """
 
 
+def kneser_ney_logprob(
+    docs: DataFrame,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM defaults to) — the proper counterpart to the
+    Jelinek–Mercer :func:`bigram_logprob`:
+
+        p(w | u) = max(c(uw) - D, 0) / c(u·)  +  lam(u) · p_cont(w)
+        lam(u)   = D · N1+(u·) / c(u·)
+        p_cont(w)= N1+(·w) / N1+(··)
+
+    with c(u·) the left-context total, N1+ the distinct-continuation
+    counts, D = ``discount``.  First tokens (no left context) are scored
+    by the corpus unigram MLE, as in :func:`bigram_logprob`.  Trained and
+    scored on the same corpus, every scored bigram has c(uw) >= 1, so the
+    first term keeps the log finite for D < 1.
+
+    Same shuffle budget as the JM scorer: n-gram count aggregations
+    (map-side combined) + a join back on the bigram key; the context and
+    continuation tables are vocabulary-sized; all counts are integers so
+    the DuckDB oracle recomputes the identical model.
+    """
+    D = float(discount)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    bi_stream = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("i", "bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bi = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = bi.groupBy("prev").agg(
+        F.sum("c2").alias("c_u"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bi.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_back"))
+    n_bi = bi.agg(F.count(F.lit(1)).cast("double").alias("n_bi"))
+    first = (
+        toks.select("doc_id", F.element_at("t", 1).alias("term"))
+        .join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (F.log(F.col("c1")) - F.log("n_total")).alias("lp"))
+    )
+    scored = (
+        bi_stream.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(cont, "cur")
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "doc_id",
+            F.log(
+                F.greatest(F.col("c2") - D, F.lit(0.0)) / F.col("c_u")
+                + (D * F.col("n1p_fwd") / F.col("c_u"))
+                * (F.col("n1p_back") / F.col("n_bi"))
+            ).alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(scored)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.round(-F.avg("lp"), 4).alias("mean_nll"),
+        )
+    )
+
+
+def kneser_ney_logprob_sql(
+    table: str = "documents",
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
+    terms AS (SELECT doc_id, u.term AS term FROM nonempty, UNNEST(t) AS u(term)),
+    uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY term),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
+    bi_stream AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM nonempty, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bi AS (SELECT prev, cur, count(*) AS c2 FROM bi_stream GROUP BY prev, cur),
+    ctx AS (SELECT prev, CAST(sum(c2) AS DOUBLE) AS c_u, count(*) AS n1p_fwd
+            FROM bi GROUP BY prev),
+    cont AS (SELECT cur, count(*) AS n1p_back FROM bi GROUP BY cur),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bi),
+    first_tok AS (
+      SELECT doc_id, ln(c1) - ln(n_total) AS lp
+      FROM (SELECT doc_id, t[1] AS term FROM nonempty) f
+      JOIN uni USING (term), tot
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             ln(greatest(b.c2 - {discount}, 0) / x.c_u
+                + ({discount} * x.n1p_fwd / x.c_u) * (k.n1p_back / nb.n_bi)) AS lp
+      FROM bi_stream s
+      JOIN bi b ON s.prev = b.prev AND s.cur = b.cur
+      JOIN ctx x ON x.prev = s.prev
+      JOIN cont k ON k.cur = s.cur
+      CROSS JOIN nb
+    ),
+    allx AS (SELECT * FROM first_tok UNION ALL SELECT * FROM scored)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(-avg(lp), 4) AS mean_nll
+    FROM allx
+    GROUP BY doc_id
+    """
+
+
 # ---------------------------------------------------------- decontamination
 
 

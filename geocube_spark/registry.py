@@ -1881,6 +1881,8 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     document_chunks_sql,
     hybrid_rrf,
     hybrid_rrf_sql,
+    kneser_ney_logprob,
+    kneser_ney_logprob_sql,
     unigram_logprob,
     unigram_logprob_sql,
 )
@@ -4894,6 +4896,14 @@ from geocube_spark.operators.pipeline import (  # noqa: E402
     stratified_sample,
     token_budget_report,
 )
+
+
+# Kneser–Ney bigram LM (the smoothing KenLM defaults to): continuation-
+# count backoff with absolute discounting — exact integer-count model,
+# oracle recomputes it bit-for-bit (operators/retrieval.py).
+@q("kneser_ney_logprob", kneser_ney_logprob_sql(discount=0.75))
+def kneser_ney_logprob_q(spark, sf_dir):
+    return kneser_ney_logprob(_docs(spark, sf_dir), discount=0.75)
 
 
 # Distributed BPE training (Sennrich et al. 2016): word-frequency table +

@@ -201,3 +201,46 @@ class TestHistogramEqualize:
         assert out["px_eq"][0] == 0.0
         assert out["px_eq"][-1] == 15.0
         assert out["px_eq"] == sorted(out["px_eq"])
+
+
+class TestKneserNey:
+    def test_matches_duckdb_oracle(self, docs, duck):
+        from geocube_spark.operators.retrieval import (
+            kneser_ney_logprob,
+            kneser_ney_logprob_sql,
+        )
+
+        got = {
+            r["doc_id"]: (r["n_scored"], r["mean_nll"])
+            for r in kneser_ney_logprob(docs).collect()
+        }
+        want = {
+            d: (n, m)
+            for d, n, m in duck.sql(kneser_ney_logprob_sql()).fetchall()
+        }
+        assert got == want
+
+    def test_continuation_probability_effect(self, spark):
+        from geocube_spark.operators.retrieval import kneser_ney_logprob
+
+        # 'of the' is frequent but 'the' follows MANY contexts, while
+        # 'francisco' only ever follows 'san' — the classic KN example:
+        # a doc pairing 'san' with a NEW continuation is penalized more
+        # than frequency alone would suggest.  Here: token 'b' follows
+        # many contexts, token 'z' only one; p_cont(b) >> p_cont(z).
+        rows = [(i, f"w{i} b") for i in range(10)] + [(90, "q z"), (91, "q z")]
+        # scored doc: same left context 'q', continuations b vs z
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = kneser_ney_logprob(df).collect()
+        assert all(r["mean_nll"] is not None for r in out)
+
+    def test_finite_scores_on_own_corpus(self, spark):
+        import math
+
+        from geocube_spark.operators.retrieval import kneser_ney_logprob
+
+        df = spark.createDataFrame(
+            [(1, "a b a c"), (2, "b a"), (3, "c")], "doc_id long, text string"
+        )
+        for r in kneser_ney_logprob(df).collect():
+            assert math.isfinite(r["mean_nll"])
