@@ -912,3 +912,60 @@ def semantic_dedup(
         F.col(cluster_col).cast("long").alias("cluster"),
     )
     return prepped.groupBy("cluster").applyInPandas(cluster_kernel, out_schema)
+
+
+# ----------------------------------------------------- hard-negative mining
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    anchor_pred,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each anchor
+    (rows matching ``anchor_pred``), the ``k`` most cosine-similar corpus
+    vectors with a DIFFERENT label — the highest-loss negatives a
+    contrastive/triplet objective wants (public recipe: in-batch/ANN hard
+    negative mining, e.g. Xiong et al. 2021 ANCE).
+
+    Plan: the anchor batch broadcasts (mining runs in anchor batches — the
+    anchor set is bounded by construction, like query vectors in
+    ``pairwise_topk_join``); scoring is one narrow pass over the corpus,
+    O(n·|anchors|) JVM-side cosines with NO shuffle of the corpus; the
+    per-anchor top-k is a window over the scored stream.  Corpus-wide
+    all-anchor mining swaps the broadcast for the LSH/IVF bucket join
+    (same candidate generators as the near-dup family) and keeps this
+    ranking tail.
+
+    Ranks are engine-independent: decided on the 6-dp-rounded cosine with
+    (anchor_id, vec_id) tie-breaks.
+    """
+    from pyspark.sql import Window
+
+    anchors = embeddings.filter(anchor_pred).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("anchor_vec"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(anchors))
+        .filter(F.col(label_col) != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col(id_col).alias("negative_id"),
+            F.round(
+                cosine_expr(F.col(vec_col), F.col("anchor_vec")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "score", "rank")
+    )

@@ -1290,6 +1290,35 @@ def embedding_near_dup_exact(spark, sf_dir):
     )
 
 
+# Hard-negative mining (ANCE-style): per anchor, top-k most-similar
+# DIFFERENT-label vectors — broadcast anchor batch, one corpus pass,
+# windowed rank on the 6-dp-rounded cosine.  Exact SQL twin.
+@q(
+    "hard_negative_mining",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+                        AS embedding, label FROM embeddings),
+    a AS (SELECT vec_id AS anchor_id, embedding AS av, label AS al
+          FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id,
+             round({cosine_sql('e.embedding', 'a.av')}, 6) AS score
+      FROM e JOIN a ON e.label != a.al
+    ),
+    ranked AS (
+      SELECT anchor_id, negative_id, score,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY score DESC, negative_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, negative_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    return sim.hard_negatives(_emb(spark, sf_dir), F.col("vec_id") < 8, k=5)
+
+
 # SemDeDup (Abbas et al. 2023): within-cluster cosine dedup, keep-lowest-id.
 # Cluster input = the fixture label column (at corpus scale: the IVF coarse
 # quantizer); fixture vectors are near-orthogonal so the threshold is set

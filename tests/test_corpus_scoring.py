@@ -244,3 +244,33 @@ class TestKneserNey:
         )
         for r in kneser_ney_logprob(df).collect():
             assert math.isfinite(r["mean_nll"])
+
+
+class TestHardNegatives:
+    def test_excludes_same_label_and_ranks(self, spark):
+        from geocube_spark.operators.similarity import hard_negatives
+
+        e = spark.createDataFrame(
+            [
+                (0, [1.0, 0.0], 0),          # anchor
+                (1, [0.99, 0.1], 0),         # same label: excluded
+                (2, [0.9, 0.2], 1),          # hardest negative
+                (3, [0.0, 1.0], 1),          # easy negative
+                (4, [0.8, 0.3], 2),          # second-hardest
+            ],
+            "vec_id long, embedding array<double>, label int",
+        )
+        rows = hard_negatives(e, F.col("vec_id") == 0, k=2).collect()
+        assert [(r["negative_id"], r["rank"]) for r in rows] == [(2, 1), (4, 2)]
+        assert all(r["anchor_id"] == 0 for r in rows)
+
+    def test_anchor_never_its_own_negative(self, spark):
+        from geocube_spark.operators.similarity import hard_negatives
+
+        e = spark.createDataFrame(
+            [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 1)],
+            "vec_id long, embedding array<double>, label int",
+        )
+        rows = hard_negatives(e, F.col("vec_id").isin(0, 1), k=3).collect()
+        for r in rows:
+            assert r["anchor_id"] != r["negative_id"]
