@@ -305,3 +305,79 @@ class TestSubsampling420:
         assert len(d420) < len(d444)
         out = read_tiff(d420)[0]
         assert np.abs(out.bands.astype(int) - rast.bands.astype(int)).max() <= 20
+
+
+class TestJpegIngestE2E:
+    def test_jpeg_cog_validates_clean(self, spark, tmp_path):
+        """External JPEG COG -> binaryFile -> tile rows -> S4 validation
+        against a matching dataset row: zero problems (the same e2e the
+        LZW/deflate codecs have)."""
+        from geocube_spark.sources.ingest import (
+            ingest_tiff_files,
+            validate_datasets_against_tiles,
+        )
+
+        x = np.linspace(20, 200, 64)
+        arr = np.clip(np.round(np.add.outer(x, x * 0.1)), 0, 255).astype(np.uint8)
+        img = RasterImage(
+            bands=arr[None],
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 640.0),
+            epsg=32631,
+            nodata=None,
+        )
+        p = tmp_path / "ext_jpeg.tif"
+        p.write_bytes(
+            write_tiff([img], tile_size=(32, 32), compression="jpeg",
+                       jpeg_quality=95)
+        )
+        binary = spark.read.format("binaryFile").load(str(p))
+        tiles = ingest_tiff_files(binary)
+        assert tiles.count() == 4
+        uri = tiles.first()["container_uri"]
+        datasets = spark.createDataFrame(
+            [
+                {
+                    "id": "ds-jpeg-1",
+                    "container_uri": uri,
+                    "bands": [1],
+                    "dmapping": {
+                        "dtype": "UInt8",
+                        "no_data": float("nan"),
+                        "min_value": 0.0,
+                        "max_value": 255.0,
+                        "real_min_value": 0.0,
+                        "real_max_value": 1.0,
+                        "exponent": 1.0,
+                    },
+                }
+            ]
+        )
+        problems = validate_datasets_against_tiles(datasets, tiles)
+        assert problems.count() == 0
+
+
+class TestFuzzRobustness:
+    def test_mutated_streams_raise_cleanly(self):
+        """Bit-flipped JPEG streams must fail with an exception (or decode
+        to SOMETHING) — never hang; the decoder has no unbounded loops."""
+        rng = np.random.RandomState(11)
+        img = np.clip(
+            np.round(np.add.outer(np.linspace(5, 250, 24), np.zeros(24))), 0, 255
+        ).astype(np.uint8)
+        base = bytearray(encode_jpeg(img, 85))
+        for _ in range(60):
+            s = bytearray(base)
+            for _ in range(rng.randint(1, 4)):
+                s[rng.randint(2, len(s))] ^= 1 << rng.randint(8)
+            try:
+                out = decode_jpeg(bytes(s))
+                assert out.shape[0] > 0
+            except Exception:
+                pass  # clean failure is acceptable; hanging is not
+
+    def test_truncated_streams_raise(self):
+        img = np.full((16, 16), 77, np.uint8)
+        full = encode_jpeg(img, 85)
+        for cut in (1, 4, len(full) // 2, len(full) - 3):
+            with pytest.raises(Exception):
+                decode_jpeg(full[:cut])
