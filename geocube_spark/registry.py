@@ -3541,6 +3541,63 @@ def band_normalized_difference(spark, sf_dir):
     )
 
 
+# Space-filling-curve indexing (layout tools for 100 TB file-skipping):
+# geohash cell occupancy of the dataset bbox centers, plus the Morton
+# (Z-order) key of each dataset's coarse grid cell — both closed-form
+# bit arithmetic with exact SQL twins (functions/spatialkeys.py).
+from geocube_spark.functions.spatialkeys import (  # noqa: E402
+    geohash_expr,
+    geohash_sql,
+    zorder_expr,
+    zorder_sql,
+)
+
+
+@q(
+    "geohash_spatial_index",
+    f"""
+    WITH d AS (
+        SELECT (bbox.xmin + bbox.xmax) / 2 AS cx,
+               (bbox.ymin + bbox.ymax) / 2 AS cy,
+               CAST(floor((bbox.xmin + 180) / 0.5) AS BIGINT) AS gx,
+               CAST(floor((bbox.ymin + 90) / 0.5) AS BIGINT) AS gy
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    ),
+    keyed AS (
+        SELECT {geohash_sql('cx', 'cy', 5)} AS geohash,
+               {zorder_sql('gx', 'gy', 10)} AS z_key
+        FROM d
+    )
+    SELECT geohash,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           CAST(min(z_key) AS BIGINT) AS z_min,
+           CAST(max(z_key) AS BIGINT) AS z_max
+    FROM keyed GROUP BY geohash ORDER BY geohash
+    """,
+)
+def geohash_spatial_index(spark, sf_dir):
+    fd = ensure_fixtures()
+    d = spark.read.parquet(f"{fd}/datasets.parquet").select(
+        ((F.col("bbox.xmin") + F.col("bbox.xmax")) / 2).alias("cx"),
+        ((F.col("bbox.ymin") + F.col("bbox.ymax")) / 2).alias("cy"),
+        F.floor((F.col("bbox.xmin") + 180) / 0.5).cast("long").alias("gx"),
+        F.floor((F.col("bbox.ymin") + 90) / 0.5).cast("long").alias("gy"),
+    )
+    keyed = d.select(
+        geohash_expr(F.col("cx"), F.col("cy"), 5).alias("geohash"),
+        zorder_expr(F.col("gx"), F.col("gy"), 10).alias("z_key"),
+    )
+    return (
+        keyed.groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_datasets"),
+            F.min("z_key").cast("long").alias("z_min"),
+            F.max("z_key").cast("long").alias("z_max"),
+        )
+        .orderBy("geohash")
+    )
+
+
 # Brovey pansharpening (R2/A12 companion): three deterministic MS bands +
 # a pan band derived from the fixture px, ratio-scaled per pixel with pure
 # nested zip_with (operators/algebra.pansharpen_brovey); oracle replays

@@ -255,3 +255,63 @@ def test_clamp_below_dtype():
     out = cast_numpy(np.array([-5000.0]), src, dst)
     assert out.tolist() == [0.0]
     assert math.isfinite(out[0])
+
+
+class TestSpatialKeys:
+    def test_geohash_known_vectors(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import geohash_expr
+
+        df = spark.createDataFrame(
+            [(10.40744, 57.64911), (-0.1278, 51.5074), (0.0, 0.0)],
+            "lon double, lat double",
+        )
+        got = [
+            r["gh"]
+            for r in df.select(
+                geohash_expr(F.col("lon"), F.col("lat"), 6).alias("gh")
+            ).collect()
+        ]
+        # canonical public vectors: Jutland lighthouse, London, null island
+        assert got == ["u4pruy", "gcpvj0", "s00000"]
+
+    def test_zorder_interleave(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import zorder_expr
+
+        row = spark.range(1).select(
+            zorder_expr(F.lit(3), F.lit(5), 4).alias("a"),
+            zorder_expr(F.lit(0), F.lit(0), 8).alias("b"),
+            zorder_expr(F.lit(255), F.lit(255), 8).alias("c"),
+        ).first()
+        assert row["a"] == 0b100111  # x=011, y=101 interleaved
+        assert row["b"] == 0
+        assert row["c"] == 0xFFFF
+
+    def test_zorder_aligned_quadrants_are_contiguous(self, spark):
+        """The layout property that matters for range reads: every
+        2^k-aligned quadrant occupies EXACTLY one contiguous key range of
+        length 4^k — a 2D box scan touches whole byte ranges, not
+        scattered rows (row-major numbering scatters it across n rows)."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import zorder_expr
+
+        n = 16
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(n) for y in range(n)], "x int, y int"
+        ).select("x", "y", zorder_expr(F.col("x"), F.col("y"), 4).alias("z"))
+        for (x0, y0, k) in ((4, 8, 4), (0, 0, 8), (12, 4, 4), (8, 8, 8)):
+            q = grid.filter(
+                F.col("x").between(x0, x0 + k - 1)
+                & F.col("y").between(y0, y0 + k - 1)
+            )
+            row = q.agg(
+                F.min("z").alias("lo"),
+                F.max("z").alias("hi"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            assert row["n"] == k * k
+            assert row["hi"] - row["lo"] + 1 == k * k, (x0, y0, k)
