@@ -63,9 +63,17 @@ class Catalog:
     write of the same table.
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, retain_versions: int = 1):
+        """``retain_versions`` > 1 keeps that many newest committed versions
+        (commit file + snapshot dir) alive for TIME TRAVEL — Delta-style
+        ``read(name, version=N)`` / ``history(name)``; older versions are
+        garbage-collected by the next write as before.  The default 1
+        retains only the current version (the pre-time-travel behavior)."""
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
         self.spark = spark
         self.root = root.rstrip("/")
+        self.retain_versions = int(retain_versions)
 
     def path(self, name: str) -> str:
         """Legacy/bootstrap location (version 0): a bare parquet dataset laid
@@ -119,11 +127,48 @@ class Catalog:
         if os.path.exists(backup) and not os.path.exists(target):
             os.rename(backup, target)
 
-    def read(self, name: str) -> DataFrame:
-        cur = self._current(name)
-        if cur is None:
-            raise FileNotFoundError(f"catalog table {name!r} does not exist")
-        return self.spark.read.parquet(cur[1])
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Read the current table, or — with ``version`` — a RETAINED past
+        version (time travel).  A version the GC already swept (older than
+        ``retain_versions`` writes ago) raises with the retained range."""
+        import json
+
+        if version is None:
+            cur = self._current(name)
+            if cur is None:
+                raise FileNotFoundError(f"catalog table {name!r} does not exist")
+            return self.spark.read.parquet(cur[1])
+        for v, cpath in self._commits(name):
+            if v == version:
+                with open(cpath) as fh:
+                    rec = json.load(fh)
+                return self.spark.read.parquet(
+                    f"{self._data_dir(name)}/{rec['dir']}"
+                )
+        if version == 0 and os.path.exists(self.path(name)):
+            return self.spark.read.parquet(self.path(name))
+        retained = [v for v, _ in self._commits(name)]
+        raise FileNotFoundError(
+            f"catalog table {name!r} has no retained version {version} "
+            f"(retained: {retained or '[]'} — raise retain_versions to keep "
+            "more history)"
+        )
+
+    def history(self, name: str) -> DataFrame:
+        """Retained commit history, newest first: (version, ts, dir) —
+        the ``DESCRIBE HISTORY`` surface of the commit log."""
+        import json
+
+        rows = []
+        for v, cpath in self._commits(name):
+            with open(cpath) as fh:
+                rec = json.load(fh)
+            rows.append((v, float(rec.get("ts", 0.0)), rec["dir"]))
+        if not rows and os.path.exists(self.path(name)):
+            rows = [(0, 0.0, self.path(name))]
+        return self.spark.createDataFrame(
+            sorted(rows, reverse=True), "version long, ts double, dir string"
+        )
 
     def exists(self, name: str) -> bool:
         return self._current(name) is not None
@@ -226,23 +271,33 @@ class Catalog:
             raise RuntimeError(f"catalog commit contention on table {name!r}")
 
         # post-commit GC (crash-safe: everything below is already invisible).
-        # Only dirs referenced by commits we supersede are removed eagerly;
-        # an unreferenced dir might be a CONCURRENT writer's snapshot racing
-        # toward its own commit, so orphans are swept by age instead.
+        # The newest ``retain_versions`` commits (incl. this one) survive for
+        # time travel; only dirs referenced by commits BEYOND that horizon
+        # are removed eagerly.  An unreferenced dir might be a CONCURRENT
+        # writer's snapshot racing toward its own commit, so orphans are
+        # swept by age instead.
+        horizon = version - self.retain_versions  # GC commits with v <= horizon
+        retained_dirs: set[str] = {snap}
         superseded: set[str] = set()
         for v, cpath in self._commits(name):
-            if v < version:
+            try:
+                with open(cpath) as fh:
+                    d = json.load(fh)["dir"]
+            except OSError:  # pragma: no cover
+                continue
+            if v <= horizon:
+                superseded.add(d)
                 try:
-                    with open(cpath) as fh:
-                        superseded.add(json.load(fh)["dir"])
                     os.remove(cpath)
                 except OSError:  # pragma: no cover
                     pass
-        for entry in superseded - {snap}:
+            else:
+                retained_dirs.add(d)
+        for entry in superseded - retained_dirs:
             shutil.rmtree(f"{data_dir}/{entry}", ignore_errors=True)
         now = time.time()
         for entry in os.listdir(data_dir):
-            if entry == snap:
+            if entry in retained_dirs:
                 continue
             p = f"{data_dir}/{entry}"
             try:

@@ -266,3 +266,66 @@ class TestCatalogCompaction:
 
         with _pytest.raises(FileNotFoundError):
             Catalog(spark, str(tmp_path)).compact("nope")
+
+
+class TestTimeTravel:
+    """Catalog version retention: Delta-style read(version=) / history()."""
+
+    def test_read_past_versions(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path), retain_versions=3)
+        for n in (10, 20, 30):
+            cat.write("t", spark.range(n).coalesce(1))
+        assert cat.read("t").count() == 30
+        assert cat.read("t", version=2).count() == 20
+        assert cat.read("t", version=1).count() == 10
+
+    def test_gc_beyond_horizon_raises(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path), retain_versions=2)
+        for n in (1, 2, 3, 4):
+            cat.write("t", spark.range(n).coalesce(1))
+        # versions 1 and 2 are beyond the 2-version horizon: swept
+        with pytest.raises(FileNotFoundError, match="retained"):
+            cat.read("t", version=1)
+        assert cat.read("t", version=3).count() == 3
+        assert cat.read("t", version=4).count() == 4
+
+    def test_retained_snapshot_dirs_survive_age_sweep(self, spark, tmp_path, monkeypatch):
+        import os
+        import time as _time
+
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path), retain_versions=2)
+        cat.write("t", spark.range(5).coalesce(1))
+        # age the v1 snapshot dir past the orphan-sweep threshold
+        ddir = cat._data_dir("t")
+        for entry in os.listdir(ddir):
+            old = _time.time() - 7200
+            os.utime(f"{ddir}/{entry}", (old, old))
+        cat.write("t", spark.range(6).coalesce(1))
+        # v1 is RETAINED (horizon = 2): the age sweep must not eat it
+        assert cat.read("t", version=1).count() == 5
+
+    def test_history_newest_first(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path), retain_versions=4)
+        for n in (1, 2, 3):
+            cat.write("t", spark.range(n).coalesce(1))
+        hist = cat.history("t").collect()
+        assert [r["version"] for r in hist] == [3, 2, 1]
+        assert all(r["dir"].startswith("v") for r in hist)
+
+    def test_default_retention_keeps_only_current(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))  # retain_versions=1
+        cat.write("t", spark.range(1).coalesce(1))
+        cat.write("t", spark.range(2).coalesce(1))
+        with pytest.raises(FileNotFoundError):
+            cat.read("t", version=1)
+        assert cat.read("t").count() == 2
