@@ -795,6 +795,51 @@ def tpch_q18(spark, sf_dir):
     )
 
 
+# Catalog time travel (Delta-style read-as-of over the commit log):
+# two committed versions of a scratch table, read back by version + the
+# history surface.  The lifecycle is deterministic, so the oracle is the
+# fixed invariant tuple (S2 storage-management family).
+@q(
+    "catalog_time_travel",
+    """
+    SELECT CAST(10 AS BIGINT) AS v1_rows,
+           CAST(20 AS BIGINT) AS v2_rows,
+           CAST(20 AS BIGINT) AS current_rows,
+           CAST(2 AS BIGINT) AS n_versions,
+           CAST(2 AS BIGINT) AS newest_version
+    """,
+)
+def catalog_time_travel(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from geocube_spark.functions.localdf import values_df
+    from geocube_spark.sources.catalog import Catalog
+
+    root = tempfile.mkdtemp(prefix="ttcat_")
+    try:
+        cat = Catalog(spark, root, retain_versions=4)
+        cat.write("t", spark.range(10).coalesce(1))
+        cat.write("t", spark.range(20).coalesce(1))
+        hist = cat.history("t").collect()
+        row = (
+            cat.read("t", version=1).count(),
+            cat.read("t", version=2).count(),
+            cat.read("t").count(),
+            len(hist),
+            int(hist[0]["version"]),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return values_df(
+        spark,
+        [row],
+        ["v1_rows", "v2_rows", "current_rows", "n_versions", "newest_version"],
+    ).select(*[F.col(c).cast("long") for c in (
+        "v1_rows", "v2_rows", "current_rows", "n_versions", "newest_version"
+    )])
+
+
 # The remaining TPC-H query SHAPES, adapted to the driver's trimmed
 # schemas (no partsupp table; no l_shipmode/commitdate/receiptdate,
 # p_container, c_phone columns — q2/q11 are genuinely inexpressible
