@@ -2775,6 +2775,47 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
+# Trending top-k per day (batch twin of streaming/jobs.run_trending_stream —
+# the UPDATE-mode merge + read-side rank is stream==batch tested in
+# tests/test_streaming_ops.py; this oracle-checks the ranking semantics).
+@q(
+    "events_trending_topk",
+    """
+    WITH counts AS (
+      SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+             CAST(n_events AS BIGINT) AS n_events,
+             row_number() OVER (PARTITION BY d
+                                ORDER BY n_events DESC, event_type) AS rank
+      FROM counts
+    )
+    SELECT day, event_type, n_events, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def events_trending_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir)
+    counts = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("d").orderBy(F.col("n_events").desc(), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.col("n_events").cast("long"),
+            "rank",
+        )
+    )
+
+
 @q(
     "events_latest_per_user",
     """

@@ -449,3 +449,106 @@ def run_task_queue_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_topk_batch(
+    events: DataFrame, window: str = "1 hour", k: int = 3
+) -> DataFrame:
+    """Batch twin of the trending-terms stream: per tumbling window, the
+    top-``k`` event types by count (ties broken by type name)."""
+    from pyspark.sql import Window
+
+    counts = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("win").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rank",
+        )
+    )
+
+
+def run_trending_stream(
+    spark: SparkSession,
+    events_path: str,
+    counts_dir: str,
+    checkpoint: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+):
+    """Streaming trending: windowed counts in UPDATE mode, merged by key
+    into a commit-log table per micro-batch.
+
+    Update-mode rows carry the LATEST cumulative count for each touched
+    (window, event_type) group, so the merge is replace-by-key — naturally
+    idempotent under foreachBatch's at-least-once replay (replaying a
+    batch rewrites the same keys with the same values).  The top-k rank is
+    computed ON READ over the merged counts (:func:`trending_topk_from`),
+    so late data reorders a window's ranking correctly instead of
+    freezing a stale one.  State in the agg is bounded by the watermark;
+    the merged table is bounded by (windows x types).
+    """
+    from geocube_spark.sources.catalog import Catalog
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+    cat = Catalog(spark, counts_dir)
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.localCheckpoint()
+        if cat.exists("trending_counts"):
+            cur = cat.read("trending_counts")
+            keep = cur.join(
+                batch.select("window_start", "event_type"),
+                ["window_start", "event_type"],
+                "left_anti",
+            )
+            merged = keep.unionByName(batch)
+        else:
+            merged = batch
+        cat.write("trending_counts", merged.coalesce(1))
+
+    return (
+        counts.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def trending_topk_from(spark: SparkSession, counts_dir: str, k: int = 3) -> DataFrame:
+    """Rank the stream-merged counts table: the read-side of the trending
+    pipeline (same output schema as :func:`trending_topk_batch`)."""
+    from pyspark.sql import Window
+
+    from geocube_spark.sources.catalog import Catalog
+
+    counts = Catalog(spark, counts_dir).read("trending_counts")
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "event_type", "n_events", "rank")
+    )

@@ -473,3 +473,46 @@ class TestCatalogStreamSink:
         sink(spark.range(10).withColumnRenamed("id", "k"), 0)
         sink(spark.range(3).withColumnRenamed("id", "k"), 1)
         assert cat.read("t").count() == 3
+
+
+class TestTrendingStream:
+    def test_stream_matches_batch_across_incremental_chunks(self, spark, tmp_path):
+        """Replay events in two chunks through the UPDATE-mode trending
+        stream; the merged read-side ranking must equal the batch twin on
+        the full data — including windows whose ranking the second chunk
+        REORDERED."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.streaming.jobs import (
+            run_trending_stream,
+            trending_topk_batch,
+            trending_topk_from,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        path = str(tmp_path / "landing")
+        counts_dir = str(tmp_path / "cat")
+        ckpt = str(tmp_path / "ckpt")
+        half = events.filter(F.col("event_id") % 2 == 0)
+        rest = events.filter(F.col("event_id") % 2 == 1)
+        half.write.mode("append").parquet(path)
+        q = run_trending_stream(
+            spark, path, counts_dir, ckpt, window="24 hours", watermark="365 days"
+        )
+        q.awaitTermination(120)
+        rest.write.mode("append").parquet(path)
+        q = run_trending_stream(
+            spark, path, counts_dir, ckpt, window="24 hours", watermark="365 days"
+        )
+        q.awaitTermination(120)
+
+        got = {
+            (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+            for r in trending_topk_from(spark, counts_dir, k=3).collect()
+        }
+        want = {
+            (r["window_start"], r["rank"]): (r["event_type"], r["n_events"])
+            for r in trending_topk_batch(events, window="24 hours", k=3).collect()
+        }
+        assert got == want
+        assert len(want) > 0
