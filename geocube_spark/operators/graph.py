@@ -1,0 +1,124 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+Companion to the connected-components dedup clustering
+(operators/dedup.py): PageRank via the standard power iteration
+(Brin & Page 1998 formulation with uniform teleport and dangling-mass
+redistribution), expressed as pure DataFrame algebra:
+
+    r'(v) = (1-d)/N + d * ( sum_{u->v} r(u)/deg(u) + dangling/N )
+
+Each round is one join (edges x ranks on src), one groupBy(dst) sum, and
+two 1-row aggregates (dangling mass, completeness) — O(edges) shuffle per
+round, the canonical distributed plan.  Lineage is cut per round with an
+eager localCheckpoint (the dedup_components/BPE discipline), so R rounds
+stay R linear jobs instead of an exponential DAG.
+
+A fixed iteration count keeps the result exactly recomputable: the DuckDB
+oracle replays the identical R rounds as generated CTEs (the same
+code-generated-SQL trick as the BPE trainer), matching bit-for-bit after
+6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """R rounds of power iteration over a directed edge list.  Returns
+    (node, rank) for every node appearing as src or dst.  Ranks sum to 1
+    every round (dangling mass is redistributed uniformly)."""
+    d = float(damping)
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # a scalar the plan needs as a literal anyway
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree per node (0 for dangling), checkpointed once: every round
+    # joins against it
+    nd = (
+        nodes.join(deg, nodes["node"] == deg["src"], "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
+        .localCheckpoint()
+    )
+    ranks = nd.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        ranks = ranks.localCheckpoint()
+        dangling = ranks.filter(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nd.join(contrib, nd["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.lit((1.0 - d) / n_nodes)
+                    + d
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dm") / n_nodes
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")
+
+
+def pagerank_sql(
+    edges_sql: str,
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> str:
+    """DuckDB twin: the same R rounds as generated CTEs.  ``edges_sql``
+    must yield columns (src, dst)."""
+    d = float(damping)
+    ctes = [
+        f"e AS ({edges_sql})",
+        """nodes AS (
+      SELECT DISTINCT node FROM (SELECT src AS node FROM e
+                                 UNION SELECT dst AS node FROM e)
+    )""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        """nd AS (
+      SELECT nodes.node, COALESCE(o.deg, 0) AS deg
+      FROM nodes LEFT JOIN (SELECT src, count(*) AS deg FROM e GROUP BY src) o
+        ON o.src = nodes.node
+    )""",
+        "r0 AS (SELECT node, deg, 1.0 / nn.n AS rank FROM nd, nn)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""dm{i} AS (SELECT COALESCE(sum(rank), 0) AS dm FROM r{p} WHERE deg = 0),
+    c{i} AS (
+      SELECT e.dst, sum(r.rank / r.deg) AS inflow
+      FROM e JOIN r{p} r ON r.node = e.src GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nd.node, nd.deg,
+             (1.0 - {d}) / nn.n + {d} * (COALESCE(c{i}.inflow, 0) + dm{i}.dm / nn.n)
+               AS rank
+      FROM nd LEFT JOIN c{i} ON c{i}.dst = nd.node, nn, dm{i}
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\n    SELECT node, rank FROM r{iterations}"

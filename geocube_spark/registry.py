@@ -795,6 +795,47 @@ def tpch_q18(spark, sf_dir):
     )
 
 
+# PageRank (5 power-iteration rounds, dangling-mass redistribution) over
+# the customer->supplier purchase graph — the iterative-graph companion to
+# dedup_components; oracle replays the identical rounds as generated CTEs
+# (operators/graph.py).
+_PR_EDGES_SQL = """
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+from geocube_spark.operators.graph import pagerank_sql  # noqa: E402
+
+
+@q(
+    "graph_pagerank",
+    "SELECT node, round(rank, 6) AS rank FROM (\n"
+    + pagerank_sql(_PR_EDGES_SQL, iterations=5)
+    + "\n) ORDER BY rank DESC, node LIMIT 20",
+)
+def graph_pagerank(spark, sf_dir):
+    from geocube_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+    )
+
+
 # Catalog time travel (Delta-style read-as-of over the commit log):
 # two committed versions of a scratch table, read back by version + the
 # history surface.  The lifecycle is deterministic, so the oracle is the

@@ -118,3 +118,59 @@ def test_salted_power_law_hub(spark):
     out = connected_components(df, salt_buckets=8).collect()
     assert {r["component"] for r in out} == {0}
     assert all(r["component_size"] == len(out) for r in out)
+
+
+class TestPageRank:
+    def test_two_node_cycle_uniform(self, spark):
+        from geocube_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(e, iterations=10).collect()}
+        assert abs(out["a"] - 0.5) < 1e-9 and abs(out["b"] - 0.5) < 1e-9
+
+    def test_ranks_sum_to_one_with_dangling(self, spark):
+        from geocube_spark.operators.graph import pagerank
+
+        # 'c' is dangling (no out-edges): its mass must be redistributed,
+        # keeping the total at 1 every round
+        e = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c")], "src string, dst string"
+        )
+        rows = pagerank(e, iterations=7).collect()
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+    def test_sink_outranks_source(self, spark):
+        from geocube_spark.operators.graph import pagerank
+
+        # star into 'hub': the hub accumulates rank
+        e = spark.createDataFrame(
+            [(f"u{i}", "hub") for i in range(5)], "src string, dst string"
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(e, iterations=5).collect()}
+        assert out["hub"] > max(v for k, v in out.items() if k != "hub")
+
+    def test_matches_generated_sql_oracle(self, spark, duck):
+        from geocube_spark.operators.graph import pagerank, pagerank_sql
+
+        duck.execute(
+            "CREATE OR REPLACE VIEW pe AS SELECT * FROM (VALUES "
+            "('a','b'), ('b','c'), ('c','a'), ('a','c'), ('d','a')"
+            ") t(src, dst)"
+        )
+        want = {
+            n: round(r, 9)
+            for n, r in duck.sql(
+                pagerank_sql("SELECT src, dst FROM pe", iterations=4)
+            ).fetchall()
+        }
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: round(r["rank"], 9)
+            for r in pagerank(e, iterations=4).collect()
+        }
+        assert got == want
