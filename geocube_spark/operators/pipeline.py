@@ -341,3 +341,91 @@ def dsir_importance_sql(
     FROM doc_b d JOIN ratio r USING (bucket)
     GROUP BY d.doc_id
     """
+
+
+# ------------------------------------------- weighted deterministic sample
+
+
+def weighted_sample(
+    documents: DataFrame,
+    weight_col,
+    n: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis 2006 exponential-key method with the uniform drawn
+    from md5(key) instead of an RNG —
+
+        u   = (md5_53bit(key) + 1) / 2^53      in (0, 1]
+        s   = ln(u) / w                        (monotone twin of u^(1/w))
+
+    and the sample is the top-``n`` by s (larger-is-better; s <= 0).  A
+    doc's inclusion probability scales with its weight (quality score,
+    importance weight, ...), yet a retry, a different partition layout, or
+    a different engine draws the IDENTICAL sample — the resumable-pipeline
+    property every md5-threshold op in this module shares.
+
+    One narrow pass + a global top-n (TakeOrderedAndProject); no shuffle
+    of the corpus.  Ranking uses the 9-dp-rounded s with a key tie-break
+    so a last-ulp ln() difference between engines cannot flip the
+    frontier.  Weights must be > 0 (rows with w <= 0 are dropped — they
+    have probability 0).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / float(1 << 52)
+    s = F.round(F.log(u / 2.0) / weight_col, 9)
+    return (
+        documents.filter(weight_col > 0)
+        .withColumn("es_score", s)
+        .orderBy(F.col("es_score").desc(), F.col(key_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_sql(
+    weight_sql: str,
+    n: int,
+    table: str = "documents",
+    key_col: str = "doc_id",
+) -> str:
+    u = (
+        f"(CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 13)) "
+        f"AS BIGINT) + 1.0) / {float(1 << 52)}"
+    )
+    return f"""
+    SELECT * FROM (
+      SELECT *, round(ln(({u}) / 2.0) / ({weight_sql}), 9) AS es_score
+      FROM {table} WHERE ({weight_sql}) > 0
+    ) ORDER BY es_score DESC, {key_col} LIMIT {n}
+    """
+
+
+def curriculum_shards(
+    documents: DataFrame,
+    difficulty_col,
+    n_shards: int = 10,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum ordering: rank the corpus by a difficulty score and cut
+    it into ``n_shards`` equal NTILE shards (shard 1 = easiest) — the
+    data-ordering step of curriculum training.  Deterministic via the
+    (difficulty, key) sort; one global sort (the operation IS a sort at
+    any scale — range partitioning handles it distributed).
+    Returns per-shard stats: n_docs and the difficulty span.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(difficulty_col.asc(), F.col(key_col))
+    return (
+        documents.withColumn("shard", F.ntile(n_shards).over(w))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min(difficulty_col), 4).alias("min_difficulty"),
+            F.round(F.max(difficulty_col), 4).alias("max_difficulty"),
+        )
+        .orderBy("shard")
+    )

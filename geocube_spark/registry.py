@@ -5694,6 +5694,51 @@ def bpe_merges_q(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
 
 
+# Efraimidis–Spirakis weighted sampling: quality-weighted, deterministic
+# (md5-derived uniforms), exact cross-engine frontier via 9-dp-rounded
+# keys (operators/pipeline.weighted_sample).
+from geocube_spark.operators.pipeline import (  # noqa: E402
+    curriculum_shards,
+    weighted_sample,
+    weighted_sample_sql,
+)
+
+
+@q(
+    "quality_weighted_sample",
+    "SELECT doc_id, lang, source, es_score FROM ("
+    + weighted_sample_sql(quality_score_sql("text"), n=100)
+    + ")",
+)
+def quality_weighted_sample(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, quality_score(F.col("text")), n=100).select(
+        "doc_id", "lang", "source", "es_score"
+    )
+
+
+# Curriculum ordering: NTILE shards by difficulty (token count), per-shard
+# spans — the data-ordering step of curriculum training.
+@q(
+    "curriculum_shards",
+    f"""
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(d), 4) AS min_difficulty,
+           round(max(d), 4) AS max_difficulty
+    FROM (
+      SELECT ntile(10) OVER (ORDER BY d, doc_id) AS shard, d
+      FROM (SELECT doc_id, CAST({token_count_sql('text')} AS DOUBLE) AS d
+            FROM documents)
+    ) GROUP BY shard ORDER BY shard
+    """,
+)
+def curriculum_shards_q(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn(
+        "d", token_count(F.col("text")).cast("double")
+    )
+    return curriculum_shards(docs, F.col("d"), n_shards=10)
+
+
 # DSIR (Xie et al. 2023): hashed-ngram importance weights toward a target
 # domain slice — the corpus-resampling step of a pretraining data pipeline.
 # Exact MLE bucket models, md5 hashing shared with the oracle.

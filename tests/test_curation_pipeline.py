@@ -108,3 +108,64 @@ class TestMixtureZeroRowSource:
         }
         # balanced corpus + equal weights: nearly everything kept
         assert rep["src0"]["n_kept"] > 0 and rep["src1"]["n_kept"] > 0
+
+
+class TestWeightedSample:
+    def test_higher_weight_higher_inclusion(self, spark):
+        """Statistical sanity: with weight 10 vs 1 on two halves of the key
+        space, the heavy half dominates the sample."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import weighted_sample
+
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 1000, 10.0).otherwise(1.0).alias("w"),
+        )
+        out = weighted_sample(df, F.col("w"), n=200)
+        heavy = out.filter(F.col("doc_id") < 1000).count()
+        assert heavy > 140  # E[heavy] ~ 181 of 200
+
+    def test_deterministic_across_layouts(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import weighted_sample
+
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7 + 1.0).alias("w")
+        )
+        a = {r["doc_id"] for r in weighted_sample(df, F.col("w"), 50).collect()}
+        b = {
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(13), F.col("w"), 50).collect()
+        }
+        assert a == b
+
+    def test_nonpositive_weights_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import weighted_sample
+
+        df = spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 5, -1.0).otherwise(1.0).alias("w"),
+        )
+        out = weighted_sample(df, F.col("w"), n=10)
+        assert out.filter(F.col("doc_id") < 5).count() == 0
+
+
+class TestCurriculumShards:
+    def test_shards_monotone_and_balanced(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import curriculum_shards
+
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), (F.col("id") * 3 % 997).cast("double").alias("d")
+        )
+        rows = curriculum_shards(df, F.col("d"), n_shards=10).collect()
+        assert [r["shard"] for r in rows] == list(range(1, 11))
+        assert all(r["n_docs"] == 100 for r in rows)
+        # difficulty spans are non-overlapping and increasing
+        for a, b in zip(rows, rows[1:]):
+            assert a["max_difficulty"] <= b["min_difficulty"]
