@@ -263,3 +263,73 @@ def media_dedup_exact(media: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sort_array(F.collect_list("media_id")).alias("media_ids"))
         .filter(F.col("n") > 1)
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("phash", StringType(), False),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """Perceptual image hash per media row (public aHash/dHash schemes):
+    decode -> grayscale -> nearest-resize to the hash grid -> 64 bits as
+    16 hex chars.
+
+    * ``ahash``: 8x8 mean threshold (each bit = pixel >= grid mean)
+    * ``dhash``: 9x8 horizontal gradient (each bit = px[x] < px[x+1]) —
+      more robust to global brightness shifts
+
+    Re-encodes of the same image (JPEG quality changes, resizes) map to
+    equal or near-equal hashes, so exact groupBy catches re-encoded
+    duplicates and the 64-bit hamming near-dup machinery (the SimHash
+    rotated-prefix tables in operators/dedup.py) extends it to
+    perturbation-tolerant matching at corpus scale.
+    """
+    if method not in ("ahash", "dhash"):
+        raise ValueError("method must be 'ahash' or 'dhash'")
+    decoder = _DECODER
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                arr = decoder(
+                    bytes(payload), dict(meta) if meta is not None else {}
+                )
+                gray = arr.mean(axis=2) if arr.ndim == 3 else arr
+                sh, sw = gray.shape
+                gw = 9 if method == "dhash" else 8
+                yi = (np.arange(8) * sh // 8).clip(0, sh - 1)
+                xi = (np.arange(gw) * sw // gw).clip(0, sw - 1)
+                g = gray[np.ix_(yi, xi)]
+                if method == "dhash":
+                    bits = (g[:, :-1] < g[:, 1:]).ravel()
+                else:
+                    bits = (g >= g.mean()).ravel()
+                val = 0
+                for b in bits:
+                    val = (val << 1) | int(b)
+                hashes.append(f"{val:016x}")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"].to_numpy(), "phash": hashes},
+                columns=["media_id", "phash"],
+            )
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def media_near_duplicates(media: DataFrame, method: str = "dhash") -> DataFrame:
+    """Exact perceptual-dup groups: media rows whose perceptual hash
+    collides (re-encoded/re-compressed copies of the same image)."""
+    return (
+        perceptual_hash(media, method)
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sort_array(F.collect_list("media_id")).alias("media_ids"),
+        )
+        .filter(F.col("n") > 1)
+    )

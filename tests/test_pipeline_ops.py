@@ -575,3 +575,58 @@ class TestJpegMediaDecode:
         # constant halves survive JPEG exactly (DC-only blocks)
         assert np.allclose(feats[:2], 200.0)
         assert np.allclose(feats[2:], 0.0)
+
+
+class TestPerceptualHash:
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "media_id STRING, kind STRING, payload BINARY, "
+            "meta STRUCT<width:INT,height:INT,channels:INT,sample_rate:INT,"
+            "duration_ms:INT,codec:STRING>",
+        )
+
+    def test_reencoded_jpeg_same_dhash(self, spark):
+        """The same image re-encoded at different JPEG qualities collides
+        on dHash — the re-encoded-duplicate case exact sha1 dedup misses."""
+        import numpy as np
+
+        from geocube_spark.operators import multimodal as mm
+        from geocube_spark.sources.jpeg import encode_jpeg
+
+        x = np.linspace(10, 240, 64)
+        img = np.clip(np.round(np.add.outer(x, x * 0.3)), 0, 255).astype(np.uint8)
+        rows = [
+            ("q95", "image", bytearray(encode_jpeg(img, 95)), None),
+            ("q75", "image", bytearray(encode_jpeg(img, 75)), None),
+            ("other", "image",
+             bytearray(encode_jpeg(img.T.copy(), 95)), None),
+        ]
+        groups = mm.media_near_duplicates(self._media(spark, rows)).collect()
+        assert len(groups) == 1
+        assert groups[0]["media_ids"] == ["q75", "q95"]
+
+    def test_ahash_and_dhash_hex_shape(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators import multimodal as mm
+        from geocube_spark.sources.jpeg import encode_jpeg
+
+        img = np.clip(
+            np.round(np.add.outer(np.linspace(0, 255, 32), np.zeros(32))), 0, 255
+        ).astype(np.uint8)
+        media = self._media(
+            spark, [("m", "image", bytearray(encode_jpeg(img, 90)), None)]
+        )
+        for method in ("ahash", "dhash"):
+            [row] = mm.perceptual_hash(media, method).collect()
+            assert len(row["phash"]) == 16
+            int(row["phash"], 16)  # valid hex
+
+    def test_bad_method_raises(self, spark):
+        import pytest as _pytest
+
+        from geocube_spark.operators import multimodal as mm
+
+        with _pytest.raises(ValueError):
+            mm.perceptual_hash(self._media(spark, []), "md5")
