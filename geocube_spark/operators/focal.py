@@ -401,3 +401,46 @@ def focal_apply(
     return exploded.groupBy(*carry, "block_x", "block_y").applyInPandas(
         assemble, schema
     )
+
+
+def erode_kernel(radius: int = 1):
+    """Morphological EROSION (grayscale min filter) over the square
+    (2r+1)² structuring element — with dilate, the building block of the
+    cloud/shadow-mask cleanups (opening = erode∘dilate removes speckle,
+    closing = dilate∘erode fills pinholes; gdal_sieve territory)."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2 * radius
+        out = pad[radius : radius + b, radius : radius + b].copy()
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                out = np.minimum(
+                    out, pad[radius + dy : radius + dy + b, radius + dx : radius + dx + b]
+                )
+        return out
+
+    return kernel
+
+
+def dilate_kernel(radius: int = 1):
+    """Morphological DILATION (grayscale max filter)."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2 * radius
+        out = pad[radius : radius + b, radius : radius + b].copy()
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                out = np.maximum(
+                    out, pad[radius + dy : radius + dy + b, radius + dx : radius + dx + b]
+                )
+        return out
+
+    return kernel
+
+
+def focal_erode(tiles: DataFrame, block: int = 64, radius: int = 1, px_col: str = "px") -> DataFrame:
+    return focal_apply(tiles, erode_kernel(radius), block=block, px_col=px_col, radius=radius)
+
+
+def focal_dilate(tiles: DataFrame, block: int = 64, radius: int = 1, px_col: str = "px") -> DataFrame:
+    return focal_apply(tiles, dilate_kernel(radius), block=block, px_col=px_col, radius=radius)

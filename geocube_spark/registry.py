@@ -3912,6 +3912,70 @@ def focal_mean_blocks(spark, sf_dir):
     )
 
 
+# Morphological opening (erode then dilate — the speckle-removing mask
+# cleanup) on the same halo-exchange plan: two chained radius-1 focal
+# min/max passes; the oracle replays both windowed extrema with edge
+# clamp over the closed-form grid.
+@q(
+    "focal_morphology_open",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    er AS (
+        SELECT gi, gj,
+               min(CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                         + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                        AS DOUBLE)) AS e
+        FROM centers, range(-1, 2) di, range(-1, 2) dj
+        GROUP BY gi, gj
+    ),
+    op AS (
+        -- clamp FIRST, then a plain equi-join: expression keys push the
+        -- planner into a nested loop (500x slower on this 147k x 16k join)
+        SELECT gi0 AS gi, gj0 AS gj, max(er.e) AS o
+        FROM (SELECT c.gi AS gi0, c.gj AS gj0,
+                     LEAST(127, GREATEST(0, c.gi + di.range)) AS ni,
+                     LEAST(127, GREATEST(0, c.gj + dj.range)) AS nj
+              FROM centers c, range(-1, 2) di, range(-1, 2) dj) q
+        JOIN er ON er.gi = q.ni AND er.gj = q.nj
+        GROUP BY gi0, gj0
+    )
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           round(sum(o), 6) AS open_sum,
+           round(min(o), 6) AS open_min,
+           round(max(o), 6) AS open_max
+    FROM op GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_morphology_open(spark, sf_dir):
+    from geocube_spark.operators.focal import focal_dilate, focal_erode
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    opened = focal_dilate(focal_erode(tiles, block=64), block=64)
+    return (
+        opened.select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            F.size("px").alias("n_px"),
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_min("px").alias("mn"),
+            F.array_max("px").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.round(F.sum("s"), 6).alias("open_sum"),
+            F.round(F.min("mn"), 6).alias("open_min"),
+            F.round(F.max("mx"), 6).alias("open_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Horn slope (the gdaldem slope algorithm) over the same halo-exchange
 # plan: 1-2-1-weighted finite differences / 8·cellsize, slope =
 # atan(sqrt(zx²+zy²)) in radians.  Oracle recomputes each pixel's clamped

@@ -788,3 +788,49 @@ class TestNanMeanKernel:
                 assert abs(out[i, j] - np.nanmean(win)) < 1e-12
         # the nodata CENTER still gets a value from its valid neighbors
         assert not np.isnan(out[1, 1])
+
+
+class TestMorphology:
+    def test_erode_dilate_extrema_semantics(self, spark):
+        """A single bright pixel: dilation spreads it to the 3x3
+        neighborhood, erosion removes it entirely (min filter)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.focal import focal_dilate, focal_erode
+
+        block = 8
+        px = np.zeros((block, block))
+        px[4, 4] = 100.0
+        df = spark.createDataFrame(
+            [(0, 0, px.ravel().tolist())],
+            "block_x int, block_y int, px array<double>",
+        )
+        er = np.array(
+            focal_erode(df, block=block).first()["px"]
+        ).reshape(block, block)
+        di = np.array(
+            focal_dilate(df, block=block).first()["px"]
+        ).reshape(block, block)
+        assert er.max() == 0.0                     # the speck is gone
+        assert (di == 100.0).sum() == 9            # spread to the 3x3 box
+        assert di[4, 4] == 100.0 and di[3, 3] == 100.0
+
+    def test_opening_removes_speck_keeps_plateau(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import focal_dilate, focal_erode
+
+        block = 16
+        px = np.zeros((block, block))
+        px[2, 2] = 50.0            # 1-px speck: opening erases it
+        px[8:13, 8:13] = 70.0      # 5x5 plateau: opening keeps its interior
+        df = spark.createDataFrame(
+            [(0, 0, px.ravel().tolist())],
+            "block_x int, block_y int, px array<double>",
+        )
+        opened = np.array(
+            focal_dilate(focal_erode(df, block=block), block=block).first()["px"]
+        ).reshape(block, block)
+        assert opened[2, 2] == 0.0
+        assert opened[10, 10] == 70.0
