@@ -2816,6 +2816,49 @@ def events_hourly_rollup(spark, sf_dir):
     )
 
 
+# Spark's NATIVE session_window operator (vs the gaps-and-islands plan of
+# events_sessions): per-user 30-min-gap sessions straight from the
+# built-in; the oracle derives identical sessions via lag + running sum.
+@q(
+    "events_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def events_session_windows(spark, sf_dir):
+    ev = read_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 # Trending top-k per day (batch twin of streaming/jobs.run_trending_stream —
 # the UPDATE-mode merge + read-side rank is stream==batch tested in
 # tests/test_streaming_ops.py; this oracle-checks the ranking semantics).
