@@ -176,3 +176,42 @@ def decompress_chunks(chunks: list[bytes]) -> bytes:
     import zlib
 
     return b"".join(zlib.decompress(c) for c in chunks)
+
+
+def run_ingest_stream(
+    spark,
+    landing_dir: str,
+    catalog,
+    table: str,
+    checkpoint: str,
+    glob: str = "*.tif",
+):
+    """LIVE landing-zone ingest: Structured Streaming over arriving
+    GeoTIFF files -> per-file decode (the same ``ingest_tiff_files``
+    kernel) -> exactly-once append into the commit-log catalog.
+
+    The file source tracks processed files in the checkpoint (each TIFF is
+    decoded once, ever); the catalog sink stamps each micro-batch's
+    batchId inside the atomic commit record, so a crash-replay of a
+    partially-committed epoch no-ops (streaming/sink.catalog_stream_sink).
+    Decode stays embarrassingly parallel per file inside mapInPandas —
+    identical plan to the batch ingest, just fed by readStream.
+    """
+    from geocube_spark.streaming.sink import catalog_stream_sink
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, "
+            "content binary"
+        )
+        .option("pathGlobFilter", glob)
+        .load(landing_dir)
+    )
+    tiles = ingest_tiff_files(stream)
+    return (
+        tiles.writeStream.foreachBatch(catalog_stream_sink(catalog, table))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

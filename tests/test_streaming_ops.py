@@ -516,3 +516,49 @@ class TestTrendingStream:
         }
         assert got == want
         assert len(want) > 0
+
+
+class TestIngestStream:
+    def test_live_landing_zone_exactly_once(self, spark, tmp_path):
+        """Two TIFFs land, the stream ingests them; a third lands, a
+        second run ingests ONLY it (file-source checkpoint); the catalog
+        table accumulates every tile exactly once."""
+        import numpy as np
+
+        from geocube_spark.sources.catalog import Catalog
+        from geocube_spark.sources.gtiff import RasterImage, write_tiff
+        from geocube_spark.sources.ingest import run_ingest_stream
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+
+        def tif(seed, w=32, h=32):
+            rng = np.random.default_rng(seed)
+            return write_tiff(
+                [
+                    RasterImage(
+                        bands=rng.integers(0, 255, (1, h, w)).astype("uint8"),
+                        transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+                        epsg=32631,
+                        nodata=None,
+                    )
+                ],
+                tile_size=(32, 32),
+                compression="lzw",
+            )
+
+        (landing / "a.tif").write_bytes(tif(1))
+        (landing / "b.tif").write_bytes(tif(2))
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        ckpt = str(tmp_path / "ckpt")
+        q = run_ingest_stream(spark, str(landing), cat, "tiles", ckpt)
+        q.awaitTermination(120)
+        assert cat.read("tiles").count() == 2  # one 32x32 tile per file
+
+        (landing / "c.tif").write_bytes(tif(3))
+        q = run_ingest_stream(spark, str(landing), cat, "tiles", ckpt)
+        q.awaitTermination(120)
+        out = cat.read("tiles")
+        assert out.count() == 3
+        uris = {r["container_uri"] for r in out.collect()}
+        assert len(uris) == 3 and all(u.endswith(".tif") for u in uris)
