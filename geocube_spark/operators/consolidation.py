@@ -440,15 +440,46 @@ def consolidate_tiles(
     interlacing_pattern: str,
     out_path: str,
     cell_col: str = "cell_uri",
+    spatial_cluster: bool = False,
 ) -> None:
     """The rewrite job (O12/R7): partition by cell, physically order rows by
     the interlacing pattern, write.  At 100 TB this is the operation that
     turns scattered small files into time-contiguous reads (the MuCOG 10-20×
-    read win, docs/architecture/mucog.md:15)."""
+    read win, docs/architecture/mucog.md:15).
+
+    ``spatial_cluster=True`` swaps the pattern's row-major block ordering
+    for the Morton key of (block_x, block_y)
+    (functions/spatialkeys.zorder_expr): within each interlacing group,
+    2D-adjacent blocks land in adjacent rows, so a bbox read touches
+    contiguous row-group ranges (aligned 2^k quadrants are single key
+    ranges) and parquet min/max stats on the stored ``z_order`` column
+    skip whole row groups — the spatial analogue of the time
+    interlacing."""
+    from geocube_spark.functions.spatialkeys import zorder_expr
+
     sort_cols = [c for c in interlacing_sort_columns(interlacing_pattern)]
+    df = tiles_with_time
+    if spatial_cluster:
+        df = df.withColumn(
+            "z_order", zorder_expr(F.col("block_x"), F.col("block_y"))
+        )
+        replaced = []
+        for c in sort_cols:
+            if c in ("block_x", "block_y"):
+                if "z_order" not in replaced:
+                    replaced.append("z_order")
+            else:
+                replaced.append(c)
+        if "z_order" not in replaced:
+            replaced.append("z_order")
+        sort_cols = replaced
+    # the partition column MUST lead the explicit sort: the partitioned
+    # writer otherwise inserts its own sort on just [cell] to group output
+    # files, and that sort does not preserve the interlacing order within
+    # a cell (observed: files come back in input order, not sort order)
     (
-        tiles_with_time.repartition(F.col(cell_col))
-        .sortWithinPartitions(*sort_cols)
+        df.repartition(F.col(cell_col))
+        .sortWithinPartitions(cell_col, *sort_cols)
         .write.mode("overwrite")
         .partitionBy(cell_col)
         .parquet(out_path)

@@ -834,3 +834,60 @@ class TestMorphology:
         ).reshape(block, block)
         assert opened[2, 2] == 0.0
         assert opened[10, 10] == 70.0
+
+
+class TestSpatialClustering:
+    def test_zorder_sort_within_interlace_groups(self, spark, tmp_path):
+        """spatial_cluster=True: within each interlacing group, rows are
+        physically ordered by the Morton key of (block_x, block_y)."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import zorder_expr
+        from geocube_spark.operators.consolidation import consolidate_tiles
+
+        rows = [
+            ("cell0", b, bx, by, [float(bx * 10 + by)])
+            for b in (1, 2)
+            for bx in range(4)
+            for by in range(4)
+        ]
+        tiles = spark.createDataFrame(
+            rows, "cell_uri string, band int, block_x int, block_y int, px array<double>"
+        ).withColumn("level", F.lit(0)).withColumn("record_id", F.lit("r0"))
+        out = str(tmp_path / "consolidated")
+        consolidate_tiles(tiles, "L=0>B>I>R", out, spatial_cluster=True)
+        back = spark.read.parquet(out)
+        assert "z_order" in back.columns
+        # per (band) group, the file order must be z-order monotone
+        import pandas as pd
+
+        pdf = back.toPandas()
+        for b, grp in pdf.groupby("band"):
+            zs = grp["z_order"].tolist()  # parquet preserves row order
+            assert zs == sorted(zs)
+        # and the z key itself matches the interleave definition
+        row = back.filter((F.col("block_x") == 3) & (F.col("block_y") == 1)).first()
+        assert row["z_order"] == 0b0111  # x=11, y=01 -> y1x1 y0x0 = 0111
+
+    def test_interlacing_order_survives_partitioned_write(self, spark, tmp_path):
+        """Regression: the partitioned writer's own grouping sort must not
+        scramble the interlacing order inside a cell (it does unless the
+        partition column leads the explicit sort)."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.consolidation import consolidate_tiles
+
+        rows = [
+            ("cell0", b, bx, by, [0.0])
+            for b in (2, 1)
+            for bx in (1, 0)
+            for by in (1, 0)
+        ]
+        tiles = spark.createDataFrame(
+            rows, "cell_uri string, band int, block_x int, block_y int, px array<double>"
+        ).withColumn("level", F.lit(0)).withColumn("record_id", F.lit("r0"))
+        out = str(tmp_path / "plain")
+        consolidate_tiles(tiles, "L=0>B>I>R", out)
+        pdf = spark.read.parquet(out).toPandas()
+        keys = list(zip(pdf["band"], pdf["block_y"], pdf["block_x"]))
+        assert keys == sorted(keys)  # file order == interlacing order
