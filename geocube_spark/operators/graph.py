@@ -36,7 +36,12 @@ def pagerank(
     (node, rank) for every node appearing as src or dst.  Ranks sum to 1
     every round (dangling mass is redistributed uniformly)."""
     d = float(damping)
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    # materialize the edge list ONCE: it is re-joined every round, and an
+    # upstream edge derivation (a join, a distinct) would otherwise be
+    # re-executed R times (measured 2x end-to-end on the purchase graph)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
