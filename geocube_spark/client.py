@@ -343,6 +343,54 @@ class GeocubeClient:
 
         return normalized_difference(tiles, band_a, band_b)
 
+    def focal_morphology(
+        self, tiles: DataFrame, op: str, block: int = 64, radius: int = 1
+    ) -> DataFrame:
+        """Morphological filtering (A13): op in 'erode' | 'dilate' |
+        'open' | 'close' — mask cleanup via min/max halo kernels."""
+        from geocube_spark.operators import focal as _f
+
+        if op == "erode":
+            return _f.focal_erode(tiles, block=block, radius=radius)
+        if op == "dilate":
+            return _f.focal_dilate(tiles, block=block, radius=radius)
+        if op == "open":
+            return _f.focal_dilate(
+                _f.focal_erode(tiles, block=block, radius=radius),
+                block=block, radius=radius,
+            )
+        if op == "close":
+            return _f.focal_erode(
+                _f.focal_dilate(tiles, block=block, radius=radius),
+                block=block, radius=radius,
+            )
+        raise ValueError(f"unknown morphology op {op!r}")
+
+    def pansharpen(
+        self, tiles: DataFrame, r: str, g: str, b: str, pan: str
+    ) -> DataFrame:
+        """Brovey ratio pansharpening (A12)."""
+        from geocube_spark.operators.algebra import pansharpen_brovey
+
+        return pansharpen_brovey(tiles, r, g, b, pan)
+
+    def histogram_equalize(
+        self, tiles: DataFrame, bins: int = 256, vmin: float = 0.0,
+        vmax: float = 256.0,
+    ) -> DataFrame:
+        """Global contrast stretch through the corpus-wide CDF (A12)."""
+        from geocube_spark.operators.algebra import histogram_equalize
+
+        return histogram_equalize(tiles, bins=bins, vmin=vmin, vmax=vmax)
+
+    def read_table_as_of(self, name: str, version: int) -> DataFrame:
+        """Catalog time travel: a retained past version of a table."""
+        return self.catalog.read(name, version=version)
+
+    def table_history(self, name: str) -> DataFrame:
+        """Retained commit history of a catalog table, newest first."""
+        return self.catalog.history(name)
+
     def list_jobs(self) -> DataFrame:
         return self.catalog.read("jobs")
 

@@ -84,3 +84,64 @@ class TestBPEApply:
         before = bpe_apply(docs, []).agg({"n_tokens": "sum"}).collect()[0][0]
         after = bpe_apply(docs, merges).agg({"n_tokens": "sum"}).collect()[0][0]
         assert after < before
+
+
+class TestBPEPropertyVsReference:
+    def _reference_bpe(self, word_counts, n_merges):
+        """Straight-line reference implementation (Sennrich alg. 1, pure
+        Python): naive adjacent-pair counts, (count desc, pair asc)
+        argmax, greedy left-to-right merge."""
+        vocab = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = {}
+            for syms, c in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] = pairs.get((a, b), 0) + c
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append((best, pairs[best]))
+            new_vocab = {}
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+            vocab = new_vocab
+        return merges
+
+    def test_random_corpora_match_reference(self, spark):
+        import random
+
+        from geocube_spark.operators.bpe import bpe_train
+
+        rng = random.Random(17)
+        for trial in range(3):
+            words = [
+                "".join(rng.choice("ab c") for _ in range(rng.randint(1, 6))).replace(" ", "")
+                for _ in range(40)
+            ]
+            words = [w for w in words if w]
+            text = " ".join(words)
+            counts = {}
+            for w in words:
+                counts[w] = counts.get(w, 0) + 1
+            want = self._reference_bpe(counts, 4)
+            df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+            got = sorted(
+                bpe_train(df, n_merges=4).collect(),
+                key=lambda r: r["merge_rank"],
+            )
+            assert len(got) == len(want), (trial, text)
+            for row, ((p1, p2), n) in zip(got, want):
+                assert row["pair"] == f"{p1} {p2}", (trial, text)
+                assert row["n_occurrences"] == n, (trial, text)

@@ -381,3 +381,13 @@ class TestFuzzRobustness:
         for cut in (1, 4, len(full) // 2, len(full) - 3):
             with pytest.raises(Exception):
                 decode_jpeg(full[:cut])
+
+
+class TestNearLossless:
+    def test_q100_noise_within_one_level(self):
+        """quality=100 clips every quant step to 1: reconstruction error
+        is pure DCT float roundoff, bounded by +/-1 level even on noise."""
+        rng = np.random.RandomState(4)
+        img = rng.randint(0, 256, (24, 40), dtype=np.uint8)
+        d = decode_jpeg(encode_jpeg(img, 100))
+        assert np.abs(d.astype(int) - img.astype(int)).max() <= 1
