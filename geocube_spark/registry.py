@@ -5801,6 +5801,52 @@ def bpe_merges_q(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
 
 
+# Mergeable-sketch accuracy harness: Spark's HLL++ distinct count and GK
+# quantile sketch, judged against the EXACT values the oracle recomputes.
+# The sketch outputs themselves are engine-specific, so the contract
+# columns are the exact values + boolean within-tolerance invariants —
+# the pattern every sketch deployment monitors (sketches are THE 100 TB
+# path: mergeable partial state, no exact-distinct shuffle).
+@q(
+    "sketch_accuracy",
+    """
+    WITH ex AS (
+      SELECT source,
+             count(DISTINCT md5(text)) AS exact_distinct,
+             quantile_cont(n_chars, 0.5) AS exact_p50
+      FROM documents GROUP BY source
+    )
+    SELECT source,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           round(exact_p50, 4) AS exact_p50,
+           TRUE AS hll_within_5pct,
+           TRUE AS quantile_within_5pct
+    FROM ex ORDER BY source
+    """,
+)
+def sketch_accuracy(spark, sf_dir):
+    docs = _docs(spark, sf_dir).withColumn("fp", F.md5("text"))
+    out = docs.groupBy("source").agg(
+        F.count_distinct("fp").alias("exact_distinct"),
+        F.expr("percentile(n_chars, 0.5)").alias("exact_p50"),
+        F.approx_count_distinct("fp", 0.02).alias("hll"),
+        F.expr("approx_percentile(n_chars, 0.5, 1000)").alias("aq"),
+    )
+    return out.select(
+        "source",
+        F.col("exact_distinct").cast("long"),
+        F.round("exact_p50", 4).alias("exact_p50"),
+        (
+            F.abs(F.col("hll") - F.col("exact_distinct"))
+            <= 0.05 * F.col("exact_distinct")
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("aq") - F.col("exact_p50"))
+            <= 0.05 * F.greatest(F.col("exact_p50"), F.lit(1.0))
+        ).alias("quantile_within_5pct"),
+    ).orderBy("source")
+
+
 # Efraimidis–Spirakis weighted sampling: quality-weighted, deterministic
 # (md5-derived uniforms), exact cross-engine frontier via 9-dp-rounded
 # keys (operators/pipeline.weighted_sample).
