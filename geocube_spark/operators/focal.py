@@ -444,3 +444,69 @@ def focal_erode(tiles: DataFrame, block: int = 64, radius: int = 1, px_col: str 
 
 def focal_dilate(tiles: DataFrame, block: int = 64, radius: int = 1, px_col: str = "px") -> DataFrame:
     return focal_apply(tiles, dilate_kernel(radius), block=block, px_col=px_col, radius=radius)
+
+
+def tri_kernel():
+    """Terrain Ruggedness Index (Riley et al. 1999, the gdaldem TRI
+    default): mean absolute difference between the center cell and its 8
+    neighbors."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2
+        c = pad[1 : 1 + b, 1 : 1 + b]
+        acc = np.zeros_like(c)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                acc += np.abs(pad[1 + dy : 1 + dy + b, 1 + dx : 1 + dx + b] - c)
+        return acc / 8.0
+
+    return kernel
+
+
+def tpi_kernel():
+    """Topographic Position Index (gdaldem TPI): center minus the mean of
+    its 8 neighbors — positive on ridges, negative in valleys."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2
+        c = pad[1 : 1 + b, 1 : 1 + b]
+        acc = np.zeros_like(c)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                acc += pad[1 + dy : 1 + dy + b, 1 + dx : 1 + dx + b]
+        return c - acc / 8.0
+
+    return kernel
+
+
+def roughness_kernel():
+    """gdaldem roughness: max - min of the full 3x3 window."""
+
+    def kernel(pad: np.ndarray) -> np.ndarray:
+        b = pad.shape[0] - 2
+        mx = pad[1 : 1 + b, 1 : 1 + b].copy()
+        mn = mx.copy()
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                w = pad[1 + dy : 1 + dy + b, 1 + dx : 1 + dx + b]
+                np.maximum(mx, w, out=mx)
+                np.minimum(mn, w, out=mn)
+        return mx - mn
+
+    return kernel
+
+
+def focal_tri(tiles: DataFrame, block: int = 64, px_col: str = "px") -> DataFrame:
+    return focal_apply(tiles, tri_kernel(), block=block, px_col=px_col)
+
+
+def focal_tpi(tiles: DataFrame, block: int = 64, px_col: str = "px") -> DataFrame:
+    return focal_apply(tiles, tpi_kernel(), block=block, px_col=px_col)
+
+
+def focal_roughness(tiles: DataFrame, block: int = 64, px_col: str = "px") -> DataFrame:
+    return focal_apply(tiles, roughness_kernel(), block=block, px_col=px_col)

@@ -3955,6 +3955,76 @@ def focal_mean_blocks(spark, sf_dir):
     )
 
 
+# The remaining gdaldem terrain indices — TRI (mean |center-neighbor|),
+# TPI (center - neighbor mean), roughness (window max-min) — on one halo
+# plan each; the oracle recomputes every pixel's clamped 3x3 window stats
+# from the closed-form grid (completes the gdaldem family next to
+# slope/aspect/hillshade/color-relief).
+@q(
+    "focal_terrain_indices",
+    """
+    WITH centers AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS c
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    n AS (
+        SELECT gi, gj, c,
+               CAST((13 * LEAST(127, GREATEST(0, gi + di.range))
+                     + 7 * LEAST(127, GREATEST(0, gj + dj.range))) % 97
+                    AS DOUBLE) AS v,
+               (di.range = 0 AND dj.range = 0) AS is_center
+        FROM centers, range(-1, 2) di, range(-1, 2) dj
+    ),
+    px AS (
+        SELECT gi, gj,
+               sum(CASE WHEN is_center THEN 0 ELSE abs(v - c) END) / 8 AS tri,
+               any_value(c) - sum(CASE WHEN is_center THEN 0 ELSE v END) / 8 AS tpi,
+               max(v) - min(v) AS rough
+        FROM n GROUP BY gi, gj
+    )
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           round(sum(tri), 6) AS tri_sum,
+           round(sum(tpi), 6) AS tpi_sum,
+           round(sum(rough), 6) AS rough_sum
+    FROM px GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def focal_terrain_indices(spark, sf_dir):
+    from geocube_spark.operators.focal import (
+        focal_roughness,
+        focal_tpi,
+        focal_tri,
+    )
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+
+    def block_sum(df, alias):
+        return (
+            df.select(
+                "block_x", "block_y",
+                F.aggregate("px", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            )
+            .groupBy("block_x", "block_y")
+            .agg(F.round(F.sum("s"), 6).alias(alias))
+        )
+
+    tri = block_sum(focal_tri(tiles, block=64), "tri_sum")
+    tpi = block_sum(focal_tpi(tiles, block=64), "tpi_sum")
+    rough = block_sum(focal_roughness(tiles, block=64), "rough_sum")
+    return (
+        tri.join(tpi, ["block_x", "block_y"])
+        .join(rough, ["block_x", "block_y"])
+        .select(
+            F.col("block_x").cast("int"),
+            F.col("block_y").cast("int"),
+            "tri_sum", "tpi_sum", "rough_sum",
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Morphological opening (erode then dilate — the speckle-removing mask
 # cleanup) on the same halo-exchange plan: two chained radius-1 focal
 # min/max passes; the oracle replays both windowed extrema with edge

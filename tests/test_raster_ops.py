@@ -891,3 +891,47 @@ class TestSpatialClustering:
         pdf = spark.read.parquet(out).toPandas()
         keys = list(zip(pdf["band"], pdf["block_y"], pdf["block_x"]))
         assert keys == sorted(keys)  # file order == interlacing order
+
+
+class TestTerrainIndices:
+    def test_flat_surface_all_zero(self, spark):
+        from geocube_spark.operators.focal import (
+            focal_roughness,
+            focal_tpi,
+            focal_tri,
+        )
+
+        flat = spark.createDataFrame(
+            [(0, 0, [5.0] * 64)], "block_x int, block_y int, px array<double>"
+        )
+        for fn in (focal_tri, focal_tpi, focal_roughness):
+            px = fn(flat, block=8).first()["px"]
+            assert all(v == 0.0 for v in px), fn.__name__
+
+    def test_single_peak_values(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.focal import (
+            focal_roughness,
+            focal_tpi,
+            focal_tri,
+        )
+
+        block = 8
+        arr = np.zeros((block, block))
+        arr[4, 4] = 8.0
+        df = spark.createDataFrame(
+            [(0, 0, arr.ravel().tolist())],
+            "block_x int, block_y int, px array<double>",
+        )
+        tri = np.array(focal_tri(df, block=block).first()["px"]).reshape(block, block)
+        tpi = np.array(focal_tpi(df, block=block).first()["px"]).reshape(block, block)
+        rough = np.array(
+            focal_roughness(df, block=block).first()["px"]
+        ).reshape(block, block)
+        # at the peak: all 8 neighbors are 0 -> TRI = 8, TPI = +8, rough = 8
+        assert tri[4, 4] == 8.0 and tpi[4, 4] == 8.0 and rough[4, 4] == 8.0
+        # adjacent to the peak: one neighbor is 8 -> TRI = 1, TPI = -1
+        assert tri[4, 3] == 1.0 and tpi[4, 3] == -1.0 and rough[4, 3] == 8.0
+        # far away: flat
+        assert tri[0, 0] == 0.0 and rough[0, 0] == 0.0
