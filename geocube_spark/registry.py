@@ -4025,6 +4025,56 @@ def focal_terrain_indices(spark, sf_dir):
     )
 
 
+# Distributed region labeling (gdal_polygonize-lite): per-block
+# union-find + border-strip stitching + alternating-star CC
+# (operators/regions.py).  The mask is a 10-px checkerboard over 64-px
+# blocks — 10 ∤ 64, so interior cells straddle block borders and the
+# ANALYTIC region count (one region per checker cell: same-color cells
+# meet only diagonally, and 4-connectivity excludes diagonals) matches
+# ONLY if cross-block stitching is exact.
+@q(
+    "raster_region_labeling",
+    """
+    WITH px AS (
+        SELECT CAST(((i.range // 10) + (j.range // 10)) % 2 AS DOUBLE) AS m,
+               i.range // 10 AS ci, j.range // 10 AS cj
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    cells AS (SELECT m, ci, cj, count(*) AS n FROM px GROUP BY 1, 2, 3)
+    SELECT m AS val,
+           CAST(count(*) AS BIGINT) AS n_regions,
+           CAST(sum(n) AS BIGINT) AS n_pixels,
+           CAST(max(n) AS BIGINT) AS max_region_px
+    FROM cells GROUP BY m ORDER BY m
+    """,
+)
+def raster_region_labeling(spark, sf_dir):
+    from geocube_spark.operators.regions import region_stats
+
+    b = 64
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in range(2) for by in range(2)],
+        "block_x int, block_y int",
+    )
+    mask = blocks.withColumn(
+        "px",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(b * b - 1)),
+            lambda k: (
+                (
+                    (F.col("block_y") * b + (k / b).cast("int")).cast("long") / 10
+                ).cast("long")
+                + (
+                    (F.col("block_x") * b + k % b).cast("long") / 10
+                ).cast("long")
+            )
+            % 2
+            * F.lit(1.0),
+        ),
+    )
+    return region_stats(mask, block=b)
+
+
 # Morphological opening (erode then dilate — the speckle-removing mask
 # cleanup) on the same halo-exchange plan: two chained radius-1 focal
 # min/max passes; the oracle replays both windowed extrema with edge

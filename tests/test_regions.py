@@ -1,0 +1,73 @@
+"""Distributed region labeling: cross-block stitching attacked with
+shapes that snake over borders, plus connectivity-rule checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geocube_spark.operators.regions import region_components, region_stats
+
+
+def _tiles(spark, grid: np.ndarray, b: int):
+    h, w = grid.shape
+    rows = []
+    for by in range(h // b):
+        for bx in range(w // b):
+            rows.append(
+                (bx, by, grid[by * b : (by + 1) * b, bx * b : (bx + 1) * b].ravel().tolist())
+            )
+    return spark.createDataFrame(
+        rows, "block_x int, block_y int, px array<double>"
+    )
+
+
+class TestRegionLabeling:
+    def test_plus_shape_spans_four_blocks(self, spark):
+        b = 16
+        g = np.zeros((32, 32))
+        g[14:18, :] = 1.0
+        g[:, 14:18] = 1.0
+        out = {r["val"]: r for r in region_stats(_tiles(spark, g, b), block=b).collect()}
+        assert out[1.0]["n_regions"] == 1
+        assert out[1.0]["n_pixels"] == 240  # 128 + 128 - 16 overlap
+        assert out[0.0]["n_regions"] == 4
+        assert out[0.0]["max_region_px"] == 196
+
+    def test_diagonal_cells_do_not_merge(self, spark):
+        # two 1-valued squares touching only at a corner ON the block
+        # boundary: 4-connectivity must keep them separate
+        b = 8
+        g = np.zeros((16, 16))
+        g[6:8, 6:8] = 1.0    # ends at the corner (7,7)
+        g[8:10, 8:10] = 1.0  # starts at (8,8) — diagonal touch only
+        out = {r["val"]: r for r in region_stats(_tiles(spark, g, b), block=b).collect()}
+        assert out[1.0]["n_regions"] == 2
+
+    def test_snake_through_all_blocks_is_one_region(self, spark):
+        # a 1-px path entering and leaving blocks repeatedly
+        b = 8
+        g = np.zeros((16, 16))
+        g[3, 0:14] = 1.0     # east across the vertical border
+        g[3:12, 13] = 1.0    # south across the horizontal border
+        g[11, 2:14] = 1.0    # west back across
+        g[5:12, 2] = 1.0     # north back up
+        out = {r["val"]: r for r in region_stats(_tiles(spark, g, b), block=b).collect()}
+        assert out[1.0]["n_regions"] == 1
+
+    def test_uniform_raster_single_region(self, spark):
+        b = 8
+        g = np.full((16, 16), 7.0)
+        rows = region_stats(_tiles(spark, g, b), block=b).collect()
+        assert len(rows) == 1
+        assert rows[0]["n_regions"] == 1 and rows[0]["n_pixels"] == 256
+
+    def test_component_ids_are_min_root_coords(self, spark):
+        b = 8
+        g = np.zeros((8, 16))
+        g[0, :] = 1.0  # top row across both blocks
+        comps = region_components(_tiles(spark, g, b), block=b).collect()
+        one = [c for c in comps if c["val"] == 1.0]
+        assert len(one) == 1
+        # min provisional label = root of pixel (0,0): (0 << 32) | 0 = 0
+        assert one[0]["component"] == 0
