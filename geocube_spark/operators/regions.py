@@ -176,3 +176,82 @@ def region_stats(
         )
         .orderBy("val")
     )
+
+
+def sieve_mask(
+    tiles: DataFrame,
+    min_px: int,
+    block: int = 64,
+    px_col: str = "px",
+    nodata: float = float("nan"),
+) -> DataFrame:
+    """gdal_sieve-style filtering: pixels belonging to regions smaller
+    than ``min_px`` are replaced with ``nodata`` (the mask-cleanup step
+    after classification; the reference delegates it to GDAL).
+
+    Two passes: the stats pass computes cross-block region sizes
+    (:func:`region_components`); the rewrite pass re-runs the SAME
+    deterministic per-block labeling and nulls pixels whose provisional
+    label belongs to a small region.  The small-label set is broadcast —
+    it is bounded by the number of SUB-THRESHOLD regions (speckle), which
+    is what a sieve exists to be small relative to the raster; a
+    pathological all-speckle raster should raise ``min_px`` first.
+    """
+    comps = region_components(tiles, block, px_col)
+    # provisional labels whose FINAL region is small: map component->size
+    # back onto every provisional label via the parts table
+    parts = _block_parts(tiles, block, px_col)
+    regions = parts.filter(F.col("kind") == "region").select("lbl", "val")
+    from geocube_spark.operators.dedup import connected_components
+
+    # recompute the provisional->component map exactly as region_components
+    strips = parts.filter(F.col("kind") == "strip")
+    lo = strips.filter(F.col("side") == 0).select(
+        "border", "pos", F.col("val").alias("val_a"), F.col("lbl").alias("lbl_a")
+    )
+    hi = strips.filter(F.col("side") == 1).select(
+        "border", "pos", F.col("val").alias("val_b"), F.col("lbl").alias("lbl_b")
+    )
+    edges = (
+        lo.join(hi, ["border", "pos"])
+        .filter(F.col("val_a") == F.col("val_b"))
+        .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(F.col("lbl_a").alias("doc_a"), F.col("lbl_b").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("lbl"), "component"
+    )
+    lbl_comp = regions.join(comp, "lbl", "left").select(
+        "lbl", F.coalesce("component", F.col("lbl")).alias("component")
+    )
+    small_comps = comps.filter(F.col("n_px") < min_px).select("component")
+    small = [
+        int(r["lbl"])
+        for r in lbl_comp.join(
+            F.broadcast(small_comps), "component", "left_semi"
+        ).collect()
+    ]
+    small_set = set(small)
+    b = int(block)
+    nod = float(nodata)
+
+    out_schema = tiles.schema
+
+    def rewrite(batches):
+        for pdf in batches:
+            new_px = []
+            for bx, by, px in zip(pdf["block_x"], pdf["block_y"], pdf[px_col]):
+                arr = np.asarray(px, dtype=np.float64).reshape(b, b)
+                roots = _label_block(arr)
+                gy0, gx0 = int(by) * b, int(bx) * b
+                glob = ((gy0 + roots // b) << 32) | (gx0 + roots % b)
+                flat = arr.ravel().copy()
+                kill = np.isin(glob, list(small_set)) if small_set else np.zeros(len(flat), bool)
+                flat[kill] = nod
+                new_px.append(flat.tolist())
+            pdf = pdf.copy()
+            pdf[px_col] = new_px
+            yield pdf
+
+    return tiles.mapInPandas(rewrite, out_schema)

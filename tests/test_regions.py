@@ -71,3 +71,54 @@ class TestRegionLabeling:
         assert len(one) == 1
         # min provisional label = root of pixel (0,0): (0 << 32) | 0 = 0
         assert one[0]["component"] == 0
+
+
+class TestSieve:
+    def test_small_specks_removed_large_kept(self, spark):
+        import math
+
+        b = 8
+        g = np.zeros((16, 16))
+        g[2, 2] = 1.0                  # 1-px speck
+        g[7:9, 7:9] = 1.0              # 4-px region straddling all 4 blocks
+        g[12:16, 12:16] = 1.0          # 16-px region
+        from geocube_spark.operators.regions import sieve_mask
+
+        out = sieve_mask(_tiles(spark, g, b), min_px=4, block=b).collect()
+        full = np.zeros((16, 16))
+        for r in out:
+            full[
+                r["block_y"] * b : (r["block_y"] + 1) * b,
+                r["block_x"] * b : (r["block_x"] + 1) * b,
+            ] = np.array(r["px"]).reshape(b, b)
+        assert math.isnan(full[2, 2])          # speck sieved
+        assert full[7, 7] == 1.0               # 4-px cross-block region kept
+        assert full[13, 13] == 1.0             # big region kept
+        assert full[0, 0] == 0.0               # background untouched (large)
+
+    def test_threshold_counts_cross_block_size(self, spark):
+        """A region of 4 px split 1+1+1+1 across four blocks must be
+        judged by its TOTAL size, not its per-block fragments."""
+        import math
+
+        from geocube_spark.operators.regions import sieve_mask
+
+        b = 8
+        g = np.zeros((16, 16))
+        g[7:9, 7:9] = 5.0
+
+        def rebuild(rows):
+            full = np.zeros((16, 16))
+            for r in rows:
+                full[
+                    r["block_y"] * b : (r["block_y"] + 1) * b,
+                    r["block_x"] * b : (r["block_x"] + 1) * b,
+                ] = np.array(r["px"]).reshape(b, b)
+            return full
+
+        kept = rebuild(sieve_mask(_tiles(spark, g, b), min_px=4, block=b).collect())
+        assert all(kept[y, x] == 5.0 for y in (7, 8) for x in (7, 8))
+
+        gone = rebuild(sieve_mask(_tiles(spark, g, b), min_px=5, block=b).collect())
+        assert all(math.isnan(gone[y, x]) for y in (7, 8) for x in (7, 8))
+        assert gone[0, 0] == 0.0  # background survives
