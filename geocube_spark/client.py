@@ -383,6 +383,22 @@ class GeocubeClient:
 
         return histogram_equalize(tiles, bins=bins, vmin=vmin, vmax=vmax)
 
+    def region_stats(self, tiles: DataFrame, block: int = 64) -> DataFrame:
+        """Distributed 4-connected region labeling summary
+        (gdal_polygonize-lite)."""
+        from geocube_spark.operators.regions import region_stats
+
+        return region_stats(tiles, block=block)
+
+    def sieve(
+        self, tiles: DataFrame, min_px: int, block: int = 64,
+        nodata: float = float("nan"),
+    ) -> DataFrame:
+        """gdal_sieve-style removal of sub-threshold regions."""
+        from geocube_spark.operators.regions import sieve_mask
+
+        return sieve_mask(tiles, min_px, block=block, nodata=nodata)
+
     def read_table_as_of(self, name: str, version: int) -> DataFrame:
         """Catalog time travel: a retained past version of a table."""
         return self.catalog.read(name, version=version)
