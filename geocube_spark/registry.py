@@ -3246,6 +3246,67 @@ def union_geometry_job(spark, sf_dir):
     )
 
 
+# Chebyshev (L-inf) AOI buffering: Minkowski dilation commutes with union,
+# so buffer(union(rects), d) = union(inflate(rect, d)) — exact through the
+# same rect_union kernel; oracle replays the coordinate-compression union
+# over the inflated rects.  (The vector-side ST_Buffer surface the
+# reference gets from PostGIS, on the rectilinear domain.)
+@q(
+    "aoi_buffer_union",
+    f"""
+    WITH r AS (
+        SELECT bbox.xmin - 0.25 AS x0, bbox.ymin - 0.25 AS y0,
+               bbox.xmax + 0.25 AS x1, bbox.ymax + 0.25 AS y1
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE locked_by_job_id = 'job-0'
+    ),
+    xs AS (SELECT DISTINCT x0 AS v FROM r UNION SELECT DISTINCT x1 FROM r),
+    xsl AS (SELECT v AS xa, LEAD(v) OVER (ORDER BY v) AS xb FROM xs),
+    ys AS (SELECT DISTINCT y0 AS v FROM r UNION SELECT DISTINCT y1 FROM r),
+    ysl AS (SELECT v AS ya, LEAD(v) OVER (ORDER BY v) AS yb FROM ys),
+    cells AS (
+        SELECT xa, xb, ya, yb FROM xsl, ysl
+        WHERE xb IS NOT NULL AND yb IS NOT NULL
+    ),
+    cov AS (
+        SELECT * FROM cells c
+        WHERE EXISTS (
+            SELECT 1 FROM r
+            WHERE r.x0 <= c.xa AND r.x1 >= c.xb AND r.y0 <= c.ya AND r.y1 >= c.yb
+        )
+    )
+    SELECT 'job-0' AS job_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_datasets,
+           round((SELECT sum((xb - xa) * (yb - ya)) FROM cov), 6) AS buffered_area
+    """,
+)
+def aoi_buffer_union(spark, sf_dir):
+    from geocube_spark.operators.consolidation import union_footprints
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    flt = DatasetFilters(status=None, locked_by_job_id="job-0", order=False)
+    locked = find_datasets(datasets, None, flt).withColumn(
+        "job_id", F.col("locked_by_job_id")
+    )
+    d = 0.25
+    inflated = (
+        locked.withColumn(
+            "bbox",
+            F.struct(
+                (F.col("bbox.xmin") - d).alias("xmin"),
+                (F.col("bbox.ymin") - d).alias("ymin"),
+                (F.col("bbox.xmax") + d).alias("xmax"),
+                (F.col("bbox.ymax") + d).alias("ymax"),
+            ),
+        )
+    )
+    out = union_footprints(inflated, ["job_id"])
+    return out.select(
+        "job_id", "n_datasets", F.round("union_area", 6).alias("buffered_area")
+    )
+
+
 # A1 over the GENERAL polygon domain: union of ROTATED footprints (diamond
 # chain, arbitrary-angle quads, a rotated annulus with a hole).  The oracle
 # is ANALYTIC: per-quad shoelace area computed by DuckDB from the raw
