@@ -516,3 +516,82 @@ def union_wkb(polys: list[tuple[np.ndarray, list[np.ndarray]]]) -> bytes:
         for h in holes:
             buf += ring_bytes(h)
     return buf
+
+
+def rect_buffer(rects: list[Rect], d: float) -> tuple[list, float]:
+    """Chebyshev (L-inf / square structuring element) buffer of a
+    rectilinear region given as covering rects — EXACT on this domain.
+
+    d > 0 (dilation): Minkowski dilation commutes with union, so inflate
+    each rect by d and union.  d < 0 (erosion): the complement trick —
+    erode(P, r) = frame minus dilate(frame minus P, r) — carried out on
+    the coordinate-compressed cell grid, where the complement of a rect
+    union (within a frame inflated past the erosion radius) is itself a
+    set of rects.  d == 0 is the plain union.
+
+    Returns the same (polygons, exact_area) shape as :func:`rect_union`.
+    """
+    if d >= 0:
+        return rect_union(
+            [(x0 - d, y0 - d, x1 + d, y1 + d) for x0, y0, x1, y1 in rects]
+        )
+    r = -float(d)
+    rs = [
+        (float(x0), float(y0), float(x1), float(y1))
+        for x0, y0, x1, y1 in rects
+        if x1 > x0 and y1 > y0
+    ]
+    if not rs:
+        return [], 0.0
+    # frame extends past every rect by > r so the dilated complement
+    # reaches around the region from all sides
+    fx0 = min(x0 for x0, _, _, _ in rs) - 2 * r
+    fy0 = min(y0 for _, y0, _, _ in rs) - 2 * r
+    fx1 = max(x1 for _, _, x1, _ in rs) + 2 * r
+    fy1 = max(y1 for _, _, _, y1 in rs) + 2 * r
+    xs = np.unique(np.array([fx0, fx1] + [v for rr in rs for v in (rr[0], rr[2])]))
+    ys = np.unique(np.array([fy0, fy1] + [v for rr in rs for v in (rr[1], rr[3])]))
+    covered = np.zeros((len(xs) - 1, len(ys) - 1), dtype=bool)
+    for x0, y0, x1, y1 in rs:
+        i0, i1 = np.searchsorted(xs, x0), np.searchsorted(xs, x1)
+        j0, j1 = np.searchsorted(ys, y0), np.searchsorted(ys, y1)
+        covered[i0:i1, j0:j1] = True
+    # complement cells as rects, dilated by r
+    comp_rects = [
+        (xs[i] - r, ys[j] - r, xs[i + 1] + r, ys[j + 1] + r)
+        for i in range(len(xs) - 1)
+        for j in range(len(ys) - 1)
+        if not covered[i, j]
+    ]
+    comp_polys, _ = rect_union(comp_rects)
+    # eroded region = union rects minus dilated complement: compute on a
+    # refined grid including the +/- r offsets
+    offs = [v for rr in comp_rects for v in (rr[0], rr[2])]
+    xs2 = np.unique(np.concatenate([xs, np.array(offs)])) if offs else xs
+    offs_y = [v for rr in comp_rects for v in (rr[1], rr[3])]
+    ys2 = np.unique(np.concatenate([ys, np.array(offs_y)])) if offs_y else ys
+    cov2 = np.zeros((len(xs2) - 1, len(ys2) - 1), dtype=bool)
+    for x0, y0, x1, y1 in rs:
+        i0, i1 = np.searchsorted(xs2, x0), np.searchsorted(xs2, x1)
+        j0, j1 = np.searchsorted(ys2, y0), np.searchsorted(ys2, y1)
+        cov2[i0:i1, j0:j1] = True
+    for x0, y0, x1, y1 in comp_rects:
+        i0, i1 = np.searchsorted(xs2, x0), np.searchsorted(xs2, x1)
+        j0, j1 = np.searchsorted(ys2, y0), np.searchsorted(ys2, y1)
+        cov2[i0:i1, j0:j1] = False  # subtract the dilated complement
+    dx = np.diff(xs2)[:, None]
+    dy = np.diff(ys2)[None, :]
+    area = float((cov2 * dx * dy).sum())
+    rings = _trace_contours(cov2, xs2, ys2)
+    outers = [(ring, _ring_signed_area(ring)) for ring in rings if _ring_signed_area(ring) > 0]
+    holes = [(ring, _ring_signed_area(ring)) for ring in rings if _ring_signed_area(ring) < 0]
+    polys: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    for outer, _a in outers:
+        polys.append((outer, []))
+    for hole, _a in holes:
+        hx, hy = float(hole[0][0]), float(hole[0][1])
+        for outer, hs in polys:  # attach to the first containing outer
+            if _point_in_ring(hx, hy, outer):
+                hs.append(hole)
+                break
+    return polys, area

@@ -204,3 +204,50 @@ class TestPolyUnionGeneral:
         clipped = clip_poly_rect(self._diamond(0, 0, 2), 0, -3, 3, 3)
         _, a = poly_union([clipped])
         assert a == pytest.approx(4.0)  # half of 2r² = 8
+
+
+class TestRectBuffer:
+    def test_dilate_square(self):
+        from geocube_spark.functions.polyunion import rect_buffer
+
+        polys, a = rect_buffer([(0, 0, 10, 10)], 1.0)
+        assert a == 144.0 and len(polys) == 1
+
+    def test_erode_square(self):
+        from geocube_spark.functions.polyunion import rect_buffer
+
+        polys, a = rect_buffer([(0, 0, 10, 10)], -2.0)
+        assert a == 36.0 and len(polys) == 1
+
+    def test_erode_l_shape_analytic(self):
+        from geocube_spark.functions.polyunion import rect_buffer
+
+        # L = (0,0,10,4) U (0,0,4,10); unit-square erosion:
+        # (1,1,9,3) U (1,1,3,9) -> 16 + 16 - 4 = 28
+        _, a = rect_buffer([(0, 0, 10, 4), (0, 0, 4, 10)], -1.0)
+        assert a == 28.0
+
+    def test_erosion_extinction(self):
+        from geocube_spark.functions.polyunion import rect_buffer
+
+        polys, a = rect_buffer([(0, 0, 3, 3)], -2.0)
+        assert a == 0.0 and polys == []
+
+    def test_dilate_erode_roundtrip_on_fat_region(self):
+        from geocube_spark.functions.polyunion import rect_buffer, rect_union
+
+        # opening a convex rect returns it exactly
+        rects = [(0.0, 0.0, 8.0, 6.0)]
+        _, orig = rect_union(rects)
+        _, opened = rect_buffer([(-1, -1, 9, 7)], -1.0)  # dilated then eroded
+        assert opened == orig
+
+    def test_erode_splits_dumbbell(self):
+        from geocube_spark.functions.polyunion import rect_buffer
+
+        # two 6x6 lobes joined by a thin 2-wide bridge: erosion by 1.5
+        # severs the bridge -> two components
+        rects = [(0, 0, 6, 6), (10, 0, 16, 6), (6, 2, 10, 4)]
+        polys, a = rect_buffer(rects, -1.5)
+        assert len(polys) == 2
+        assert a == 2 * 3.0 * 3.0  # each lobe erodes to 3x3
