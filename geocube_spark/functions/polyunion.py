@@ -563,7 +563,6 @@ def rect_buffer(rects: list[Rect], d: float) -> tuple[list, float]:
         for j in range(len(ys) - 1)
         if not covered[i, j]
     ]
-    comp_polys, _ = rect_union(comp_rects)
     # eroded region = union rects minus dilated complement: compute on a
     # refined grid including the +/- r offsets
     offs = [v for rr in comp_rects for v in (rr[0], rr[2])]

@@ -51,13 +51,21 @@ def _quantized(lon: Column, lat: Column, precision: int):
     n = 5 * precision
     lon_bits = (n + 1) // 2
     lat_bits = n // 2
-    qlon = F.least(
-        F.lit((1 << lon_bits) - 1),
-        F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).cast("long"),
+    # clamp BOTH ends: a coordinate a float-ulp outside the domain would
+    # otherwise quantize to -1, whose sign bits corrupt the whole key
+    qlon = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit((1 << lon_bits) - 1),
+            F.floor((lon + 180.0) / 360.0 * (1 << lon_bits)).cast("long"),
+        ),
     )
-    qlat = F.least(
-        F.lit((1 << lat_bits) - 1),
-        F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).cast("long"),
+    qlat = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit((1 << lat_bits) - 1),
+            F.floor((lat + 90.0) / 180.0 * (1 << lat_bits)).cast("long"),
+        ),
     )
     return qlon, qlat, n, lon_bits, lat_bits
 
@@ -103,12 +111,12 @@ def geohash_int_sql(lon: str, lat: str, precision: int = 6) -> str:
     lon_bits = (n + 1) // 2
     lat_bits = n // 2
     qlon = (
-        f"least({(1 << lon_bits) - 1}, "
-        f"CAST(floor(({lon} + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT))"
+        f"greatest(0, least({(1 << lon_bits) - 1}, "
+        f"CAST(floor(({lon} + 180.0) / 360.0 * {1 << lon_bits}) AS BIGINT)))"
     )
     qlat = (
-        f"least({(1 << lat_bits) - 1}, "
-        f"CAST(floor(({lat} + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT))"
+        f"greatest(0, least({(1 << lat_bits) - 1}, "
+        f"CAST(floor(({lat} + 90.0) / 180.0 * {1 << lat_bits}) AS BIGINT)))"
     )
     terms = []
     for k in range(lon_bits):

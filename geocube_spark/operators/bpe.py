@@ -35,6 +35,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from geocube_spark.operators.retrieval import tokens_expr, tokens_sql
+
 
 def _spaced_chars(word: Column) -> Column:
     """'abc' -> 'a b c' (the initial symbol sequence of a word)."""
@@ -63,16 +65,11 @@ def word_frequency_table(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """(word, wc): the corpus collapsed to distinct words with counts —
-    the table every BPE round iterates on."""
-    toks = F.filter(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
-            " ",
-        ),
-        lambda t: t != "",
-    )
+    the table every BPE round iterates on.  Tokenization is the ONE
+    canonical :func:`retrieval.tokens_expr` shared with BM25/LM scoring,
+    so subword and word statistics never diverge."""
     return (
-        docs.select(F.explode(toks).alias("word"))
+        docs.select(F.explode(tokens_expr(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -153,14 +150,7 @@ def bpe_apply(
 
     Returns (doc_id, tokens array<string>, n_tokens).
     """
-    toks = F.filter(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
-            " ",
-        ),
-        lambda t: t != "",
-    )
-    spaced = lambda w: _spaced_chars(w)  # noqa: E731
+    toks = tokens_expr(F.col(text_col))
 
     def merge_word(w: Column) -> Column:
         s = _spaced_chars(w)
@@ -193,10 +183,7 @@ def bpe_train_sql(
 ) -> str:
     """DuckDB twin: the same R rounds as generated nested CTEs — identical
     pair statistic, argmax tie-break, and list_reduce greedy fold."""
-    toks = (
-        f"list_filter(string_split(trim(regexp_replace(lower({text_col}), "
-        f"'[^a-z0-9]+', ' ', 'g')), ' '), x -> x != '')"
-    )
+    toks = tokens_sql(text_col)
     ctes = [
         f"""w AS (
       SELECT u.word AS word, count(*) AS wc

@@ -217,26 +217,15 @@ def dsir_importance(
     Both model tables are B-row aggregates that broadcast at any corpus
     size, so scoring is a map-side join — no all-pairs work anywhere.
     """
-    toks_expr = F.filter(
-        F.split(
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
-            " ",
-        ),
-        lambda t: t != "",
-    )
+    from geocube_spark.operators.retrieval import ngrams_expr, tokens_expr
+
+    toks_expr = tokens_expr(F.col(text_col))
     base = documents.select(
         F.col(id_col).alias("doc_id"),
         target_pred.alias("is_target"),
         toks_expr.alias("t"),
     )
-    bigrams = F.when(
-        F.size("t") >= 2,
-        F.zip_with(
-            F.slice("t", 1, F.size("t") - 1),
-            F.slice("t", 2, F.size("t") - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = ngrams_expr(F.col("t"), 2)
     stream = base.select(
         "doc_id",
         "is_target",
@@ -298,10 +287,9 @@ def dsir_importance_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    toks = (
-        f"list_filter(string_split(trim(regexp_replace(lower({text_col}), "
-        f"'[^a-z0-9]+', ' ', 'g')), ' '), x -> x != '')"
-    )
+    from geocube_spark.operators.retrieval import tokens_sql
+
+    toks = tokens_sql(text_col)
     return f"""
     WITH base AS (
       SELECT {id_col} AS doc_id, ({target_pred_sql}) AS is_target, {toks} AS t
@@ -356,10 +344,15 @@ def weighted_sample(
     Efraimidis–Spirakis 2006 exponential-key method with the uniform drawn
     from md5(key) instead of an RNG —
 
-        u   = (md5_53bit(key) + 1) / 2^53      in (0, 1]
+        u   = (md5_52bit(key) + 0.5) / 2^52    in (0, 1)
         s   = ln(u) / w                        (monotone twin of u^(1/w))
 
-    and the sample is the top-``n`` by s (larger-is-better; s <= 0).  A
+    and the sample is the top-``n`` by s (larger-is-better; s < 0).  The
+    +0.5 offset keeps u strictly inside (0, 1): u = 1 would collapse
+    every weight to the same key, and any EXTRA transform of u (e.g. a
+    u/2 rescale) would multiply keys by a weight-DEPENDENT factor
+    2^(-1/w) and bias the sample — the Efraimidis–Spirakis guarantee
+    holds only for ln(u)/w on a pure uniform.  A
     doc's inclusion probability scales with its weight (quality score,
     importance weight, ...), yet a retry, a different partition layout, or
     a different engine draws the IDENTICAL sample — the resumable-pipeline
@@ -374,9 +367,9 @@ def weighted_sample(
     u = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 13), 16, 10)
         .cast("double")
-        + 1.0
+        + 0.5
     ) / float(1 << 52)
-    s = F.round(F.log(u / 2.0) / weight_col, 9)
+    s = F.round(F.log(u) / weight_col, 9)
     return (
         documents.filter(weight_col > 0)
         .withColumn("es_score", s)
@@ -393,11 +386,11 @@ def weighted_sample_sql(
 ) -> str:
     u = (
         f"(CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 13)) "
-        f"AS BIGINT) + 1.0) / {float(1 << 52)}"
+        f"AS BIGINT) + 0.5) / {float(1 << 52)}"
     )
     return f"""
     SELECT * FROM (
-      SELECT *, round(ln(({u}) / 2.0) / ({weight_sql}), 9) AS es_score
+      SELECT *, round(ln({u}) / ({weight_sql}), 9) AS es_score
       FROM {table} WHERE ({weight_sql}) > 0
     ) ORDER BY es_score DESC, {key_col} LIMIT {n}
     """
@@ -410,17 +403,55 @@ def curriculum_shards(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Curriculum ordering: rank the corpus by a difficulty score and cut
-    it into ``n_shards`` equal NTILE shards (shard 1 = easiest) — the
-    data-ordering step of curriculum training.  Deterministic via the
-    (difficulty, key) sort; one global sort (the operation IS a sort at
-    any scale — range partitioning handles it distributed).
+    it into ``n_shards`` NTILE shards (shard 1 = easiest) — the
+    data-ordering step of curriculum training.
+
+    DISTRIBUTED exact ntile: a bare ``Window.orderBy`` would move the
+    whole corpus into ONE partition ("No Partition Defined for Window" —
+    the 100 TB killer), so the global rank is computed the scalable way:
+    range-partition by (difficulty, key), rank WITHIN each partition
+    (small local sorts), then add per-partition offsets from a bounded
+    #partitions-row count table.  The shard cut replicates ntile's exact
+    allocation (first N mod n shards get one extra row), so the DuckDB
+    ntile oracle still matches bit-for-bit.
     Returns per-shard stats: n_docs and the difficulty span.
     """
     from pyspark.sql import Window
 
-    w = Window.orderBy(difficulty_col.asc(), F.col(key_col))
+    ranged = documents.repartitionByRange(
+        max(documents.sparkSession.sparkContext.defaultParallelism, 2),
+        difficulty_col.asc(),
+        F.col(key_col),
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(
+        difficulty_col.asc(), F.col(key_col)
+    )
+    local = ranged.withColumn("_li", F.row_number().over(w_local))
+    # bounded: one row per partition; the running offset is a window over
+    # that tiny table, broadcast back onto the data
+    pc = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = pc.withColumn(
+        "_off", F.coalesce(F.sum("_pn").over(w_off), F.lit(0))
+    ).select("_pid", "_off")
+    total = pc.agg(F.sum("_pn").alias("_n"))
+    # ntile allocation: with q = N div n, r = N mod n, the first r shards
+    # hold q+1 rows; 0-based idx maps to idx // (q+1) while idx < r*(q+1),
+    # else r + (idx - r*(q+1)) // q
+    idx = F.col("_off") + F.col("_li") - 1
+    q = (F.col("_n") / n_shards).cast("long")
+    r = F.col("_n") % n_shards
+    shard = (
+        F.when(q == 0, idx + 1)  # fewer rows than shards: ntile = idx+1
+        .when(idx < r * (q + 1), (idx / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((idx - r * (q + 1)) / q).cast("long") + 1)
+    )
     return (
-        documents.withColumn("shard", F.ntile(n_shards).over(w))
+        local.join(F.broadcast(offsets), "_pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("shard", shard.cast("int"))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -96,11 +96,14 @@ def _block_parts(tiles: DataFrame, block: int, px_col: str) -> DataFrame:
                 # provisional label = global coords of the root pixel
                 glob = ((gy0 + roots // b) << 32) | (gx0 + roots % b)
                 flat = arr.ravel()
-                uniq, counts = np.unique(glob, return_counts=True)
-                root_val = {int(g): float(flat[int(np.argmax(glob == g))]) for g in uniq}
-                for g, c in zip(uniq, counts):
+                # return_index: first occurrence per region -> its value in
+                # ONE pass (a per-region argmax scan is O(px * regions))
+                uniq, first_idx, counts = np.unique(
+                    glob, return_index=True, return_counts=True
+                )
+                for g, fi, c in zip(uniq, first_idx, counts):
                     rows.append(
-                        ("region", int(g), root_val[int(g)], int(c), None, None, None)
+                        ("region", int(g), float(flat[fi]), int(c), None, None, None)
                     )
                 # 4 edge strips; the border key is SHARED between the two
                 # facing blocks: h-border right of (bx,by) = h:{by}:{bx}
@@ -122,12 +125,13 @@ def _block_parts(tiles: DataFrame, block: int, px_col: str) -> DataFrame:
     return tiles.mapInPandas(run, _PARTS_SCHEMA)
 
 
-def region_components(
-    tiles: DataFrame, block: int = 64, px_col: str = "px"
-) -> DataFrame:
-    """(value, component, n_px) — one row per final cross-block region.
-    ``component`` is the minimum provisional label of the region (the
-    global coordinates of its top-left-most root pixel)."""
+def _label_and_merge(
+    tiles: DataFrame, block: int, px_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(regions, lbl_comp): the checkpointed per-block region aggregates
+    and the provisional-label -> final-component map — computed ONCE and
+    shared by region_components and sieve_mask (labeling + stitching + CC
+    are the expensive passes)."""
     from geocube_spark.operators.dedup import connected_components
 
     parts = _block_parts(tiles, block, px_col).localCheckpoint()
@@ -151,11 +155,20 @@ def region_components(
     comp = connected_components(edges).select(
         F.col("node").alias("lbl"), F.col("component").alias("component")
     )
-    merged = regions.join(comp, "lbl", "left").select(
-        "val",
-        F.coalesce("component", F.col("lbl")).alias("component"),
-        "n_px",
+    lbl_comp = regions.select("lbl").join(comp, "lbl", "left").select(
+        "lbl", F.coalesce("component", F.col("lbl")).alias("component")
     )
+    return regions, lbl_comp
+
+
+def region_components(
+    tiles: DataFrame, block: int = 64, px_col: str = "px"
+) -> DataFrame:
+    """(value, component, n_px) — one row per final cross-block region.
+    ``component`` is the minimum provisional label of the region (the
+    global coordinates of its top-left-most root pixel)."""
+    regions, lbl_comp = _label_and_merge(tiles, block, px_col)
+    merged = regions.join(lbl_comp, "lbl").select("val", "component", "n_px")
     return merged.groupBy("val", "component").agg(
         F.sum("n_px").cast("long").alias("n_px")
     )
@@ -189,41 +202,20 @@ def sieve_mask(
     than ``min_px`` are replaced with ``nodata`` (the mask-cleanup step
     after classification; the reference delegates it to GDAL).
 
-    Two passes: the stats pass computes cross-block region sizes
-    (:func:`region_components`); the rewrite pass re-runs the SAME
-    deterministic per-block labeling and nulls pixels whose provisional
-    label belongs to a small region.  The small-label set is broadcast —
-    it is bounded by the number of SUB-THRESHOLD regions (speckle), which
-    is what a sieve exists to be small relative to the raster; a
-    pathological all-speckle raster should raise ``min_px`` first.
+    Two passes: the stats pass labels/stitches/merges ONCE
+    (:func:`_label_and_merge` — shared with region_components, nothing
+    recomputed); the rewrite pass re-runs only the deterministic
+    per-block labeling and nulls pixels whose provisional label belongs
+    to a small region.  The small-label set is broadcast — it is bounded
+    by the number of SUB-THRESHOLD regions (speckle), which is what a
+    sieve exists to be small relative to the raster; a pathological
+    all-speckle raster should raise ``min_px`` first.
     """
-    comps = region_components(tiles, block, px_col)
-    # provisional labels whose FINAL region is small: map component->size
-    # back onto every provisional label via the parts table
-    parts = _block_parts(tiles, block, px_col)
-    regions = parts.filter(F.col("kind") == "region").select("lbl", "val")
-    from geocube_spark.operators.dedup import connected_components
-
-    # recompute the provisional->component map exactly as region_components
-    strips = parts.filter(F.col("kind") == "strip")
-    lo = strips.filter(F.col("side") == 0).select(
-        "border", "pos", F.col("val").alias("val_a"), F.col("lbl").alias("lbl_a")
-    )
-    hi = strips.filter(F.col("side") == 1).select(
-        "border", "pos", F.col("val").alias("val_b"), F.col("lbl").alias("lbl_b")
-    )
-    edges = (
-        lo.join(hi, ["border", "pos"])
-        .filter(F.col("val_a") == F.col("val_b"))
-        .filter(F.col("lbl_a") != F.col("lbl_b"))
-        .select(F.col("lbl_a").alias("doc_a"), F.col("lbl_b").alias("doc_b"))
-        .distinct()
-    )
-    comp = connected_components(edges).select(
-        F.col("node").alias("lbl"), "component"
-    )
-    lbl_comp = regions.join(comp, "lbl", "left").select(
-        "lbl", F.coalesce("component", F.col("lbl")).alias("component")
+    regions, lbl_comp = _label_and_merge(tiles, block, px_col)
+    comps = (
+        regions.join(lbl_comp, "lbl")
+        .groupBy("val", "component")
+        .agg(F.sum("n_px").cast("long").alias("n_px"))
     )
     small_comps = comps.filter(F.col("n_px") < min_px).select("component")
     small = [

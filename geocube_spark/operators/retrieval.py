@@ -441,6 +441,60 @@ def unigram_logprob_sql(
     """
 
 
+def _bigram_streams(docs, id_col: str, text_col: str):
+    """Shared LM-prep: (toks, uni, total, bi_stream, bi, first) — the
+    tokenized docs, unigram/bigram count tables, the positional bigram
+    stream, and the unigram-scored first-token rows.  ONE definition keeps
+    the JM and Kneser-Ney scorers training on the identical streams."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+    ).filter(F.size("t") > 0)
+    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
+    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
+    bi_stream = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
+            )
+        ).alias("i", "bg"),
+    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
+    bi = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    first = (
+        toks.select("doc_id", F.element_at("t", 1).alias("term"))
+        .join(uni, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (F.log(F.col("c1")) - F.log("n_total")).alias("lp"))
+    )
+    return toks, uni, total, bi_stream, bi, first
+
+
+def _bigram_cte_prefix(table: str, id_col: str, text_col: str) -> str:
+    """The matching DuckDB CTE prefix (base/terms/uni/tot/bi_stream/bi/
+    first_tok) shared by both LM oracles."""
+    toks = tokens_sql(text_col)
+    return f"""base AS (
+      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
+    terms AS (SELECT doc_id, u.term AS term FROM nonempty, UNNEST(t) AS u(term)),
+    uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY term),
+    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
+    bi_stream AS (
+      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      FROM nonempty, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bi AS (SELECT prev, cur, count(*) AS c2 FROM bi_stream GROUP BY prev, cur),
+    first_tok AS (
+      SELECT doc_id, ln(c1) - ln(n_total) AS lp
+      FROM (SELECT doc_id, t[1] AS term FROM nonempty) f
+      JOIN uni USING (term), tot
+    )"""
+
+
 def bigram_logprob(
     docs: DataFrame,
     lam: float = 0.8,
@@ -468,30 +522,8 @@ def bigram_logprob(
     Everything is expressible as exact MLE counts, so the DuckDB oracle
     recomputes it bit-for-bit (no sketching, no RNG).
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
-    # positional explode keeps (prev, cur) adjacency without a window sort
-    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
-    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
-    total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
-    bi_stream = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.zip_with(
-                F.slice("t", 1, F.size("t") - 1),
-                F.slice("t", 2, F.size("t") - 1),
-                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-            )
-        ).alias("i", "bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    bi = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
-    # unigram logprob of the FIRST token of each doc (no left context)
-    first = (
-        toks.select("doc_id", F.element_at("t", 1).alias("term"))
-        .join(uni, "term")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", (F.log(F.col("c1")) - F.log("n_total")).alias("lp"))
+    _toks, uni, total, bi_stream, bi, first = _bigram_streams(
+        docs, id_col, text_col
     )
     ctx = uni.select(F.col("term").alias("prev"), F.col("c1").alias("c_prev"))
     scored = (
@@ -528,25 +560,9 @@ def bigram_logprob_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    toks = tokens_sql(text_col)
+    prefix = _bigram_cte_prefix(table, id_col, text_col)
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
-    ),
-    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
-    terms AS (SELECT doc_id, u.term AS term FROM nonempty, UNNEST(t) AS u(term)),
-    uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY term),
-    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
-    bi_stream AS (
-      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
-      FROM nonempty, UNNEST(range(1, len(t))) AS u(i)
-    ),
-    bi AS (SELECT prev, cur, count(*) AS c2 FROM bi_stream GROUP BY prev, cur),
-    first_tok AS (
-      SELECT doc_id, ln(c1) - ln(n_total) AS lp
-      FROM (SELECT doc_id, t[1] AS term FROM nonempty) f
-      JOIN uni USING (term), tot
-    ),
+    WITH {prefix},
     scored AS (
       SELECT s.doc_id,
              ln({lam} * b.c2 / up.c1 + {1.0 - lam} * uc.c1 / tot.n_total) AS lp
@@ -591,34 +607,14 @@ def kneser_ney_logprob(
     the DuckDB oracle recomputes the identical model.
     """
     D = float(discount)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
-    pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
-    uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
-    total = uni.agg(F.sum("c1").cast("double").alias("n_total"))
-    bi_stream = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.zip_with(
-                F.slice("t", 1, F.size("t") - 1),
-                F.slice("t", 2, F.size("t") - 1),
-                lambda a, b: F.struct(a.alias("prev"), b.alias("cur")),
-            )
-        ).alias("i", "bg"),
-    ).select("doc_id", F.col("bg.prev").alias("prev"), F.col("bg.cur").alias("cur"))
-    bi = bi_stream.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    _toks, uni, total, bi_stream, bi, first = _bigram_streams(
+        docs, id_col, text_col
+    )
     ctx = bi.groupBy("prev").agg(
         F.sum("c2").alias("c_u"), F.count(F.lit(1)).alias("n1p_fwd")
     )
     cont = bi.groupBy("cur").agg(F.count(F.lit(1)).alias("n1p_back"))
     n_bi = bi.agg(F.count(F.lit(1)).cast("double").alias("n_bi"))
-    first = (
-        toks.select("doc_id", F.element_at("t", 1).alias("term"))
-        .join(uni, "term")
-        .crossJoin(F.broadcast(total))
-        .select("doc_id", (F.log(F.col("c1")) - F.log("n_total")).alias("lp"))
-    )
     scored = (
         bi_stream.join(bi, ["prev", "cur"])
         .join(ctx, "prev")
@@ -649,29 +645,13 @@ def kneser_ney_logprob_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> str:
-    toks = tokens_sql(text_col)
+    prefix = _bigram_cte_prefix(table, id_col, text_col)
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc_id, {toks} AS t FROM {table}
-    ),
-    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
-    terms AS (SELECT doc_id, u.term AS term FROM nonempty, UNNEST(t) AS u(term)),
-    uni AS (SELECT term, count(*) AS c1 FROM terms GROUP BY term),
-    tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total FROM uni),
-    bi_stream AS (
-      SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
-      FROM nonempty, UNNEST(range(1, len(t))) AS u(i)
-    ),
-    bi AS (SELECT prev, cur, count(*) AS c2 FROM bi_stream GROUP BY prev, cur),
+    WITH {prefix},
     ctx AS (SELECT prev, CAST(sum(c2) AS DOUBLE) AS c_u, count(*) AS n1p_fwd
             FROM bi GROUP BY prev),
     cont AS (SELECT cur, count(*) AS n1p_back FROM bi GROUP BY cur),
     nb AS (SELECT CAST(count(*) AS DOUBLE) AS n_bi FROM bi),
-    first_tok AS (
-      SELECT doc_id, ln(c1) - ln(n_total) AS lp
-      FROM (SELECT doc_id, t[1] AS term FROM nonempty) f
-      JOIN uni USING (term), tot
-    ),
     scored AS (
       SELECT s.doc_id,
              ln(greatest(b.c2 - {discount}, 0) / x.c_u

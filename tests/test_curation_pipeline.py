@@ -169,3 +169,41 @@ class TestCurriculumShards:
         # difficulty spans are non-overlapping and increasing
         for a, b in zip(rows, rows[1:]):
             assert a["max_difficulty"] <= b["min_difficulty"]
+
+    def test_nondivisible_allocation_matches_ntile(self, spark, duck):
+        """103 rows / 10 shards: ntile gives the first 3 shards 11 rows —
+        the distributed exact-ntile must replicate that allocation."""
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import curriculum_shards
+
+        df = spark.createDataFrame(
+            [(i, float(i * 7 % 101)) for i in range(103)],
+            "doc_id long, d double",
+        )
+        got = [
+            (r["shard"], r["n_docs"])
+            for r in curriculum_shards(df, F.col("d"), n_shards=10).collect()
+        ]
+        want = duck.sql(
+            "SELECT shard, CAST(count(*) AS BIGINT) FROM ("
+            " SELECT ntile(10) OVER (ORDER BY d, doc_id) AS shard FROM ("
+            "  SELECT range AS doc_id, CAST(range * 7 % 101 AS DOUBLE) AS d"
+            "  FROM range(0, 103)))"
+            " GROUP BY shard ORDER BY shard"
+        ).fetchall()
+        assert got == [tuple(w) for w in want]
+        assert [n for _, n in got[:3]] == [11, 11, 11]
+
+    def test_fewer_rows_than_shards(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.pipeline import curriculum_shards
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(4)], "doc_id long, d double"
+        )
+        rows = curriculum_shards(df, F.col("d"), n_shards=10).collect()
+        assert [(r["shard"], r["n_docs"]) for r in rows] == [
+            (1, 1), (2, 1), (3, 1), (4, 1)
+        ]
