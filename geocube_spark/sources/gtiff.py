@@ -455,9 +455,17 @@ def write_tiff(
                 ).tobytes()
                 for p in payloads
             ]
+        jpeg_tables_payload = None
         if comp_code == 7:
-            from geocube_spark.sources.jpeg import encode_jpeg, rgb_to_ycbcr
+            from geocube_spark.sources.jpeg import (
+                encode_jpeg,
+                jpeg_tables_stream,
+                rgb_to_ycbcr,
+            )
 
+            # the standard DQT/DHT travel ONCE in the JPEGTables tag;
+            # per-tile streams are abbreviated (~600 B saved per tile)
+            jpeg_tables_payload = jpeg_tables_stream(jpeg_quality, gray=nb == 1)
             cols = w if layout == "strip" else tw
             enc = []
             for p in payloads:
@@ -468,11 +476,11 @@ def write_tiff(
                     enc.append(
                         encode_jpeg(
                             arr, jpeg_quality, ycbcr=True,
-                            subsampling=jpeg_subsampling,
+                            subsampling=jpeg_subsampling, tables=False,
                         )
                     )
                 else:
-                    enc.append(encode_jpeg(arr, jpeg_quality))
+                    enc.append(encode_jpeg(arr, jpeg_quality, tables=False))
             payloads = enc
         elif comp_code == 8:
             payloads = [zlib.compress(p, 6) for p in payloads]
@@ -528,6 +536,15 @@ def write_tiff(
         if img.nodata is not None:
             nd = _pack_array(_T_ASCII, repr(img.nodata))
             entries.append((_GDAL_NODATA, _T_ASCII, len(nd), nd))
+        if jpeg_tables_payload is not None:
+            entries.append(
+                (
+                    _JPEG_TABLES,
+                    _T_UNDEFINED,
+                    len(jpeg_tables_payload),
+                    jpeg_tables_payload,
+                )
+            )
         entries.sort(key=lambda entry: entry[0])
         p = _PlannedIFD(entries, payloads, len(payloads))
         p.offsets_entry_idx = next(

@@ -138,6 +138,33 @@ def scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
 
 
+def _tables_segments(quality: int, gray: bool) -> bytes:
+    """The DQT + DHT marker segments for the standard tables at the given
+    quality — either inlined into a standalone stream or carried once in
+    a TIFF JPEGTables tag."""
+    qlum = scaled_quant(QUANT_LUM, quality)
+    qchr = scaled_quant(QUANT_CHROM, quality)
+    out = bytearray()
+    for tq, q in ([(0, qlum)] if gray else [(0, qlum), (1, qchr)]):
+        zz = q.flat[ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
+            int(x) for x in zz
+        )
+    hts = [(0x00, DC_LUM), (0x10, AC_LUM)]
+    if not gray:
+        hts += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
+    for tcth, (bits, vals) in hts:
+        seg = bytes([tcth]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    return bytes(out)
+
+
+def jpeg_tables_stream(quality: int = 75, gray: bool = True) -> bytes:
+    """The abbreviated tables-only stream (SOI, DQT, DHT, EOI) a TIFF
+    JPEGTables tag (347) carries, shared by every tile of the file."""
+    return b"\xff\xd8" + _tables_segments(quality, gray) + b"\xff\xd9"
+
+
 # --------------------------------------------------------------- huffman
 
 
@@ -524,6 +551,7 @@ def encode_jpeg(
     ycbcr: bool | None = None,
     restart_interval: int = 0,
     subsampling: str = "444",
+    tables: bool = True,
 ) -> bytes:
     """Encode (h, w) grayscale or (h, w, 3) colour uint8 to a standalone
     baseline JPEG (standard tables).  3-channel input is treated as RGB
@@ -532,7 +560,9 @@ def encode_jpeg(
     GDAL's PHOTOMETRIC=YCBCR default shape, ~half the payload).
     ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
     that many MCUs (what scanned/streamed encoders emit for error
-    resilience — and what exercises the decoder's restart path)."""
+    resilience — and what exercises the decoder's restart path).
+    ``tables=False`` emits an ABBREVIATED stream (no DQT/DHT) for use
+    with a TIFF JPEGTables tag — see :func:`jpeg_tables_stream`."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if not gray and img.shape[-1] != 3:
@@ -554,13 +584,8 @@ def encode_jpeg(
         planes = [planes[0], _box_downsample2(planes[1]), _box_downsample2(planes[2])]
 
     out = bytearray(b"\xff\xd8")
-    # DQT
-    for tq, q in ([(0, qlum)] if gray else [(0, qlum), (1, qchr)]):
-        zz = np.zeros(64, dtype=np.int64)
-        zz = q.flat[ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
-            int(x) for x in zz
-        )
+    if tables:
+        out += _tables_segments(quality, gray)
     # SOF0
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
@@ -568,13 +593,6 @@ def encode_jpeg(
         hv = 0x22 if (sub and i == 0) else 0x11
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
-    # DHT
-    hts = [(0x00, DC_LUM), (0x10, AC_LUM)]
-    if not gray:
-        hts += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
-    for tcth, (bits, vals) in hts:
-        seg = bytes([tcth]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
     # DRI
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)

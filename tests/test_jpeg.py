@@ -96,11 +96,18 @@ class TestCodecMath:
 
 
 class TestStreamStructure:
-    def test_markers_in_order(self):
+    def test_markers_present_and_tables_precede_scan(self):
         s = encode_jpeg(np.zeros((8, 8), np.uint8))
         assert s[:2] == b"\xff\xd8" and s[-2:] == b"\xff\xd9"
-        order = [s.find(bytes([0xFF, m])) for m in (0xDB, 0xC0, 0xC4, 0xDA)]
-        assert all(p > 0 for p in order) and order == sorted(order)
+        pos = {m: s.find(bytes([0xFF, m])) for m in (0xDB, 0xC0, 0xC4, 0xDA)}
+        assert all(p > 0 for p in pos.values())
+        # every table and the frame header precede the scan
+        assert max(pos[0xDB], pos[0xC0], pos[0xC4]) < pos[0xDA]
+
+    def test_abbreviated_stream_has_no_tables(self):
+        s = encode_jpeg(np.zeros((8, 8), np.uint8), tables=False)
+        assert s.find(b"\xff\xdb") == -1 and s.find(b"\xff\xc4") == -1
+        assert s.find(b"\xff\xc0") > 0  # frame header still present
 
     def test_progressive_stream_raises(self):
         s = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
@@ -391,3 +398,47 @@ class TestNearLossless:
         img = rng.randint(0, 256, (24, 40), dtype=np.uint8)
         d = decode_jpeg(encode_jpeg(img, 100))
         assert np.abs(d.astype(int) - img.astype(int)).max() <= 1
+
+
+class TestWriterJpegTables:
+    def test_tiff_carries_jpeg_tables_tag_once(self):
+        x = np.linspace(20, 200, 96)
+        img = np.clip(np.round(np.add.outer(x, x * 0.1)), 0, 255).astype(np.uint8)
+        rast = RasterImage(
+            bands=img[None],
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+            epsg=4326,
+            nodata=None,
+        )
+        data = write_tiff([rast], tile_size=(32, 32), compression="jpeg",
+                          jpeg_quality=90)
+        # tables appear in the file exactly once (the tag), not per tile
+        assert data.count(b"\xff\xdb") == 1
+        out = read_tiff(data)[0]
+        assert np.abs(out.bands.astype(int) - img.astype(int)).max() <= 6
+
+    def test_tables_tag_saves_bytes_vs_standalone(self):
+        x = np.linspace(20, 200, 128)
+        img = np.clip(np.round(np.add.outer(x, x * 0.1)), 0, 255).astype(np.uint8)
+        rast = RasterImage(
+            bands=img[None],
+            transform=(10.0, 0.0, 0.0, 0.0, -10.0, 0.0),
+            epsg=4326,
+            nodata=None,
+        )
+        from geocube_spark.sources.jpeg import encode_jpeg as _e
+
+        with_tag = write_tiff([rast], tile_size=(32, 32), compression="jpeg")
+        # 16 tiles x ~285 B of per-tile tables saved minus one shared copy
+        standalone_total = sum(
+            len(_e(img[y : y + 32, x0 : x0 + 32], 90))
+            for y in range(0, 128, 32)
+            for x0 in range(0, 128, 32)
+        )
+        abbrev_total = sum(
+            len(_e(img[y : y + 32, x0 : x0 + 32], 90, tables=False))
+            for y in range(0, 128, 32)
+            for x0 in range(0, 128, 32)
+        )
+        assert standalone_total - abbrev_total > 15 * 250
+        assert len(with_tag) < standalone_total  # net win incl. the tag
