@@ -212,3 +212,52 @@ def bpe_train_sql(
     )
     joined = ",\n    ".join(ctes)
     return f"WITH {joined}\n    {union}"
+
+
+def _fold_sql(inner: str, p1: str, p2: str) -> str:
+    """Parameterized greedy-merge fold over a spaced-word SQL expression
+    (p1/p2 are SQL expressions for the pair symbols)."""
+    return (
+        f"list_reduce(string_split({inner}, ' '), (acc, x) -> "
+        f"CASE WHEN (acc = {p1} OR right(acc, len({p1}) + 1) = ' ' || {p1}) "
+        f"AND x = {p2} "
+        f"THEN left(acc, len(acc) - len({p1})) || {p1} || {p2} "
+        f"ELSE acc || ' ' || x END)"
+    )
+
+
+def bpe_tokenized_counts_sql(
+    n_merges: int = 3,
+    table: str = "documents",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> str:
+    """Train + APPLY twin: the train CTEs of :func:`bpe_train_sql`, then
+    every document tokenized through the learned merges (nested folds,
+    innermost = char-spaced word), aggregated per ``group_col``."""
+    train = bpe_train_sql(n_merges, table, text_col)
+    # reuse the generated CTE block (everything before the final UNION)
+    cte_block = train.split("\n    SELECT 1 AS merge_rank")[0]
+    toks = tokens_sql(text_col)
+    spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    expr = spaced
+    for i in range(1, n_merges + 1):
+        expr = _fold_sql(expr, f"m.p1_{i}", f"m.p2_{i}")
+    pairs_select = ", ".join(
+        f"b{i}.p1 AS p1_{i}, b{i}.p2 AS p2_{i}" for i in range(1, n_merges + 1)
+    )
+    pairs_from = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    return f"""{cte_block},
+    m AS (SELECT {pairs_select} FROM {pairs_from}),
+    docs_t AS (SELECT {group_col} AS grp, {toks} AS t FROM {table}),
+    applied AS (
+      SELECT grp,
+             list_aggregate(
+               list_transform(t, w -> len(string_split({expr}, ' '))),
+               'sum') AS n_tok
+      FROM docs_t, m
+    )
+    SELECT grp AS {group_col},
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(COALESCE(n_tok, 0)) AS BIGINT) AS total_tokens
+    FROM applied GROUP BY grp ORDER BY grp"""

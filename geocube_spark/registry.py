@@ -5982,6 +5982,40 @@ def bpe_merges_q(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir), n_merges=4)
 
 
+# Train + APPLY end-to-end: learn 3 merges, tokenize the corpus with them
+# (bpe_apply — zero-shuffle narrow map, merges as plan literals), report
+# per-source token totals; oracle replays BOTH phases (nested list_reduce
+# folds over the generated train CTEs).
+@q(
+    "bpe_tokenized_counts",
+    __import__(
+        "geocube_spark.operators.bpe", fromlist=["bpe_tokenized_counts_sql"]
+    ).bpe_tokenized_counts_sql(n_merges=3),
+)
+def bpe_tokenized_counts(spark, sf_dir):
+    from geocube_spark.operators.bpe import bpe_apply
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        tuple(r["pair"].split(" "))
+        for r in sorted(
+            bpe_train(docs, n_merges=3).collect(),
+            key=lambda r: r["merge_rank"],
+        )
+    ]
+    toks = bpe_apply(docs, merges).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
 # Mergeable-sketch accuracy harness: Spark's HLL++ distinct count and GK
 # quantile sketch, judged against the EXACT values the oracle recomputes.
 # The sketch outputs themselves are engine-specific, so the contract
