@@ -261,3 +261,47 @@ def bpe_tokenized_counts_sql(
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(COALESCE(n_tok, 0)) AS BIGINT) AS total_tokens
     FROM applied GROUP BY grp ORDER BY grp"""
+
+
+def bpe_subtoken_lengths(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """(word, n_sub): subword count per DISTINCT corpus word under the
+    learned merges — the fold runs once per vocabulary entry, not once
+    per token occurrence (vocabulary is orders of magnitude smaller than
+    the corpus; this is how production tokenizers batch too)."""
+    words = docs.select(
+        F.explode(tokens_expr(F.col(text_col))).alias("word")
+    ).distinct()
+    s = _spaced_chars(F.col("word"))
+    for p1, p2 in merges:
+        s = _greedy_merge_fold(s, F.lit(p1), F.lit(p2))
+    return words.select("word", F.size(F.split(s, " ")).alias("n_sub"))
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group post-BPE token totals: explode the token stream, join the
+    broadcast per-word subtoken lengths, sum — one corpus pass, the folds
+    confined to the vocabulary table."""
+    lengths = bpe_subtoken_lengths(docs, merges, text_col)
+    stream = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("_did"),
+        F.explode_outer(tokens_expr(F.col(text_col))).alias("word"),
+    )
+    return (
+        stream.join(F.broadcast(lengths), "word", "left")
+        .groupBy("grp")
+        .agg(
+            F.count_distinct("_did").cast("long").alias("n_docs"),
+            F.sum(F.coalesce("n_sub", F.lit(0))).cast("long").alias("total_tokens"),
+        )
+        .withColumnRenamed("grp", group_col)
+        .orderBy(group_col)
+    )

@@ -5993,7 +5993,7 @@ def bpe_merges_q(spark, sf_dir):
     ).bpe_tokenized_counts_sql(n_merges=3),
 )
 def bpe_tokenized_counts(spark, sf_dir):
-    from geocube_spark.operators.bpe import bpe_apply
+    from geocube_spark.operators.bpe import bpe_token_counts
 
     docs = _docs(spark, sf_dir)
     merges = [
@@ -6003,17 +6003,9 @@ def bpe_tokenized_counts(spark, sf_dir):
             key=lambda r: r["merge_rank"],
         )
     ]
-    toks = bpe_apply(docs, merges).join(
-        docs.select("doc_id", "source"), "doc_id"
-    )
-    return (
-        toks.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tokens").cast("long").alias("total_tokens"),
-        )
-        .orderBy("source")
-    )
+    # counts via the VOCAB-level fold (one fold per distinct word, not
+    # per token occurrence — 10x at sf0.1, unbounded at corpus scale)
+    return bpe_token_counts(docs, merges)
 
 
 # Mergeable-sketch accuracy harness: Spark's HLL++ distinct count and GK
