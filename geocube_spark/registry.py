@@ -1054,10 +1054,16 @@ def tpch_q8(spark, sf_dir):
 @q(
     "tpch_q9",
     """
+    -- FIXED-POINT: profit in 1e-4-dollar integer units so the sum is
+    -- exact at any SF (a double sum flips the 2-dp rounding at sf0.1)
     SELECT sn.n_name AS nation,
            CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)
-                          - p.p_retailprice * l.l_quantity * 0.1) AS DOUBLE), 2) AS sum_profit
+           CAST(sum(
+                 CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+                 - CAST(round(p.p_retailprice * 100, 0) AS BIGINT)
+                   * CAST(round(l.l_quantity, 0) AS BIGINT) * 10
+               ) AS BIGINT) AS sum_profit_e4
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1076,9 +1082,13 @@ def tpch_q9(spark, sf_dir):
     sn = n.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
     )
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    # integer 1e-4-dollar units: exact under any summation order / SF
+    profit_e4 = (
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        - F.round(F.col("p_retailprice") * 100, 0).cast("long")
+        * F.round(F.col("l_quantity"), 0).cast("long")
+        * 10
     )
     return (
         li.join(
@@ -1089,7 +1099,7 @@ def tpch_q9(spark, sf_dir):
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg(F.sum(profit_e4).cast("long").alias("sum_profit_e4"))
         .orderBy("nation", "o_year")
     )
 
