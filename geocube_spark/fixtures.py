@@ -559,6 +559,39 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
                 }
             )
 
+    # ---- warp_src_laea: source tiles for the LAMBERT AZIMUTHAL EQUAL-AREA
+    # cross-CRS warp oracle.  Same closed-form v(i,j) = (13i + 7j) mod 97,
+    # grid in EPSG:3035 (ETRS89-extended / LAEA Europe): res 1024 m, origin
+    # E=4255744 / N=3276800 (multiples of 1024 keep index floors exact),
+    # 128x128 px centered near the projection origin (10°E, 52°N).  The
+    # oracle re-derives the 4326->3035 Snyder LAEA forward in SQL
+    # (functions/crs.py laea_forward_sql_columns).
+    laea_res = 1024.0
+    laea_rows = []
+    for wby in range(2):
+        for wbx in range(2):
+            cc, rr = np.meshgrid(np.arange(64), np.arange(64))
+            gi = wbx * 64 + cc
+            gj = wby * 64 + rr
+            v = ((13 * gi + 7 * gj) % 97).astype(np.float64)
+            laea_rows.append(
+                {
+                    "container_uri": "warp://src-laea",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": wbx,
+                    "block_y": wby,
+                    "px": v.ravel().tolist(),
+                    "crs_srid": 3035,
+                    "pix_to_crs": {
+                        "a": laea_res, "b": 0.0, "c": 4255744.0,
+                        "d": 0.0, "e": -laea_res, "f": 3276800.0,
+                    },
+                    "record_id": _uuid("warp-laea-record", 0),
+                    "record_datetime": t0,
+                }
+            )
+
     # ---- warp_src_sinu: source tiles for the SINUSOIDAL (MODIS grid,
     # SR-ORG:6974) cross-CRS warp oracle.  Same closed-form v(i,j) =
     # (13i + 7j) mod 97, grid in the MODIS sinusoidal projection
@@ -710,6 +743,7 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
         "warp_src_ps": ps_rows,
         "warp_src_lcc": lcc_rows,
         "warp_src_aea": aea_rows,
+        "warp_src_laea": laea_rows,
         "warp_src_sinu": sinu_rows,
         "warp_src_bng": bng_rows,
         "records": record_rows,

@@ -8,9 +8,13 @@ Supported CRSs with exact closed-form transforms: EPSG:4326 (lon/lat),
 EPSG:3857 (WebMercator), EPSG:326xx/327xx (UTM, order-n⁶ Krüger), and the
 polar stereographic family EPSG:3031/3413/5041/5042 (Snyder closed form) —
 i.e. the CRSs real satellite products actually ship in (MGRS/UTM tiling,
-polar science grids).  A plugin registry covers custom transforms (the C6
-extension point); full arbitrary-CRS support would plug pyproj into
-``register_transform`` unchanged.
+polar science grids) — plus LCC/AEA/LAEA/TM national grids.  Beyond the
+EPSG registry, ``crs_from_parameters`` constructs ANY parameter set of
+those families (from proj4 or WKT PARAMETER clauses) on the WGS84/GRS80
+ellipsoid — the reference's accept-anything PROJ behavior for the families
+the closed-form kernels implement.  A plugin registry covers the rest (the
+C6 extension point); a full pyproj would plug into ``register_transform``
+unchanged.
 """
 
 from __future__ import annotations
@@ -54,8 +58,14 @@ def parse_crs(text: str | int) -> int:
         srid = _wkt_toplevel_epsg(s)
         if srid is not None:
             return srid
+        # no top-level authority: construct from the projection parameters
+        # (the reference's PROJ accepts any parameter set — proj.go:47-73)
+        srid = _wkt_projcs_from_parameters(s)
+        if srid is not None:
+            return srid
         raise CRSError(
-            f"WKT without a top-level EPSG authority: {s[:80]!r}"
+            f"WKT without a top-level EPSG authority or projection "
+            f"parameters: {s[:80]!r}"
         )
     if s.startswith("+"):
         m = re.search(r"(?i)\+init\s*=\s*epsg\s*:\s*(\d+)", s)
@@ -103,15 +113,31 @@ def parse_crs(text: str | int) -> int:
                     k0 == kk or (k0 is None and kk is None)
                 ) and (lon0, fe, fn) == (l0, e0, n0):
                     return srid
-            raise CRSError(
-                f"polar stereographic proj4 spec matches no registered CRS: {s!r}"
+            _require_wgs84_proj4(s)
+            return crs_from_parameters(
+                "stere", lat_0=lat0, lon_0=lon0, lat_ts=lat_ts, k_0=k0,
+                x_0=fe, y_0=fn,
             )
-        if re.search(r"\+proj\s*=\s*(lcc|aea|tmerc)\b", s):
+        if re.search(r"\+proj\s*=\s*(lcc|aea|tmerc|laea)\b", s):
             srid = _proj4_match_registered(s)
             if srid is not None:
                 return srid
-            raise CRSError(
-                f"conic/TM proj4 spec matches no registered grid: {s!r}"
+            # unregistered parameter set: construct it (proj.go:47-73
+            # accepts any parameters; same here for the implemented
+            # families, WGS84/GRS80 ellipsoid only — the matcher above is
+            # ellipsoid-aware, so a bessel/intl spec whose numbers happen
+            # to coincide with a WGS84-family grid falls through and raises
+            _require_wgs84_proj4(s)
+            fam = re.search(r"\+proj\s*=\s*(\w+)", s).group(1)
+            return crs_from_parameters(
+                fam,
+                lat_0=_proj4_num(s, "lat_0") or 0.0,
+                lon_0=_proj4_num(s, "lon_0") or 0.0,
+                lat_1=_proj4_num(s, "lat_1"),
+                lat_2=_proj4_num(s, "lat_2"),
+                k_0=_proj4_num(s, "k") or _proj4_num(s, "k_0"),
+                x_0=_proj4_num(s, "x_0") or 0.0,
+                y_0=_proj4_num(s, "y_0") or 0.0,
             )
         if re.search(r"\+proj\s*=\s*sinu\b", s):
             flat = s.replace(" ", "")
@@ -150,17 +176,51 @@ def _proj4_num(spec: str, key: str) -> float | None:
     return float(m.group(1)) if m else None
 
 
+def _require_wgs84_proj4(spec: str) -> None:
+    """Parameter-driven construction runs on the WGS84/GRS80 ellipsoid
+    (sub-mm identical); any OTHER stated datum/ellipsoid must raise rather
+    than be silently reprojected wrong."""
+    if re.search(
+        r"(?i)\+(datum|ellps)\s*=\s*(?!WGS84\b|GRS80\b|ETRS89\b|NAD83\b)\w",
+        spec,
+    ):
+        raise CRSError(f"non-WGS84/GRS80 ellipsoid in proj4 spec: {spec!r}")
+
+
+def _proj4_ellps_token(spec: str) -> str:
+    """'wgs84' (WGS84/GRS80/ETRS89/NAD83 or unstated), or the lowercased
+    stated ellipsoid/datum name otherwise."""
+    m = re.search(r"(?i)\+(?:ellps|datum)\s*=\s*(\w+)", spec)
+    if m is None:
+        return "wgs84"
+    tok = m.group(1).lower()
+    return "wgs84" if tok in ("wgs84", "grs80", "etrs89", "nad83") else tok
+
+
 def _proj4_match_registered(spec: str) -> int | None:
-    """Resolve a +proj=lcc/aea/tmerc spec to a registered SRID by matching
-    its numeric parameters against the built-in grid tables — the same
-    families the closed-form kernels implement.  Returns None when no
-    registered grid matches (callers raise CRSError rather than guess)."""
+    """Resolve a +proj=lcc/aea/laea/tmerc spec to a registered SRID by
+    matching its numeric parameters against the built-in grid tables — the
+    same families the closed-form kernels implement.  Ellipsoid-aware: a
+    non-WGS84-family spec only matches a TM grid that carries that same
+    ellipsoid (e.g. airy -> 27700).  Returns None when no registered grid
+    matches (callers construct via crs_from_parameters, which re-checks
+    the ellipsoid and raises for non-WGS84 families)."""
     fam = re.search(r"\+proj\s*=\s*(\w+)", spec).group(1)
+    ellps = _proj4_ellps_token(spec)
     lat0 = _proj4_num(spec, "lat_0") or 0.0
     lon0 = _proj4_num(spec, "lon_0") or 0.0
     fe = _proj4_num(spec, "x_0") or 0.0
     fn = _proj4_num(spec, "y_0") or 0.0
+    if fam == "laea":
+        if ellps != "wgs84":
+            return None
+        for srid, (p0, l0, e0, n0) in _LAEA_PARAMS.items():
+            if (lat0, lon0, fe, fn) == (p0, l0, e0, n0):
+                return srid
+        return None
     if fam in ("lcc", "aea"):
+        if ellps != "wgs84":
+            return None
         lat1 = _proj4_num(spec, "lat_1")
         lat2 = _proj4_num(spec, "lat_2")
         table = _LCC_PARAMS if fam == "lcc" else _AEA_PARAMS
@@ -171,8 +231,14 @@ def _proj4_match_registered(spec: str) -> int | None:
                 return srid
         return None
     k0 = _proj4_num(spec, "k") or _proj4_num(spec, "k_0") or 1.0
-    for srid, (_ellps, p0, l0, kk, e0, n0, _helm) in _TM_GRIDS.items():
-        if (lat0, lon0, k0, fe, fn) == (p0, l0, kk, e0, n0):
+    for srid, (grid_ellps, p0, l0, kk, e0, n0, _helm) in _TM_GRIDS.items():
+        grid_tok = (
+            "wgs84" if grid_ellps.lower() in ("wgs84", "grs80") else
+            grid_ellps.lower()
+        )
+        if ellps == grid_tok and (lat0, lon0, k0, fe, fn) == (
+            p0, l0, kk, e0, n0
+        ):
             return srid
     return None
 
@@ -716,6 +782,270 @@ def aea_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
         {fn!r} + {rho0!r} - aea_rho * cos(aea_theta) AS aea_n"""
 
 
+# ------------------------------------ Lambert Azimuthal Equal-Area (oblique)
+#
+# Snyder eqs 24-2..24-31 / 24-56..24-59 (ellipsoidal, oblique aspect via the
+# authalic sphere): the pan-European statistical grid EPSG:3035 (ETRS89 /
+# LAEA Europe) and any custom LAEA built by crs_from_parameters.  ETRS89
+# rides the GRS80 ellipsoid, which this kernel approximates with WGS84 —
+# the flattenings differ in the 11th significant digit (sub-0.1 mm), the
+# same convention the NAD83 LCC/AEA grids above already use.
+
+_LAEA_PARAMS: dict[int, tuple[float, float, float, float]] = {
+    # srid: (lat0, lon0, false_easting, false_northing)
+    3035: (52.0, 10.0, 4321000.0, 3210000.0),  # ETRS89-extended / LAEA Europe
+}
+
+
+def _laea_constants(srid: int) -> tuple[float, ...]:
+    """(sin_b1, cos_b1, Rq, D, qp, lon0, fe, fn) — Snyder 3-11/3-12,
+    24-20 (Rq), 24-24 (D), computed once driver-side and shared verbatim
+    by the numpy kernel and the SQL oracle twin."""
+    lat0, lon0, fe, fn = _LAEA_PARAMS[srid]
+    e = _TM_E
+    qp = _aea_q_scalar(math.pi / 2.0)
+    q1 = _aea_q_scalar(math.radians(lat0))
+    b1 = math.asin(q1 / qp)
+    Rq = WGS84_A * math.sqrt(qp / 2.0)
+    sp = math.sin(math.radians(lat0))
+    m1 = math.cos(math.radians(lat0)) / math.sqrt(1.0 - e * e * sp * sp)
+    D = WGS84_A * m1 / (Rq * math.cos(b1))
+    return math.sin(b1), math.cos(b1), Rq, D, qp, lon0, fe, fn
+
+
+def laea_forward(lon, lat, srid: int):
+    """(lon, lat) degrees -> LAEA (easting, northing) meters (Snyder
+    24-30/24-31: x = B·D·cosβ·sin(λ−λ0), y = (B/D)·(cosβ1·sinβ −
+    sinβ1·cosβ·cos(λ−λ0)), B = Rq·√(2/(1+sinβ1·sinβ+cosβ1·cosβ·cosΔλ)))."""
+    sin_b1, cos_b1, Rq, D, qp, lon0, fe, fn = _laea_constants(srid)
+    e = _TM_E
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    dlam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sp = np.sin(phi)
+    q = (1.0 - e * e) * (
+        sp / (1.0 - e * e * sp * sp)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * sp) / (1.0 + e * sp))
+    )
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+    sb, cb = np.sin(beta), np.cos(beta)
+    B = Rq * np.sqrt(
+        2.0 / (1.0 + sin_b1 * sb + cos_b1 * cb * np.cos(dlam))
+    )
+    x = fe + B * D * cb * np.sin(dlam)
+    y = fn + (B / D) * (cos_b1 * sb - sin_b1 * cb * np.cos(dlam))
+    return x, y
+
+
+def laea_inverse(easting, northing, srid: int):
+    """LAEA meters -> (lon, lat) degrees (Snyder 24-56..24-59: angular
+    distance ce from ρ, authalic q back out, then the same Snyder 3-16
+    Newton iteration as the Albers inverse)."""
+    sin_b1, cos_b1, Rq, D, qp, lon0, fe, fn = _laea_constants(srid)
+    e = _TM_E
+    xp = (np.asarray(easting, dtype=np.float64) - fe) / D
+    yp = (np.asarray(northing, dtype=np.float64) - fn) * D
+    rho = np.hypot(xp, yp)
+    at_center = rho == 0.0
+    rho_safe = np.where(at_center, 1.0, rho)
+    ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * Rq), -1.0, 1.0))
+    q = qp * (
+        np.cos(ce) * sin_b1 + yp * np.sin(ce) * cos_b1 / rho_safe
+    )
+    q = np.where(at_center, qp * sin_b1, q)
+    lam = np.arctan2(
+        xp * np.sin(ce),
+        rho_safe * cos_b1 * np.cos(ce) - yp * sin_b1 * np.sin(ce),
+    )
+    lam = np.where(at_center, 0.0, lam)
+    phi = np.arcsin(np.clip(q / qp, -1.0, 1.0))  # authalic first guess
+    for _ in range(8):
+        sp = np.sin(phi)
+        one = 1.0 - e * e * sp * sp
+        phi = phi + (one * one) / (2.0 * np.cos(phi)) * (
+            q / (1.0 - e * e)
+            - sp / one
+            + (1.0 / (2.0 * e)) * np.log((1.0 - e * sp) / (1.0 + e * sp))
+        )
+    lon = (np.degrees(lam) + lon0 + 180.0) % 360.0 - 180.0
+    return lon, np.degrees(phi)
+
+
+def laea_forward_sql_columns(lon_expr: str, lat_expr: str, srid: int) -> str:
+    """DuckDB fragment computing ``laea_e``/``laea_n`` with the numpy
+    kernel's exact operation sequence (the oracle twin, same pattern as
+    the UTM/polar/LCC/AEA fragments)."""
+    sin_b1, cos_b1, Rq, D, qp, lon0, fe, fn = _laea_constants(srid)
+    e = repr(_TM_E)
+    return f"""
+        sin(radians({lat_expr})) AS laea_sp,
+        radians(({lon_expr}) - {lon0!r}) AS laea_dlam,
+        (1 - {e}*{e}) * (laea_sp / (1 - {e}*{e}*laea_sp*laea_sp)
+            - (1.0/(2*{e})) * ln((1 - {e}*laea_sp) / (1 + {e}*laea_sp)))
+          AS laea_q,
+        asin(greatest(-1.0, least(1.0, laea_q / {qp!r}))) AS laea_beta,
+        {Rq!r} * sqrt(2.0 / (1 + {sin_b1!r} * sin(laea_beta)
+            + {cos_b1!r} * cos(laea_beta) * cos(laea_dlam))) AS laea_B,
+        {fe!r} + laea_B * {D!r} * cos(laea_beta) * sin(laea_dlam) AS laea_e,
+        {fn!r} + (laea_B / {D!r}) * ({cos_b1!r} * sin(laea_beta)
+            - {sin_b1!r} * cos(laea_beta) * cos(laea_dlam)) AS laea_n"""
+
+
+# ----------------------------------- parameter-driven CRS construction (C6)
+#
+# The reference accepts ANY projected CRS via PROJ
+# (internal/utils/proj/proj.go:47-73).  With no pyproj in this container,
+# the closed-form kernels above ARE the projection engine — what this block
+# adds is the reference's "any parameter set" behavior for the families
+# those kernels already implement: an unregistered LCC/AEA/LAEA/TM/polar-
+# stereo parameter set (from proj4 or WKT) is CONSTRUCTED into the family
+# table under a synthetic SRID instead of raising.  Identical parameter
+# sets always resolve to the same SRID (the table is scanned before
+# allocating), so plans built from equal specs share transforms.
+
+_SYNTHETIC_SRID_BASE = 900900
+_synthetic_srid_next = [_SYNTHETIC_SRID_BASE]
+
+
+def _intern_params(table: dict[int, tuple], params: tuple) -> int:
+    for srid, existing in table.items():
+        if existing == params:
+            return srid
+    srid = _synthetic_srid_next[0]
+    _synthetic_srid_next[0] += 1
+    table[srid] = params
+    return srid
+
+
+def crs_from_parameters(
+    family: str,
+    *,
+    lat_0: float = 0.0,
+    lon_0: float = 0.0,
+    lat_1: float | None = None,
+    lat_2: float | None = None,
+    lat_ts: float | None = None,
+    k_0: float | None = None,
+    x_0: float = 0.0,
+    y_0: float = 0.0,
+) -> int:
+    """Construct (or look up) a CRS from raw projection parameters on the
+    WGS84/GRS80 ellipsoid and return its SRID.  Families: ``lcc`` (2SP),
+    ``aea`` (2SP), ``laea``, ``tmerc``, ``stere`` (polar only).  The
+    returned SRID plugs into every kernel, transform resolver, and SQL
+    oracle fragment exactly like a built-in EPSG code."""
+    fam = family.lower()
+    if fam == "lcc" or fam == "aea":
+        if lat_1 is None or lat_2 is None:
+            raise CRSError(
+                f"{fam} needs both standard parallels (lat_1, lat_2)"
+            )
+        table = _LCC_PARAMS if fam == "lcc" else _AEA_PARAMS
+        return _intern_params(
+            table, (float(lat_1), float(lat_2), float(lat_0), float(lon_0),
+                    float(x_0), float(y_0))
+        )
+    if fam == "laea":
+        return _intern_params(
+            _LAEA_PARAMS, (float(lat_0), float(lon_0), float(x_0), float(y_0))
+        )
+    if fam in ("tmerc", "tm"):
+        return _intern_params(
+            _TM_GRIDS,
+            ("GRS80", float(lat_0), float(lon_0),
+             float(1.0 if k_0 is None else k_0), float(x_0), float(y_0),
+             None),
+        )
+    if fam == "stere":
+        if lat_0 not in (90.0, -90.0):
+            raise CRSError(
+                f"stere supports the polar aspect only (lat_0=±90), "
+                f"got lat_0={lat_0}"
+            )
+        if lat_ts is None and k_0 is None:
+            k_0 = 1.0
+        return _intern_params(
+            _PS_PARAMS,
+            (lat_0 == -90.0,
+             None if lat_ts is None else float(lat_ts),
+             None if k_0 is None else float(k_0),
+             float(lon_0), float(x_0), float(y_0)),
+        )
+    raise CRSError(f"no parameter-driven constructor for +proj={family}")
+
+
+_WKT_PROJ_FAMILIES = {
+    "lambert_conformal_conic_2sp": "lcc",
+    "lambert_conformal_conic": "lcc",
+    "lambert_conic_conformal_2sp": "lcc",  # WKT2 EPSG method 9802 spelling
+    "albers_conic_equal_area": "aea",
+    "albers_equal_area": "aea",
+    "lambert_azimuthal_equal_area": "laea",
+    "transverse_mercator": "tmerc",
+    "polar_stereographic": "stere",
+    "polar_stereographic_variant_a": "stere",
+    "polar_stereographic_variant_b": "stere",
+}
+_WKT_PARAM_ALIASES = {
+    "latitude_of_origin": "lat_0",
+    "latitude_of_center": "lat_0",
+    "latitude_of_natural_origin": "lat_0",
+    "latitude_of_false_origin": "lat_0",
+    "latitude_of_standard_parallel": "lat_ts",
+    "central_meridian": "lon_0",
+    "longitude_of_center": "lon_0",
+    "longitude_of_natural_origin": "lon_0",
+    "longitude_of_false_origin": "lon_0",
+    "longitude_of_origin": "lon_0",
+    "standard_parallel_1": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "latitude_of_1st_standard_parallel": "lat_1",
+    "latitude_of_2nd_standard_parallel": "lat_2",
+    "scale_factor": "k_0",
+    "scale_factor_at_natural_origin": "k_0",
+    "false_easting": "x_0",
+    "false_northing": "y_0",
+    "easting_at_false_origin": "x_0",
+    "northing_at_false_origin": "y_0",
+}
+_WKT_WGS84_DATUMS = re.compile(
+    r"(?i)wgs[ _]?(19)?84|grs[ _]?(19)?80|etrs[ _]?89|nad[ _]?83"
+)
+
+
+def _wkt_key(name: str) -> str:
+    return re.sub(r"[\s()-]+", "_", name.strip().lower()).strip("_")
+
+
+def _wkt_projcs_from_parameters(s: str) -> int | None:
+    """Construct a PROJCS/PROJCRS that has no top-level EPSG authority from
+    its PROJECTION/METHOD + PARAMETER clauses (WKT1 and WKT2 spellings).
+    Returns None when the WKT carries no projection method; raises for a
+    non-WGS84/GRS80 base datum or an unsupported method."""
+    m = re.search(
+        r'(?i)(?:PROJECTION|METHOD)\s*\[\s*"([^"]+)"', s
+    )
+    if m is None:
+        return None
+    method = _wkt_key(m.group(1))
+    fam = _WKT_PROJ_FAMILIES.get(method)
+    if fam is None:
+        raise CRSError(f"unsupported WKT projection method: {m.group(1)!r}")
+    if not _WKT_WGS84_DATUMS.search(s):
+        raise CRSError(
+            "WKT base datum is not WGS84/GRS80-compatible; register a "
+            "custom transform via register_transform() instead"
+        )
+    kwargs: dict[str, float] = {}
+    for pm in re.finditer(
+        r'(?i)PARAMETER\s*\[\s*"([^"]+)"\s*,\s*(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)',
+        s,
+    ):
+        key = _WKT_PARAM_ALIASES.get(_wkt_key(pm.group(1)))
+        if key is not None:
+            kwargs[key] = float(pm.group(2))
+    return crs_from_parameters(fam, **kwargs)
+
+
 # ------------------------------------------- spherical world projections
 #
 # Sinusoidal (Snyder eq 30-1/30-2), Mollweide (Snyder 31-1..31-8) and
@@ -1166,6 +1496,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: lcc_inverse(xs, ys, srid)
         if srid in _AEA_PARAMS:
             return lambda xs, ys: aea_inverse(xs, ys, srid)
+        if srid in _LAEA_PARAMS:
+            return lambda xs, ys: laea_inverse(xs, ys, srid)
         if srid in _SINU_PARAMS:
             return lambda xs, ys: sinu_inverse(xs, ys, srid)
         if srid in _MOLL_PARAMS:
@@ -1191,6 +1523,8 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
             return lambda xs, ys: lcc_forward(xs, ys, srid)
         if srid in _AEA_PARAMS:
             return lambda xs, ys: aea_forward(xs, ys, srid)
+        if srid in _LAEA_PARAMS:
+            return lambda xs, ys: laea_forward(xs, ys, srid)
         if srid in _SINU_PARAMS:
             return lambda xs, ys: sinu_forward(xs, ys, srid)
         if srid in _MOLL_PARAMS:

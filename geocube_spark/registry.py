@@ -5017,6 +5017,88 @@ def warp_cross_crs_albers(spark, sf_dir):
     )
 
 
+# Lambert Azimuthal Equal-Area cross-CRS warp (C6: the pan-European
+# statistical grid EPSG:3035 — built by the parameter-driven constructor
+# path, not a hardcoded registry special case): NEAR-warp the 3035 fixture
+# raster onto a 4326 grid; oracle = the same Snyder LAEA forward re-derived
+# in SQL, so the floor()ed source indices are bit-identical like the
+# UTM/polar/LCC/AEA twins.
+from geocube_spark.functions.crs import laea_forward_sql_columns  # noqa: E402
+
+
+@q(
+    "warp_cross_crs_laea",
+    f"""
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(-1, 3) obx, range(-1, 3) oby, range(0, 4096) i
+    ),
+    en AS (
+        SELECT obx, oby, idx,
+               {laea_forward_sql_columns(
+                   "9.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625",
+                   "52.5 - (oby*64 + (idx // 64) + 0.5) * 0.015625",
+                   3035,
+               )}
+        FROM cells
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((laea_e - 4255744.0) / 1024.0) AS BIGINT) AS ix,
+               CAST(floor((3276800.0 - laea_n) / 1024.0) AS BIGINT) AS iy
+        FROM en
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_laea(spark, sf_dir):
+    from geocube_spark.functions.crs import parse_crs
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_laea.parquet")
+    # resolve the source CRS through the proj4 PARAMETER path (must dedupe
+    # onto the registered EPSG:3035), proving the constructor is the same
+    # code path a custom LAEA would take
+    srid = parse_crs(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80 +units=m"
+    )
+    assert srid == 3035, srid
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(9.0, 52.5),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=srid,
+        dst_srid=4326,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
 # R3 continuous resampling kernels (variable.go:18-61): 2× upsample of the
 # warp_src interior through the real regrid path, one query per kernel.
 # Output pixel centers land at exact quarter-pixel phases (binary-exact

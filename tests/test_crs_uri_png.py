@@ -12,6 +12,9 @@ from pyspark.sql import functions as F
 
 from geocube_spark.functions.crs import (
     CRSError,
+    crs_from_parameters,
+    laea_forward,
+    laea_inverse,
     parse_crs,
     snap_transform,
     transform_points,
@@ -943,10 +946,166 @@ class TestProj4FamilyMatching:
         with pytest.raises(CRSError):
             parse_crs("+proj=stere +lat_0=52.15 +lon_0=5.38 +k=0.9999")
 
-    def test_unregistered_conic_raises(self):
-        with pytest.raises(CRSError):
-            parse_crs("+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0")
+    def test_unregistered_conic_constructs(self):
+        # an unregistered WGS84-family parameter set is CONSTRUCTED into a
+        # synthetic SRID (the reference accepts any parameters via PROJ)
+        srid = parse_crs("+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0")
+        assert srid >= 900900
+        # identical spec -> identical SRID (interned, not re-allocated)
+        assert parse_crs(
+            "+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0"
+        ) == srid
 
-    def test_unregistered_tmerc_raises(self):
+    def test_unregistered_tmerc_constructs(self):
+        srid = parse_crs(
+            "+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0"
+        )
+        assert srid >= 900900
+        lon, lat = np.array([9.7]), np.array([48.3])
+        x, y = transform_points(4326, srid, lon, lat)
+        lon2, lat2 = transform_points(srid, 4326, x, y)
+        assert abs(lon2[0] - 9.7) < 1e-9 and abs(lat2[0] - 48.3) < 1e-9
+
+    def test_non_wgs84_ellipsoid_raises(self):
         with pytest.raises(CRSError):
-            parse_crs("+proj=tmerc +lat_0=0 +lon_0=9 +k=1 +x_0=3500000 +y_0=0")
+            parse_crs(
+                "+proj=lcc +lat_1=10 +lat_2=20 +lat_0=15 +lon_0=0 "
+                "+ellps=bessel"
+            )
+
+
+class TestParameterDrivenCRS:
+    """crs_from_parameters / proj4 / WKT construction (C6: the reference
+    accepts ANY projected CRS parameter set via PROJ — proj.go:47-73)."""
+
+    LAEA_3035 = (
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80 +towgs84=0,0,0,0,0,0,0 +units=m +no_defs"
+    )
+
+    def test_proj4_laea_dedupes_to_epsg(self):
+        assert parse_crs(self.LAEA_3035) == 3035
+
+    def test_laea_epsg_guidance_note_example(self):
+        # EPSG Guidance Note 7-2 worked example (ETRS89 / LAEA Europe):
+        # lat 50°N lon 5°E -> E 3962799.45, N 2999718.85
+        x, y = laea_forward(np.array([5.0]), np.array([50.0]), 3035)
+        assert abs(x[0] - 3962799.45) < 0.01
+        assert abs(y[0] - 2999718.85) < 0.01
+        lon, lat = laea_inverse(x, y, 3035)
+        assert abs(lon[0] - 5.0) < 1e-9 and abs(lat[0] - 50.0) < 1e-9
+
+    def test_laea_roundtrip_grid(self):
+        lons = np.linspace(-10.0, 30.0, 21)
+        lats = np.linspace(35.0, 70.0, 15)
+        lo, la = np.meshgrid(lons, lats)
+        x, y = transform_points(4326, 3035, lo.ravel(), la.ravel())
+        lo2, la2 = transform_points(3035, 4326, x, y)
+        assert np.abs(lo2 - lo.ravel()).max() < 1e-9
+        assert np.abs(la2 - la.ravel()).max() < 1e-9
+
+    def test_custom_laea_synthetic(self):
+        srid = parse_crs("+proj=laea +lat_0=-20 +lon_0=135")  # custom
+        assert srid >= 900900
+        x, y = transform_points(4326, srid, np.array([137.0]), np.array([-22.0]))
+        lon, lat = transform_points(srid, 4326, x, y)
+        assert abs(lon[0] - 137.0) < 1e-9 and abs(lat[0] + 22.0) < 1e-9
+        # projection center maps to the (0, 0) false origin
+        x0, y0 = transform_points(
+            4326, srid, np.array([135.0]), np.array([-20.0])
+        )
+        assert abs(x0[0]) < 1e-6 and abs(y0[0]) < 1e-6
+
+    def test_wkt1_parameters_construct(self):
+        wkt = (
+            'PROJCS["Custom LAEA Europe",GEOGCS["ETRS89",DATUM["European_'
+            'Terrestrial_Reference_System_1989",SPHEROID["GRS 1980",6378137,'
+            '298.257222101]],PRIMEM["Greenwich",0],UNIT["degree",'
+            '0.0174532925199433]],PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+            'PARAMETER["latitude_of_center",52],PARAMETER["longitude_of_center"'
+            ',10],PARAMETER["false_easting",4321000],'
+            'PARAMETER["false_northing",3210000],UNIT["metre",1]]'
+        )
+        # same parameters as EPSG:3035 -> dedupes onto the registered code
+        assert parse_crs(wkt) == 3035
+
+    def test_wkt2_method_parameters_construct(self):
+        wkt2 = (
+            'PROJCRS["custom lcc",BASEGEOGCRS["WGS 84",DATUM["World Geodetic '
+            'System 1984",ELLIPSOID["WGS 84",6378137,298.257223563]]],'
+            'CONVERSION["conic",METHOD["Lambert Conic Conformal (2SP)"],'
+            'PARAMETER["Latitude of false origin",63],'
+            'PARAMETER["Longitude of false origin",15],'
+            'PARAMETER["Latitude of 1st standard parallel",60],'
+            'PARAMETER["Latitude of 2nd standard parallel",66],'
+            'PARAMETER["Easting at false origin",500000],'
+            'PARAMETER["Northing at false origin",0]]]'
+        )
+        srid = parse_crs(wkt2)
+        assert srid >= 900900
+        # equivalent proj4 spec resolves to the SAME synthetic SRID
+        assert parse_crs(
+            "+proj=lcc +lat_1=60 +lat_2=66 +lat_0=63 +lon_0=15 "
+            "+x_0=500000 +y_0=0 +datum=WGS84"
+        ) == srid
+        x, y = transform_points(4326, srid, np.array([15.0]), np.array([63.0]))
+        assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
+
+    def test_wkt_non_wgs84_datum_raises(self):
+        wkt = (
+            'PROJCS["bessel grid",GEOGCS["DHDN",DATUM["Deutsches_Haupt'
+            'dreiecksnetz",SPHEROID["Bessel 1841",6377397.155,299.1528128]],'
+            'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["central_meridian",9],UNIT["metre",1]]'
+        )
+        with pytest.raises(CRSError):
+            parse_crs(wkt)
+
+    def test_wkt_unsupported_method_raises(self):
+        wkt = (
+            'PROJCS["oblique",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID'
+            '["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Hotine_Oblique_Mercator"],'
+            'PARAMETER["central_meridian",115],UNIT["metre",1]]'
+        )
+        with pytest.raises(CRSError):
+            parse_crs(wkt)
+
+    def test_from_parameters_polar_stereo(self):
+        srid = crs_from_parameters(
+            "stere", lat_0=90.0, lat_ts=70.0, lon_0=-45.0
+        )
+        assert srid == 3413  # dedupes onto the registered EPSG code
+        with pytest.raises(CRSError):
+            crs_from_parameters("stere", lat_0=52.15)  # oblique
+
+    def test_laea_equal_area_property(self):
+        # equal-area: a 1°x1° cell at 40°N and one at 60°N keep their true
+        # ellipsoidal area ratio through the projection (shoelace on a
+        # densified boundary), conformal projections would not
+        def cell_area(lat0):
+            t = np.linspace(0.0, 1.0, 200)
+            lon_e = np.concatenate([10 + t, np.full(200, 11.0), 11 - t,
+                                    np.full(200, 10.0)])
+            lat_e = np.concatenate([np.full(200, lat0), lat0 + t,
+                                    np.full(200, lat0 + 1.0), lat0 + 1 - t])
+            x, y = transform_points(4326, 3035, lon_e, lat_e)
+            return 0.5 * abs(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+        # authalic-sphere truth: area ∝ sin(beta_top) - sin(beta_bottom)
+        from geocube_spark.functions.crs import _aea_q_scalar
+
+        def true_ratio(l1, l2):
+            import math
+
+            def band(l0):
+                return _aea_q_scalar(math.radians(l0 + 1.0)) - _aea_q_scalar(
+                    math.radians(l0)
+                )
+
+            return band(l1) / band(l2)
+
+        got = cell_area(40.0) / cell_area(60.0)
+        assert abs(got - true_ratio(40.0, 60.0)) < 1e-6
