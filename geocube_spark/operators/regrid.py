@@ -50,6 +50,102 @@ POOL_KERNELS = {
     "MODE": lambda a: np.bincount(a.astype(np.int64).ravel()).argmax(),
 }
 
+def _pool_block(
+    raster: np.ndarray,
+    csx: np.ndarray,
+    csy: np.ndarray,
+    method: str,
+    nd: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Area-pool one output block from corner grids in source-pixel space.
+
+    ``csx``/``csy``: (B+1, B+1) continuous source-pixel coords of the output
+    pixel CORNERS (source pixel i has its center at i + 0.5).  Each output
+    pixel's window is the axis-aligned bbox of its 4 warped corners; a
+    source pixel belongs to the window when its center lies in
+    [min, max) — index range [ceil(min-0.5), ceil(max-0.5)-1], the same
+    half-open contract the SQL oracle twin re-derives.  An output pixel is
+    OWNED by this source image when its window center falls inside the
+    raster (mirrors the sample-point ownership of the interpolation path).
+
+    AVERAGE runs on a summed-area table — O(1) per output pixel regardless
+    of the downsample factor, so a 100x100 px window costs the same as 2x2
+    (the 100 TB case is heavy overview generation, where naive per-window
+    mean is O(window) per pixel).  Order statistics (MED/Q1/Q3) and MODE
+    have no SAT form; they loop over the block's pixels with vectorized
+    window slices (B² tiny numpy ops per block).
+    """
+    h, w = raster.shape
+    b = csx.shape[0] - 1
+    x4 = (csx[:-1, :-1], csx[:-1, 1:], csx[1:, :-1], csx[1:, 1:])
+    y4 = (csy[:-1, :-1], csy[:-1, 1:], csy[1:, :-1], csy[1:, 1:])
+    xm, xM = np.minimum.reduce(x4), np.maximum.reduce(x4)
+    ym, yM = np.minimum.reduce(y4), np.maximum.reduce(y4)
+    ix_lo = np.ceil(xm - 0.5).astype(np.int64)
+    ix_hi = np.ceil(xM - 0.5).astype(np.int64) - 1
+    iy_lo = np.ceil(ym - 0.5).astype(np.int64)
+    iy_hi = np.ceil(yM - 0.5).astype(np.int64) - 1
+    # degenerate window (upsampling through a pooling kernel): fall back to
+    # the pixel containing the window center, like GDAL's average does
+    cx_mid = ((xm + xM) * 0.5).astype(np.float64)
+    cy_mid = ((ym + yM) * 0.5).astype(np.float64)
+    mid_ix = np.floor(cx_mid).astype(np.int64)
+    mid_iy = np.floor(cy_mid).astype(np.int64)
+    ix_lo = np.where(ix_lo > ix_hi, mid_ix, ix_lo)
+    ix_hi = np.where(ix_hi < ix_lo, mid_ix, ix_hi)
+    iy_lo = np.where(iy_lo > iy_hi, mid_iy, iy_lo)
+    iy_hi = np.where(iy_hi < iy_lo, mid_iy, iy_hi)
+    own = (
+        (cx_mid >= 0) & (cx_mid < w) & (cy_mid >= 0) & (cy_mid < h)
+    )
+    ix_lo = np.clip(ix_lo, 0, w - 1)
+    ix_hi = np.clip(ix_hi, 0, w - 1)
+    iy_lo = np.clip(iy_lo, 0, h - 1)
+    iy_hi = np.clip(iy_hi, 0, h - 1)
+    vals = np.full((b, b), nd)
+    valid = (
+        ~np.isnan(raster) if math.isnan(nd) else raster != nd
+    )
+    if method == "AVERAGE":
+        # summed-area tables (padded with a zero row/col): window sum and
+        # valid count in 4 lookups per output pixel
+        vr = np.where(valid, raster, 0.0)
+        sat = np.zeros((h + 1, w + 1))
+        cnt = np.zeros((h + 1, w + 1), dtype=np.int64)
+        np.cumsum(np.cumsum(vr, axis=0), axis=1, out=sat[1:, 1:])
+        np.cumsum(np.cumsum(valid, axis=0), axis=1, out=cnt[1:, 1:])
+
+        def rect(tab):
+            return (
+                tab[iy_hi + 1, ix_hi + 1]
+                - tab[iy_lo, ix_hi + 1]
+                - tab[iy_hi + 1, ix_lo]
+                + tab[iy_lo, ix_lo]
+            )
+
+        s, c = rect(sat), rect(cnt)
+        nonzero = own & (c > 0)
+        vals[nonzero] = s[nonzero] / c[nonzero]
+        return vals, own
+    kern = POOL_KERNELS[method]
+    for r in range(b):
+        for c in range(b):
+            if not own[r, c]:
+                continue
+            win = raster[
+                iy_lo[r, c] : iy_hi[r, c] + 1, ix_lo[r, c] : ix_hi[r, c] + 1
+            ]
+            wv = win[
+                valid[
+                    iy_lo[r, c] : iy_hi[r, c] + 1,
+                    ix_lo[r, c] : ix_hi[r, c] + 1,
+                ]
+            ]
+            if wv.size:
+                vals[r, c] = kern(wv)
+    return vals, own
+
+
 REGRID_SCHEMA = StructType(
     [
         StructField("out_block_x", IntegerType(), False),
@@ -90,10 +186,11 @@ def regrid_to_grid(
     from geocube_spark.functions.crs import resolve_transform
     from geocube_spark.functions.resample import INTERP_KERNELS, sample_grid
 
-    if resampling not in INTERP_KERNELS:
+    pooled = resampling in POOL_KERNELS
+    if not pooled and resampling not in INTERP_KERNELS:
         raise ValueError(
-            f"resampling {resampling!r} not in {INTERP_KERNELS} (pooling kernels "
-            "AVERAGE/MIN/MAX/MED/Q1/Q3/MODE belong to the pyramid/downsample path)"
+            f"resampling {resampling!r}: not an interpolation kernel "
+            f"{INTERP_KERNELS} or a pooling kernel {tuple(POOL_KERNELS)}"
         )
     ox, oy = out_origin
     res = float(out_res)
@@ -189,6 +286,35 @@ def regrid_to_grid(
                 for obx in range(
                     int(math.floor(x_lo / out_block)), int(math.ceil(x_hi / out_block))
                 ):
+                    if pooled:
+                        # area-pooling under warp (GDAL -r average/mode/med
+                        # during reprojection, image.go:396-408 + the
+                        # variable.go:18-61 enum): map each OUTPUT pixel's 4
+                        # corners dst->src, pool the source pixels whose
+                        # centers fall in the corner-bounded window
+                        ex = (
+                            np.arange(out_block + 1) + obx * out_block
+                        ) * res + ox
+                        ey = oy - (
+                            np.arange(out_block + 1) + oby * out_block
+                        ) * res
+                        gx, gy = np.meshgrid(ex, ey)
+                        if warp:
+                            gx, gy = dst_to_src(gx, gy)
+                        csx = inv.a * gx + inv.b * gy + inv.c - bx0 * n
+                        csy = inv.d * gx + inv.e * gy + inv.f - by0 * n
+                        vals, own = _pool_block(
+                            raster, csx, csy, resampling, nd
+                        )
+                        if not own.any():
+                            continue
+                        key = (obx, oby, rid, int(rdt))
+                        buf = out_blocks.get(key)
+                        if buf is None:
+                            buf = np.full((out_block, out_block), nd)
+                            out_blocks[key] = buf
+                        buf[own] = vals[own]
+                        continue
                     # output pixel centers of this block, in OUTPUT CRS
                     cols = (np.arange(out_block) + obx * out_block + 0.5) * res + ox
                     rows_ = oy - (np.arange(out_block) + oby * out_block + 0.5) * res

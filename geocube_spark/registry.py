@@ -5099,6 +5099,137 @@ def warp_cross_crs_laea(spark, sf_dir):
     )
 
 
+# R2/R3 area-weighted pooling UNDER a cross-CRS warp (GDAL `-r average/
+# med/mode` during reprojection — image.go:396-408 applies the
+# variable.go:18-61 enum to the warp, not just the aligned pyramid).  The
+# oracle re-derives, in SQL, the exact window contract of
+# operators/regrid._pool_block: each output pixel's 4 corners through the
+# SAME Snyder LCC forward, the same inverse-affine op sequence (inlined
+# {inv.a!r}-style literals, so the doubles are bit-identical), the same
+# half-open center-in-[min,max) index window — then aggregates the
+# closed-form source values.  Sums are integer-exact (< 2^53), so
+# avg/median/mode match bit-for-bit with no rounding slack.
+def _warp_pool_sql(agg: str) -> str:
+    from geocube_spark.functions.affine import Affine
+    from geocube_spark.functions.crs import lcc_forward_sql_columns
+
+    inv = Affine(1024.0, 0.0, 634880.0, 0.0, -1024.0, 6665216.0).inverse()
+
+    def corner(tag: str, dx: int, dy: int) -> str:
+        return f"""
+    {tag} AS (
+        SELECT oc, orow, {inv.a!r} * lcc_e + {inv.b!r} * lcc_n + {inv.c!r}
+                   AS csx,
+               {inv.d!r} * lcc_e + {inv.e!r} * lcc_n + {inv.f!r} AS csy
+        FROM (
+            SELECT oc, orow,
+                   {lcc_forward_sql_columns(
+                       f"2.25 + (oc + {dx}) * 0.0625",
+                       f"47.0 - (orow + {dy}) * 0.0625",
+                       2154,
+                   )}
+            FROM opx
+        )
+    )"""
+
+    return f"""
+    WITH opx AS (
+        SELECT i.range AS oc, j.range AS orow
+        FROM range(0, 16) i, range(0, 16) j
+    ),{corner("c00", 0, 0)},{corner("c10", 1, 0)},{corner("c01", 0, 1)},{corner("c11", 1, 1)},
+    wins AS (
+        SELECT o.oc, o.orow,
+               CAST(ceil(least(a.csx, b.csx, c.csx, d.csx) - 0.5) AS BIGINT)
+                   AS ix_lo,
+               CAST(ceil(greatest(a.csx, b.csx, c.csx, d.csx) - 0.5) AS BIGINT)
+                   - 1 AS ix_hi,
+               CAST(ceil(least(a.csy, b.csy, c.csy, d.csy) - 0.5) AS BIGINT)
+                   AS iy_lo,
+               CAST(ceil(greatest(a.csy, b.csy, c.csy, d.csy) - 0.5) AS BIGINT)
+                   - 1 AS iy_hi
+        FROM opx o
+        JOIN c00 a USING (oc, orow) JOIN c10 b USING (oc, orow)
+        JOIN c01 c USING (oc, orow) JOIN c11 d USING (oc, orow)
+    ),
+    src AS (
+        SELECT gx.range AS ix, gy.range AS iy,
+               CAST((13 * gx.range + 7 * gy.range) % 97 AS DOUBLE) AS v
+        FROM range(0, 128) gx, range(0, 128) gy
+    ),
+    winpx AS (
+        SELECT w.oc, w.orow, s.v
+        FROM wins w
+        JOIN src s ON s.ix BETWEEN w.ix_lo AND w.ix_hi
+                  AND s.iy BETWEEN w.iy_lo AND w.iy_hi
+    )
+    SELECT oc, orow, {agg} AS val
+    FROM winpx GROUP BY oc, orow ORDER BY orow, oc
+    """
+
+
+def _warp_pool_query(spark, sf_dir, method: str):
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src_lcc.parquet")
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(2.25, 47.0),
+        out_res=0.0625,
+        out_block=16,
+        nodata=-1.0,
+        resampling=method,
+        src_srid=2154,
+        dst_srid=4326,
+    )
+    return (
+        out.filter((F.col("out_block_x") == 0) & (F.col("out_block_y") == 0))
+        .select(F.posexplode("px").alias("pos", "v"))
+        .select(
+            (F.col("pos") % 16).cast("long").alias("oc"),
+            (F.col("pos") / 16).cast("long").alias("orow"),
+            F.round("v", 6).alias("val"),
+        )
+        .orderBy("orow", "oc")
+    )
+
+
+@q("warp_downsample_average", _warp_pool_sql("round(avg(v), 6)"))
+def warp_downsample_average(spark, sf_dir):
+    """~5x7 px box-filter AVERAGE through a 2154->4326 warp; the operator
+    side uses the O(1)-per-pixel summed-area table (regrid._pool_block)."""
+    return _warp_pool_query(spark, sf_dir, "AVERAGE")
+
+
+@q("warp_downsample_med", _warp_pool_sql("round(median(v), 6)"))
+def warp_downsample_med(spark, sf_dir):
+    """Windowed MEDIAN through the same warp (even-count windows
+    interpolate the middle pair identically in numpy and DuckDB)."""
+    return _warp_pool_query(spark, sf_dir, "MED")
+
+
+@q(
+    "warp_downsample_mode",
+    # np.bincount(...).argmax() tie-break = SMALLEST value; make the SQL
+    # twin deterministic the same way (count desc, value asc)
+    _warp_pool_sql("__MODE__").replace(
+        "SELECT oc, orow, __MODE__ AS val\n    FROM winpx GROUP BY oc, orow"
+        " ORDER BY orow, oc",
+        """SELECT oc, orow, round(v, 6) AS val
+    FROM (
+        SELECT oc, orow, v, row_number() OVER (
+            PARTITION BY oc, orow ORDER BY count(*) DESC, v ASC
+        ) AS rn
+        FROM winpx GROUP BY oc, orow, v
+    ) WHERE rn = 1 ORDER BY orow, oc""",
+    ),
+)
+def warp_downsample_mode(spark, sf_dir):
+    """Windowed MODE through the same warp, smallest-value tie-break on
+    both engines."""
+    return _warp_pool_query(spark, sf_dir, "MODE")
+
+
 # R3 continuous resampling kernels (variable.go:18-61): 2× upsample of the
 # warp_src interior through the real regrid path, one query per kernel.
 # Output pixel centers land at exact quarter-pixel phases (binary-exact

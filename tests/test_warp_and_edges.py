@@ -191,3 +191,96 @@ class TestConsolidationPlanning:
         # task URIs unique
         uris = [r["out_container_uri"] for r in rows]
         assert len(uris) == len(set(uris))
+
+
+class TestPoolBlock:
+    """regrid._pool_block: area-weighted pooling windows under warp (R2/R3
+    GDAL -r average/mode/med during reprojection, image.go:396-408)."""
+
+    def _corners(self, b, x0, y0, sx, sy):
+        # axis-aligned corner grids: out pixel (r, c) covers source-pixel
+        # rect [x0 + c*sx, x0 + (c+1)*sx) x [y0 + r*sy, ...)
+        ex = x0 + np.arange(b + 1) * sx
+        ey = y0 + np.arange(b + 1) * sy
+        return np.meshgrid(ex, ey)
+
+    def test_average_matches_naive(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        rng = np.random.default_rng(42)
+        raster = rng.integers(0, 97, (40, 40)).astype(np.float64)
+        csx, csy = self._corners(8, 1.3, 0.7, 4.6, 4.7)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", -1.0)
+        assert own.all()
+        for r in range(8):
+            for c in range(8):
+                xm, xM = csx[r, c], csx[r, c + 1]
+                ym, yM = csy[r, c], csy[r + 1, c]
+                ixs = [i for i in range(40) if xm <= i + 0.5 < xM]
+                iys = [j for j in range(40) if ym <= j + 0.5 < yM]
+                expect = np.mean([raster[j, i] for j in iys for i in ixs])
+                assert vals[r, c] == pytest.approx(expect, abs=1e-12)
+
+    def test_nodata_excluded_from_average(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.full((10, 10), 5.0)
+        raster[0:2, 0:2] = -1.0  # nodata corner
+        csx, csy = self._corners(2, 0.0, 0.0, 5.0, 5.0)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", -1.0)
+        assert vals[0, 0] == pytest.approx(5.0)  # mean of VALID only
+        assert vals[1, 1] == pytest.approx(5.0)
+
+    def test_all_nodata_window_stays_nodata(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.full((10, 10), -1.0)
+        csx, csy = self._corners(2, 0.0, 0.0, 5.0, 5.0)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", -1.0)
+        assert own.all() and (vals == -1.0).all()
+
+    def test_degenerate_window_falls_back_to_center_pixel(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        # upsampling: out pixel rect smaller than one source pixel and not
+        # containing any center -> samples the pixel under the window center
+        raster = np.arange(16, dtype=np.float64).reshape(4, 4)
+        csx, csy = self._corners(2, 1.6, 2.6, 0.2, 0.2)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", -1.0)
+        assert own.all()
+        assert vals[0, 0] == raster[2, 1]
+
+    def test_mode_tiebreak_smallest(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.array([[7.0, 3.0], [3.0, 7.0]])
+        csx, csy = self._corners(1, 0.0, 0.0, 2.0, 2.0)
+        vals, _ = _pool_block(raster, csx, csy, "MODE", -1.0)
+        assert vals[0, 0] == 3.0  # 2-2 tie -> smallest value
+
+    def test_median_and_minmax(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.array([[1.0, 2.0], [3.0, 100.0]])
+        csx, csy = self._corners(1, 0.0, 0.0, 2.0, 2.0)
+        med, _ = _pool_block(raster, csx, csy, "MED", -1.0)
+        mn, _ = _pool_block(raster, csx, csy, "MIN", -1.0)
+        mx, _ = _pool_block(raster, csx, csy, "MAX", -1.0)
+        assert med[0, 0] == 2.5 and mn[0, 0] == 1.0 and mx[0, 0] == 100.0
+
+    def test_ownership_outside_raster(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.ones((4, 4))
+        csx, csy = self._corners(2, -20.0, -20.0, 5.0, 5.0)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", -1.0)
+        assert not own.any()
+
+    def test_nan_nodata(self):
+        from geocube_spark.operators.regrid import _pool_block
+
+        raster = np.full((6, 6), 2.0)
+        raster[0, 0] = np.nan
+        csx, csy = self._corners(2, 0.0, 0.0, 3.0, 3.0)
+        vals, own = _pool_block(raster, csx, csy, "AVERAGE", float("nan"))
+        assert vals[0, 0] == pytest.approx(2.0)
