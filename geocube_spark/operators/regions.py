@@ -206,10 +206,14 @@ def sieve_mask(
     (:func:`_label_and_merge` — shared with region_components, nothing
     recomputed); the rewrite pass re-runs only the deterministic
     per-block labeling and nulls pixels whose provisional label belongs
-    to a small region.  The small-label set is broadcast — it is bounded
-    by the number of SUB-THRESHOLD regions (speckle), which is what a
-    sieve exists to be small relative to the raster; a pathological
-    all-speckle raster should raise ``min_px`` first.
+    to a small region.  FULLY DISTRIBUTED: each sub-threshold label is
+    routed back to the one block that owns it (its coordinates are
+    embedded in the label) and delivered through an equi-join on
+    (block_x, block_y) — no ``collect()``, no driver-side set, no
+    broadcast of the global speckle list.  Per-task memory is bounded by
+    the speckle count of a SINGLE block (<= block² labels), so even a
+    pathological all-speckle raster only scales the shuffle volume
+    (O(small labels), each shipped once), never the driver.
     """
     regions, lbl_comp = _label_and_merge(tiles, block, px_col)
     comps = (
@@ -218,32 +222,46 @@ def sieve_mask(
         .agg(F.sum("n_px").cast("long").alias("n_px"))
     )
     small_comps = comps.filter(F.col("n_px") < min_px).select("component")
-    small = [
-        int(r["lbl"])
-        for r in lbl_comp.join(
-            F.broadcast(small_comps), "component", "left_semi"
-        ).collect()
-    ]
-    small_set = set(small)
     b = int(block)
     nod = float(nodata)
-
+    # provisional label = (gy << 32) | gx of the region's root pixel, so
+    # the owning block is recoverable from the label itself
+    small_by_block = (
+        lbl_comp.join(small_comps, "component", "left_semi")
+        .select(
+            (F.col("lbl").bitwiseAND(F.lit((1 << 32) - 1)) / b)
+            .cast("int")
+            .alias("block_x"),
+            F.shiftrightunsigned(F.col("lbl"), 32)
+            .cast("long")
+            .alias("_gy"),
+            "lbl",
+        )
+        .withColumn("block_y", (F.col("_gy") / b).cast("int"))
+        .groupBy("block_x", "block_y")
+        .agg(F.collect_list("lbl").alias("_small_lbls"))
+    )
+    cols = [f.name for f in tiles.schema.fields]
     out_schema = tiles.schema
+    joined = tiles.join(small_by_block, ["block_x", "block_y"], "left")
 
     def rewrite(batches):
         for pdf in batches:
             new_px = []
-            for bx, by, px in zip(pdf["block_x"], pdf["block_y"], pdf[px_col]):
+            for bx, by, px, lbls in zip(
+                pdf["block_x"], pdf["block_y"], pdf[px_col], pdf["_small_lbls"]
+            ):
                 arr = np.asarray(px, dtype=np.float64).reshape(b, b)
-                roots = _label_block(arr)
-                gy0, gx0 = int(by) * b, int(bx) * b
-                glob = ((gy0 + roots // b) << 32) | (gx0 + roots % b)
-                flat = arr.ravel().copy()
-                kill = np.isin(glob, list(small_set)) if small_set else np.zeros(len(flat), bool)
-                flat[kill] = nod
+                flat = arr.ravel()
+                if lbls is not None and len(lbls):
+                    roots = _label_block(arr)
+                    gy0, gx0 = int(by) * b, int(bx) * b
+                    glob = ((gy0 + roots // b) << 32) | (gx0 + roots % b)
+                    flat = flat.copy()
+                    flat[np.isin(glob, np.asarray(lbls, dtype=np.int64))] = nod
                 new_px.append(flat.tolist())
             pdf = pdf.copy()
             pdf[px_col] = new_px
-            yield pdf
+            yield pdf[cols]
 
-    return tiles.mapInPandas(rewrite, out_schema)
+    return joined.mapInPandas(rewrite, out_schema)

@@ -122,3 +122,56 @@ class TestSieve:
         gone = rebuild(sieve_mask(_tiles(spark, g, b), min_px=5, block=b).collect())
         assert all(math.isnan(gone[y, x]) for y in (7, 8) for x in (7, 8))
         assert gone[0, 0] == 0.0  # background survives
+
+
+class TestSieveDistributed:
+    """The sieve rewrite pass is fully distributed: sub-threshold labels
+    travel to their owning block through an equi-join, never through a
+    driver collect — so an all-speckle raster (every pixel its own
+    region) is bounded by per-block memory, not driver memory."""
+
+    def test_all_speckle_checkerboard(self, spark):
+        import math
+
+        b = 8
+        # 16x16 checkerboard of 4 values -> every pixel is a 1-px region
+        yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+        g = ((yy % 2) * 2 + (xx % 2)).astype(np.float64)
+        from geocube_spark.operators.regions import sieve_mask
+
+        out = sieve_mask(_tiles(spark, g, b), min_px=2, block=b).collect()
+        assert len(out) == 4
+        for r in out:
+            # Arrow surfaces NaN list elements as None on collect (they
+            # round-trip back to NaN through numpy float casts)
+            assert all(
+                v is None or math.isnan(v) for v in r["px"]
+            )  # everything sieved
+
+    def test_rewrite_plan_has_no_driver_collect(self, spark, monkeypatch):
+        # the small-label list must reach the rewrite tasks through a
+        # JOIN, never a driver collect (the old implementation
+        # collect()ed it at plan build; label-merge rounds may still run
+        # eager localCheckpoint jobs — those are not collects)
+        import math
+
+        from pyspark.sql import DataFrame
+
+        from geocube_spark.operators.regions import sieve_mask
+
+        def no_collect(self_df):
+            raise AssertionError("sieve_mask must not collect() on the driver")
+
+        monkeypatch.setattr(DataFrame, "collect", no_collect)
+        g = np.zeros((16, 16))
+        g[2, 2] = 1.0
+        df = sieve_mask(_tiles(spark, g, 8), min_px=4, block=8)
+        monkeypatch.undo()
+        rows = df.collect()
+        full = np.zeros((16, 16))
+        for r in rows:
+            full[
+                r["block_y"] * 8 : (r["block_y"] + 1) * 8,
+                r["block_x"] * 8 : (r["block_x"] + 1) * 8,
+            ] = np.array(r["px"], dtype=np.float64).reshape(8, 8)
+        assert math.isnan(full[2, 2]) and full[0, 0] == 0.0
