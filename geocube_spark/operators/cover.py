@@ -221,15 +221,27 @@ def cover_custom(
         [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
         ["rect_id", "q_xmin", "q_ymin", "q_xmax", "q_ymax"],
     )
-    # broadcast the (tiny) query-rect list; bbox range predicate is the join
-    # condition, so only bbox survivors reach the exact clip UDF (O3)
-    pruned = cells.join(
-        F.broadcast(rects_df),
-        (F.col("bbox.xmin") <= F.col("q_xmax"))
-        & (F.col("bbox.xmax") >= F.col("q_xmin"))
-        & (F.col("bbox.ymin") <= F.col("q_ymax"))
-        & (F.col("bbox.ymax") >= F.col("q_ymin")),
-        "inner",
+    # size-adaptive bbox prune: a tiny query-rect list broadcasts (BNLJ by
+    # design), a huge one switches to the grid-bucketed equi-join — only
+    # bbox survivors reach the exact clip UDF either way (O3)
+    from geocube_spark.operators.spatialjoin import adaptive_bbox_join
+
+    pruned = adaptive_bbox_join(
+        cells,
+        rects_df,
+        big_box=(
+            F.col("bbox.xmin"),
+            F.col("bbox.ymin"),
+            F.col("bbox.xmax"),
+            F.col("bbox.ymax"),
+        ),
+        q_box=(
+            F.col("q_xmin"),
+            F.col("q_ymin"),
+            F.col("q_xmax"),
+            F.col("q_ymax"),
+        ),
+        closed=True,
     )
 
     @pandas_udf(ArrayType(DoubleType()))

@@ -33,27 +33,42 @@ def zonal_stats(
     block: int = 64,
     nodata: float | None = None,
     px_col: str = "px",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-zone count/sum/min/max/mean over every tile the zone overlaps.
 
     ``tiles``: tile-table rows (block_x, block_y, px, pix_to_crs struct).
     ``zones``: (zone_id, xmin, ymin, xmax, ymax) in the tile CRS, treated
     as closed-open boxes.  Returns one row per zone_id.
+
+    ``strategy`` (see :func:`operators.spatialjoin.adaptive_bbox_join`):
+    ``auto`` broadcasts a small zones table (the BNLJ-by-design plan) and
+    switches to the grid-bucketed equi-join when zones outgrow
+    ``autoBroadcastJoinThreshold`` — the θ-join never degenerates to a
+    non-broadcast nested loop at scale.
     """
+    from geocube_spark.operators.spatialjoin import adaptive_bbox_join
+
     a = F.col("pix_to_crs.a")
     e = F.col("pix_to_crs.e")  # negative (north-up)
     tile_x0 = F.col("pix_to_crs.c") + F.col("block_x") * block * a
     tile_y0 = F.col("pix_to_crs.f") + F.col("block_y") * block * e
 
     t = tiles.withColumn("tile_x0", tile_x0).withColumn("tile_y0", tile_y0)
-    joined = t.join(
-        F.broadcast(zones),
-        # bbox overlap: tile spans [tile_x0, tile_x0 + block*a) ×
-        # (tile_y0 + block*e, tile_y0]
-        (F.col("xmin") < F.col("tile_x0") + block * a)
-        & (F.col("xmax") > F.col("tile_x0"))
-        & (F.col("ymin") < F.col("tile_y0"))
-        & (F.col("ymax") > F.col("tile_y0") + block * e),
+    # bbox overlap: tile spans [tile_x0, tile_x0 + block*a) ×
+    # (tile_y0 + block*e, tile_y0]  (half-open -> strict predicate)
+    joined = adaptive_bbox_join(
+        t,
+        zones,
+        big_box=(
+            F.col("tile_x0"),
+            F.col("tile_y0") + block * e,
+            F.col("tile_x0") + block * a,
+            F.col("tile_y0"),
+        ),
+        q_box=(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")),
+        closed=False,
+        strategy=strategy,
     )
 
     # in-tile pixel window of the zone (pixel-center rule, clamped)

@@ -935,3 +935,131 @@ class TestTerrainIndices:
         assert tri[4, 3] == 1.0 and tpi[4, 3] == -1.0 and rough[4, 3] == 8.0
         # far away: flat
         assert tri[0, 0] == 0.0 and rough[0, 0] == 0.0
+
+
+class TestAdaptiveSpatialJoin:
+    """operators/spatialjoin.adaptive_bbox_join: broadcast-BNLJ while the
+    dim side is small, grid-bucketed equi-join when it outgrows the
+    broadcast threshold — same results, no O(n*m) explosion at scale."""
+
+    def _random_frames(self, spark, n_big=80, n_q=40, seed=7):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rng = np.random.default_rng(seed)
+        big = [
+            (i, float(x), float(y), float(x + w), float(y + h))
+            for i, (x, y, w, h) in enumerate(
+                zip(
+                    rng.uniform(0, 100, n_big),
+                    rng.uniform(0, 100, n_big),
+                    rng.uniform(0.5, 8, n_big),
+                    rng.uniform(0.5, 8, n_big),
+                )
+            )
+        ]
+        qs = [
+            (j, float(x), float(y), float(x + w), float(y + h))
+            for j, (x, y, w, h) in enumerate(
+                zip(
+                    rng.uniform(0, 100, n_q),
+                    rng.uniform(0, 100, n_q),
+                    rng.uniform(0.5, 15, n_q),
+                    rng.uniform(0.5, 15, n_q),
+                )
+            )
+        ]
+        bdf = spark.createDataFrame(
+            big, "bid int, x0 double, y0 double, x1 double, y1 double"
+        )
+        qdf = spark.createDataFrame(
+            qs, "qid int, qx0 double, qy0 double, qx1 double, qy1 double"
+        )
+        return bdf, qdf
+
+    def _pairs(self, spark, strategy, closed=True):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.spatialjoin import adaptive_bbox_join
+
+        bdf, qdf = self._random_frames(spark)
+        out = adaptive_bbox_join(
+            bdf,
+            qdf,
+            big_box=(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")),
+            q_box=(F.col("qx0"), F.col("qy0"), F.col("qx1"), F.col("qy1")),
+            closed=closed,
+            strategy=strategy,
+        )
+        return sorted((r["bid"], r["qid"]) for r in out.select("bid", "qid").collect())
+
+    def test_bucketed_equals_broadcast(self, spark):
+        assert self._pairs(spark, "bucketed") == self._pairs(spark, "broadcast")
+
+    def test_bucketed_equals_broadcast_halfopen(self, spark):
+        assert self._pairs(spark, "bucketed", closed=False) == self._pairs(
+            spark, "broadcast", closed=False
+        )
+
+    def test_bucketed_plan_has_no_bnlj(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.spatialjoin import adaptive_bbox_join
+
+        bdf, qdf = self._random_frames(spark)
+        out = adaptive_bbox_join(
+            bdf,
+            qdf,
+            big_box=(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")),
+            q_box=(F.col("qx0"), F.col("qy0"), F.col("qx1"), F.col("qy1")),
+            strategy="bucketed",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_auto_flips_on_threshold(self, spark):
+        # a dim side above the row threshold must pick the bucketed path
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.spatialjoin import adaptive_bbox_join
+
+        bdf, qdf = self._random_frames(spark)
+        out = adaptive_bbox_join(
+            bdf,
+            qdf,
+            big_box=(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")),
+            q_box=(F.col("qx0"), F.col("qy0"), F.col("qx1"), F.col("qy1")),
+            strategy="auto",
+            threshold_rows=5,  # force "too big to broadcast"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        # below the threshold the broadcast plan is kept
+        out2 = adaptive_bbox_join(
+            bdf,
+            qdf,
+            big_box=(F.col("x0"), F.col("y0"), F.col("x1"), F.col("y1")),
+            q_box=(F.col("qx0"), F.col("qy0"), F.col("qx1"), F.col("qy1")),
+            strategy="auto",
+            threshold_rows=10_000,
+        )
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan2
+
+    def test_zonal_bucketed_matches_broadcast(self, spark):
+        from geocube_spark.operators.zonal import zonal_stats
+
+        tiles = TestZonalStats._tiles(TestZonalStats(), spark)
+        zones = spark.createDataFrame(
+            [(0, 2.0, 2.0, 6.0, 6.0), (1, 0.0, 4.0, 4.0, 8.0)],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        def key(rows):
+            return sorted(
+                (r["zone_id"], r["n_pixels"], r["sum_value"]) for r in rows
+            )
+
+        a = key(zonal_stats(tiles, zones, block=4, strategy="broadcast").collect())
+        b = key(zonal_stats(tiles, zones, block=4, strategy="bucketed").collect())
+        assert a == b and len(a) == 2

@@ -44,8 +44,12 @@ HARD_RULES_EXEMPT_BNLJ = {
     "tpch_q22",                # 1-row avg-balance threshold broadcast
     "graph_pagerank",          # 1-row dangling-mass broadcast (final round)
     # bbox interval joins against a SMALL broadcast cell/AOI list — the
-    # correct strategy when the dim side fits in a broadcast; the big-AOI
-    # case goes through the two-phase grid-bucketed J4 path instead:
+    # correct strategy when the dim side fits in a broadcast.  These are
+    # SIZE-ADAPTIVE (operators/spatialjoin.adaptive_bbox_join): above
+    # autoBroadcastJoinThreshold the same call flips to a grid-bucketed
+    # equi-join with NO BNLJ (asserted both sides of the threshold in
+    # tests/test_raster_ops.py::TestAdaptiveSpatialJoin), so the exemption
+    # covers only the fixture-scale broadcast plan the audit executes:
     "cover_custom_cells",
     "valid_shape_per_cell",
     "valid_shape_rotated_cells",
