@@ -16,41 +16,148 @@ Pieces:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from geocube_spark.operators.cover import RegularGridSpec, cover_regular
 
 # MuCOG interlacing pattern grammar (layouts.proto:41-66): priorities among
-# Z (zoom/overview level), T (time/record), R (record run), B (band).
+# the four levels — [Z]oom/overview, [T]iles (geotiff blocks), [R]ecords,
+# [B]ands.  Each level maps to the physical sort columns that realize its
+# ordering in the consolidated-parquet layout (records chronologically,
+# tiles row-major).
 _PATTERN_COLS = {
-    "Z": "level",
-    "T": "record_datetime",
-    "R": "record_id",
-    "B": "band",
+    "Z": ["level"],
+    "T": ["block_y", "block_x"],
+    "R": ["record_datetime", "record_id"],
+    "B": ["band"],
 }
 
 
 def interlacing_sort_columns(pattern: str) -> list[str]:
-    """Translate an interlacing pattern like ``Z=0>T>R>B`` into the ordered
-    sort-column list for sortWithinPartitions.  Conditional clauses
-    (``Z=1:>R>T>B``) refine the order per level; the dominant (first) clause
-    drives the physical order — the analogue of MuCOG's primary interleave.
+    """Translate a SINGLE-CLAUSE interlacing pattern like ``Z>T>R>B`` into
+    the ordered sort-column list for sortWithinPartitions.  Selectors are
+    validated but ignored here (a lone clause with a selector still orders
+    every row it is asked to write); multi-clause patterns need
+    :func:`interlacing_sort_exprs`, which computes per-clause sort keys.
     """
-    first_clause = pattern.split(";")[0]
+    from geocube_spark.operators.interlace import parse_interlacing
+
+    clauses = parse_interlacing(pattern)
     cols: list[str] = []
-    for token in first_clause.split(">"):
-        token = token.strip()
-        key = token.split("=")[0].split(":")[0].strip()
-        col = _PATTERN_COLS.get(key)
-        if col and col not in cols:
-            cols.append(col)
-    # always finish with block coords so a time-series of one block is
-    # contiguous (docs/architecture/mucog.md:8)
-    for tail in ("block_y", "block_x"):
-        if tail not in cols:
-            cols.append(tail)
+    for lvl in clauses[0].order:
+        for col in _PATTERN_COLS[lvl]:
+            if col not in cols:
+                cols.append(col)
     return cols
+
+
+def interlacing_sort_exprs(df: DataFrame, pattern: str):
+    """FULL-grammar sort keys for the consolidated-parquet sink: returns
+    ``(df_with_keys, sort_column_names)`` realizing conditional per-level
+    clauses and value/range selectors (``Z=0>T>R>B;Z=1:>R>T>B``).
+
+    A row's primary key is the index of the FIRST clause whose selectors
+    accept it (rows no clause selects sort last under the fallback
+    Z>T>R>B, mirroring :func:`operators.interlace.interlace_order`);
+    within a clause, four fixed-width string keys realize that clause's
+    own level priority.  R/B selectors index the sorted distinct
+    record/band sets — the ranks come from two dim-sized broadcast joins,
+    computed only when a selector actually needs them (the 100 TB fact
+    table is never globally windowed)."""
+    from geocube_spark.operators.interlace import (
+        LEVELS,
+        parse_interlacing,
+    )
+
+    clauses = parse_interlacing(pattern)
+    need_r_idx = any(
+        c.selectors["R"].values is not None
+        or c.selectors["R"].lo is not None
+        or c.selectors["R"].hi is not None
+        for c in clauses
+    )
+    need_b_idx = any(
+        c.selectors["B"].values is not None
+        or c.selectors["B"].lo is not None
+        or c.selectors["B"].hi is not None
+        for c in clauses
+    )
+    out = df
+    if need_r_idx:
+        rdim = (
+            df.select("record_datetime", "record_id")
+            .distinct()
+            .withColumn(
+                "_il_ridx",
+                F.row_number().over(
+                    Window.orderBy("record_datetime", "record_id")
+                )
+                - 1,
+            )
+        )
+        out = out.join(F.broadcast(rdim), ["record_datetime", "record_id"])
+    if need_b_idx:
+        bdim = (
+            df.select("band")
+            .distinct()
+            .withColumn(
+                "_il_bidx", F.row_number().over(Window.orderBy("band")) - 1
+            )
+        )
+        out = out.join(F.broadcast(bdim), ["band"])
+
+    idx_col = {
+        "Z": F.col("level").cast("long"),
+        "R": F.col("_il_ridx").cast("long") if need_r_idx else F.lit(0),
+        "B": F.col("_il_bidx").cast("long") if need_b_idx else F.lit(0),
+    }
+    key_str = {
+        "Z": F.lpad(F.col("level").cast("string"), 6, "0"),
+        "B": F.lpad(F.col("band").cast("string"), 6, "0"),
+        "T": F.concat(
+            F.lpad(F.col("block_y").cast("string"), 10, "0"),
+            F.lpad(F.col("block_x").cast("string"), 10, "0"),
+        ),
+        "R": F.concat(
+            F.lpad(
+                F.unix_micros(F.col("record_datetime").cast("timestamp"))
+                .cast("string"),
+                20,
+                "0",
+            ),
+            F.col("record_id").cast("string"),
+        ),
+    }
+
+    def clause_pred(c):
+        pred = F.lit(True)
+        for lvl in LEVELS:
+            sel = c.selectors[lvl]
+            if sel.values is not None:
+                pred = pred & idx_col[lvl].isin([int(v) for v in sel.values])
+            else:
+                if sel.lo is not None:
+                    pred = pred & (idx_col[lvl] >= int(sel.lo))
+                if sel.hi is not None:
+                    pred = pred & (idx_col[lvl] < int(sel.hi))
+        return pred
+
+    clause_idx = F.lit(len(clauses))
+    for i in range(len(clauses) - 1, -1, -1):
+        clause_idx = F.when(clause_pred(clauses[i]), F.lit(i)).otherwise(
+            clause_idx
+        )
+    out = out.withColumn("_il_clause", clause_idx)
+    fallback_order = ("Z", "T", "R", "B")
+    for pos in range(4):
+        expr = key_str[fallback_order[pos]]
+        for i in range(len(clauses) - 1, -1, -1):
+            expr = F.when(
+                F.col("_il_clause") == i, key_str[clauses[i].order[pos]]
+            ).otherwise(expr)
+        out = out.withColumn(f"_il_k{pos}", expr)
+    return out, ["_il_clause", "_il_k0", "_il_k1", "_il_k2", "_il_k3"]
 
 
 def plan_consolidation(
@@ -456,8 +563,41 @@ def consolidate_tiles(
     skip whole row groups — the spatial analogue of the time
     interlacing."""
     from geocube_spark.functions.spatialkeys import zorder_expr
+    from geocube_spark.operators.interlace import parse_interlacing
 
-    sort_cols = [c for c in interlacing_sort_columns(interlacing_pattern)]
+    clauses = parse_interlacing(interlacing_pattern)
+    multi = len(clauses) > 1 or any(
+        s.values is not None or s.lo is not None or s.hi is not None
+        for c in clauses
+        for s in c.selectors.values()
+    )
+    if multi:
+        # full grammar: conditional clauses / selectors become computed
+        # per-row sort keys (clause index + 4 fixed-width level keys)
+        keyed, key_cols = interlacing_sort_exprs(
+            tiles_with_time, interlacing_pattern
+        )
+        # the computed keys STAY in the written files (like the z_order
+        # column below): dropping them post-sort would leave the writer
+        # free to re-group on [cell] only, and stored keys give parquet
+        # min/max stats a reader can range-prune on
+        (
+            keyed.drop("_il_ridx", "_il_bidx")
+            .repartition(F.col(cell_col))
+            .sortWithinPartitions(cell_col, *key_cols)
+            .write.mode("overwrite")
+            .partitionBy(cell_col)
+            .parquet(out_path)
+        )
+        return
+
+    # tolerate partial schemas (e.g. a single-record container with no
+    # record_datetime): sort by the pattern columns that exist
+    sort_cols = [
+        c
+        for c in interlacing_sort_columns(interlacing_pattern)
+        if c in tiles_with_time.columns
+    ]
     df = tiles_with_time
     if spatial_cluster:
         df = df.withColumn(
@@ -569,7 +709,9 @@ def consolidate_to_mucog(
             groups = {k: pdf[(pdf["_t"] == k[0]) & (pdf["_rid"] == k[1])] for k in img_keys}
         else:
             groups = {("", ""): pdf}
+        rec_rank = {k: i for i, k in enumerate(sorted(groups))}
         images: list[RasterImage] = []
+        image_keys: list[dict] = []
         # a single block pixel size must hold across the whole container:
         # tile_size=(n, n) below is applied to every level
         px_lens = {len(p) for p in pdf["px"]}
@@ -628,28 +770,41 @@ def consolidate_to_mucog(
                         subfile_type=0 if lvl == min_lvl else 1,
                     )
                 )
-        # block interlacing needs identical tile grids AND a single zoom
-        # level: MuCOG interlaces within a zoom level only, so the presence
-        # of any overview IFD forces per-image order even when tile counts
-        # coincide (e.g. one block per level).  subfile_type in the key
-        # makes overview/full-res grids distinct.
-        grids = {
-            (
-                -(-im.bands.shape[2] // n),
-                -(-im.bands.shape[1] // n),
-                im.bands.shape[0],
-                im.subfile_type,
+                image_keys.append({"Z": int(lvl), "R": rec_rank[_k], "B": 0})
+        if tile_order not in ("image", "block"):
+            # full interlacing pattern (layouts.proto:41-66): per-level
+            # clauses/ranges order the tile data region across zoom levels
+            # and records; bands live pixel-interleaved inside each tile
+            # payload (B is innermost by construction of this writer)
+            order = tile_order
+        else:
+            # 'block' interlacing needs identical tile grids AND a single
+            # zoom level: MuCOG interlaces within a zoom level only, so the
+            # presence of any overview IFD forces per-image order even when
+            # tile counts coincide (e.g. one block per level).
+            # subfile_type in the key makes overview/full-res grids
+            # distinct.
+            grids = {
+                (
+                    -(-im.bands.shape[2] // n),
+                    -(-im.bands.shape[1] // n),
+                    im.bands.shape[0],
+                    im.subfile_type,
+                )
+                for im in images
+            }
+            all_full_res = all(im.subfile_type == 0 for im in images)
+            order = (
+                tile_order
+                if len(images) > 1 and len(grids) == 1 and all_full_res
+                else "image"
             )
-            for im in images
-        }
-        all_full_res = all(im.subfile_type == 0 for im in images)
-        order = (
-            tile_order
-            if len(images) > 1 and len(grids) == 1 and all_full_res
-            else "image"
-        )
         data = write_tiff(
-            images, tile_size=(n, n), compression=compression, tile_order=order
+            images,
+            tile_size=(n, n),
+            compression=compression,
+            tile_order=order,
+            image_keys=image_keys if order not in ("image", "block") else None,
         )
         return pd.DataFrame(
             [

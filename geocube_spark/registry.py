@@ -5930,6 +5930,138 @@ def jpeg_tile_roundtrip(spark, sf_dir):
     )
 
 
+def ensure_mucog_interlaced(spark: SparkSession) -> str:
+    """A MuCOG written with the FULL conditional interlacing grammar
+    (layouts.proto:41-66): ``Z=0>T>R>B;Z=1:>R>T>B`` — timeseries-interlaced
+    full resolution, geographically-clustered overviews.  2 records × 4×4
+    full-res blocks + their 2×2 level-1 overviews, 16-px tiles."""
+    out = os.path.join(FIXTURE_DIR, "mucog_interlaced_fixture.tif")
+    if not os.path.exists(out):
+        import numpy as np
+
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        n = 16
+        rows = []
+        for ridx, (rid, ts) in enumerate(
+            [("rec-a", "2024-01-01"), ("rec-b", "2024-01-02")]
+        ):
+            for lvl, nblk in ((0, 4), (1, 2)):
+                for by in range(nblk):
+                    for bx in range(nblk):
+                        cc, rr = np.meshgrid(np.arange(n), np.arange(n))
+                        v = (
+                            (13 * (bx * n + cc) + 7 * (by * n + rr) + ridx)
+                            % 97
+                        ).astype(float)
+                        rows.append(
+                            {
+                                "out_container_uri": "mucog://interlaced",
+                                "band": 1,
+                                "level": lvl,
+                                "block_x": bx,
+                                "block_y": by,
+                                "px": v.ravel().tolist(),
+                                "pix_to_crs": {
+                                    "a": 1.0, "b": 0.0, "c": 0.0,
+                                    "d": 0.0, "e": -1.0, "f": 64.0,
+                                },
+                                "crs_srid": 32631,
+                                "record_id": rid,
+                                "record_datetime": ts,
+                            }
+                        )
+        tiles = spark.createDataFrame(
+            rows,
+            "out_container_uri string, band int, level int, block_x int, "
+            "block_y int, px array<double>, pix_to_crs struct<a:double,"
+            "b:double,c:double,d:double,e:double,f:double>, crs_srid int, "
+            "record_id string, record_datetime string",
+        )
+        row = consolidate_to_mucog(
+            tiles,
+            dtype="float64",
+            compression="deflate",
+            tile_order="Z=0>T>R>B;Z=1:>R>T>B",
+        ).collect()[0]
+        with open(out, "wb") as f:
+            f.write(bytes(row["tiff"]))
+    return out
+
+
+@q(
+    "mucog_interlaced_pattern",
+    """
+    SELECT CAST(16 AS BIGINT) AS n_fullres_adjacent,
+           CAST(2 AS BIGINT) AS n_overview_runs,
+           CAST(1 AS BIGINT) AS fullres_before_overviews
+    FROM (SELECT 1)
+    """,
+)
+def mucog_interlaced_pattern(spark, sf_dir):
+    """R7 FULL grammar, byte-level: under ``Z=0>T>R>B;Z=1:>R>T>B`` every
+    full-res tile's record stack is adjacent bytes (16 tile indices × 1
+    adjacent pair), each record's overview tiles form one contiguous run
+    (2 runs), and the full-res region precedes the overviews — all
+    STRUCTURAL constants of the fixture geometry, asserted from the
+    written file's tile offsets (mucog.go:30-97 parity)."""
+    path = ensure_mucog_interlaced(spark)
+    binary = spark.read.format("binaryFile").load(path)
+
+    def inspect(batches):
+        import pandas as pd
+
+        from geocube_spark.sources.gtiff import read_tiff
+
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                imgs = read_tiff(bytes(content))
+                full = [im for im in imgs if im.subfile_type == 0]
+                ovs = [im for im in imgs if im.subfile_type == 1]
+                adj = sum(
+                    1
+                    for ti in range(len(full[0].tile_offsets))
+                    for i in range(len(full) - 1)
+                    if full[i].tile_offsets[ti] + full[i].tile_byte_counts[ti]
+                    == full[i + 1].tile_offsets[ti]
+                )
+                runs = sum(
+                    1
+                    for ov in ovs
+                    if all(
+                        ov.tile_offsets[i] + ov.tile_byte_counts[i]
+                        == ov.tile_offsets[i + 1]
+                        for i in range(len(ov.tile_offsets) - 1)
+                    )
+                )
+                ordered = int(
+                    max(o for im in full for o in im.tile_offsets)
+                    < min(o for im in ovs for o in im.tile_offsets)
+                )
+                rows.append(
+                    {
+                        "n_fullres_adjacent": adj,
+                        "n_overview_runs": runs,
+                        "fullres_before_overviews": ordered,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "n_fullres_adjacent",
+                    "n_overview_runs",
+                    "fullres_before_overviews",
+                ],
+            )
+
+    return binary.select("content").mapInPandas(
+        inspect,
+        "n_fullres_adjacent long, n_overview_runs long, "
+        "fullres_before_overviews long",
+    )
+
+
 def ensure_mucog(spark: SparkSession) -> str:
     """Materialize ONE real MuCOG container (operators/consolidation.
     consolidate_to_mucog → sources/gtiff.write_tiff bytes) from the tile

@@ -385,13 +385,20 @@ def write_tiff(
     bigtiff: bool | None = None,
     jpeg_quality: int = 90,
     jpeg_subsampling: str = "444",
+    image_keys: list[dict] | None = None,
 ) -> bytes:
     """Serialize images into one tiled or stripped (Geo)TIFF.
 
     tile_order='image': tiles grouped per image (COG: full-res first, then
     overviews).  tile_order='block': MuCOG interlacing — tile payloads
     ordered (block, image) so one block across all images is contiguous;
-    requires every image on the same grid.
+    requires every image on the same grid.  Any OTHER string is parsed as
+    a full MuCOG interlacing pattern (layouts.proto:41-66 — conditional
+    per-level clauses, value/range selectors, e.g. ``Z=0>T>R>B;Z=1:>R>T>B``)
+    applied to the tile data region; ``image_keys`` must then supply one
+    ``{"Z": zoom_idx, "R": record_idx, "B": band_idx}`` dict per image
+    (T is the row-major tile index within each image's own grid, so
+    differently-sized overview grids interleave correctly).
 
     compression: 'none' | 'deflate' | 'lzw' (GDAL's default COG codec) |
     'packbits' (RLE, common in archival GeoTIFFs) | 'jpeg' (LOSSY, 8-bit
@@ -594,10 +601,32 @@ def write_tiff(
             for ti in range(planned[0].n_tiles)
             for pi in range(len(planned))
         ]
-    else:
+    elif tile_order == "image":
         order = [
             (pi, ti) for pi, p in enumerate(planned) for ti in range(p.n_tiles)
         ]
+    else:
+        # full interlacing pattern (clauses + selectors)
+        from geocube_spark.operators.interlace import interlace_order
+
+        if image_keys is None or len(image_keys) != len(planned):
+            raise ValueError(
+                "a pattern tile_order requires image_keys (one "
+                "{'Z','R','B'} dict per image)"
+            )
+        pairs = [
+            (pi, ti) for pi, p in enumerate(planned) for ti in range(p.n_tiles)
+        ]
+        items = [
+            {
+                "Z": int(image_keys[pi].get("Z", 0)),
+                "R": int(image_keys[pi].get("R", 0)),
+                "B": int(image_keys[pi].get("B", 0)),
+                "T": ti,
+            }
+            for pi, ti in pairs
+        ]
+        order = [pairs[j] for j in interlace_order(items, tile_order)]
     for p in planned:
         p.tile_offsets = [0] * p.n_tiles
     for pi, ti in order:

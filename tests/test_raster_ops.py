@@ -855,7 +855,7 @@ class TestSpatialClustering:
             rows, "cell_uri string, band int, block_x int, block_y int, px array<double>"
         ).withColumn("level", F.lit(0)).withColumn("record_id", F.lit("r0"))
         out = str(tmp_path / "consolidated")
-        consolidate_tiles(tiles, "L=0>B>I>R", out, spatial_cluster=True)
+        consolidate_tiles(tiles, "Z>B>T>R", out, spatial_cluster=True)
         back = spark.read.parquet(out)
         assert "z_order" in back.columns
         # per (band) group, the file order must be z-order monotone
@@ -887,7 +887,7 @@ class TestSpatialClustering:
             rows, "cell_uri string, band int, block_x int, block_y int, px array<double>"
         ).withColumn("level", F.lit(0)).withColumn("record_id", F.lit("r0"))
         out = str(tmp_path / "plain")
-        consolidate_tiles(tiles, "L=0>B>I>R", out)
+        consolidate_tiles(tiles, "Z>B>T>R", out)
         pdf = spark.read.parquet(out).toPandas()
         keys = list(zip(pdf["band"], pdf["block_y"], pdf["block_x"]))
         assert keys == sorted(keys)  # file order == interlacing order

@@ -165,13 +165,18 @@ class TestXYZ:
 
 class TestInterlacing:
     def test_pattern_to_sort_columns(self):
+        # first clause drives the static column list; T = tiles (geotiff
+        # blocks, layouts.proto:41-66), R = records (chronological)
         cols = interlacing_sort_columns("Z=0>T>R>B;Z=1:>R>T>B")
-        assert cols[:4] == ["level", "record_datetime", "record_id", "band"]
-        assert cols[-2:] == ["block_y", "block_x"]
+        assert cols == [
+            "level", "block_y", "block_x",
+            "record_datetime", "record_id", "band",
+        ]
 
     def test_alternate_pattern(self):
-        assert interlacing_sort_columns("R>Z>T>B")[:4] == [
-            "record_id", "level", "record_datetime", "band",
+        assert interlacing_sort_columns("R>Z>T>B") == [
+            "record_datetime", "record_id", "level",
+            "block_y", "block_x", "band",
         ]
 
 
