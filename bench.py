@@ -31,9 +31,37 @@ BENCH_QUERIES: list[str] | None = None  # None -> all of registry.queries()
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
+def machine_load() -> dict:
+    """Snapshot of machine business at bench start: 1-min load average and
+    its ratio to the CPU count.  A loaded machine inflates wall times ~25%
+    (round 5's driver run read 133.8s vs 108.4s quiet for identical code)
+    and would otherwise trigger false regression hunts — the recorded
+    ratio lets a reader discount a noisy round instead.  PARITY.md states
+    the acceptance criterion: compare rounds at load_ratio <= 0.5; above
+    that, trust per-query medians and spreads over the total."""
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    ncpu = os.cpu_count() or 1
+    return {
+        "load1": round(load1, 2),
+        "cpus": ncpu,
+        "load_ratio": round(load1 / ncpu, 3) if load1 >= 0 else -1.0,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load = machine_load()
+    if load["load_ratio"] > 0.5:
+        print(
+            f"# WARNING: machine is busy (load1={load['load1']} on "
+            f"{load['cpus']} cpus, ratio={load['load_ratio']}): totals will "
+            "read ~25% slow; do not diff this run against a quiet baseline",
+            file=sys.stderr,
+        )
     spark = get_spark("geocube-bench")
     spark.sparkContext.setLogLevel("ERROR")
     registry.ensure_fixtures()
@@ -79,8 +107,9 @@ def main() -> None:
         json.dump({"metric": "geocube_spark_headline_suite", "value": total,
                    "unit": "sec", "queries": timings, "spreads": spreads,
                    "n_runs": N_RUNS, "spread_p90": spread_p90,
-                   "sf": sf_val}, f)
-    print(summary_line(total, timings, sf_val, spread_p90))
+                   "sf": sf_val, "load": load,
+                   "load_at_end": machine_load()}, f)
+    print(summary_line(total, timings, sf_val, spread_p90, load))
 
 
 # The driver keeps only the LAST 2000 characters of bench output and parses
@@ -93,7 +122,8 @@ TAIL_BUDGET = 1900
 
 
 def summary_line(
-    total: float, timings: dict[str, float], sf_val, spread_p90: float = 0.0
+    total: float, timings: dict[str, float], sf_val, spread_p90: float = 0.0,
+    load: dict | None = None,
 ) -> str:
     def dump(qmap: dict[str, float], omitted: int) -> str:
         payload = {
@@ -105,6 +135,8 @@ def summary_line(
             "n_runs": N_RUNS,
             "spread_p90": spread_p90,
         }
+        if load is not None:
+            payload["load_ratio"] = load.get("load_ratio")
         if omitted:
             payload["queries_omitted"] = omitted
         return json.dumps(payload, separators=(",", ":"))

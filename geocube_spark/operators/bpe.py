@@ -178,11 +178,14 @@ _FOLD_SQL = (
 )
 
 
-def bpe_train_sql(
-    n_merges: int = 4, table: str = "documents", text_col: str = "text"
+def _bpe_train_ctes(
+    n_merges: int, table: str, text_col: str
 ) -> str:
-    """DuckDB twin: the same R rounds as generated nested CTEs — identical
-    pair statistic, argmax tie-break, and list_reduce greedy fold."""
+    """The shared training CTE block (w, v0, p_i/b_i/v_i rounds) both SQL
+    twins build on — returned as a structured piece so bpe_tokenized_
+    counts_sql composes it directly instead of string-splitting the
+    rendered bpe_train_sql (which silently broke if that formatting ever
+    changed)."""
     toks = tokens_sql(text_col)
     ctes = [
         f"""w AS (
@@ -206,12 +209,19 @@ def bpe_train_sql(
     ),
     v{i} AS (SELECT {_FOLD_SQL} AS spaced, wc FROM v{i - 1}, b{i})"""
         )
+    return ",\n    ".join(ctes)
+
+
+def bpe_train_sql(
+    n_merges: int = 4, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB twin: the same R rounds as generated nested CTEs — identical
+    pair statistic, argmax tie-break, and list_reduce greedy fold."""
     union = "\n    UNION ALL ".join(
         f"SELECT {i} AS merge_rank, pair, p1 || p2 AS merged, n AS n_occurrences FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    joined = ",\n    ".join(ctes)
-    return f"WITH {joined}\n    {union}"
+    return f"WITH {_bpe_train_ctes(n_merges, table, text_col)}\n    {union}"
 
 
 def _fold_sql(inner: str, p1: str, p2: str) -> str:
@@ -235,9 +245,7 @@ def bpe_tokenized_counts_sql(
     """Train + APPLY twin: the train CTEs of :func:`bpe_train_sql`, then
     every document tokenized through the learned merges (nested folds,
     innermost = char-spaced word), aggregated per ``group_col``."""
-    train = bpe_train_sql(n_merges, table, text_col)
-    # reuse the generated CTE block (everything before the final UNION)
-    cte_block = train.split("\n    SELECT 1 AS merge_rank")[0]
+    cte_block = f"WITH {_bpe_train_ctes(n_merges, table, text_col)}"
     toks = tokens_sql(text_col)
     spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
     expr = spaced

@@ -548,6 +548,7 @@ def consolidate_tiles(
     out_path: str,
     cell_col: str = "cell_uri",
     spatial_cluster: bool = False,
+    mode: str = "overwrite",
 ) -> None:
     """The rewrite job (O12/R7): partition by cell, physically order rows by
     the interlacing pattern, write.  At 100 TB this is the operation that
@@ -585,7 +586,7 @@ def consolidate_tiles(
             keyed.drop("_il_ridx", "_il_bidx")
             .repartition(F.col(cell_col))
             .sortWithinPartitions(cell_col, *key_cols)
-            .write.mode("overwrite")
+            .write.mode(mode)
             .partitionBy(cell_col)
             .parquet(out_path)
         )
@@ -620,7 +621,7 @@ def consolidate_tiles(
     (
         df.repartition(F.col(cell_col))
         .sortWithinPartitions(cell_col, *sort_cols)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy(cell_col)
         .parquet(out_path)
     )
@@ -825,6 +826,103 @@ def consolidate_to_mucog(
         )
 
     return src.groupBy("_container").applyInPandas(build, out_schema)
+
+
+# --------------------------------------------- cooperative cancellation (§2.9)
+#
+# The reference's consolidation worker polls a cancel MARKER FILE between
+# work units (handler_consolidation.go:373-395: {storage}/{jobID}_{taskID}
+# exists -> abort before committing).  Same protocol here: the rewrite is
+# split into cell batches; the marker is re-checked before each batch, and
+# a cancelled job never reaches the atomic publish — the staging directory
+# is discarded, the live layout untouched.  This is the executable arc
+# behind CONSOLIDATIONINPROGRESS -> CONSOLIDATIONCANCELLING in
+# streaming/jobs.py (job.go:395-401).
+
+
+def cancel_marker_path(cancel_dir: str, job_id: str, task_id: str = "") -> str:
+    import os
+
+    name = f"{job_id}_{task_id}" if task_id else job_id
+    return os.path.join(cancel_dir, name)
+
+
+def request_cancellation(cancel_dir: str, job_id: str, task_id: str = "") -> None:
+    """Drop the cancel marker (the reference writes it to
+    cancelledJobsStorage; any shared filesystem/object store works — the
+    worker only checks existence)."""
+    import os
+
+    os.makedirs(cancel_dir, exist_ok=True)
+    with open(cancel_marker_path(cancel_dir, job_id, task_id), "w"):
+        pass
+
+
+def is_cancelled(cancel_dir: str, job_id: str, task_id: str = "") -> bool:
+    import os
+
+    if os.path.exists(cancel_marker_path(cancel_dir, job_id)):
+        return True  # job-level cancel covers every task
+    return bool(task_id) and os.path.exists(
+        cancel_marker_path(cancel_dir, job_id, task_id)
+    )
+
+
+def consolidate_tiles_cancellable(
+    tiles_with_time: DataFrame,
+    interlacing_pattern: str,
+    out_path: str,
+    job_id: str,
+    cancel_dir: str,
+    cell_col: str = "cell_uri",
+    batch_cells: int = 8,
+    progress=None,
+) -> str:
+    """consolidate_tiles with the reference's mid-task cancellation
+    protocol: cells are rewritten in batches of ``batch_cells``; the
+    cancel marker is checked BEFORE EACH BATCH, and on cancellation the
+    staging directory is deleted and ``"CANCELLED"`` returned — the
+    atomic publish (staging -> out_path rename) only happens after every
+    batch lands, so a cancelled or crashed job can never half-publish.
+    ``progress(done_batches, total_batches)`` is invoked after each
+    batch (the worker's heartbeat hook).  Returns ``"DONE"`` or
+    ``"CANCELLED"`` — the caller maps these onto the job state machine
+    arcs (ConsolidationDone / CancellationDone)."""
+    import os
+    import shutil
+
+    staging = out_path.rstrip("/") + ".staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    # the task list is dim-sized driver work, exactly like the reference's
+    # per-event task loop — NOT a data collect
+    cells = [
+        r[0]
+        for r in tiles_with_time.select(cell_col).distinct().orderBy(cell_col).collect()
+    ]
+    batches = [
+        cells[i : i + batch_cells] for i in range(0, len(cells), batch_cells)
+    ]
+    for bi, batch in enumerate(batches):
+        if is_cancelled(cancel_dir, job_id, task_id=str(bi)):
+            shutil.rmtree(staging, ignore_errors=True)
+            return "CANCELLED"
+        consolidate_tiles(
+            tiles_with_time.filter(F.col(cell_col).isin(batch)),
+            interlacing_pattern,
+            staging,
+            cell_col=cell_col,
+            mode="append",
+        )
+        if progress is not None:
+            progress(bi + 1, len(batches))
+    if is_cancelled(cancel_dir, job_id):
+        # a cancel that lands after the last batch but before publish
+        # still wins — the reference checks one final time before commit
+        shutil.rmtree(staging, ignore_errors=True)
+        return "CANCELLED"
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.replace(staging, out_path)  # atomic on one filesystem
+    return "DONE"
 
 
 def swap_datasets(datasets: DataFrame, job_id: str, new_datasets: DataFrame) -> DataFrame:

@@ -1618,6 +1618,96 @@ def minhash_lsh_candidates(spark, sf_dir):
     )
 
 
+# Pathological LSH skew: a boilerplate header shared by 5% of the corpus
+# puts every hot doc in the SAME band buckets (one mega-bucket ~100× the
+# median — the shape AQE's skew-join split exists for, see
+# dedup.minhash_lsh_candidates docstring).  Header >> tail, so hot pairs
+# are true near-dups and the containment invariant stays checkable.
+_SKEW_HEADER = (
+    "terms of service apply to this document and all derivative works "
+    "the following boilerplate header is identical across every affected "
+    "record in the corpus and dominates its shingle set entirely"
+)
+_SKEW_TEXT_SQL = (
+    f"CASE WHEN doc_id % 20 = 0 THEN '{_SKEW_HEADER}' || ' ' || "
+    "substr(text, 1, 20) ELSE text END"
+)
+
+
+@q(
+    "minhash_lsh_skew",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({word_shingles_sql(_SKEW_TEXT_SQL, 3)}) AS shingle
+        FROM documents
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 20 = 0)
+                AS BIGINT) AS n_hot_docs,
+           CAST(1 AS BIGINT) AS recall_ge_90pct
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def minhash_lsh_skew(spark, sf_dir):
+    """minhash_lsh_candidates on a POWER-LAW corpus: 5% of docs share a
+    dominant boilerplate header (J ~ 0.85 pairwise), so one LSH bucket
+    per band holds the whole hot cluster (~100× the median bucket).
+    Scale-parametric contract: n_true_pairs and n_hot_docs re-derived by
+    the exact SQL twin on the identically-transformed corpus at the
+    queried SF; recall_ge_90pct floored with margin (banding recall at
+    J ~ 0.85 is 1-(1-J⁴)⁸ ~ 99.7% per pair; sweep-verified green at
+    sf0.001/0.01/0.1 — containment is NOT claimed, because pairs at J
+    just over the 0.5 threshold can escape all 8 bands).  The banded
+    equi-join shuffles by (band, signature), so the mega-bucket is one
+    hot key: AQE skew-join splitting keeps the reduce side balanced, and
+    tests/test_dedup_components.py::TestLshSkew bounds the wall-time
+    ratio vs the uniform corpus at equal size."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.lit(_SKEW_HEADER), F.lit(" "), F.substring("text", 1, 20)
+            ),
+        ).otherwise(F.col("text")),
+    )
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
+    true_pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    flags = _pair_flags(true_pairs, cands, ["doc_a", "doc_b"])
+    hot = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.lit(None).cast("int").alias("_e"),
+        F.lit(None).cast("int").alias("_a"),
+        F.lit(1).alias("_h"),
+    )
+    return flags.select("_e", "_a").withColumn("_h", F.lit(0)).unionByName(
+        hot
+    ).agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(F.sum("_h"), F.lit(0)).cast("long").alias("n_hot_docs"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1)
+                ),
+                F.lit(0),
+            )
+            * 10
+            >= F.coalesce(F.sum("_e"), F.lit(0)) * 9
+        ).cast("long").alias("recall_ge_90pct"),
+    )
+
+
 def _components_oracle() -> str:
     """Ground-truth clusters via DuckDB's recursive CTE over the SAME exact
     jaccard>=0.5 pair graph the Spark side feeds to the large-star/small-star

@@ -198,8 +198,14 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("corrupt JPEG stream: truncated entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):
+                raise ValueError(
+                    "corrupt JPEG stream: truncated marker at end of data"
+                )
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -231,10 +237,15 @@ class _BitReader:
         """Byte-align, consume the RSTn marker."""
         self.buf = 0
         self.nbits = 0
-        while self.data[self.pos] != 0xFF or not (
-            0xD0 <= self.data[self.pos + 1] <= 0xD7
+        while self.pos + 1 < len(self.data) and (
+            self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
         ):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError(
+                "corrupt JPEG stream: expected RSTn marker before end of data"
+            )
         self.pos += 2
 
 
@@ -412,6 +423,13 @@ def decode_jpeg(data: bytes, tables: dict | None = None) -> np.ndarray:
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                # a corrupt AC run would write past the
+                                # 64-coefficient block (T.81 F.2.2.2 bounds)
+                                raise ValueError(
+                                    "corrupt JPEG stream: AC coefficient "
+                                    "index exceeds 63"
+                                )
                             coefs[k] = _extend(reader.read_bits(s), s)
                             k += 1
                         block = np.zeros((8, 8))

@@ -145,3 +145,103 @@ class TestChunkStream:
     def test_negative_level_and_empty(self):
         assert decompress_chunks(compress_chunks([b""], level=-2)) == b""
         assert chunk_bytes(b"") == [b""]
+
+
+class TestCooperativeCancellation:
+    """handler_consolidation.go:373-395 parity: a cancel MARKER dropped
+    mid-job stops the batch loop before the next batch and the atomic
+    publish never happens — the live layout is untouched."""
+
+    def _tiles(self, spark, n_cells=6):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (f"cell{c}", 1, 0, 0, 0, [float(c)], "r0", "2024-01-01")
+            for c in range(n_cells)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "cell_uri string, band int, level int, block_x int, block_y int,"
+            " px array<double>, record_id string, record_datetime string",
+        ).withColumn(
+            "record_datetime", F.col("record_datetime").cast("timestamp")
+        )
+
+    def test_cancel_mid_job_never_publishes(self, spark, tmp_path):
+        import os
+
+        from geocube_spark.operators.consolidation import (
+            consolidate_tiles_cancellable,
+            request_cancellation,
+        )
+
+        out = str(tmp_path / "out")
+        cancel_dir = str(tmp_path / "cancelled")
+        seen = []
+
+        def progress(done, total):
+            seen.append((done, total))
+            if done == 1:  # the user cancels after the first batch lands
+                request_cancellation(cancel_dir, "job-x")
+
+        status = consolidate_tiles_cancellable(
+            self._tiles(spark),
+            "Z>T>R>B",
+            out,
+            job_id="job-x",
+            cancel_dir=cancel_dir,
+            batch_cells=2,
+            progress=progress,
+        )
+        assert status == "CANCELLED"
+        assert not os.path.exists(out)  # atomic swap never happened
+        assert not os.path.exists(out + ".staging")  # staging discarded
+        assert seen[0] == (1, 3) and len(seen) <= 2
+
+    def test_uncancelled_job_publishes_atomically(self, spark, tmp_path):
+        import os
+
+        from geocube_spark.operators.consolidation import (
+            consolidate_tiles_cancellable,
+        )
+
+        out = str(tmp_path / "out")
+        status = consolidate_tiles_cancellable(
+            self._tiles(spark),
+            "Z>T>R>B",
+            out,
+            job_id="job-y",
+            cancel_dir=str(tmp_path / "cancelled"),
+            batch_cells=2,
+        )
+        assert status == "DONE"
+        assert not os.path.exists(out + ".staging")
+        back = spark.read.parquet(out)
+        assert back.select("cell_uri").distinct().count() == 6
+
+    def test_cancelled_status_maps_onto_state_machine(self, spark, tmp_path):
+        from geocube_spark.operators.consolidation import (
+            consolidate_tiles_cancellable,
+            request_cancellation,
+        )
+        from geocube_spark.streaming.jobs import trigger
+
+        cancel_dir = str(tmp_path / "cancelled")
+        request_cancellation(cancel_dir, "job-z")  # cancelled before start
+        status = consolidate_tiles_cancellable(
+            self._tiles(spark),
+            "Z>T>R>B",
+            str(tmp_path / "out"),
+            job_id="job-z",
+            cancel_dir=cancel_dir,
+            batch_cells=2,
+        )
+        assert status == "CANCELLED"
+        # the worker reports the cancel through the reference's arcs
+        st, _, handled = trigger(
+            "consolidation", "CONSOLIDATIONINPROGRESS", False, 0,
+            "CancelledByUserForced",
+        )
+        assert handled and st == "CONSOLIDATIONCANCELLING"
+        st, _, handled = trigger("consolidation", st, False, 0, "CancellationDone")
+        assert handled and st == "ABORTED"

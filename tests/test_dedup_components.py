@@ -174,3 +174,51 @@ class TestPageRank:
             for r in pagerank(e, iterations=4).collect()
         }
         assert got == want
+
+
+class TestLshSkew:
+    """The mega-bucket corpus (minhash_lsh_skew) must not blow up the
+    banded join: wall time stays within a small factor of the uniform
+    corpus at equal size, and the candidate count is O(hot²), not
+    O(corpus²)."""
+
+    def test_skew_within_bound_of_uniform(self, spark):
+        import time
+
+        from pyspark.sql import functions as F
+
+        from geocube_spark import registry
+        from geocube_spark.operators import dedup as dd
+
+        sf_dir = "/root/testdata/sf0.01"
+        docs = registry._docs(spark, sf_dir)
+        skewed = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.concat(
+                    F.lit(registry._SKEW_HEADER),
+                    F.lit(" "),
+                    F.substring("text", 1, 20),
+                ),
+            ).otherwise(F.col("text")),
+        )
+
+        def run(frame):
+            t0 = time.time()
+            n = dd.minhash_lsh_candidates(frame, num_hashes=32, bands=8).count()
+            return time.time() - t0, n
+
+        # warm both paths once (codegen compile), then time the medians
+        run(docs), run(skewed)
+        times_u = sorted(run(docs)[0] for _ in range(3))
+        times_s = sorted(run(skewed)[0] for _ in range(3))
+        _, n_skew = run(skewed)
+        n_hot = skewed.filter(F.col("doc_id") % 20 == 0).count()
+        # candidates bounded by the hot clique + the uniform corpus's own
+        # near-dup pairs (a few dozen) — NOT quadratic in the corpus
+        assert n_skew <= n_hot * (n_hot - 1) // 2 + 200
+        assert n_skew >= n_hot * (n_hot - 1) // 4  # the mega-bucket is real
+        # skewed run within 3x of uniform at equal corpus size (2x on a
+        # quiet machine; the extra slack absorbs CI noise)
+        assert times_s[1] <= 3.0 * times_u[1] + 0.5

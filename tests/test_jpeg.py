@@ -442,3 +442,54 @@ class TestWriterJpegTables:
         )
         assert standalone_total - abbrev_total > 15 * 250
         assert len(with_tag) < standalone_total  # net win incl. the tag
+
+
+class TestMalformedStreams:
+    """Externally-produced JPEG-compressed TIFFs can carry corrupt tiles:
+    the decoder must surface a clean ValueError, never an IndexError or
+    an out-of-bounds numpy write."""
+
+    def _valid_jpeg(self):
+        import numpy as np
+
+        from geocube_spark.sources.jpeg import encode_jpeg
+
+        img = (np.arange(64 * 64) % 251).reshape(64, 64).astype(np.uint8)
+        return encode_jpeg(img, quality=90), img
+
+    def test_truncated_stream_raises_valueerror(self):
+        import pytest
+
+        from geocube_spark.sources.jpeg import decode_jpeg
+
+        data, _ = self._valid_jpeg()
+        for cut in (len(data) // 2, len(data) - 10):
+            with pytest.raises(ValueError):
+                decode_jpeg(data[:cut])
+
+    def test_bitflip_never_raises_indexerror(self):
+        # flipping entropy-coded bytes may decode to garbage (acceptable)
+        # or raise ValueError (acceptable) — but never IndexError
+        from geocube_spark.sources.jpeg import decode_jpeg
+
+        data, _ = self._valid_jpeg()
+        blob = bytearray(data)
+        start = len(blob) // 2
+        for i in range(start, min(start + 40, len(blob) - 2)):
+            mutated = bytearray(blob)
+            mutated[i] ^= 0xFF
+            try:
+                decode_jpeg(bytes(mutated))
+            except ValueError:
+                pass  # clean decode error
+            # any other exception type fails the test
+
+    def test_valid_stream_still_roundtrips(self):
+        import numpy as np
+
+        from geocube_spark.sources.jpeg import decode_jpeg
+
+        data, img = self._valid_jpeg()
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 4.0

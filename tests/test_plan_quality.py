@@ -218,3 +218,54 @@ class TestSimilarityPlans:
         sim.kmeans_centroids(emb, k=4)
         monkeypatch.undo()
         assert seen and all("GlobalLimit" in p for p in seen)
+
+
+class TestCatalogHotPathPlans:
+    """The three plans a 100x catalog leans on hardest (VERDICT r5 item
+    10): pixel assembly (get_cube_pixels), the latest-wins mosaic, and
+    consolidation planning — pushdown reaching the scans, dims broadcast,
+    fact side never broadcast."""
+
+    def _q(self, spark, name):
+        from geocube_spark import registry
+
+        return registry.queries()[name](spark, "/root/testdata/sf0.001")
+
+    def test_get_cube_pixels_pushdown_and_broadcast(self, spark):
+        df = self._q(spark, "get_cube_pixels")
+        fmt = formatted_plan(df)
+        phys = physical_plan(df)
+        # level filter pushed to the TILE scan, status filter to datasets
+        assert "EqualTo(level,0)" in fmt
+        assert "EqualTo(status,ACTIVE)" in fmt
+        # dims broadcast; no shuffled fact-fact join, no BNLJ
+        assert "BroadcastHashJoin" in phys
+        assert "BroadcastNestedLoopJoin" not in phys
+        assert "CartesianProduct" not in phys
+
+    def test_mosaic_latest_first_pushdown_and_broadcast(self, spark):
+        df = self._q(spark, "mosaic_latest_first")
+        fmt = formatted_plan(df)
+        phys = physical_plan(df)
+        assert "EqualTo(level,0)" in fmt  # pushed through the join
+        assert "BroadcastHashJoin" in phys
+        assert "BroadcastNestedLoopJoin" not in phys
+        # the latest-wins struct-max aggregation is ONE shuffle over the
+        # tile table (partial_max map-side)
+        assert phys.count("Exchange hashpartitioning") <= 2
+
+    def test_consolidation_planning_pushdown(self, spark, fixture_dir):
+        from geocube_spark.operators.consolidation import plan_consolidation
+        from geocube_spark.operators.cover import RegularGridSpec
+
+        datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+        records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+        spec = RegularGridSpec(crs="epsg:4326", cell_size=400, resolution=0.01)
+        plan = plan_consolidation(datasets, records, "job-0", spec, max_records=3)
+        fmt = formatted_plan(plan)
+        phys = physical_plan(plan)
+        # the job-lock filter reaches the datasets scan (F11)
+        assert "EqualTo(locked_by_job_id,job-0)" in fmt
+        # record times and the cell list are broadcast dims
+        assert "BroadcastHashJoin" in phys or "BroadcastNestedLoopJoin" in phys
+        assert "CartesianProduct" not in phys
