@@ -210,6 +210,191 @@ def sq8_topk(
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+# ------------------------------------------------------------- product quant
+#
+# PQ (Jégou et al. 2011, "Product quantization for nearest neighbor
+# search"): split the d-dim vector into m subvectors, learn a ks-entry
+# k-means codebook per subspace, store each vector as m one-byte codes
+# (64-dim float32 -> 8 bytes: 32x smaller than the float column, 4x
+# smaller than SQ8).  Query-time scoring is ADC (asymmetric distance
+# computation): the query's dot product against every codeword is a tiny
+# m*ks lookup table, and a row's approximate score is m table lookups —
+# no float vector is ever read on the prefilter scan.
+
+
+def _deterministic_sample_matrix(
+    embeddings: DataFrame,
+    vec_col: str,
+    max_sample_rows: int,
+    seed: int,
+) -> np.ndarray:
+    """Bounded driver-side sample as a (n, d) float64 matrix — the same
+    content-deterministic hash filter as :func:`kmeans_centroids` (stable
+    across partition layouts/AQE), collected ONCE so PQ can train all m
+    subspace codebooks from a single corpus scan instead of m."""
+    df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
+    n = df.count()
+    if n > max_sample_rows:
+        denom = 1_000_003
+        thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
+        h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
+        df = (
+            df.withColumn("_h", h)
+            .filter(F.col("_h") < F.lit(thresh))
+            .orderBy("_h", "v")
+            .drop("_h")
+        )
+    return np.array(
+        [r["v"] for r in df.limit(int(max_sample_rows)).collect()],
+        dtype=np.float64,
+    )
+
+
+def _lloyd(mat: np.ndarray, k: int, iterations: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
+    for _ in range(iterations):
+        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    max_sample_rows: int = 100_000,
+    iterations: int = 10,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train the m per-subspace codebooks (each ks x d/m) from ONE bounded
+    deterministic sample.  Codebooks are tiny (m*ks*d/m = ks*d doubles)
+    and ship to executors by closure, exactly like the IVF centroids."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    if ks > 128:
+        raise ValueError("ks > 128 does not fit a signed tinyint code")
+    dsub = dim // m
+    mat = _deterministic_sample_matrix(embeddings, vec_col, max_sample_rows, seed)
+    return [
+        _lloyd(mat[:, j * dsub : (j + 1) * dsub], ks, iterations, seed + j).tolist()
+        for j in range(m)
+    ]
+
+
+def pq_encode_udf(codebooks: list[list[list[float]]]):
+    """array<float> -> array<tinyint> of m codes, one vectorized Arrow UDF:
+    per batch, m small GEMMs (n x dsub @ dsub x ks) and an argmax each —
+    the same closure-shipped broadcast-by-value trick as ivf_assign_udf,
+    so plan size stays O(1) no matter how many codewords."""
+    from pyspark.sql.types import ArrayType, ByteType
+
+    mats = [np.ascontiguousarray(np.asarray(b, dtype=np.float64).T) for b in codebooks]
+    halves = [0.5 * (C * C).sum(axis=0) for C in mats]
+    dsub = mats[0].shape[0]
+    m = len(mats)
+
+    @F.pandas_udf(ArrayType(ByteType()))
+    def encode(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        out = np.empty((len(mat), m), dtype=np.int8)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            out[:, j] = (sub @ mats[j] - halves[j]).argmax(axis=1).astype(np.int8)
+        return pd.Series(list(out))
+
+    return encode
+
+
+def pq_adc_cosine_expr(
+    code_col: Column, query_vec: list[float], codebooks: list[list[list[float]]]
+) -> Column:
+    """Approximate cosine from the m-byte code column, entirely JVM-side.
+
+    Two m x ks literal lookup tables — ip[j][c] = q_j . codeword and
+    n2[j][c] = ||codeword||² — folded over the code array with
+    zip_with+aggregate: cos ~ sum(ip) / (|q| * sqrt(sum(n2))).  The
+    reconstruction norm is additive across subspaces, so no float vector
+    is touched; the prefilter scan reads m bytes per row."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(q) // m
+    ip_rows, n2_rows = [], []
+    for j, book in enumerate(codebooks):
+        B = np.asarray(book, dtype=np.float64)  # (ks, dsub)
+        qj = q[j * dsub : (j + 1) * dsub]
+        ip_rows.append(F.array(*[F.lit(float(x)) for x in B @ qj]))
+        n2_rows.append(F.array(*[F.lit(float(x)) for x in (B * B).sum(axis=1)]))
+    ip_lut = F.array(*ip_rows)
+    n2_lut = F.array(*n2_rows)
+    idx = F.transform(code_col, lambda _c, i: i + 1)
+
+    def fold(lut):
+        return F.aggregate(
+            F.zip_with(
+                code_col,
+                idx,
+                lambda c, i: F.element_at(
+                    F.element_at(lut, i.cast("int")), c.cast("int") + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qnorm = float(np.sqrt((q * q).sum()))
+    return fold(ip_lut) / (F.lit(qnorm) * F.sqrt(F.greatest(fold(n2_lut), F.lit(1e-300))))
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    expand: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-prefiltered top-k with exact rescore (the IVF-PQ recipe minus the
+    coarse quantizer — compose with ivf_topk's cluster filter for both).
+
+    Plan shape mirrors sq8_topk: encode (one Arrow UDF pass; at
+    deployment the m-byte code column is persisted and this step is a
+    plain scan) -> ADC approximate score, pure codegen over the lookup
+    tables -> partial top-(expand*k) per partition -> broadcast the
+    candidate ids -> exact cosine rescore of only expand*k rows -> top-k.
+    The exact arithmetic touches O(k) rows; the corpus pass reads m bytes
+    per row."""
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, len(query_vec), m=m, ks=ks, vec_col=vec_col, seed=seed
+        )
+    coded = embeddings.withColumn("_codes", pq_encode_udf(codebooks)(F.col(vec_col)))
+    approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
+    candidates = (
+        coded.select(F.col(id_col), approx.alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        .limit(expand * k)
+        .select(id_col)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
+        F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("score")
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,

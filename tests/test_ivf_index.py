@@ -159,3 +159,77 @@ class TestPartitionPrunedParser:
         plan = df._jdf.queryExecution().executedPlan().toString()
         probe = sim.probe_clusters(cents, qv, 2)
         assert _scan_partition_pruned(plan, probe) == 1
+
+
+class TestProductQuantization:
+    """PQ (Jégou 2011): codebook shapes, encode determinism, ADC accuracy
+    vs numpy reconstruction, and the topk plan (codes prefilter + exact
+    broadcast rescore, no BNLJ)."""
+
+    @pytest.fixture(scope="class")
+    def books(self, emb):
+        return sim.pq_train(emb, 64, m=8, ks=16)
+
+    def test_codebook_shapes(self, books):
+        assert len(books) == 8
+        assert all(len(b) == 16 for b in books)
+        assert all(len(c) == 8 for b in books for c in b)
+
+    def test_train_is_deterministic(self, emb, books):
+        import numpy as np
+
+        again = sim.pq_train(emb, 64, m=8, ks=16)
+        assert np.allclose(np.asarray(books), np.asarray(again))
+
+    def test_encode_codes_in_range(self, emb, books):
+        rows = (
+            emb.withColumn("codes", sim.pq_encode_udf(books)(F.col("embedding")))
+            .select("codes")
+            .collect()
+        )
+        assert all(len(r["codes"]) == 8 for r in rows)
+        assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+    def test_adc_matches_numpy_reconstruction(self, spark, emb, books):
+        """The JVM-side ADC fold must equal cosine(query, decoded vector)
+        computed in numpy from the same codes — same LUT math, ~1e-9."""
+        import numpy as np
+
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        coded = emb.withColumn("codes", sim.pq_encode_udf(books)(F.col("embedding")))
+        got = {
+            r["vec_id"]: r["a"]
+            for r in coded.select(
+                "vec_id",
+                sim.pq_adc_cosine_expr(F.col("codes"), q, books).alias("a"),
+            ).collect()
+        }
+        B = np.asarray(books)  # (m, ks, dsub)
+        qv = np.asarray(q)
+        for r in coded.select("vec_id", "codes").collect():
+            rec = np.concatenate([B[j, c] for j, c in enumerate(r["codes"])])
+            want = float(qv @ rec / (np.linalg.norm(qv) * np.linalg.norm(rec)))
+            assert abs(got[r["vec_id"]] - want) < 1e-9
+
+    def test_topk_recovers_exact_with_margin(self, emb):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        exact = [r["vec_id"] for r in sim.brute_force_topk(emb, q, k=10).collect()]
+        got = [
+            r["vec_id"]
+            for r in sim.pq_topk(emb, q, k=10, m=32, ks=64, expand=8).collect()
+        ]
+        assert got == exact
+
+    def test_topk_plan_broadcasts_candidates_no_bnlj(self, emb):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        out = sim.pq_topk(emb, q, k=10, m=8, ks=16, expand=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_guards(self, emb):
+        with pytest.raises(ValueError):
+            sim.pq_train(emb, 64, m=7)  # 64 % 7 != 0
+        with pytest.raises(ValueError):
+            sim.pq_train(emb, 64, m=8, ks=200)  # > tinyint range
