@@ -441,6 +441,114 @@ def unigram_logprob_sql(
     """
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality partition (Wenzek et al. 2020): score every
+    document with a language model, order by perplexity, and cut the
+    corpus into equal head/middle/tail buckets — head being the third of
+    the corpus the LM finds most natural, the slice CCNet keeps for
+    training data.
+
+    The scorer is the corpus-trained unigram LM (:func:`unigram_logprob`
+    — mean NLL per doc, the cheap stand-in for a KenLM); the cut is
+    ntile over (mean_nll, doc_id), fully deterministic.  Output: one row
+    per bucket with its document count and NLL range.
+
+    Scale note: ntile needs a single global ordering of DOC-LEVEL rows —
+    three doubles per document, so the sort input is ~24 bytes/doc, but
+    the window still funnels through one task.  At 100 TB use
+    :func:`perplexity_bucket_assign` instead: approx-percentile
+    thresholds (one pass, mergeable sketches) and a stateless comparison
+    per doc — no global sort, boundary docs may land one bucket off by
+    the sketch's epsilon.
+    """
+    from pyspark.sql import Window
+
+    labels = _bucket_labels(n_buckets)
+    nll = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    w = Window.orderBy("mean_nll", "doc_id")
+    lab = F.element_at(
+        F.array(*[F.lit(x) for x in labels]), F.ntile(n_buckets).over(w)
+    )
+    return (
+        nll.withColumn("bucket", lab)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("mean_nll"), 4).alias("min_nll"),
+            F.round(F.max("mean_nll"), 4).alias("max_nll"),
+            F.round(F.avg("mean_nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
+def _bucket_labels(n_buckets: int) -> list[str]:
+    if n_buckets == 3:
+        return ["head", "middle", "tail"]
+    return [f"b{i}" for i in range(1, n_buckets + 1)]
+
+
+def perplexity_buckets_sql(
+    table: str = "documents",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    labels = _bucket_labels(n_buckets)
+    arr = "[" + ", ".join(f"'{x}'" for x in labels) + "]"
+    return f"""
+    WITH nll AS ({unigram_logprob_sql(table, id_col, text_col)}),
+    tiled AS (
+        SELECT mean_nll,
+               {arr}[ntile({n_buckets}) OVER (ORDER BY mean_nll, doc_id)]
+                   AS bucket
+        FROM nll
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(mean_nll), 4) AS min_nll,
+           round(max(mean_nll), 4) AS max_nll,
+           round(avg(mean_nll), 4) AS avg_nll
+    FROM tiled
+    GROUP BY bucket
+    """
+
+
+def perplexity_bucket_assign(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB path for :func:`perplexity_buckets`: cut points from
+    ``approx_percentile`` (mergeable KLL-style sketch, map-side combine,
+    no global sort) broadcast back onto the doc stream as a stateless
+    comparison.  Returns the per-document assignment (doc_id, mean_nll,
+    bucket); bucket boundaries can differ from the exact ntile cut by
+    the sketch epsilon, which is the documented trade."""
+    labels = _bucket_labels(n_buckets)
+    nll = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = nll.agg(
+        F.percentile_approx(
+            "mean_nll", F.array(*[F.lit(q) for q in qs]), F.lit(accuracy)
+        ).alias("cuts")
+    )
+    joined = nll.crossJoin(F.broadcast(cuts))
+    bucket_i = F.aggregate(
+        F.col("cuts"),
+        F.lit(1),
+        lambda acc, c: acc + F.when(F.col("mean_nll") > c, 1).otherwise(0),
+    )
+    lab = F.element_at(F.array(*[F.lit(x) for x in labels]), bucket_i)
+    return joined.select("doc_id", "mean_nll", lab.alias("bucket"))
+
+
 def _bigram_streams(docs, id_col: str, text_col: str):
     """Shared LM-prep: (toks, uni, total, bi_stream, bi, first) — the
     tokenized docs, unigram/bigram count tables, the positional bigram

@@ -2730,6 +2730,7 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     hybrid_rrf_sql,
     kneser_ney_logprob,
     kneser_ney_logprob_sql,
+    perplexity_buckets_sql,
     unigram_logprob,
     unigram_logprob_sql,
 )
@@ -2773,6 +2774,18 @@ def document_chunking(spark, sf_dir):
 @q("unigram_logprob", unigram_logprob_sql())
 def unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+# CCNet-style quality partition (Wenzek 2020): LM-score every doc, cut the
+# corpus into equal head/middle/tail perplexity terciles (head = the slice
+# CCNet keeps).  Exact ntile twin here; perplexity_bucket_assign is the
+# sketch-threshold 100 TB path (no global sort), tested in
+# tests/test_retrieval.py.
+@q("perplexity_buckets", perplexity_buckets_sql())
+def perplexity_buckets_q(spark, sf_dir):
+    from geocube_spark.operators.retrieval import perplexity_buckets
+
+    return perplexity_buckets(_docs(spark, sf_dir))
 
 
 # Interpolated bigram LM (Jelinek–Mercer): the KenLM-perplexity-filter

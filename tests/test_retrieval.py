@@ -248,3 +248,62 @@ class TestHybridRRF:
         # absent-list sentinel: doc 3 never matched the term
         d3 = next(r for r in rows if r["doc_id"] == 3)
         assert d3["r_lex"] == 0
+
+
+class TestPerplexityBuckets:
+    """CCNet-style head/middle/tail partition: the exact ntile twin is
+    oracle-checked in the registry; here the SKETCH-threshold scale path
+    (no global sort) must agree with the exact cut away from boundaries."""
+
+    def test_buckets_are_equal_thirds_and_ordered(self, docs):
+        from geocube_spark.operators.retrieval import perplexity_buckets
+
+        rows = {r["bucket"]: r for r in perplexity_buckets(docs).collect()}
+        assert set(rows) == {"head", "middle", "tail"}
+        n = sum(r["n_docs"] for r in rows.values())
+        assert max(r["n_docs"] for r in rows.values()) - min(
+            r["n_docs"] for r in rows.values()
+        ) <= 1
+        assert n == docs.count()
+        # perplexity strictly ascends head -> middle -> tail
+        assert rows["head"]["max_nll"] <= rows["middle"]["min_nll"]
+        assert rows["middle"]["max_nll"] <= rows["tail"]["min_nll"]
+
+    def test_sketch_assign_agrees_with_exact_cut(self, docs):
+        from pyspark.sql import Window
+
+        from geocube_spark.operators.retrieval import (
+            perplexity_bucket_assign,
+            unigram_logprob,
+        )
+
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_bucket_assign(docs).collect()
+        }
+        nll = unigram_logprob(docs)
+        w = Window.orderBy("mean_nll", "doc_id")
+        lab = F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        )
+        want = {
+            r["doc_id"]: r["bucket"]
+            for r in nll.withColumn("bucket", lab).collect()
+        }
+        agree = sum(got[d] == want[d] for d in want)
+        # boundary docs (ties at a cut point) may differ; the bulk must not
+        assert agree >= 0.95 * len(want)
+
+    def test_assign_plan_has_no_global_sort(self, docs):
+        from geocube_spark.operators.retrieval import perplexity_bucket_assign
+
+        plan = (
+            perplexity_bucket_assign(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the scale path must not range-shuffle doc rows into one ordering
+        assert "rangepartitioning" not in plan.lower()
+        assert "ntile(" not in plan.lower()  # window fn ("percentile_approx" ok)
