@@ -460,3 +460,72 @@ def curriculum_shards(
         )
         .orderBy("shard")
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame,
+    n_shards: int = 10,
+    val_shards: tuple[int, ...] = (8,),
+    test_shards: tuple[int, ...] = (9,),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/validation/test split that cannot leak near-duplicates across
+    splits: the unit of assignment is the duplicate CLUSTER, not the
+    document.  A doc-level hash split puts two 0.9-Jaccard copies of the
+    same page in train and test and silently inflates eval numbers (the
+    failure mode Lee et al. 2022 measured); hashing the cluster label
+    instead pins every member of a component to one side by construction.
+
+    Plan shape: the O(log n) large-star/small-star rounds produce
+    (node, component); docs left-join the (small) component table and
+    singletons keep their own id; the shard is the portable md5->int
+    bucket of the component id — deterministic, seedless, reproducible
+    across engines and retries.  One extra broadcast join over a doc-level
+    stream; no new shuffle beyond the CC rounds themselves.
+    """
+    from geocube_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs).select("node", "component")
+    assigned = documents.join(
+        comp, documents[id_col] == comp["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("component", F.col(id_col)).alias("component"),
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_shards
+    )
+    split = (
+        F.when(shard.isin(*[int(s) for s in val_shards]), F.lit("val"))
+        .when(shard.isin(*[int(s) for s in test_shards]), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return assigned.withColumn("split", split)
+
+
+def leakage_safe_split_sql(
+    components_cte: str,
+    n_shards: int = 10,
+    val_shards: tuple[int, ...] = (8,),
+    test_shards: tuple[int, ...] = (9,),
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of the split ASSIGNMENT (caller wraps/aggregates).
+    ``components_cte`` must yield (node, component) for every non-singleton
+    doc — the registry passes the recursive-CTE transitive closure."""
+    vals = ", ".join(str(int(s)) for s in val_shards)
+    tests = ", ".join(str(int(s)) for s in test_shards)
+    return f"""
+    SELECT d.{id_col},
+           COALESCE(c.component, d.{id_col}) AS component,
+           CASE
+             WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.{id_col}) AS VARCHAR)), 1, 8)) AS BIGINT) % {n_shards} IN ({vals}) THEN 'val'
+             WHEN CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.{id_col}) AS VARCHAR)), 1, 8)) AS BIGINT) % {n_shards} IN ({tests}) THEN 'test'
+             ELSE 'train'
+           END AS split
+    FROM {table} d LEFT JOIN ({components_cte}) c ON c.node = d.{id_col}
+    """

@@ -549,6 +549,146 @@ def perplexity_bucket_assign(
     return joined.select("doc_id", "mean_nll", lab.alias("bucket"))
 
 
+def nb_lang_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Model-based language ID: a multinomial Naive Bayes classifier with
+    Laplace smoothing, trained on the labelled corpus and evaluated on it
+    (the fastText-langid stand-in — same bag-of-words linear model family,
+    exact closed form so the oracle can recompute it bit-for-bit).
+
+    Plan: ONE shuffle of (term, label) counts trains the model; the
+    per-class log-likelihood table (vocab x n_classes, orders smaller
+    than the corpus — same argument as unigram_logprob) broadcasts back
+    onto the token stream crossed with the tiny class dim; scoring is a
+    per-doc sum and the argmin is a PARTITIONED window over n_classes
+    rows per doc (never a global sort).  The decision is taken on the
+    6-dp-ROUNDED negative score in both engines so a last-ulp summation
+    difference cannot flip the argmax; ties break to the first class
+    name.  Returns the confusion matrix (actual, predicted, n_docs).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(label_col).alias("actual"),
+        tokens_expr(F.col(text_col)).alias("t"),
+    ).filter(F.size("t") > 0)
+    terms = toks.select("doc_id", "actual", F.explode("t").alias("term"))
+
+    n_docs = toks.groupBy("actual").agg(F.count(F.lit(1)).alias("n_c"))
+    total = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    classes = (
+        n_docs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("actual").alias("cls"),
+            (F.log("n_c") - F.log("n")).alias("logprior"),
+        )
+    )
+    ctc = terms.groupBy("term", "actual").agg(F.count(F.lit(1)).alias("c"))
+    ctot = terms.groupBy("actual").agg(F.count(F.lit(1)).alias("tot_c"))
+    vocab = terms.agg(F.countDistinct("term").cast("double").alias("v"))
+
+    stream = (
+        terms.select("doc_id", "actual", "term")
+        .crossJoin(F.broadcast(classes.select("cls")))
+        .join(
+            F.broadcast(ctc.withColumnRenamed("actual", "cls")),
+            ["term", "cls"],
+            "left",
+        )
+        .join(F.broadcast(ctot.withColumnRenamed("actual", "cls")), "cls")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "actual",
+            "cls",
+            (
+                F.log(F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                - F.log(F.col("tot_c") + F.col("v"))
+            ).alias("ll"),
+        )
+    )
+    scored = (
+        stream.groupBy("doc_id", "actual", "cls")
+        .agg(F.sum("ll").alias("sll"))
+        .join(F.broadcast(classes), "cls")
+        .select(
+            "doc_id",
+            "actual",
+            "cls",
+            F.round(-(F.col("sll") + F.col("logprior")), 6).alias("nscore"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("nscore").asc(), F.col("cls").asc())
+    pred = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", "actual", F.col("cls").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def nb_lang_confusion_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (
+        SELECT {id_col} AS doc_id, {label_col} AS actual, {toks} AS t
+        FROM {table}
+    ),
+    nonempty AS (SELECT * FROM base WHERE len(t) > 0),
+    terms AS (
+        SELECT doc_id, actual, u.term AS term
+        FROM nonempty, UNNEST(t) AS u(term)
+    ),
+    classes AS (
+        SELECT actual AS cls,
+               ln(count(*)) - ln((SELECT CAST(count(*) AS DOUBLE) FROM nonempty))
+                   AS logprior
+        FROM nonempty GROUP BY actual
+    ),
+    ctc AS (SELECT term, actual AS cls, count(*) AS c FROM terms GROUP BY term, actual),
+    ctot AS (SELECT actual AS cls, count(*) AS tot_c FROM terms GROUP BY actual),
+    vocab AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v FROM terms),
+    stream AS (
+        SELECT t.doc_id, t.actual, k.cls,
+               ln(COALESCE(x.c, 0) + 1.0) - ln(ct.tot_c + vocab.v) AS ll
+        FROM terms t
+        CROSS JOIN (SELECT cls FROM classes) k
+        LEFT JOIN ctc x ON x.term = t.term AND x.cls = k.cls
+        JOIN ctot ct ON ct.cls = k.cls
+        CROSS JOIN vocab
+    ),
+    scored AS (
+        SELECT s.doc_id, s.actual, s.cls,
+               round(-(sum(s.ll) + any_value(c.logprior)), 6) AS nscore
+        FROM stream s JOIN classes c ON c.cls = s.cls
+        GROUP BY s.doc_id, s.actual, s.cls
+    ),
+    pred AS (
+        SELECT doc_id, actual, cls AS predicted
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY nscore ASC, cls ASC
+            ) AS r
+            FROM scored
+        ) WHERE r = 1
+    )
+    SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    """
+
+
 def _bigram_streams(docs, id_col: str, text_col: str):
     """Shared LM-prep: (toks, uni, total, bi_stream, bi, first) — the
     tokenized docs, unigram/bigram count tables, the positional bigram

@@ -1811,6 +1811,47 @@ def dedup_canonical(spark, sf_dir):
     )
 
 
+# Leakage-safe train/val/test split: the unit of assignment is the
+# near-dup CLUSTER (component), never the document — two 0.9-Jaccard
+# copies of a page can't straddle train and test (the eval-inflation
+# failure Lee 2022 measured).  Shard = portable md5->int bucket of the
+# component id (byte-equal in both engines); oracle replays the
+# recursive-CTE transitive closure + the same hash.
+def _leakage_split_oracle() -> str:
+    from geocube_spark.operators.pipeline import leakage_safe_split_sql
+
+    jacc = _ngram_jaccard_sql(0.5, select="SELECT doc_a, doc_b")
+    assign = leakage_safe_split_sql("SELECT node, component FROM lab")
+    return f"""
+    WITH RECURSIVE p AS ({jacc}),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+    reach(u, lbl) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM edges) t
+        UNION
+        SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+    ),
+    lab AS (SELECT u AS node, min(lbl) AS component FROM reach GROUP BY u),
+    assigned AS ({assign})
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_components
+    FROM assigned GROUP BY split
+    """
+
+
+@q("leakage_safe_split", _leakage_split_oracle())
+def leakage_safe_split_q(spark, sf_dir):
+    from geocube_spark.operators.pipeline import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+    assigned = leakage_safe_split(docs, pairs)
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+    )
+
+
 # Skew-hardened CC: a deterministic POWER-LAW pair graph (two hub docs
 # receive ~1/3 and ~2/3 of all edges — the crawl-boilerplate shape that
 # makes one groupBy/join key hot) run through the SALTED large-star/
@@ -2730,6 +2771,8 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     hybrid_rrf_sql,
     kneser_ney_logprob,
     kneser_ney_logprob_sql,
+    nb_lang_confusion,
+    nb_lang_confusion_sql,
     perplexity_buckets_sql,
     unigram_logprob,
     unigram_logprob_sql,
@@ -2774,6 +2817,17 @@ def document_chunking(spark, sf_dir):
 @q("unigram_logprob", unigram_logprob_sql())
 def unigram_logprob_q(spark, sf_dir):
     return unigram_logprob(_docs(spark, sf_dir))
+
+
+# Model-based language ID: multinomial Naive Bayes with Laplace smoothing
+# (the fastText-langid stand-in — exact closed form, so the oracle
+# recomputes the identical model).  One (term, class) count shuffle
+# trains it; scoring is a broadcast join over the token stream and a
+# partitioned per-doc argmin.  Output = the confusion matrix vs the
+# heuristic labels.
+@q("nb_lang_confusion", nb_lang_confusion_sql())
+def nb_lang_confusion_q(spark, sf_dir):
+    return nb_lang_confusion(_docs(spark, sf_dir))
 
 
 # CCNet-style quality partition (Wenzek 2020): LM-score every doc, cut the

@@ -630,3 +630,72 @@ class TestPerceptualHash:
 
         with _pytest.raises(ValueError):
             mm.perceptual_hash(self._media(spark, []), "md5")
+
+
+class TestLeakageSafeSplit:
+    """Component-aware split: no near-dup cluster may straddle splits, the
+    assignment is deterministic, and singletons spread across all splits."""
+
+    @pytest.fixture(scope="class")
+    def assigned(self, spark, docs):
+        from geocube_spark.operators.dedup import ngram_jaccard_pairs
+        from geocube_spark.operators.pipeline import leakage_safe_split
+
+        pairs = ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+        return leakage_safe_split(docs, pairs).cache()
+
+    def test_no_component_spans_two_splits(self, assigned):
+        spans = (
+            assigned.groupBy("component")
+            .agg(F.countDistinct("split").alias("k"))
+            .filter(F.col("k") > 1)
+            .count()
+        )
+        assert spans == 0
+
+    def test_total_and_determinism(self, assigned, docs, spark):
+        from geocube_spark.operators.dedup import ngram_jaccard_pairs
+        from geocube_spark.operators.pipeline import leakage_safe_split
+
+        assert assigned.count() == docs.count()
+        again = leakage_safe_split(
+            docs, ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+        )
+        assert {tuple(r) for r in assigned.collect()} == {
+            tuple(r) for r in again.collect()
+        }
+
+    def test_all_three_splits_nonempty_and_train_majority(self, spark):
+        # the 6-doc class fixture is too small to populate every shard;
+        # the real corpus must spread ~80/10/10
+        from geocube_spark.operators.dedup import ngram_jaccard_pairs
+        from geocube_spark.operators.pipeline import leakage_safe_split
+
+        corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = leakage_safe_split(
+            corpus, ngram_jaccard_pairs(corpus, shingle_k=3, threshold=0.5)
+        )
+        counts = {
+            r["split"]: r["n"]
+            for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"] + counts["test"]
+
+    def test_near_dup_pair_lands_same_split(self, spark):
+        # two literal near-dup docs + distinct fillers: the pair must be
+        # in ONE split whatever the hash says
+        from geocube_spark.operators.dedup import ngram_jaccard_pairs
+        from geocube_spark.operators.pipeline import leakage_safe_split
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [(0, base), (1, base + " extra")] + [
+            (i, f"unique text number {i} with words w{i} x{i} y{i} z{i}")
+            for i in range(2, 12)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string")
+        out = leakage_safe_split(
+            d, ngram_jaccard_pairs(d, shingle_k=3, threshold=0.5)
+        )
+        got = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert got[0] == got[1]

@@ -307,3 +307,40 @@ class TestPerplexityBuckets:
         # the scale path must not range-shuffle doc rows into one ordering
         assert "rangepartitioning" not in plan.lower()
         assert "ntile(" not in plan.lower()  # window fn ("percentile_approx" ok)
+
+
+class TestNaiveBayesLangid:
+    """Multinomial NB language classifier: diagonal dominance where the
+    labels carry signal, determinism, and every scored doc classified."""
+
+    def test_confusion_covers_all_tokenizable_docs(self, docs, spark):
+        from geocube_spark.operators.retrieval import (
+            nb_lang_confusion,
+            tokens_expr,
+        )
+
+        conf = nb_lang_confusion(docs).collect()
+        n_classified = sum(r["n_docs"] for r in conf)
+        n_tokenizable = docs.filter(
+            F.size(tokens_expr(F.col("text"))) > 0
+        ).count()
+        assert n_classified == n_tokenizable
+
+    def test_deterministic(self, docs):
+        from geocube_spark.operators.retrieval import nb_lang_confusion
+
+        a = {tuple(r) for r in nb_lang_confusion(docs).collect()}
+        b = {tuple(r) for r in nb_lang_confusion(docs).collect()}
+        assert a == b
+
+    def test_separable_corpus_classifies_perfectly(self, spark):
+        # two classes with disjoint vocabularies: NB must recover them
+        from geocube_spark.operators.retrieval import nb_lang_confusion
+
+        rows = [(i, "aaa bbb ccc ddd eee " * 3, "x") for i in range(10)] + [
+            (i + 10, "fff ggg hhh iii jjj " * 3, "y") for i in range(10)
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        conf = {(r["actual"], r["predicted"]): r["n_docs"]
+                for r in nb_lang_confusion(d).collect()}
+        assert conf == {("x", "x"): 10, ("y", "y"): 10}
