@@ -1456,6 +1456,184 @@ def tpch_q22(spark, sf_dir):
     )
 
 
+# q2/q11 need PARTSUPP, which the driver's table set omits — it is DERIVED
+# deterministically from part x supplier with dbgen's own supplier-
+# assignment formula (4 suppliers per part, ps_suppkey = (p + i*(S/4 +
+# (p-1) div S)) mod S + 1) and integer-hash availqty/supplycost, so both
+# engines rebuild the identical table from the same parquet inputs at any
+# SF.  All arithmetic is integer until the final /100.0, so the derived
+# values are bit-equal across engines.
+_PARTSUPP_SQL = """
+    sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+    partsupp AS (
+        SELECT p.p_partkey AS ps_partkey,
+               ((p.p_partkey + i.i * (sc.s // 4 + (p.p_partkey - 1) // sc.s))
+                   % sc.s) + 1 AS ps_suppkey,
+               ((p.p_partkey * 37
+                 + (((p.p_partkey + i.i * (sc.s // 4 + (p.p_partkey - 1) // sc.s))
+                     % sc.s) + 1) * 11) % 9999) + 1 AS ps_availqty,
+               CAST(((p.p_partkey * 13
+                 + (((p.p_partkey + i.i * (sc.s // 4 + (p.p_partkey - 1) // sc.s))
+                     % sc.s) + 1) * 7) % 90000) + 10000 AS DOUBLE) / 100.0
+                   AS ps_supplycost
+        FROM part p CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) i
+        CROSS JOIN sc
+    )"""
+
+
+def _partsupp(spark, sf_dir):
+    """Spark twin of _PARTSUPP_SQL: part x {0..3} with the supplier count
+    broadcast in-plan (no driver collect)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sc_ = s.agg(F.count(F.lit(1)).cast("long").alias("s"))
+    expanded = (
+        p.select("p_partkey")
+        .withColumn("i", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .crossJoin(F.broadcast(sc_))
+    )
+    pk = F.col("p_partkey")
+    suppkey = (
+        F.pmod(
+            pk
+            + F.col("i")
+            * (F.floor(F.col("s") / 4) + F.floor((pk - 1) / F.col("s"))),
+            F.col("s"),
+        )
+        + 1
+    ).cast("long")
+    return expanded.select(
+        pk.alias("ps_partkey"),
+        suppkey.alias("ps_suppkey"),
+        (F.pmod(pk * 37 + suppkey * 11, F.lit(9999)) + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        (
+            (F.pmod(pk * 13 + suppkey * 7, F.lit(90000)) + 10000).cast("double")
+            / 100.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@q(
+    "tpch_q2",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    europe AS (
+        SELECT s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    mincost AS (
+        SELECT ps.ps_partkey, min(ps.ps_supplycost) AS mc
+        FROM partsupp ps JOIN europe e ON e.s_suppkey = ps.ps_suppkey
+        GROUP BY ps.ps_partkey
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand,
+           ps.ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN europe e ON e.s_suppkey = ps.ps_suppkey
+    JOIN mincost m ON m.ps_partkey = ps.ps_partkey
+                  AND ps.ps_supplycost = m.mc
+    WHERE p.p_size < 10 AND p.p_type = 'LARGE'
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2(spark, sf_dir):
+    """Min-cost supplier per part in a region (TPC-H Q2 shape, trimmed
+    schema).  The correlated-min subquery becomes a broadcast join of the
+    per-part min-cost table; supplier/nation/region dims all broadcast —
+    the only shuffle is the partsupp groupBy for mincost."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    ps = _partsupp(spark, sf_dir)
+    europe = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(
+            F.broadcast(r.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eps = ps.join(F.broadcast(europe), ps["ps_suppkey"] == europe["s_suppkey"])
+    mincost = eps.groupBy(F.col("ps_partkey").alias("mc_key")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    target = p.filter((F.col("p_size") < 10) & (F.col("p_type") == "LARGE"))
+    return (
+        eps.join(F.broadcast(target), eps["ps_partkey"] == target["p_partkey"])
+        .join(
+            F.broadcast(mincost),
+            (F.col("ps_partkey") == F.col("mc_key"))
+            & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q11",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    germany AS (
+        SELECT s.s_suppkey FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+    ),
+    gps AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost * ps.ps_availqty AS v
+        FROM partsupp ps JOIN germany g ON g.s_suppkey = ps.ps_suppkey
+    ),
+    tot AS (SELECT sum(v) AS t FROM gps)
+    SELECT ps_partkey, round(sum(v), 2) AS part_value
+    FROM gps, tot
+    GROUP BY ps_partkey, tot.t
+    HAVING round(sum(v), 2) > round(0.001 * tot.t, 2)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark, sf_dir):
+    """Inventory-value concentration (TPC-H Q11 shape): one shuffle of
+    (partkey, value) partials; the corpus total is a 1-row broadcast; the
+    HAVING compares 2-dp-rounded values on both engines so summation-order
+    dust cannot flip a boundary part."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ps = _partsupp(spark, sf_dir)
+    germany = (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name") == "NATION_7")),
+            s["s_nationkey"] == n["n_nationkey"],
+        ).select("s_suppkey")
+    )
+    gps = ps.join(
+        F.broadcast(germany), ps["ps_suppkey"] == germany["s_suppkey"]
+    ).select(
+        "ps_partkey",
+        (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"),
+    )
+    tot = gps.agg(F.sum("v").alias("t"))
+    return (
+        gps.groupBy("ps_partkey")
+        .agg(F.round(F.sum("v"), 2).alias("part_value"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > F.round(0.001 * F.col("t"), 2))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
 # ======================================================== dedup / similarity
 
 
