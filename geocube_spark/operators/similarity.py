@@ -354,6 +354,42 @@ def pq_adc_cosine_expr(
     return fold(ip_lut) / (F.lit(qnorm) * F.sqrt(F.greatest(fold(n2_lut), F.lit(1e-300))))
 
 
+def pq_adc_cosine_udf(query_vec: list[float], codebooks: list[list[list[float]]]):
+    """Closure-shipped ADC scorer for production-size codebooks: the same
+    LUT math as :func:`pq_adc_cosine_expr`, but the m x ks tables ride to
+    executors in the cloudpickled closure (broadcast-by-value, like
+    ivf_assign_udf) instead of as plan literals — plan size stays O(1)
+    however many codewords (the literal fold at m*ks=2048 is ~90 KB of
+    plan, which is exactly the blow-up the plan-size audit forbids).
+    Scoring is two numpy gathers + row sums per Arrow batch."""
+    from pyspark.sql.types import DoubleType
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(q) // m
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    IP = np.einsum("mkd,md->mk", B, q.reshape(m, dsub))  # (m, ks)
+    N2 = (B * B).sum(axis=2)  # (m, ks)
+    qnorm = float(np.sqrt((q * q).sum()))
+    rows = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def score(codes: pd.Series) -> pd.Series:
+        if not len(codes):
+            return pd.Series([], dtype="float64")
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])  # (n, m)
+        ip = IP[rows[None, :], C].sum(axis=1)
+        n2 = np.maximum(N2[rows[None, :], C].sum(axis=1), 1e-300)
+        return pd.Series(ip / (qnorm * np.sqrt(n2)))
+
+    return score
+
+
+# above this many LUT entries the literal fold bloats the plan; ship the
+# tables by closure instead (both paths are tested equal to 1e-9)
+_PQ_LITERAL_LUT_MAX = 512
+
+
 def pq_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -381,7 +417,10 @@ def pq_topk(
             embeddings, len(query_vec), m=m, ks=ks, vec_col=vec_col, seed=seed
         )
     coded = embeddings.withColumn("_codes", pq_encode_udf(codebooks)(F.col(vec_col)))
-    approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
+    if m * ks > _PQ_LITERAL_LUT_MAX:
+        approx = pq_adc_cosine_udf(query_vec, codebooks)(F.col("_codes"))
+    else:
+        approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
     candidates = (
         coded.select(F.col(id_col), approx.alias("approx_score"))
         .orderBy(F.col("approx_score").desc(), F.col(id_col))

@@ -233,3 +233,28 @@ class TestProductQuantization:
             sim.pq_train(emb, 64, m=7)  # 64 % 7 != 0
         with pytest.raises(ValueError):
             sim.pq_train(emb, 64, m=8, ks=200)  # > tinyint range
+
+    def test_adc_udf_path_matches_literal_path(self, spark, emb, books):
+        """Closure-shipped ADC (production codebooks) must score identically
+        to the literal JVM fold."""
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        coded = emb.withColumn("codes", sim.pq_encode_udf(books)(F.col("embedding")))
+        lit = {
+            r["vec_id"]: r["a"]
+            for r in coded.select(
+                "vec_id", sim.pq_adc_cosine_expr(F.col("codes"), q, books).alias("a")
+            ).collect()
+        }
+        udf = {
+            r["vec_id"]: r["a"]
+            for r in coded.select(
+                "vec_id", sim.pq_adc_cosine_udf(q, books)(F.col("codes")).alias("a")
+            ).collect()
+        }
+        assert all(abs(lit[v] - udf[v]) < 1e-9 for v in lit)
+
+    def test_big_codebook_plan_stays_small(self, emb):
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        out = sim.pq_topk(emb, q, k=10, m=32, ks=64, expand=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert len(plan.encode()) < 40_000  # LUTs shipped by closure, not literals

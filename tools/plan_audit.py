@@ -42,6 +42,10 @@ HARD_RULES_EXEMPT_BNLJ = {
     "hard_negative_mining",    # bounded anchor-batch broadcast θ-join
     "tidy_db_counts",          # scalar table-count union
     "tpch_q22",                # 1-row avg-balance threshold broadcast
+    "tpch_q2",                 # 1-row supplier-count broadcast (partsupp derivation)
+    "tpch_q11",                # same supplier-count + 1-row corpus-total broadcast
+    "nb_lang_confusion",       # 1-row doc-total/vocab-size + tiny class-dim broadcasts
+    "perplexity_buckets",      # unigram corpus-total 1-row aggregate (same as unigram_logprob)
     "graph_pagerank",          # 1-row dangling-mass broadcast (final round)
     # bbox interval joins against a SMALL broadcast cell/AOI list — the
     # correct strategy when the dim side fits in a broadcast.  These are
