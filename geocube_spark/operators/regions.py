@@ -265,3 +265,167 @@ def sieve_mask(
             yield pdf[cols]
 
     return joined.mapInPandas(rewrite, out_schema)
+
+
+# ------------------------------------------------------ polygonize (R-side)
+#
+# gdal_polygonize's relational core: per-region BOUNDARY GEOMETRY from the
+# labeled segmentation.  Rather than tracing rings imperatively, every
+# quantity is a join/aggregate over the pixel frame:
+#
+#   perimeter  = 4·n − 2·adj        (adj = 4-adjacent same-value pairs)
+#   holes      = 1 − χ,  χ = V − E + F per region (Euler characteristic
+#                of the pixel cell complex: F = n pixels, E = 4n − adj
+#                distinct unit edges, V = distinct pixel-corner points)
+#
+# so the plan is: block-local labeling (mapInPandas), cross-block stitch
+# via the ADJACENCY join itself (facing pixels with equal value but
+# different provisional labels ARE the stitch edges — no separate strip
+# pass), alternating-star CC, then three shuffles of pixel-level keys
+# (neighbor coords ×2, corner ids).  At 100 TB every join is an equi-join
+# on coordinates — no broadcast of anything raster-sized.
+#
+# Caveat (documented, inherent to cell-complex Euler counting): a region
+# that touches ITSELF only at a pixel corner pinches the complex and
+# shifts χ; the fixtures avoid corner-pinched shapes, as does GDAL's own
+# 4-connected polygonize.
+
+
+_PIXELS_SCHEMA = StructType(
+    [
+        StructField("gi", LongType(), False),   # global row
+        StructField("gj", LongType(), False),   # global col
+        StructField("val", DoubleType(), False),
+        StructField("lbl", LongType(), False),  # provisional (block) label
+    ]
+)
+
+
+def region_pixels(tiles: DataFrame, block: int, px_col: str = "px") -> DataFrame:
+    """Per-pixel (gi, gj, val, provisional label) from block-local
+    union-find — the explode that polygonize genuinely needs (boundary
+    geometry is pixel-level); region_stats/sieve keep the aggregate-only
+    path."""
+    b = int(block)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for bx, by, px in zip(pdf["block_x"], pdf["block_y"], pdf[px_col]):
+                arr = np.asarray(px, dtype=np.float64).reshape(b, b)
+                roots = _label_block(arr)
+                gy0, gx0 = int(by) * b, int(bx) * b
+                glob = ((gy0 + roots // b) << 32) | (gx0 + roots % b)
+                gi = gy0 + np.arange(b * b) // b
+                gj = gx0 + np.arange(b * b) % b
+                out.append(
+                    pd.DataFrame(
+                        {"gi": gi, "gj": gj, "val": arr.ravel(), "lbl": glob}
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"gi": [], "gj": [], "val": [], "lbl": []}
+            )
+
+    return tiles.mapInPandas(run, _PIXELS_SCHEMA)
+
+
+def polygonize_report(
+    tiles: DataFrame, block: int = 64, px_col: str = "px"
+) -> DataFrame:
+    """Per-VALUE polygonize summary over the stitched segmentation:
+    (val, n_regions, n_px, perimeter, n_holes) — perimeter in pixel-edge
+    units, holes via the Euler characteristic (see module comment)."""
+    from geocube_spark.operators.dedup import connected_components
+
+    pixels = region_pixels(tiles, block, px_col).localCheckpoint()
+
+    right = pixels.select(
+        F.col("gi").alias("ri"), (F.col("gj") - 1).alias("rj"),
+        F.col("val").alias("rval"), F.col("lbl").alias("rlbl"),
+    )
+    down = pixels.select(
+        (F.col("gi") - 1).alias("di"), F.col("gj").alias("dj"),
+        F.col("val").alias("dval"), F.col("lbl").alias("dlbl"),
+    )
+    adj_r = pixels.join(
+        right, (F.col("gi") == F.col("ri")) & (F.col("gj") == F.col("rj"))
+    ).filter(F.col("val") == F.col("rval")).select(
+        F.col("lbl").alias("lbl_a"), F.col("rlbl").alias("lbl_b")
+    )
+    adj_d = pixels.join(
+        down, (F.col("gi") == F.col("di")) & (F.col("gj") == F.col("dj"))
+    ).filter(F.col("val") == F.col("dval")).select(
+        F.col("lbl").alias("lbl_a"), F.col("dlbl").alias("lbl_b")
+    )
+    adj = adj_r.unionByName(adj_d).localCheckpoint()
+
+    stitch = (
+        adj.filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(F.col("lbl_a").alias("doc_a"), F.col("lbl_b").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(stitch).select(
+        F.col("node").alias("lbl"), "component"
+    )
+    lblmap = (
+        pixels.select("lbl").distinct()
+        .join(comp, "lbl", "left")
+        .select("lbl", F.coalesce("component", F.col("lbl")).alias("component"))
+    )
+
+    # lbl -> component map is bounded by the REGION count, which a
+    # pathological speckle raster makes O(pixels/2): equi-join, never
+    # broadcast (AQE may still pick broadcast when it measures small)
+    px2 = pixels.join(lblmap, "lbl")
+    n_adj = (
+        adj.join(lblmap.withColumnRenamed("lbl", "lbl_a"), "lbl_a")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("adj"))
+    )
+    # distinct pixel-corner points per region; corner id packs the two
+    # coordinates into one long (coordinates are < 2^31)
+    corners = (
+        px2.select(
+            "component",
+            F.explode(
+                F.array(
+                    (F.col("gi") * F.lit(1 << 32) + F.col("gj")),
+                    (F.col("gi") * F.lit(1 << 32) + F.col("gj") + 1),
+                    ((F.col("gi") + 1) * F.lit(1 << 32) + F.col("gj")),
+                    ((F.col("gi") + 1) * F.lit(1 << 32) + F.col("gj") + 1),
+                )
+            ).alias("corner"),
+        )
+        .groupBy("component")
+        .agg(F.countDistinct("corner").alias("v"))
+    )
+    per_region = (
+        px2.groupBy("component")
+        .agg(F.any_value("val").alias("val"), F.count(F.lit(1)).alias("n"))
+        .join(n_adj, "component", "left")
+        .join(corners, "component")
+        .select(
+            "val",
+            "n",
+            (F.lit(4) * F.col("n") - 2 * F.coalesce("adj", F.lit(0))).alias("perim"),
+            (
+                F.lit(1)
+                - (
+                    F.col("v")
+                    - (F.lit(4) * F.col("n") - F.coalesce("adj", F.lit(0)))
+                    + F.col("n")
+                )
+            ).alias("holes"),
+        )
+    )
+    return (
+        per_region.groupBy("val")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_regions"),
+            F.sum("n").cast("long").alias("n_px"),
+            F.sum("perim").cast("long").alias("perimeter"),
+            F.sum("holes").cast("long").alias("n_holes"),
+        )
+        .orderBy("val")
+    )

@@ -4549,6 +4549,84 @@ def raster_region_labeling(spark, sf_dir):
     return region_stats(mask, block=b)
 
 
+# Polygonize (gdal_polygonize's relational core): boundary geometry of
+# every labeled region as joins/aggregates — perimeter = 4n − 2·adj,
+# holes via the Euler characteristic χ = V − E + F of the pixel cell
+# complex (operators/regions.polygonize_report).  The mask packs a solid
+# rect, a DONUT (hole), an enclosed hole-fill, an L, and the background
+# (3 holes) across all four block borders, so stitching, adjacency,
+# corner dedup and χ are each load-bearing.  The oracle recomputes every
+# quantity from the same generated mask with pre-shifted equi-joins (no
+# hand-baked constants; n_regions=1/val holds by construction and is
+# exactly what the stitch must reproduce).
+@q(
+    "region_polygonize",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CASE
+                 WHEN i.range BETWEEN 4 AND 9 AND j.range BETWEEN 4 AND 13 THEN 1.0
+                 WHEN i.range BETWEEN 21 AND 26 AND j.range BETWEEN 21 AND 26 THEN 4.0
+                 WHEN i.range BETWEEN 18 AND 29 AND j.range BETWEEN 18 AND 29 THEN 2.0
+                 WHEN (i.range BETWEEN 34 AND 37 AND j.range BETWEEN 8 AND 19)
+                   OR (i.range BETWEEN 26 AND 37 AND j.range BETWEEN 8 AND 11) THEN 3.0
+                 ELSE 0.0
+               END AS val
+        FROM range(0, 48) i, range(0, 48) j
+    ),
+    pxr AS (SELECT val, gi, gj - 1 AS gj FROM px),
+    pxd AS (SELECT val, gi - 1 AS gi, gj FROM px),
+    adj AS (
+        SELECT val, CAST(count(*) AS BIGINT) AS n_adj FROM (
+            SELECT a.val FROM px a JOIN pxr b ON b.gi = a.gi AND b.gj = a.gj AND b.val = a.val
+            UNION ALL
+            SELECT a.val FROM px a JOIN pxd b ON b.gi = a.gi AND b.gj = a.gj AND b.val = a.val
+        ) GROUP BY val
+    ),
+    corners AS (
+        SELECT val, CAST(count(DISTINCT (gi + di) * 4294967296 + gj + dj) AS BIGINT) AS v
+        FROM px, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS d(di, dj)
+        GROUP BY val
+    ),
+    nn AS (SELECT val, CAST(count(*) AS BIGINT) AS n FROM px GROUP BY val)
+    SELECT nn.val,
+           CAST(1 AS BIGINT) AS n_regions,
+           nn.n AS n_px,
+           4 * nn.n - 2 * COALESCE(adj.n_adj, 0) AS perimeter,
+           1 - (corners.v - (4 * nn.n - COALESCE(adj.n_adj, 0)) + nn.n) AS n_holes
+    FROM nn JOIN corners USING (val) LEFT JOIN adj USING (val)
+    ORDER BY nn.val
+    """,
+)
+def region_polygonize(spark, sf_dir):
+    from geocube_spark.operators.regions import polygonize_report
+
+    b = 24
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in range(2) for by in range(2)],
+        "block_x int, block_y int",
+    )
+
+    def _val(k):
+        gi = (F.col("block_y") * b + (k / b).cast("int")).cast("long")
+        gj = (F.col("block_x") * b + k % b).cast("long")
+        return (
+            F.when(gi.between(4, 9) & gj.between(4, 13), 1.0)
+            .when(gi.between(21, 26) & gj.between(21, 26), 4.0)
+            .when(gi.between(18, 29) & gj.between(18, 29), 2.0)
+            .when(
+                (gi.between(34, 37) & gj.between(8, 19))
+                | (gi.between(26, 37) & gj.between(8, 11)),
+                3.0,
+            )
+            .otherwise(0.0)
+        )
+    mask = blocks.withColumn(
+        "px", F.transform(F.sequence(F.lit(0), F.lit(b * b - 1)), _val)
+    )
+    return polygonize_report(mask, block=b)
+
+
 # Morphological opening (erode then dilate — the speckle-removing mask
 # cleanup) on the same halo-exchange plan: two chained radius-1 focal
 # min/max passes; the oracle replays both windowed extrema with edge

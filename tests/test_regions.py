@@ -175,3 +175,52 @@ class TestSieveDistributed:
                 r["block_x"] * 8 : (r["block_x"] + 1) * 8,
             ] = np.array(r["px"], dtype=np.float64).reshape(8, 8)
         assert math.isnan(full[2, 2]) and full[0, 0] == 0.0
+
+
+class TestPolygonize:
+    """Boundary geometry from the labeled segmentation: perimeter and
+    Euler-characteristic holes, stitched across block borders."""
+
+    def test_cross_block_snake(self, spark):
+        # a 1-px snake winding through all four 8x8 blocks: one region,
+        # perimeter = 2*n_px + 2 (width-1 path, no holes)
+        g = np.zeros((16, 16))
+        path = [(7, j) for j in range(1, 15)] + [(i, 14) for i in range(8, 13)]
+        for i, j in path:
+            g[i, j] = 5.0
+        from geocube_spark.operators.regions import polygonize_report
+
+        rows = {r["val"]: r for r in polygonize_report(_tiles(spark, g, 8), block=8).collect()}
+        n = len(path)
+        assert rows[5.0]["n_regions"] == 1  # stitched across all borders
+        assert rows[5.0]["n_px"] == n
+        assert rows[5.0]["perimeter"] == 2 * n + 2
+        assert rows[5.0]["n_holes"] == 0
+
+    def test_donut_crossing_blocks_has_one_hole(self, spark):
+        g = np.zeros((16, 16))
+        g[5:11, 5:11] = 2.0   # 6x6 outer, crossing the center corner
+        g[7:9, 7:9] = 0.0     # 2x2 hole
+        from geocube_spark.operators.regions import polygonize_report
+
+        rows = {r["val"]: r for r in polygonize_report(_tiles(spark, g, 8), block=8).collect()}
+        assert rows[2.0]["n_px"] == 32 and rows[2.0]["n_holes"] == 1
+        assert rows[2.0]["perimeter"] == 24 + 8
+        # the background: one region (hole is enclosed by val2 -> separate
+        # background region? no — the 2x2 hole IS background, disconnected)
+        assert rows[0.0]["n_regions"] == 2
+        assert rows[0.0]["n_holes"] == 1  # outer background encloses the donut
+
+    def test_agrees_with_region_stats(self, spark):
+        rng = np.random.RandomState(7)
+        g = (rng.rand(16, 16) > 0.5).astype(float)
+        from geocube_spark.operators.regions import (
+            polygonize_report,
+            region_stats,
+        )
+
+        poly = {r["val"]: r for r in polygonize_report(_tiles(spark, g, 8), block=8).collect()}
+        stats = {r["val"]: r for r in region_stats(_tiles(spark, g, 8), block=8).collect()}
+        for v in stats:
+            assert poly[v]["n_regions"] == stats[v]["n_regions"]
+            assert poly[v]["n_px"] == stats[v]["n_pixels"]
