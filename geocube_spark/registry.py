@@ -3201,6 +3201,56 @@ def events_sessions(spark, sf_dir):
 # ======================================================== events / streaming
 
 
+# Time-series gap filling (EO: cloud-masked observations interpolated
+# along the acquisition axis): linear interpolation between nearest valid
+# neighbors per series, pure PARTITIONED ignore-nulls windows — no global
+# sort, no UDF (operators/timeseries.py).  Gaps are injected
+# deterministically (event_id % 5); both engines evaluate the identical
+# fill expression structure, ties broken by event_id.
+@q(
+    "timeseries_gap_fill",
+    (lambda inner: f"""
+    WITH f AS ({inner})
+    SELECT event_id, user_id,
+           round(filled, 6) AS filled_value,
+           CAST(v IS NULL AS BIGINT) AS was_gap
+    FROM f
+    """)(
+        __import__(
+            "geocube_spark.operators.timeseries", fromlist=["interpolate_gaps_sql"]
+        ).interpolate_gaps_sql(
+            "SELECT event_id, user_id, epoch_us(ts) AS t_us,"
+            " CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v"
+            " FROM events",
+            key="user_id",
+            t="t_us",
+            v="v",
+            order="t_us, event_id",
+        )
+    ),
+)
+def timeseries_gap_fill(spark, sf_dir):
+    from geocube_spark.operators.timeseries import interpolate_gaps
+
+    ev = read_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    out = interpolate_gaps(
+        ev, ["user_id"], "t_us", "v", order_cols=["t_us", "event_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("filled", 6).alias("filled_value"),
+        F.col("v").isNull().cast("long").alias("was_gap"),
+    )
+
+
 @q(
     "events_hourly_rollup",
     """

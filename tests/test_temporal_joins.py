@@ -115,3 +115,41 @@ class TestRangeJoin:
         left, right = sides
         with pytest.raises(ValueError):
             range_join_buckets(left, right, "user", "lts", "rts", 5.0, 5.0, ["rid"])
+
+
+class TestInterpolateGaps:
+    """Linear gap filling per series: interior interpolation, edge
+    fills, all-null series, and the partitioned-window plan."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, t long, v double")
+
+    def test_interior_linear(self, spark):
+        from geocube_spark.operators.timeseries import interpolate_gaps
+
+        rows = [("a", 0, 10.0), ("a", 10, None), ("a", 40, 40.0)]
+        out = {r["t"]: r["filled"] for r in
+               interpolate_gaps(self._df(spark, rows), ["k"], "t", "v").collect()}
+        assert out[10] == 10.0 + (40.0 - 10.0) * (10 - 0) / (40 - 0)  # 17.5
+
+    def test_edge_fills_and_all_null(self, spark):
+        from geocube_spark.operators.timeseries import interpolate_gaps
+
+        rows = [("a", 0, None), ("a", 1, 5.0), ("a", 2, None),
+                ("b", 0, None), ("b", 1, None)]
+        out = {(r["k"], r["t"]): r["filled"] for r in
+               interpolate_gaps(self._df(spark, rows), ["k"], "t", "v").collect()}
+        assert out[("a", 0)] == 5.0   # backfill
+        assert out[("a", 2)] == 5.0   # forward fill
+        assert out[("b", 0)] is None and out[("b", 1)] is None
+
+    def test_plan_partitioned_window_no_global_sort(self, spark):
+        from geocube_spark.operators.timeseries import interpolate_gaps
+
+        rows = [("a", 0, 1.0), ("b", 1, None)]
+        plan = (
+            interpolate_gaps(self._df(spark, rows), ["k"], "t", "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "hashpartitioning(k" in plan
+        assert "rangepartitioning" not in plan.lower()
