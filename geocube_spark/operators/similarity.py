@@ -434,6 +434,60 @@ def pq_topk(
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    m: int = 32,
+    ks: int = 64,
+    expand: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the production ANN path — coarse k-means pruning cuts the
+    ROWS scanned (nprobe/n_clusters of the corpus; a persisted index
+    makes it partition pruning, see ivf_topk_indexed), PQ codes cut the
+    BYTES per scanned row (m one-byte codes vs the float vector), exact
+    rescore touches only expand*k broadcast candidates.  Both quantizers
+    train from bounded deterministic samples and ship by closure; at
+    deployment both the cluster id and the code column are persisted so
+    query time reads m bytes/row over nprobe partitions."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_clusters, vec_col, seed=seed)
+    if codebooks is None:
+        codebooks = pq_train(
+            embeddings, len(query_vec), m=m, ks=ks, vec_col=vec_col, seed=seed
+        )
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+
+    probed = embeddings.withColumn(
+        "_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+    ).filter(F.col("_cluster").isin(probe))
+    coded = probed.withColumn("_codes", pq_encode_udf(codebooks)(F.col(vec_col)))
+    if m * ks > _PQ_LITERAL_LUT_MAX:
+        approx = pq_adc_cosine_udf(query_vec, codebooks)(F.col("_codes"))
+    else:
+        approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
+    candidates = (
+        coded.select(F.col(id_col), approx.alias("approx_score"))
+        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        .limit(expand * k)
+        .select(id_col)
+    )
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
+        F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("score")
+    )
+    return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
 def pairwise_topk_join(
     queries: DataFrame,
     corpus: DataFrame,
