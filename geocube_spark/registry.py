@@ -4650,6 +4650,85 @@ def raster_region_labeling(spark, sf_dir):
     return region_stats(mask, block=b)
 
 
+# Change detection (EO composition): two temporal epochs of the same
+# grid -> per-pixel |delta| threshold (map algebra, zip_with — no UDF,
+# no shuffle) -> stitched region labeling of the change mask.  Epoch B
+# adds two bump patches to epoch A's gradient, one crossing all four
+# block borders, so the patch count is right ONLY if diff, threshold
+# and stitching all compose.  Oracle: the bumps in closed form.
+@q(
+    "change_detection",
+    """
+    WITH px AS (
+        SELECT CASE
+                 WHEN i.range BETWEEN 10 AND 19 AND j.range BETWEEN 30 AND 39 THEN 1.0
+                 WHEN i.range BETWEEN 20 AND 27 AND j.range BETWEEN 20 AND 27 THEN 1.0
+                 ELSE 0.0
+               END AS m
+        FROM range(0, 48) i, range(0, 48) j
+    ),
+    patches AS (
+        SELECT 2 AS n_change_regions, CAST(100 AS BIGINT) AS max_patch_px
+    )
+    SELECT CAST(n_change_regions AS BIGINT) AS n_change_regions,
+           CAST((SELECT sum(m) FROM px) AS BIGINT) AS n_changed_px,
+           max_patch_px
+    FROM patches
+    """,
+)
+def change_detection(spark, sf_dir):
+    from geocube_spark.operators.regions import region_stats
+
+    b = 24
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in range(2) for by in range(2)],
+        "block_x int, block_y int",
+    )
+
+    def _gi(k):
+        return (F.col("block_y") * b + (k / b).cast("int")).cast("long")
+
+    def _gj(k):
+        return (F.col("block_x") * b + k % b).cast("long")
+
+    # epoch A: a smooth gradient; epoch B: gradient + two bumps (+5), one
+    # 10x10 inside the top-right block, one 8x8 centered on the block
+    # corner so the change patch itself straddles all four blocks
+    epoch_a = blocks.withColumn(
+        "px_a",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(b * b - 1)),
+            lambda k: (_gi(k) * 48 + _gj(k)).cast("double") / 100.0,
+        ),
+    )
+    epoch_b = epoch_a.withColumn(
+        "px_b",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(b * b - 1)),
+            lambda k: (_gi(k) * 48 + _gj(k)).cast("double") / 100.0
+            + F.when(
+                (_gi(k).between(10, 19) & _gj(k).between(30, 39))
+                | (_gi(k).between(20, 27) & _gj(k).between(20, 27)),
+                5.0,
+            ).otherwise(0.0),
+        ),
+    )
+    mask = epoch_b.withColumn(
+        "px",
+        F.zip_with(
+            "px_b",
+            "px_a",
+            lambda nb, oa: (F.abs(nb - oa) > 2.5).cast("double"),
+        ),
+    ).select("block_x", "block_y", "px")
+    stats = region_stats(mask, block=b).filter(F.col("val") == 1.0)
+    return stats.select(
+        F.col("n_regions").alias("n_change_regions"),
+        F.col("n_pixels").alias("n_changed_px"),
+        F.col("max_region_px").alias("max_patch_px"),
+    )
+
+
 # Polygonize (gdal_polygonize's relational core): boundary geometry of
 # every labeled region as joins/aggregates — perimeter = 4n − 2·adj,
 # holes via the Euler characteristic χ = V − E + F of the pixel cell
