@@ -3302,6 +3302,76 @@ def timeseries_gap_fill(spark, sf_dir):
     )
 
 
+# Funnel analysis (view -> click -> purchase): each step's timestamp is
+# the user's FIRST qualifying event strictly after the previous step —
+# the classic product-analytics sequential conversion.  Per-step frames
+# are user-level aggregates joined on user_id (shuffle by user, never by
+# event); both engines use the identical µs timeline and strict-after
+# semantics.
+@q(
+    "events_funnel",
+    """
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+    s1 AS (SELECT user_id, min(t) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+        SELECT e.user_id, min(e.t) AS t2
+        FROM ev e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.t > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.t) AS t3
+        FROM ev e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.t > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT 1 AS step, CAST('view' AS VARCHAR) AS event_type,
+           CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("t")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    rows = [
+        (1, "view", s1),
+        (2, "click", s2),
+        (3, "purchase", s3),
+    ]
+    out = None
+    for step, name, frame in rows:
+        agg = frame.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 @q(
     "events_hourly_rollup",
     """
@@ -7022,6 +7092,68 @@ def bpe_tokenized_counts(spark, sf_dir):
     # counts via the VOCAB-level fold (one fold per distinct word, not
     # per token occurrence — 10x at sf0.1, unbounded at corpus scale)
     return bpe_token_counts(docs, merges)
+
+
+# Frequent-items sketch (Misra–Gries / lossy-counting family,
+# operators/sketches.py): per-batch summaries merge by summation; every
+# term with true count > N/k is GUARANTEED in the candidate set and the
+# estimate bounds (est <= true, deficit <= N/(k+1)) are theorems — the
+# oracle asserts them as constants and recomputes the exact heavy-hitter
+# count.  The full term stream never shuffles; only the tiny summaries
+# reach the merge.
+@q(
+    "heavy_hitters",
+    """
+    WITH terms AS (
+        SELECT u.term AS term
+        FROM documents,
+             UNNEST(list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS u(term)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM terms),
+    exact AS (SELECT term, count(*) AS c FROM terms GROUP BY term)
+    SELECT CAST((SELECT count(*) FROM exact, tot WHERE c * 50 > n) AS BIGINT)
+               AS n_heavy_true,
+           CAST(0 AS BIGINT) AS n_missed_heavy,
+           CAST(0 AS BIGINT) AS n_bound_violations
+    """,
+)
+def heavy_hitters(spark, sf_dir):
+    from geocube_spark.operators.retrieval import tokens_expr
+    from geocube_spark.operators.sketches import heavy_hitter_candidates
+
+    k = 50
+    terms = _docs(spark, sf_dir).select(
+        F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    cands = heavy_hitter_candidates(terms, k=k)
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = terms.agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.crossJoin(F.broadcast(tot)).filter(F.col("c") * k > F.col("n"))
+    missed = heavy.join(cands, "term", "left_anti")
+    checked = (
+        cands.join(exact, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("est") > F.col("c"))
+                | ((F.col("c") - F.col("est")) * (k + 1) > F.col("n"))
+            ).cast("long").alias("viol")
+        )
+    )
+    return (
+        heavy.agg(F.count(F.lit(1)).cast("long").alias("n_heavy_true"))
+        .crossJoin(
+            missed.agg(F.count(F.lit(1)).cast("long").alias("n_missed_heavy"))
+        )
+        .crossJoin(
+            checked.agg(
+                F.coalesce(F.sum("viol"), F.lit(0))
+                .cast("long")
+                .alias("n_bound_violations")
+            )
+        )
+    )
 
 
 # Mergeable-sketch accuracy harness: Spark's HLL++ distinct count and GK

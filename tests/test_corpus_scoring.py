@@ -274,3 +274,37 @@ class TestHardNegatives:
         rows = hard_negatives(e, F.col("vec_id").isin(0, 1), k=3).collect()
         for r in rows:
             assert r["anchor_id"] != r["negative_id"]
+
+
+class TestFrequentItems:
+    """MG/lossy-count sketch: no false negatives above N/k, estimates
+    bounded, adversarial uniform tail does not evict true heavy hitters."""
+
+    def test_adversarial_stream_keeps_heavy(self, spark):
+        from geocube_spark.operators.sketches import heavy_hitter_candidates
+
+        # 2 heavy terms (1200 each) drowned in 6000 singletons, shuffled
+        # deterministically across partitions
+        rows = [("hot_a",)] * 1200 + [("hot_b",)] * 1200 + [
+            (f"u{i}",) for i in range(6000)
+        ]
+        terms = spark.createDataFrame(rows, "term string").repartition(8, "term")
+        k = 50
+        n = len(rows)
+        cands = {r["term"]: r["est"] for r in heavy_hitter_candidates(terms, k).collect()}
+        assert "hot_a" in cands and "hot_b" in cands
+        # est <= true, deficit <= N/(k+1)
+        for t, true in (("hot_a", 1200), ("hot_b", 1200)):
+            assert cands[t] <= true
+            assert (true - cands[t]) * (k + 1) <= n
+
+    def test_summaries_never_shuffle_stream(self, spark):
+        from geocube_spark.operators.sketches import heavy_hitter_candidates
+
+        terms = spark.createDataFrame([("x",)] * 100, "term string")
+        plan = (
+            heavy_hitter_candidates(terms, 10)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # exactly one exchange: the summary merge (hashpartition by term)
+        assert plan.count("Exchange") <= 2  # merge agg partial+final pair

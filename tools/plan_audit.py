@@ -46,6 +46,7 @@ HARD_RULES_EXEMPT_BNLJ = {
     "tpch_q11",                # same supplier-count + 1-row corpus-total broadcast
     "nb_lang_confusion",       # 1-row doc-total/vocab-size + tiny class-dim broadcasts
     "perplexity_buckets",      # unigram corpus-total 1-row aggregate (same as unigram_logprob)
+    "heavy_hitters",           # 1-row stream-total broadcast + 1-row x 1-row result assembly
     "graph_pagerank",          # 1-row dangling-mass broadcast (final round)
     # bbox interval joins against a SMALL broadcast cell/AOI list — the
     # correct strategy when the dim side fits in a broadcast.  These are
