@@ -169,3 +169,137 @@ def duplicated_passage_report_sql(
            CAST(max(span_end - span_start + 1) AS BIGINT) AS longest_span
     FROM spans GROUP BY doc_id ORDER BY doc_id
     """
+
+
+# ------------------------------------------------------------- winnowing
+#
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): hash every word k-gram, slide a w-window over the hash
+# sequence, keep the rightmost minimum per window.  Guarantee: two
+# documents sharing a verbatim run of >= w + k - 1 tokens share at least
+# one selected fingerprint, while only ~2/(w+1) of all grams are kept —
+# the plagiarism-detection sibling of duplicated-passage spans.
+#
+# The gram hash here is the PORTABLE md5->int bucket (not xxhash64) so
+# the DuckDB oracle replays the identical selection; the window argmin is
+# a (doc, window-end) groupBy after a w-way offset explode — O(w) rows
+# per gram with w a small constant, shuffled by (doc, e), never a global
+# sort.  Partial leading windows (e < w) are included on both engines.
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, fp): the winnowed fingerprint set per document."""
+    toks = tokens_expr(F.col(text_col))
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("t")
+    )
+    n = F.greatest(F.size("t") - F.lit(k - 1), F.lit(1))
+    grams = base.select(
+        "doc_id",
+        n.alias("nmax"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "nmax",
+        (F.col("pos0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long").alias("fp"),
+    )
+    windows = (
+        grams.select(
+            "doc_id",
+            "pos",
+            "fp",
+            F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("off"),
+            "nmax",
+        )
+        .withColumn("e", F.col("pos") + F.col("off"))
+        .filter(F.col("e") <= F.col("nmax"))
+    )
+    win = Window.partitionBy("doc_id", "e").orderBy(
+        F.col("fp").asc(), F.col("pos").desc()
+    )
+    return (
+        windows.withColumn("_r", F.row_number().over(win))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", "pos", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs_sql(
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = tokens_sql(text_col)
+    return f"""
+    WITH base AS (
+        SELECT CAST({id_col} AS BIGINT) AS doc_id, {toks} AS t
+        FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    grams AS (
+        SELECT doc_id,
+               greatest(len(t) - {k - 1}, 1) AS nmax,
+               i.i AS pos,
+               CAST(('0x' || substr(md5(array_to_string(list_slice(t, i.i, i.i + {k - 1}), ' ')), 1, 8)) AS BIGINT) AS fp
+        FROM base,
+             UNNEST(generate_series(1, greatest(len(t) - {k - 1}, 1))) AS i(i)
+    ),
+    wins AS (
+        SELECT doc_id, pos, fp,
+               row_number() OVER (
+                   PARTITION BY doc_id, pos + o.o
+                   ORDER BY fp ASC, pos DESC
+               ) AS r
+        FROM grams, UNNEST(generate_series(0, {w - 1})) AS o(o)
+        WHERE pos + o.o <= nmax
+    ),
+    fps AS (SELECT DISTINCT doc_id, pos, fp FROM wins WHERE r = 1)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM (SELECT DISTINCT doc_id, fp FROM fps) a
+    JOIN (SELECT DISTINCT doc_id, fp FROM fps) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(DISTINCT a.fp) >= {min_shared}
+    """
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowed fingerprints — the
+    MOSS match report.  Fingerprint sets are ~2/(w+1) of the gram count,
+    so the pair join runs over the THINNED stream (AQE handles hot
+    boilerplate fingerprints, same argument as the LSH band join)."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+        "doc_id", "fp"
+    ).distinct()
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

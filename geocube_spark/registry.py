@@ -2752,6 +2752,7 @@ def embedding_ivf_drift(spark, sf_dir):
 # gaps-and-islands — the curation step that cuts boilerplate without
 # dropping whole documents.  Exact value oracle (same tokenization + span
 # algebra in SQL).
+from geocube_spark.operators import passages as _wp  # noqa: E402
 from geocube_spark.operators.passages import (  # noqa: E402
     duplicated_passage_report,
     duplicated_passage_report_sql,
@@ -2761,6 +2762,16 @@ from geocube_spark.operators.passages import (  # noqa: E402
 @q("duplicated_passages", duplicated_passage_report_sql(k=8, min_count=2))
 def duplicated_passages(spark, sf_dir):
     return duplicated_passage_report(_docs(spark, sf_dir), k=8, min_count=2)
+
+
+# Winnowing fingerprints (Schleimer 2003, the MOSS algorithm): rightmost
+# window-min of portable md5 gram hashes keeps ~2/(w+1) of the grams yet
+# guarantees any shared >= w+k-1 token run yields a shared fingerprint;
+# pairs join over the THINNED fingerprint stream only.  Exact value
+# oracle — DuckDB replays the identical selection and pair counting.
+@q("winnow_plagiarism_pairs", _wp.winnow_pairs_sql(k=3, w=4, min_shared=2))
+def winnow_plagiarism_pairs(spark, sf_dir):
+    return _wp.winnow_pairs(_docs(spark, sf_dir), k=3, w=4, min_shared=2)
 
 
 # ============================================================= text analysis

@@ -344,3 +344,34 @@ class TestNaiveBayesLangid:
         conf = {(r["actual"], r["predicted"]): r["n_docs"]
                 for r in nb_lang_confusion(d).collect()}
         assert conf == {("x", "x"): 10, ("y", "y"): 10}
+
+
+class TestWinnowing:
+    """MOSS winnowing: the w+k-1 shared-run guarantee and the thinning
+    rate."""
+
+    def test_shared_run_guarantee(self, spark):
+        from geocube_spark.operators.passages import winnow_pairs
+
+        shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+        rows = [
+            (0, f"one two three {shared} four five six"),
+            (1, f"{shared} seven eight nine ten eleven twelve"),
+            (2, "totally unrelated words in this document here now"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["doc_a"], r["doc_b"]) for r in
+               winnow_pairs(docs, k=3, w=4, min_shared=1).collect()}
+        assert (0, 1) in got
+        assert all(2 not in p for p in got)
+
+    def test_fingerprints_thinned(self, spark, docs):
+        from geocube_spark.operators.passages import winnow_fingerprints
+        from geocube_spark.operators.retrieval import tokens_expr
+
+        n_fp = winnow_fingerprints(docs, k=3, w=4).count()
+        n_grams = docs.select(
+            F.explode(tokens_expr(F.col("text"))).alias("t")
+        ).count()
+        # winnowing keeps ~2/(w+1) = 40% of gram positions; allow slack
+        assert n_fp < 0.6 * n_grams
