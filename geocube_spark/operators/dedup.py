@@ -18,6 +18,7 @@ never touches row data.  At 100 TB the LSH path shuffles only
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -445,6 +446,48 @@ def simhash_near_duplicates(
 
 # ------------------------------------------------------------- components
 
+# below this many distinct edges the star rounds are pure fixed cost and
+# a single task labels the whole graph (~8 bytes x 2 x edges of state)
+_CC_SMALL_EDGE_THRESHOLD = 200_000
+
+
+def _union_find_single_task(edges: DataFrame) -> DataFrame:
+    """(node, component) via one-task union-find over a SMALL edge set —
+    union-by-min + path compression, so the root of every tree is the
+    component minimum (the same labels the star rounds converge to)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("node", LongType(), False),
+            StructField("component", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        nodes = list(parent.keys())
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return edges.coalesce(1).mapInPandas(run, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "doc_a",
@@ -554,6 +597,27 @@ def connected_components(
 
     edges = edges.localCheckpoint(eager=True)
     prev = signature(edges)
+
+    # Size-adaptive fast path (the CC sibling of the size-adaptive spatial
+    # join): below the threshold the O(log n) star rounds are pure fixed
+    # cost — each round is 2 shuffles + a checkpoint — so a SMALL edge set
+    # (stitch graphs, fixture-scale dedup) runs single-task union-find
+    # instead: coalesce(1) + mapInPandas, no driver collect, no rounds.
+    # Union-by-min + path compression yields root = component minimum —
+    # the IDENTICAL labels the star algorithm converges to — and the edge
+    # count is already on the driver from the signature scalar.  Salted
+    # mode (S > 1) exists precisely because the graph is big: keep stars.
+    if S == 1 and 0 < prev[0] <= _CC_SMALL_EDGE_THRESHOLD:
+        labels = _union_find_single_task(edges)
+        sizes = labels.groupBy("component").agg(
+            F.count(F.lit(1)).alias("component_size")
+        )
+        return (
+            labels.select("node", "component")
+            .join(sizes, "component")
+            .select("node", "component", "component_size")
+        )
+
     for _ in range(max_iter):
         edges = small_star(large_star(edges)).localCheckpoint(eager=True)
         cur = signature(edges)
