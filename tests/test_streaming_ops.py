@@ -562,3 +562,66 @@ class TestIngestStream:
         assert out.count() == 3
         uris = {r["container_uri"] for r in out.collect()}
         assert len(uris) == 3 and all(u.endswith(".tif") for u in uris)
+
+
+class TestStreamingFrequentItems:
+    """Sharded MG state: heavy terms survive any micro-batch split, the
+    bound holds with accumulated deficit, stream matches the batch sketch
+    guarantee."""
+
+    def _terms(self, spark):
+        rows = [("hot_a",)] * 800 + [("hot_b",)] * 600 + [
+            (f"u{i}",) for i in range(4000)
+        ]
+        return spark.createDataFrame(rows, "term string")
+
+    def _run(self, spark, src, ckpt, name, max_files=None):
+        from geocube_spark.streaming.freq_stream import freq_stream
+
+        schema = spark.read.parquet(src).schema
+        reader = spark.readStream.schema(schema)
+        if max_files:
+            reader = reader.option("maxFilesPerTrigger", max_files)
+        out = freq_stream(reader.parquet(src))
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {name}")
+
+    def test_single_batch_keeps_heavy(self, spark, tmp_path):
+        from geocube_spark.streaming.freq_stream import latest_candidates
+
+        src = str(tmp_path / "terms")
+        self._terms(spark).coalesce(1).write.parquet(src)
+        summaries = self._run(spark, src, str(tmp_path / "ck"), "fi_out1")
+        cands = {r["term"]: r["est"] for r in latest_candidates(summaries).collect()}
+        n = 800 + 600 + 4000
+        for t, true in (("hot_a", 800), ("hot_b", 600)):
+            assert t in cands
+            assert cands[t] <= true
+            assert (true - cands[t]) * 51 <= n  # cap=50 deficit bound
+
+    def test_cross_batch_state_carries(self, spark, tmp_path):
+        # heavy term split across micro-batches must still be present,
+        # with state (counters + deficit) carried between batches
+        from geocube_spark.streaming.freq_stream import latest_candidates
+
+        src = str(tmp_path / "terms_split")
+        t = self._terms(spark)
+        t.filter("term = 'hot_a' OR term LIKE 'u1%'").coalesce(1).write.parquet(src)
+        t.filter("term != 'hot_a' AND term NOT LIKE 'u1%'").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        summaries = self._run(
+            spark, src, str(tmp_path / "ck2"), "fi_out2", max_files=1
+        )
+        assert summaries.select("n_seen").distinct().count() >= 2  # really 2 batches
+        cands = {r["term"]: r["est"] for r in latest_candidates(summaries).collect()}
+        assert "hot_a" in cands and "hot_b" in cands
+        assert cands["hot_a"] <= 800 and cands["hot_b"] <= 600
