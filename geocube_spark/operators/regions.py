@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -428,4 +429,179 @@ def polygonize_report(
             F.sum("holes").cast("long").alias("n_holes"),
         )
         .orderBy("val")
+    )
+
+
+# ------------------------------------------------- polygonize -> vector WKB
+#
+# The full gdal_polygonize: every labeled region becomes a Polygon WKB
+# with exterior ring + holes.  Boundary edges are extracted RELATIONALLY
+# (one explode to the 4 pixel sides + one equi-join against the neighbor
+# pixel; a side is boundary when the neighbor is absent or differently
+# labeled), directed so the region interior stays on a consistent side —
+# the directed edge set of a region is then a disjoint union of cycles,
+# assembled per region in applyInPandas (bounded by the region's own
+# boundary length, the same per-geometry materialization GDAL does).
+# Exterior = the cycle with the largest |signed area|; the shoelace
+# identity |exterior| − Σ|holes| = n_px is asserted in tests.
+
+
+def _pixel_components(tiles: DataFrame, block: int, px_col: str) -> DataFrame:
+    """(gi, gj, val, component): stitched per-pixel labels (shared by
+    polygonize_report and polygonize_wkb)."""
+    from geocube_spark.operators.dedup import connected_components
+
+    pixels = region_pixels(tiles, block, px_col).localCheckpoint()
+    right = pixels.select(
+        F.col("gi").alias("ri"), (F.col("gj") - 1).alias("rj"),
+        F.col("val").alias("rval"), F.col("lbl").alias("rlbl"),
+    )
+    down = pixels.select(
+        (F.col("gi") - 1).alias("di"), F.col("gj").alias("dj"),
+        F.col("val").alias("dval"), F.col("lbl").alias("dlbl"),
+    )
+    adj_r = pixels.join(
+        right, (F.col("gi") == F.col("ri")) & (F.col("gj") == F.col("rj"))
+    ).filter(F.col("val") == F.col("rval")).select(
+        F.col("lbl").alias("lbl_a"), F.col("rlbl").alias("lbl_b")
+    )
+    adj_d = pixels.join(
+        down, (F.col("gi") == F.col("di")) & (F.col("gj") == F.col("dj"))
+    ).filter(F.col("val") == F.col("dval")).select(
+        F.col("lbl").alias("lbl_a"), F.col("dlbl").alias("lbl_b")
+    )
+    stitch = (
+        adj_r.unionByName(adj_d)
+        .filter(F.col("lbl_a") != F.col("lbl_b"))
+        .select(F.col("lbl_a").alias("doc_a"), F.col("lbl_b").alias("doc_b"))
+        .distinct()
+    )
+    comp = connected_components(stitch).select(
+        F.col("node").alias("lbl"), "component"
+    )
+    lblmap = (
+        pixels.select("lbl").distinct()
+        .join(comp, "lbl", "left")
+        .select("lbl", F.coalesce("component", F.col("lbl")).alias("component"))
+    )
+    return pixels.join(lblmap, "lbl").select("gi", "gj", "val", "component")
+
+
+_WKB_SCHEMA = StructType(
+    [
+        StructField("val", DoubleType(), False),
+        StructField("component", LongType(), False),
+        StructField("n_rings", IntegerType(), False),
+        StructField("area", DoubleType(), False),
+        StructField("wkb", BinaryType(), False),
+    ]
+)
+
+
+def polygonize_wkb(
+    tiles: DataFrame, block: int = 64, px_col: str = "px"
+) -> DataFrame:
+    """(val, component, n_rings, area, wkb): one Polygon WKB per region
+    (exterior + holes), pixel-square geometry in (x=col, y=row) axes."""
+    px = _pixel_components(tiles, block, px_col)
+
+    # one explode to the 4 sides, one join against the neighbor pixel
+    sides = px.select(
+        "gi", "gj", "component",
+        F.explode(
+            F.array(
+                # (di, dj, x1, y1, x2, y2) — interior kept on a consistent
+                # side so each region's edges form directed cycles
+                F.struct(F.lit(-1).alias("di"), F.lit(0).alias("dj"),
+                         F.col("gj").alias("x1"), F.col("gi").alias("y1"),
+                         (F.col("gj") + 1).alias("x2"), F.col("gi").alias("y2")),
+                F.struct(F.lit(0).alias("di"), F.lit(1).alias("dj"),
+                         (F.col("gj") + 1).alias("x1"), F.col("gi").alias("y1"),
+                         (F.col("gj") + 1).alias("x2"), (F.col("gi") + 1).alias("y2")),
+                F.struct(F.lit(1).alias("di"), F.lit(0).alias("dj"),
+                         (F.col("gj") + 1).alias("x1"), (F.col("gi") + 1).alias("y1"),
+                         F.col("gj").alias("x2"), (F.col("gi") + 1).alias("y2")),
+                F.struct(F.lit(0).alias("di"), F.lit(-1).alias("dj"),
+                         F.col("gj").alias("x1"), (F.col("gi") + 1).alias("y1"),
+                         F.col("gj").alias("x2"), F.col("gi").alias("y2")),
+            )
+        ).alias("s"),
+    ).select(
+        "component",
+        (F.col("gi") + F.col("s.di")).alias("ni"),
+        (F.col("gj") + F.col("s.dj")).alias("nj"),
+        F.col("s.x1").alias("x1"), F.col("s.y1").alias("y1"),
+        F.col("s.x2").alias("x2"), F.col("s.y2").alias("y2"),
+    )
+    nb = px.select(
+        F.col("gi").alias("ni"), F.col("gj").alias("nj"),
+        F.col("component").alias("ncomp"),
+    )
+    boundary = (
+        sides.join(nb, ["ni", "nj"], "left")
+        .filter(F.col("ncomp").isNull() | (F.col("ncomp") != F.col("component")))
+        .select("component", "x1", "y1", "x2", "y2")
+    )
+    vals = px.groupBy("component").agg(F.any_value("val").alias("val"))
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        from geocube_spark.functions.geometry import polygon_wkb
+
+        comp = int(pdf["component"].iloc[0])
+        val = float(pdf["val"].iloc[0])
+        nxt: dict[tuple, list] = {}
+        for x1, y1, x2, y2 in zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]):
+            nxt.setdefault((int(x1), int(y1)), []).append((int(x2), int(y2)))
+        for outs in nxt.values():
+            outs.sort()
+        rings = []
+        while nxt:
+            start = min(nxt)
+            ring = [start]
+            cur = start
+            while True:
+                outs = nxt[cur]
+                end = outs.pop(0)
+                if not outs:
+                    del nxt[cur]
+                if end == start:
+                    break
+                ring.append(end)
+                cur = end
+            rings.append(ring)
+
+        def signed_area(r):
+            s = 0.0
+            for (ax, ay), (bx, by) in zip(r, r[1:] + [r[0]]):
+                s += ax * by - bx * ay
+            return s / 2.0
+
+        areas = [signed_area(r) for r in rings]
+        ext_i = max(range(len(rings)), key=lambda i: abs(areas[i]))
+        # exterior counter-clockwise (positive), holes clockwise (negative)
+        ext = rings[ext_i] if areas[ext_i] > 0 else rings[ext_i][::-1]
+        holes = []
+        for i, r in enumerate(rings):
+            if i == ext_i:
+                continue
+            holes.append(r if signed_area(r) < 0 else r[::-1])
+        area = abs(areas[ext_i]) - sum(abs(signed_area(h)) for h in holes)
+        wkb = polygon_wkb(
+            [(float(x), float(y)) for x, y in ext],
+            [[(float(x), float(y)) for x, y in h] for h in holes],
+        )
+        return pd.DataFrame(
+            {
+                "val": [val],
+                "component": [comp],
+                "n_rings": [1 + len(holes)],
+                "area": [float(area)],
+                "wkb": [wkb],
+            }
+        )
+
+    return (
+        boundary.join(vals, "component")
+        .groupBy("component")
+        .applyInPandas(lambda _k, p: assemble(p), _WKB_SCHEMA)
     )

@@ -224,3 +224,64 @@ class TestPolygonize:
         for v in stats:
             assert poly[v]["n_regions"] == stats[v]["n_regions"]
             assert poly[v]["n_px"] == stats[v]["n_pixels"]
+
+
+class TestPolygonizeWkb:
+    """Full vectorization: each region becomes a Polygon WKB whose
+    shoelace area equals its pixel count and whose ring structure matches
+    the shape (donut -> exterior + 1 hole)."""
+
+    def test_rect_exact_ring(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb
+
+        g = np.zeros((16, 16))
+        g[2:5, 3:7] = 1.0  # 3 rows x 4 cols at (y=2, x=3)
+        rows = {r["val"]: r for r in polygonize_wkb(_tiles(spark, g, 8), block=8).collect()}
+        r = rows[1.0]
+        assert r["n_rings"] == 1 and r["area"] == 12.0
+        rings = decode_wkb_polygons(r["wkb"])[0]
+        pts = {tuple(p) for p in rings[0].tolist()}
+        # the 4 rectangle corners all present, nothing outside the bbox
+        assert {(3.0, 2.0), (7.0, 2.0), (7.0, 5.0), (3.0, 5.0)} <= pts
+        assert all(3 <= x <= 7 and 2 <= y <= 5 for x, y in pts)
+
+    def test_donut_hole_ring(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb
+
+        g = np.zeros((16, 16))
+        g[5:11, 5:11] = 2.0
+        g[7:9, 7:9] = 0.0
+        rows = {r["val"]: r for r in polygonize_wkb(_tiles(spark, g, 8), block=8).collect()
+                if r["val"] == 2.0}
+        r = rows[2.0]
+        assert r["n_rings"] == 2
+        assert r["area"] == 32.0  # 36 - 4
+        rings = decode_wkb_polygons(r["wkb"])[0]
+        assert len(rings) == 2
+        hole = {tuple(p) for p in rings[1].tolist()}
+        assert {(7.0, 7.0), (9.0, 7.0), (9.0, 9.0), (7.0, 9.0)} <= hole
+
+    def test_area_identity_matches_pixel_count(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.regions import (
+            polygonize_wkb,
+            region_components,
+        )
+
+        rng = np.random.RandomState(11)
+        g = (rng.rand(16, 16) > 0.6).astype(float)
+        wkbs = polygonize_wkb(_tiles(spark, g, 8), block=8).collect()
+        comps = {
+            (r["val"], r["component"]): r["n_px"]
+            for r in region_components(_tiles(spark, g, 8), block=8).collect()
+        }
+        assert len(wkbs) == len(comps)
+        for r in wkbs:
+            assert r["area"] == comps[(r["val"], r["component"])]
