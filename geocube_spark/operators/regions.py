@@ -605,3 +605,70 @@ def polygonize_wkb(
         .groupBy("component")
         .applyInPandas(lambda _k, p: assemble(p), _WKB_SCHEMA)
     )
+
+
+def _douglas_peucker(pts: list, eps: float) -> list:
+    """Iterative DP on an OPEN polyline (endpoints kept).  eps=0 removes
+    exactly the collinear vertices."""
+    if len(pts) < 3:
+        return list(pts)
+    keep = [False] * len(pts)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(pts) - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay = pts[a]
+        bx, by = pts[b]
+        dx, dy = bx - ax, by - ay
+        norm = (dx * dx + dy * dy) ** 0.5
+        best, best_i = -1.0, -1
+        for i in range(a + 1, b):
+            px_, py_ = pts[i]
+            if norm == 0.0:
+                d = ((px_ - ax) ** 2 + (py_ - ay) ** 2) ** 0.5
+            else:
+                d = abs(dx * (py_ - ay) - dy * (px_ - ax)) / norm
+            if d > best:
+                best, best_i = d, i
+        if best > eps:
+            keep[best_i] = True
+            stack.append((a, best_i))
+            stack.append((best_i, b))
+    return [p for p, k in zip(pts, keep) if k]
+
+
+def simplify_wkb(
+    df: DataFrame, tolerance: float = 0.0, wkb_col: str = "wkb"
+) -> DataFrame:
+    """Douglas–Peucker simplification of every ring in a Polygon WKB
+    column (vectorized Arrow batches; tolerance 0 = drop exactly the
+    collinear staircase vertices polygonize emits, so an axis-aligned
+    rectangle ring reduces to its 4 corners).  Rings are closed; DP runs
+    on the open vertex list anchored at the ring's lexicographic minimum
+    (a true corner for tolerance 0 — a lex-min vertex of a rectilinear
+    ring cannot be interior to a straight run) so the anchor choice never
+    pins a removable vertex."""
+    from geocube_spark.functions.geometry import decode_wkb_polygons, polygon_wkb
+
+    @F.pandas_udf(BinaryType())
+    def simp(wkbs: pd.Series) -> pd.Series:
+        out = []
+        for buf in wkbs:
+            rings = decode_wkb_polygons(bytes(buf))[0]
+            new_rings = []
+            for arr in rings:
+                pts = [tuple(map(float, p)) for p in arr.tolist()]
+                if len(pts) > 1 and pts[0] == pts[-1]:
+                    pts = pts[:-1]  # open the ring
+                if pts:
+                    m = min(range(len(pts)), key=lambda i: pts[i])
+                    pts = pts[m:] + pts[:m]
+                pts_closed = pts + pts[:1]
+                kept = _douglas_peucker(pts_closed, tolerance)
+                new_rings.append(kept[:-1])  # polygon_wkb re-closes
+            out.append(polygon_wkb(new_rings[0], new_rings[1:]))
+        return pd.Series(out)
+
+    return df.withColumn(wkb_col, simp(F.col(wkb_col)))

@@ -285,3 +285,56 @@ class TestPolygonizeWkb:
         assert len(wkbs) == len(comps)
         for r in wkbs:
             assert r["area"] == comps[(r["val"], r["component"])]
+
+
+class TestSimplifyWkb:
+    def test_rect_reduces_to_4_corners(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb, simplify_wkb
+
+        g = np.zeros((16, 16))
+        g[2:5, 3:7] = 1.0
+        out = simplify_wkb(
+            polygonize_wkb(_tiles(spark, g, 8), block=8).filter("val = 1.0")
+        ).collect()
+        rings = decode_wkb_polygons(out[0]["wkb"])[0]
+        pts = [tuple(p) for p in rings[0].tolist()]
+        assert len(pts) == 5 and pts[0] == pts[-1]  # 4 corners, closed
+        assert set(pts) == {(3.0, 2.0), (7.0, 2.0), (7.0, 5.0), (3.0, 5.0)}
+
+    def test_donut_hole_reduces_too(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb, simplify_wkb
+
+        g = np.zeros((16, 16))
+        g[5:11, 5:11] = 2.0
+        g[7:9, 7:9] = 0.0
+        out = simplify_wkb(
+            polygonize_wkb(_tiles(spark, g, 8), block=8).filter("val = 2.0")
+        ).collect()
+        rings = decode_wkb_polygons(out[0]["wkb"])[0]
+        assert len(rings[0]) == 5 and len(rings[1]) == 5
+
+    def test_tolerance_cuts_staircase(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb, simplify_wkb
+
+        # a pixel staircase: diagonal band i==j..j+1 over 8 rows
+        g = np.zeros((16, 16))
+        for i in range(8):
+            g[i, i] = 3.0
+            g[i, i + 1] = 3.0
+        base = polygonize_wkb(_tiles(spark, g, 8), block=8).filter("val = 3.0")
+        exact = decode_wkb_polygons(
+            simplify_wkb(base, 0.0).collect()[0]["wkb"]
+        )[0][0]
+        coarse = decode_wkb_polygons(
+            simplify_wkb(base, 1.0).collect()[0]["wkb"]
+        )[0][0]
+        assert len(coarse) < len(exact)  # tolerance collapses the stairs
