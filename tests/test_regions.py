@@ -338,3 +338,54 @@ class TestSimplifyWkb:
             simplify_wkb(base, 1.0).collect()[0]["wkb"]
         )[0][0]
         assert len(coarse) < len(exact)  # tolerance collapses the stairs
+
+
+class TestRasterVectorRoundTrip:
+    """Raster -> polygonize -> simplify -> vector zone -> zonal stats over
+    the source raster: the end-to-end loop an EO analyst runs (segment a
+    class map, then aggregate another band over the segments)."""
+
+    def test_polygonized_zone_drives_zonal_stats(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb, simplify_wkb
+        from geocube_spark.operators.zonal import zonal_stats
+
+        b = 8
+        # class mask: one rectangular segment (rows 2..5, cols 3..6)
+        mask = np.zeros((16, 16))
+        mask[2:6, 3:7] = 1.0
+
+        def tiles_from(grid):
+            rows = []
+            for by in range(2):
+                for bx in range(2):
+                    v = grid[by * b:(by + 1) * b, bx * b:(bx + 1) * b].ravel().tolist()
+                    rows.append((bx, by, v, {"a": 1.0, "b": 0.0, "c": 0.0,
+                                             "d": 0.0, "e": -1.0, "f": 16.0}))
+            return spark.createDataFrame(
+                rows,
+                "block_x int, block_y int, px array<double>, "
+                "pix_to_crs struct<a:double,b:double,c:double,d:double,e:double,f:double>",
+            )
+
+        seg = simplify_wkb(
+            polygonize_wkb(tiles_from(mask), block=b).filter("val = 1.0")
+        ).collect()[0]
+        ring = decode_wkb_polygons(seg["wkb"])[0][0]
+        xs = [p[0] for p in ring.tolist()]
+        ys_row = [p[1] for p in ring.tolist()]  # row coords (y down)
+        # vector zone in the raster CRS: x = col, y = 16 - row
+        zone = spark.createDataFrame(
+            [(0, min(xs), 16.0 - max(ys_row), max(xs), 16.0 - min(ys_row))],
+            "zone_id int, xmin double, ymin double, xmax double, ymax double",
+        )
+        # value band: gradient value = row*16 + col
+        cc, rr = np.meshgrid(np.arange(16), np.arange(16))
+        band = (rr * 16.0 + cc).astype(float)
+        out = zonal_stats(tiles_from(band), zone, block=b).collect()[0]
+        want = band[2:6, 3:7]
+        assert out["n_pixels"] == want.size
+        assert out["mean_value"] == want.mean()
+        assert out["min_value"] == want.min() and out["max_value"] == want.max()
