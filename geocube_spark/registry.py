@@ -3383,6 +3383,80 @@ def events_funnel(spark, sf_dir):
     return out
 
 
+# Rolling smoothing + anomaly flags per series: centered 5-point moving
+# average and a rolling z-score (both PARTITIONED windows over the same
+# series layout as the gap fill — no global sort, no UDF).  An event is
+# anomalous when it sits > 2 rolling-sigma from the rolling mean of its
+# PRECEDING 20 events; output is the per-user anomaly census, determinate
+# because both engines evaluate the identical window frames and the flag
+# compares on 6-dp-rounded deviations.
+@q(
+    "timeseries_rolling_anomalies",
+    """
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS t, value
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS smooth,
+               avg(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING) AS sigma
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(avg(smooth), 4) AS mean_smoothed,
+           CAST(sum(CASE WHEN sigma IS NOT NULL AND sigma > 0
+                         AND round(abs(value - mu) - 2 * sigma, 6) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM w
+    GROUP BY user_id
+    """,
+)
+def timeseries_rolling_anomalies(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("t"), "value"
+    )
+    order = [F.col("t"), F.col("event_id")]
+    w_sm = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 2)
+    )
+    w_mu = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-20, -1)
+    )
+    scored = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(w_sm).alias("smooth"),
+        F.avg("value").over(w_mu).alias("mu"),
+        F.stddev_samp("value").over(w_mu).alias("sigma"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.avg("smooth"), 4).alias("mean_smoothed"),
+        F.sum(
+            F.when(
+                F.col("sigma").isNotNull()
+                & (F.col("sigma") > 0)
+                & (
+                    F.round(
+                        F.abs(F.col("value") - F.col("mu")) - 2 * F.col("sigma"),
+                        6,
+                    )
+                    > 0
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_anomalies"),
+    )
+
+
 @q(
     "events_hourly_rollup",
     """
