@@ -4884,6 +4884,46 @@ def change_detection(spark, sf_dir):
     )
 
 
+# Contour extraction (gdal_contour): distributed marching squares with a
+# 1-px halo exchange and relational polyline stitching (endpoint-key
+# links -> connected components; operators/contours.py).  The fixture is
+# a Chebyshev cone, whose level-L contour is a chamfered square ring:
+# n_segments = 8L exactly, total_length = 8L - 4 + 2*sqrt(2) (the four
+# marching-squares corner chamfers), one closed polyline — theorems of
+# the fixture, and the L=10.5 ring crosses all four block borders so the
+# halo + stitch are load-bearing.
+@q(
+    "contour_extraction",
+    """
+    SELECT 4.5 AS level, CAST(1 AS BIGINT) AS n_polylines,
+           CAST(36 AS BIGINT) AS n_segments,
+           round(8 * 4.5 - 4 + 2 * sqrt(2), 6) AS total_length
+    UNION ALL
+    SELECT 10.5, CAST(1 AS BIGINT), CAST(84 AS BIGINT),
+           round(8 * 10.5 - 4 + 2 * sqrt(2), 6)
+    """,
+)
+def contour_extraction(spark, sf_dir):
+    from geocube_spark.operators.contours import contour_report
+
+    b = 24
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in range(2) for by in range(2)],
+        "block_x int, block_y int",
+    )
+    tiles = blocks.withColumn(
+        "px",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(b * b - 1)),
+            lambda k: F.greatest(
+                F.abs((F.col("block_y") * b + (k / b).cast("int")).cast("double") - 24.0),
+                F.abs((F.col("block_x") * b + k % b).cast("double") - 24.0),
+            ),
+        ),
+    )
+    return contour_report(tiles, [4.5, 10.5], block=b)
+
+
 # Polygonize (gdal_polygonize's relational core): boundary geometry of
 # every labeled region as joins/aggregates — perimeter = 4n − 2·adj,
 # holes via the Euler characteristic χ = V − E + F of the pixel cell

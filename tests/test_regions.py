@@ -389,3 +389,62 @@ class TestRasterVectorRoundTrip:
         assert out["n_pixels"] == want.size
         assert out["mean_value"] == want.mean()
         assert out["min_value"] == want.min() and out["max_value"] == want.max()
+
+
+class TestContours:
+    """Marching squares: open contour on a gradient, closed ring crossing
+    block borders, and the 2-segment saddle case."""
+
+    def _tiles(self, spark, grid, b):
+        rows = []
+        n = grid.shape[0] // b
+        for by in range(n):
+            for bx in range(n):
+                rows.append(
+                    (bx, by, grid[by * b:(by + 1) * b, bx * b:(bx + 1) * b]
+                     .ravel().tolist())
+                )
+        return spark.createDataFrame(
+            rows, "block_x int, block_y int, px array<double>"
+        )
+
+    def test_linear_gradient_open_line(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.contours import contour_report
+
+        g = np.tile(np.arange(16.0)[:, None], (1, 16))  # value = row
+        out = contour_report(self._tiles(spark, g, 8), [3.5], block=8).collect()[0]
+        # horizontal line at y=3.5 across the 15 interior cells: one open
+        # polyline, length 15
+        assert out["n_polylines"] == 1
+        assert out["n_segments"] == 15
+        assert out["total_length"] == 15.0
+
+    def test_saddle_emits_two_segments(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.contours import contour_segments
+
+        g = np.zeros((8, 8))
+        g[3, 3] = 1.0
+        g[4, 4] = 1.0  # diagonal highs -> saddle cell at (3,3)
+        segs = contour_segments(self._tiles(spark, g, 8), [0.5], block=8).collect()
+        per_cell = [
+            s for s in segs
+            if 3.0 <= min(s["x1"], s["x2"]) and max(s["x1"], s["x2"]) <= 4.0
+            and 3.0 <= min(s["y1"], s["y2"]) and max(s["y1"], s["y2"]) <= 4.0
+        ]
+        assert len(per_cell) == 2  # the ambiguous cell yields 2 segments
+
+    def test_ring_crossing_blocks_closed(self, spark):
+        import numpy as np
+
+        from geocube_spark.operators.contours import contour_report
+
+        cc, rr = np.meshgrid(np.arange(16.0), np.arange(16.0))
+        g = np.maximum(np.abs(rr - 8), np.abs(cc - 8))  # Chebyshev cone at (8,8)
+        out = contour_report(self._tiles(spark, g, 8), [2.5], block=8).collect()[0]
+        assert out["n_polylines"] == 1
+        assert out["n_segments"] == 20  # 8L = 20
+        assert abs(out["total_length"] - (8 * 2.5 - 4 + 2 * 2 ** 0.5)) < 1e-6
