@@ -448,3 +448,33 @@ class TestContours:
         assert out["n_polylines"] == 1
         assert out["n_segments"] == 20  # 8L = 20
         assert abs(out["total_length"] - (8 * 2.5 - 4 + 2 * 2 ** 0.5)) < 1e-6
+
+
+class TestSimplifyAreaInvariant:
+    def test_collinear_removal_preserves_area_random_masks(self, spark):
+        import numpy as np
+
+        from geocube_spark.functions.geometry import decode_wkb_polygons
+        from geocube_spark.operators.regions import polygonize_wkb, simplify_wkb
+
+        def shoelace(arr):
+            x, y = arr[:, 0], arr[:, 1]
+            return 0.5 * abs(
+                float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+            )
+
+        for seed in (3, 17):
+            rng = np.random.RandomState(seed)
+            g = (rng.rand(16, 16) > 0.55).astype(float)
+            base = polygonize_wkb(_tiles(spark, g, 8), block=8)
+            simp = simplify_wkb(base, 0.0)
+            areas_b = {
+                (r["val"], r["component"]): r["area"] for r in base.collect()
+            }
+            for r in simp.collect():
+                rings = decode_wkb_polygons(r["wkb"])[0]
+                # closed rings: drop the repeated last point for shoelace
+                area = shoelace(rings[0][:-1]) - sum(
+                    shoelace(h[:-1]) for h in rings[1:]
+                )
+                assert abs(area - areas_b[(r["val"], r["component"])]) < 1e-9
