@@ -3017,6 +3017,10 @@ from geocube_spark.operators.retrieval import (  # noqa: E402
     unigram_logprob,
     unigram_logprob_sql,
 )
+from geocube_spark.operators.bloom import (  # noqa: E402
+    bloom_decontamination_report,
+    bloom_decontamination_sql,
+)
 
 
 # Hybrid lexical+semantic retrieval: reciprocal-rank fusion of the BM25
@@ -3044,6 +3048,18 @@ def text_bm25_topk(spark, sf_dir):
 )
 def decontamination_overlap_q(spark, sf_dir):
     return decontamination_overlap(_docs(spark, sf_dir), F.col("doc_id") % 7 == 0, n=8)
+
+
+# Bloom-filter decontamination prefilter (GPT-3 appendix C pattern): the
+# eval grams build a bit filter rebuilt bit-for-bit by the oracle (portable
+# md5 positions), train docs probe it map-side (one BHJ against the m/32-row
+# words relation, zero train-side shuffles), exact verify join only reported
+# for the false-positive gap.  No false negatives by construction.
+@q("bloom_decontamination", bloom_decontamination_sql("doc_id % 19 = 3", n=8))
+def bloom_decontamination_q(spark, sf_dir):
+    return bloom_decontamination_report(
+        _docs(spark, sf_dir), F.col("doc_id") % 19 == 3, n=8
+    )
 
 
 # RAG chunking: overlapping token windows, pure map-side (no shuffle).
