@@ -337,3 +337,20 @@ def normalized_md5(col: Column) -> Column:
 
 def normalized_md5_sql(c: str) -> str:
     return f"md5(regexp_replace(lower(trim({c})), '\\s+', ' ', 'g'))"
+
+
+def md5_bucket(col: Column, seed: Column, m: int) -> Column:
+    """Portable seeded bucket hash in [0, m): first 8 md5 hex digits of
+    ``seed|value`` as an integer, mod m.  Byte-equal to md5_bucket_sql in
+    DuckDB — the recipe behind the Bloom/count-min/LSH oracle twins."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(seed.cast("string"), F.lit("|"), col)), 1, 8), 16, 10
+    ).cast("long")
+    return h % m
+
+
+def md5_bucket_sql(c: str, seed: str, m: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || '|' || {c}), 1, 8))"
+        f" AS BIGINT) % {m})"
+    )

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from geocube_spark.functions.text import md5_bucket
 from geocube_spark.operators.retrieval import ngrams_expr, ngrams_sql, tokens_expr, tokens_sql
 
 BLOOM_M_BITS = 4096  # filter size in bits (128 32-bit words)
@@ -44,10 +45,7 @@ BLOOM_K = 3  # hash functions
 
 def _pos_expr(g: Column, seed: Column, m: int) -> Column:
     """Portable Bloom bit position for gram ``g`` under hash ``seed``."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(seed.cast("string"), F.lit("|"), g)), 1, 8), 16, 10
-    ).cast("long")
-    return h % m
+    return md5_bucket(g, seed, m)
 
 
 def _grams(docs: DataFrame, n: int, text_col: str) -> DataFrame:

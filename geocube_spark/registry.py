@@ -7297,6 +7297,35 @@ def heavy_hitters(spark, sf_dir):
     )
 
 
+# Count-min sketch (Cormode & Muthukrishnan 2005): fixed d x w counter
+# state regardless of term cardinality — the sketch path where an exact
+# per-term groupBy would shuffle billions of distinct keys.  Portable md5
+# bucket hashes let the oracle rebuild the matrix cell-for-cell, so the
+# estimates match EXACTLY, overcounts included; est >= true is a theorem
+# (counters only add) asserted in tests/test_sketches_cm.py.
+def _countmin_oracle() -> str:
+    from geocube_spark.operators.sketches import countmin_accuracy_sql
+
+    terms = """
+        SELECT u.term AS term
+        FROM documents,
+             UNNEST(list_filter(string_split(trim(regexp_replace(lower(text),
+                 '[^a-z0-9]+', ' ', 'g')), ' '), t -> t != '')) AS u(term)
+    """
+    return countmin_accuracy_sql(terms, top=20)
+
+
+@q("countmin_accuracy", _countmin_oracle())
+def countmin_accuracy_q(spark, sf_dir):
+    from geocube_spark.operators.retrieval import tokens_expr
+    from geocube_spark.operators.sketches import countmin_accuracy
+
+    terms = _docs(spark, sf_dir).select(
+        F.explode(tokens_expr(F.col("text"))).alias("term")
+    )
+    return countmin_accuracy(terms, top=20)
+
+
 # Mergeable-sketch accuracy harness: Spark's HLL++ distinct count and GK
 # quantile sketch, judged against the EXACT values the oracle recomputes.
 # The sketch outputs themselves are engine-specific, so the contract
