@@ -2155,6 +2155,22 @@ def embedding_topk(spark, sf_dir):
     )
 
 
+# Greedy k-center diversity sampling (Gonzalez 1985 2-approximation): k
+# maximally-spread exemplars for labeling/coreset selection.  Each round is
+# a TakeOrdered(1) reduction + a vectorized least() fold — no corpus
+# shuffle; the oracle unrolls the identical greedy recursion as k CTE
+# stages, so selections and distances match exactly.
+from geocube_spark.operators.diversity import (  # noqa: E402
+    kcenter_sample,
+    kcenter_sample_sql,
+)
+
+
+@q("kcenter_diversity_sample", kcenter_sample_sql(_EMB_SQL, k=8))
+def kcenter_diversity_sample(spark, sf_dir):
+    return kcenter_sample(spark, _emb(spark, sf_dir), k=8)
+
+
 # SQ8 scalar-quantized ANN (LLM-pipeline op): 8-bit per-dimension codes
 # prefilter 4x over-retrieved candidates, exact cosine rescores only those.
 # At deployment the 1-byte code column is what's persisted/scanned (4x
