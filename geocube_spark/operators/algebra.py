@@ -167,3 +167,160 @@ def histogram_equalize(
         out_col,
         F.transform(F.col(px_col), lambda v: F.element_at(F.col("lut"), bin_of(v) + 1)),
     ).drop("lut")
+
+
+def histogram_match(
+    src_tiles: DataFrame,
+    ref_tiles: DataFrame,
+    px_col: str = "px",
+    src_bins: int = 256,
+    ref_bins: int = 256,
+    out_col: str = "px_matched",
+) -> DataFrame:
+    """Histogram matching (specification): remap ``src`` pixels so their
+    value distribution follows the reference's — the standard radiometric
+    normalization before mosaicking scenes from different acquisitions
+    (Gonzalez & Woods §3.3.2).  Values are assumed integer-valued in
+    [0, bins); the output pixel is the matched REFERENCE bin index:
+
+        match(b) = min{ u : CDF_ref(u) >= CDF_src(b) }
+
+    All comparisons cross-multiply the raw integer CDF counts
+    (cdf_ref * N_src >= cdf_src * N_ref), so any engine reproduces the
+    LUT bit-for-bit — no floating-point CDF normalization.
+
+    Scale shape: two histogram passes (explode + groupBy(bin), map-side
+    combined — the shuffles are O(partitions * bins), never the pixels);
+    the CDF-inverse lookup is built WITHOUT an inequality join by
+    interleaving both CDF tables on the common integer key
+    cdf * N_other and taking a reverse running min over the ref rows — a
+    (src_bins + ref_bins)-row window.  The LUT rides back as a 1-row
+    broadcast array and the remap is a pure ``transform`` at scan speed.
+    """
+    from pyspark.sql import Window
+
+    def hist(tiles: DataFrame) -> DataFrame:
+        return (
+            tiles.select(F.explode(px_col).alias("v"))
+            .select(F.col("v").cast("int").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    cw = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    hs = hist(src_tiles).withColumn("cdf", F.sum("n").over(cw)).withColumn(
+        "nt", F.sum("n").over(tot)
+    )
+    hr = hist(ref_tiles).withColumn("cdf", F.sum("n").over(cw)).withColumn(
+        "nt", F.sum("n").over(tot)
+    )
+    # shared integer axis: src keys = cdf_s * N_r, ref keys = cdf_r * N_s.
+    # At equal key the ref row must fall in the src row's FOLLOWING frame
+    # (CDF_ref == CDF_src counts as matched), so ref sorts after src.
+    nr = hr.agg(F.max("nt").alias("x"))
+    ns = hs.agg(F.max("nt").alias("x"))
+    s_rows = hs.crossJoin(F.broadcast(nr)).select(
+        F.col("bin").alias("src_bin"),
+        F.lit(None).cast("long").alias("ref_bin"),
+        (F.col("cdf") * F.col("x")).alias("key"),
+        F.lit(0).alias("is_ref"),
+    )
+    r_rows = hr.crossJoin(F.broadcast(ns)).select(
+        F.lit(None).cast("long").alias("src_bin"),
+        F.col("bin").alias("ref_bin"),
+        (F.col("cdf") * F.col("x")).alias("key"),
+        F.lit(1).alias("is_ref"),
+    )
+    fw = Window.orderBy("key", "is_ref").rowsBetween(0, Window.unboundedFollowing)
+    lut_rows = (
+        s_rows.unionByName(r_rows)
+        .withColumn("matched", F.min("ref_bin").over(fw))
+        .filter(F.col("src_bin").isNotNull())
+        .select("src_bin", F.col("matched").cast("double").alias("remap"))
+    )
+    lut = lut_rows.agg(
+        F.map_from_arrays(
+            F.collect_list("src_bin"), F.collect_list("remap")
+        ).alias("m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(src_bins - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)),
+        ).alias("lut")
+    )
+    return (
+        src_tiles.crossJoin(F.broadcast(lut))
+        .withColumn(
+            out_col,
+            F.transform(
+                F.col(px_col),
+                lambda v: F.element_at(F.col("lut"), v.cast("int") + 1),
+            ),
+        )
+        .drop("lut")
+    )
+
+
+# Landsat C2-style QA bit semantics (the bits every cloud-masking pipeline
+# reads); pixels with any of the three set are non-clear.
+QA_BIT_CLOUD = 3
+QA_BIT_SHADOW = 4
+QA_BIT_SNOW = 5
+
+
+def qa_mask_summary(
+    tiles: DataFrame,
+    qa_col: str = "qa",
+    px_col: str = "px",
+    group_cols: tuple[str, ...] = ("block_x", "block_y"),
+) -> DataFrame:
+    """Per-block QA accounting over aligned (px, qa) arrays: flag counts,
+    clear-pixel count, and the clear-masked value sum — the cloud-mask
+    reduction every composite/mosaic pipeline runs before aggregation.
+
+    Pure higher-order functions (filter/zip_with/aggregate) over the two
+    arrays — JVM codegen, no UDF, no shuffle beyond the final per-block
+    groupBy; integer bit tests make any engine agree exactly."""
+
+    def bit_count(bit: int) -> Column:
+        return F.size(
+            F.filter(F.col(qa_col), lambda q: q.bitwiseAND(F.lit(1 << bit)) != 0)
+        ).cast("long")
+
+    any_mask = (1 << QA_BIT_CLOUD) | (1 << QA_BIT_SHADOW) | (1 << QA_BIT_SNOW)
+    clear_cnt = F.size(
+        F.filter(F.col(qa_col), lambda q: q.bitwiseAND(F.lit(any_mask)) == 0)
+    ).cast("long")
+    clear_sum = F.aggregate(
+        F.zip_with(
+            F.col(px_col),
+            F.col(qa_col),
+            lambda v, q: F.when(q.bitwiseAND(F.lit(any_mask)) == 0, v).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    per_tile = tiles.select(
+        *group_cols,
+        F.size(F.col(px_col)).cast("long").alias("n_px"),
+        bit_count(QA_BIT_CLOUD).alias("n_cloud"),
+        bit_count(QA_BIT_SHADOW).alias("n_shadow"),
+        bit_count(QA_BIT_SNOW).alias("n_snow"),
+        clear_cnt.alias("n_clear"),
+        clear_sum.alias("clear_sum"),
+    )
+    return (
+        per_tile.groupBy(*group_cols)
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("n_cloud").cast("long").alias("n_cloud"),
+            F.sum("n_shadow").cast("long").alias("n_shadow"),
+            F.sum("n_snow").cast("long").alias("n_snow"),
+            F.sum("n_clear").cast("long").alias("n_clear"),
+            F.sum("clear_sum").cast("long").alias("clear_sum"),
+        )
+        .orderBy(*group_cols)
+    )

@@ -5597,6 +5597,199 @@ def histogram_equalization(spark, sf_dir):
     )
 
 
+# D8 flow direction + accumulation (O'Callaghan & Mark 1984): every DEM
+# cell drains to its steepest-descent neighbor; accumulation counts the
+# cells draining through each one.  Direction is ONE equi-join + argmax;
+# accumulation iterates 1 + sum(inflow) joins over the edge relation to
+# the fixpoint (the fixture DEM's longest flow path is 8 — the sawtooth
+# drains tile row/col 7 across the boundary, one extra hop — so 8 rounds
+# are exact; under-iterating is caught by tests/test_hydrology_interp.py's
+# mass-conservation invariant, not by the oracle, which replays the same
+# round count).  The oracle unrolls the identical recursion as generated CTEs —
+# all-integer mass, exact parity.
+def _flow_oracle() -> str:
+    from geocube_spark.operators.hydrology import flow_summary_sql
+
+    cells = """
+        SELECT CAST(c.range % 64 AS INT) AS i, CAST(c.range // 64 AS INT) AS j,
+               CAST((c.range % 64) % 8 + (c.range // 64) % 8 AS DOUBLE) AS z
+        FROM range(0, 4096) c
+    """
+    return flow_summary_sql(cells, tile=8, rounds=8)
+
+
+@q("flow_accumulation", _flow_oracle())
+def flow_accumulation_q(spark, sf_dir):
+    from geocube_spark.operators.hydrology import flow_summary
+
+    cells = spark.range(4096).select(
+        (F.col("id") % 64).cast("int").alias("i"),
+        (F.col("id") / 64).cast("int").alias("j"),
+        ((F.col("id") % 64) % 8 + F.floor(F.col("id") / 64) % 8)
+        .cast("double")
+        .alias("z"),
+    )
+    return flow_summary(cells, tile=8, rounds=8)
+
+
+# IDW point-to-raster interpolation (Shepard weighting, finite search
+# radius): 24 deterministic stations gridded onto 16x16 cell centers.  The
+# scale path is the bucketed equi-join in operators/interpolate.py (station
+# -> 3x3 influence buckets, cells -> own bucket); the oracle brute-forces
+# the same radius-cutoff relation, which the bucket join reconstructs
+# exactly.
+from geocube_spark.operators.interpolate import idw_grid, idw_grid_sql  # noqa: E402
+
+_IDW_PTS_SQL = """
+    SELECT CAST((37 * p.range + 11) % 128 AS DOUBLE) AS x,
+           CAST((53 * p.range + 29) % 128 AS DOUBLE) AS y,
+           CAST((17 * p.range) % 61 AS DOUBLE) AS val
+    FROM range(0, 24) p
+"""
+_IDW_CELLS_SQL = """
+    SELECT CAST(c.range % 16 AS INT) AS ci, CAST(c.range // 16 AS INT) AS cj,
+           CAST(4 + 8 * (c.range % 16) AS DOUBLE) AS cx,
+           CAST(4 + 8 * (c.range // 16) AS DOUBLE) AS cy
+    FROM range(0, 256) c
+"""
+
+
+@q("idw_interpolation", idw_grid_sql(_IDW_PTS_SQL, _IDW_CELLS_SQL, radius=32.0))
+def idw_interpolation_q(spark, sf_dir):
+    pts = spark.range(24).select(
+        ((37 * F.col("id") + 11) % 128).cast("double").alias("x"),
+        ((53 * F.col("id") + 29) % 128).cast("double").alias("y"),
+        ((17 * F.col("id")) % 61).cast("double").alias("val"),
+    )
+    cells = spark.range(256).select(
+        (F.col("id") % 16).cast("int").alias("ci"),
+        (F.col("id") / 16).cast("int").alias("cj"),
+        (4 + 8 * (F.col("id") % 16)).cast("double").alias("cx"),
+        (4 + 8 * F.floor(F.col("id") / 16)).cast("double").alias("cy"),
+    )
+    return idw_grid(pts, cells, radius=32.0)
+
+# snow=bit5): per-block flag counts + the clear-masked value sum — the
+# reduction every composite pipeline runs before aggregation.  The QA word
+# is derived per-pixel from the fixture value by a Knuth multiplicative
+# hash, so the oracle regenerates it exactly; all-bit-test integer math.
+@q(
+    "qa_band_mask",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS v,
+               (CAST((13 * i.range + 7 * j.range) % 97 AS BIGINT) * 2654435761) % 1024 AS qa
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    flagged AS (
+        SELECT gi // 64 AS bx, gj // 64 AS by, v,
+               CAST((qa >> 3) & 1 AS INT) AS cloud,
+               CAST((qa >> 4) & 1 AS INT) AS shadow,
+               CAST((qa >> 5) & 1 AS INT) AS snow,
+               CASE WHEN (qa & 56) = 0 THEN 1 ELSE 0 END AS clear
+        FROM px
+    )
+    SELECT CAST(bx AS INT) AS block_x, CAST(by AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(cloud) AS BIGINT) AS n_cloud,
+           CAST(sum(shadow) AS BIGINT) AS n_shadow,
+           CAST(sum(snow) AS BIGINT) AS n_snow,
+           CAST(sum(clear) AS BIGINT) AS n_clear,
+           CAST(sum(CASE WHEN clear = 1 THEN v ELSE 0 END) AS BIGINT) AS clear_sum
+    FROM flagged GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def qa_band_mask_q(spark, sf_dir):
+    from geocube_spark.operators.algebra import qa_mask_summary
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet").withColumn(
+        "qa",
+        F.transform(
+            "px", lambda v: (v.cast("long") * F.lit(2654435761)) % 1024
+        ),
+    )
+    return qa_mask_summary(tiles)
+
+
+# Histogram matching / specification (Gonzalez & Woods §3.3.2): remap the
+# source scene's values so their distribution follows a reference scene's —
+# the radiometric normalization step before mosaicking acquisitions.  The
+# CDF-inverse LUT is built on an integer cross-multiplied axis with NO
+# inequality join (interleave + reverse running min), so both engines
+# reproduce it bit-for-bit.  Ref image = (v^2 mod 89) of the same fixture.
+@q(
+    "histogram_matching",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS INT) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    hs AS (SELECT v AS bin, count(*) AS n FROM px GROUP BY 1),
+    hr AS (SELECT (v * v) % 89 AS bin, count(*) AS n FROM px GROUP BY 1),
+    cs AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cdf,
+                  CAST((SELECT sum(n) FROM hs) AS BIGINT) AS nt FROM hs),
+    cr AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cdf,
+                  CAST((SELECT sum(n) FROM hr) AS BIGINT) AS nt FROM hr),
+    merged AS (
+        SELECT bin AS src_bin, CAST(NULL AS BIGINT) AS ref_bin,
+               cdf * (SELECT max(nt) FROM cr) AS key, 0 AS is_ref FROM cs
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), bin,
+               cdf * (SELECT max(nt) FROM cs) AS key, 1 FROM cr
+    ),
+    lut AS (
+        SELECT src_bin,
+               min(ref_bin) OVER (ORDER BY key, is_ref
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS matched
+        FROM merged QUALIFY src_bin IS NOT NULL
+    ),
+    m AS (
+        SELECT p.gi // 64 AS bx, p.gj // 64 AS by, l.matched AS mv
+        FROM px p JOIN lut l ON p.v = l.src_bin
+    )
+    SELECT CAST(bx AS INT) AS block_x, CAST(by AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(mv) AS BIGINT) AS m_sum,
+           CAST(min(mv) AS BIGINT) AS m_min,
+           CAST(max(mv) AS BIGINT) AS m_max
+    FROM m GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def histogram_matching_q(spark, sf_dir):
+    from geocube_spark.operators.algebra import histogram_match
+
+    fd = ensure_fixtures()
+    src = spark.read.parquet(f"{fd}/warp_src.parquet")
+    ref = src.withColumn(
+        "px",
+        F.transform(
+            "px",
+            lambda v: ((v.cast("int") * v.cast("int")) % 89).cast("double"),
+        ),
+    )
+    out = histogram_match(src, ref, src_bins=97, ref_bins=89)
+    return (
+        out.select(
+            "block_x", "block_y",
+            F.size("px_matched").alias("n_px"),
+            F.aggregate("px_matched", F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_min("px_matched").alias("mn"),
+            F.array_max("px_matched").alias("mx"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("s").cast("long").alias("m_sum"),
+            F.min("mn").cast("long").alias("m_min"),
+            F.max("mx").cast("long").alias("m_max"),
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
 # Temporal median composite (A7 companion: reduce-all-acquisitions
 # instead of latest-wins).  Five deterministic time layers are derived
 # from the fixture band (v + 13t mod 97), the per-pixel median is taken

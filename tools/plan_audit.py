@@ -34,6 +34,7 @@ HARD_RULES_EXEMPT_BNLJ = {
     "kneser_ney_logprob",      # corpus-total + n-bigrams 1-row aggregates
     "dsir_importance",         # (N_s, N_t) 1-row feature-total aggregate
     "histogram_equalization",  # 1-row broadcast LUT array
+    "histogram_matching",      # 1-row broadcast LUT array + 1-row N_total stats
     "curriculum_shards",       # 1-row corpus-total broadcast (exact ntile)
     # (bpe_merges' per-round 1-row pair broadcasts never reach the audited
     # plan: each round is materialized by an eager localCheckpoint, so the
