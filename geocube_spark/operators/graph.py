@@ -127,3 +127,88 @@ def pagerank_sql(
         )
     joined = ",\n    ".join(ctes)
     return f"WITH {joined}\n    SELECT node, rank FROM r{iterations}"
+
+
+# --------------------------------------------------- label propagation
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007), deterministic
+    variant: every node starts as its own community; each round it adopts
+    the most frequent label among its neighbors, ties to the SMALLEST
+    label (the rule that makes sync LPA reproducible — the original
+    random tie-break is what keeps it non-deterministic).  Isolated nodes
+    keep their label.  Fixed ``iterations`` rounds: sync LPA on bipartite
+    regions oscillates rather than converges, so the round count is part
+    of the operator contract, mirrored exactly by the oracle.
+
+    Scale shape per round: one equi-join of the (symmetrized, checkpointed
+    once) edge list against the label frame, one (node, label) count, one
+    ``min_by`` argmax — O(edges) work, no all-pairs, no windows over the
+    full graph.  The label frame has two consumers per round (the count
+    join and the keep-old fallback), so it IS checkpointed per round —
+    lazy chaining would re-execute the whole prefix 2^R times.
+    """
+    fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    e = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        labels = labels.localCheckpoint()
+        counts = (
+            e.join(labels, e["b"] == labels["node"])
+            .select(F.col("a").alias("nd"), "label")
+            .groupBy("nd", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counts.groupBy("nd").agg(
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+            ).alias("new_label")
+        )
+        labels = (
+            labels.join(best, labels["node"] == best["nd"], "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+    return labels
+
+
+def label_propagation_sql(
+    edges_sql: str, iterations: int = 5
+) -> str:
+    """DuckDB twin: the same synchronous rounds as generated CTEs over a
+    symmetrized edge CTE.  ``edges_sql`` must yield (src, dst)."""
+    parts = [
+        f"raw AS ({edges_sql})",
+        """e AS (
+      SELECT DISTINCT a, b FROM (
+        SELECT src AS a, dst AS b FROM raw
+        UNION ALL SELECT dst AS a, src AS b FROM raw)
+    )""",
+        "nodes AS (SELECT DISTINCT a AS node FROM e)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for r in range(1, iterations + 1):
+        p = r - 1
+        parts.append(
+            f"""l{r} AS (
+      SELECT pl.node, coalesce(b.new_label, pl.label) AS label
+      FROM l{p} pl LEFT JOIN (
+        SELECT nd, label AS new_label FROM (
+          SELECT e.a AS nd, l.label, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY e.a
+                     ORDER BY count(*) DESC, l.label ASC) AS rn
+          FROM e JOIN l{p} l ON e.b = l.node
+          GROUP BY e.a, l.label)
+        WHERE rn = 1) b ON pl.node = b.nd
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, label FROM l{iterations}"

@@ -836,6 +836,56 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+# Synchronous label-propagation communities (Raghavan et al. 2007) over
+# the same purchase graph — deterministic smallest-label tie-break, fixed
+# 5 rounds (part of the contract: sync LPA oscillates on bipartite
+# regions).  O(edges) per round; oracle replays identical rounds.  The
+# graph is deterministically thinned to 1/4 of orders: LPA costs two
+# shuffles per round on the symmetrized edge list, and the full purchase
+# graph would make this the suite's slowest query for no extra semantic
+# coverage (pagerank already runs the full graph).
+from geocube_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+    label_propagation_sql,
+)
+
+
+_LPA_EDGES_SQL = """
+    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                    's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 4 = 0
+"""
+
+
+@q(
+    "graph_label_propagation",
+    "SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM (\n"
+    + label_propagation_sql(_LPA_EDGES_SQL, iterations=4)
+    + "\n) GROUP BY label ORDER BY n_nodes DESC, community LIMIT 15",
+)
+def graph_label_propagation_q(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") % 4 == 0
+    )
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    lp = label_propagation(edges, iterations=4)
+    return (
+        lp.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy(F.col("n_nodes").desc(), "community")
+        .limit(15)
+    )
+
+
 # Catalog time travel (Delta-style read-as-of over the commit log):
 # two committed versions of a scratch table, read back by version + the
 # history surface.  The lifecycle is deterministic, so the oracle is the
