@@ -3116,6 +3116,23 @@ def decontamination_overlap_q(spark, sf_dir):
     return decontamination_overlap(_docs(spark, sf_dir), F.col("doc_id") % 7 == 0, n=8)
 
 
+# In-engine classifier training (the GPT-3/WebText quality-classifier
+# pattern): batch GD for a linear model as R chained full-corpus
+# aggregates — weights ride as a 1-row broadcast, no driver loop, no ML
+# library.  Cross-engine determinism by construction: rational sigmoid
+# (no libm exp), integer-derived features, per-round weight rounding to
+# absorb summation-order ulp drift.  Oracle replays identical rounds.
+from geocube_spark.operators.classifier import (  # noqa: E402
+    classifier_report,
+    classifier_report_sql,
+)
+
+
+@q("quality_classifier_train", classifier_report_sql("lang = 'en'"))
+def quality_classifier_train_q(spark, sf_dir):
+    return classifier_report(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
 # Bloom-filter decontamination prefilter (GPT-3 appendix C pattern): the
 # eval grams build a bit filter rebuilt bit-for-bit by the oracle (portable
 # md5 positions), train docs probe it map-side (one BHJ against the m/32-row

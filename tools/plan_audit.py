@@ -49,6 +49,7 @@ HARD_RULES_EXEMPT_BNLJ = {
     "perplexity_buckets",      # unigram corpus-total 1-row aggregate (same as unigram_logprob)
     "heavy_hitters",           # 1-row stream-total broadcast + 1-row x 1-row result assembly
     "graph_pagerank",          # 1-row dangling-mass broadcast (final round)
+    "quality_classifier_train",  # 1-row weights broadcast per GD round (R+1 total)
     # bbox interval joins against a SMALL broadcast cell/AOI list — the
     # correct strategy when the dim side fits in a broadcast.  These are
     # SIZE-ADAPTIVE (operators/spatialjoin.adaptive_bbox_join): above
