@@ -55,3 +55,90 @@ def pii_redact(
     for name, col in counts.items():
         out = out.withColumn(f"n_{name}", col)
     return out.withColumn(out_col, pii_redact_column(F.col(text_col)))
+
+
+# ------------------------------------------------------------ k-anonymity
+
+# Full-domain generalization (Samarati 2001 / Sweeney 2002): coarsen the
+# quasi-identifier columns through a fixed ladder of generalization levels
+# until every published group holds at least k rows; groups that stay
+# smaller at the coarsest level are SUPPRESSED.  Global recoding — one
+# level applies to the whole release — is the classic baseline every
+# k-anonymity system defines itself against, and it is purely relational:
+# one groupBy per ladder level (each a shrinking-cardinality aggregate),
+# a min() over group sizes, and a CASE on the chosen level.  At 100 TB
+# each level pass is a map-side-combined count over at most |QI-domain|
+# groups; levels are few and fixed.
+
+
+def k_anonymity_report(
+    events: DataFrame,
+    k: int,
+    levels: list[tuple[str, Column]],
+) -> DataFrame:
+    """``levels``: (name, qi_expr) from finest to coarsest; each qi_expr
+    maps a row to its quasi-identifier group key at that level.  Returns
+    one row PER LEVEL: (level, level_name, n_groups, n_small_groups,
+    min_group_size, n_suppressed_rows, chosen) — ``chosen`` marks the
+    finest level whose every group reaches k (or the coarsest level,
+    where the sub-k groups' rows count as suppressed)."""
+    per_level = []
+    for idx, (name, expr) in enumerate(levels):
+        g = events.select(expr.alias("qi")).groupBy("qi").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        per_level.append(
+            g.agg(
+                F.lit(idx).alias("level"),
+                F.lit(name).alias("level_name"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("n") < k).cast("int")).cast("long").alias("n_small_groups"),
+                F.min("n").cast("long").alias("min_group_size"),
+                F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+                .cast("long")
+                .alias("n_suppressed_rows"),
+            )
+        )
+    stacked = per_level[0]
+    for frame in per_level[1:]:
+        stacked = stacked.unionByName(frame)
+    from pyspark.sql import Window
+
+    # chosen = the finest fully-anonymous level, else the coarsest ladder
+    # rung (publishing with suppression)
+    w = Window.partitionBy()
+    ok_min = F.min(F.when(F.col("n_small_groups") == 0, F.col("level"))).over(w)
+    last = F.max("level").over(w)
+    return (
+        stacked.withColumn(
+            "chosen",
+            (F.col("level") == F.coalesce(ok_min, last)).cast("int"),
+        )
+        .orderBy("level")
+    )
+
+
+def k_anonymity_report_sql(
+    k: int, levels: list[tuple[str, str]], table: str = "events"
+) -> str:
+    """DuckDB twin over the same ladder of SQL qi expressions."""
+    sel = []
+    for idx, (name, expr) in enumerate(levels):
+        sel.append(f"""
+        SELECT {idx} AS level, '{name}' AS level_name,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+               CAST(min(n) AS BIGINT) AS min_group_size,
+               CAST(sum(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT) AS n_suppressed_rows
+        FROM (SELECT {expr} AS qi, count(*) AS n FROM {table} GROUP BY 1)
+        """)
+    union = " UNION ALL ".join(sel)
+    return f"""
+    WITH lv AS ({union})
+    SELECT level, level_name, n_groups, n_small_groups, min_group_size,
+           n_suppressed_rows,
+           CAST(CASE WHEN level = coalesce(
+               (SELECT min(level) FROM lv WHERE n_small_groups = 0),
+               (SELECT max(level) FROM lv)) THEN 1 ELSE 0 END AS INT) AS chosen
+    FROM lv ORDER BY level
+    """

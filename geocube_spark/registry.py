@@ -3556,6 +3556,50 @@ def timeseries_rolling_anomalies(spark, sf_dir):
     )
 
 
+# k-anonymity ladder (Samarati/Sweeney full-domain generalization): coarsen
+# the (user, time) quasi-identifiers level by level until every published
+# group reaches k, suppressing stragglers at the coarsest rung.  One
+# shrinking-cardinality aggregate per level; all-integer contract.
+def _kanon_oracle() -> str:
+    from geocube_spark.operators.pii import k_anonymity_report_sql
+
+    return k_anonymity_report_sql(
+        25,
+        [
+            ("user200_hour", "CAST(user_id % 200 AS VARCHAR) || '|' || CAST(hour(ts) AS VARCHAR)"),
+            ("user50_6hband", "CAST(user_id % 50 AS VARCHAR) || '|' || CAST(hour(ts) // 6 AS VARCHAR)"),
+            ("user10", "CAST(user_id % 10 AS VARCHAR)"),
+        ],
+    )
+
+
+@q("k_anonymity_ladder", _kanon_oracle())
+def k_anonymity_ladder_q(spark, sf_dir):
+    from geocube_spark.operators.pii import k_anonymity_report
+
+    ev = read_events(spark, sf_dir)
+    levels = [
+        (
+            "user200_hour",
+            F.concat(
+                (F.col("user_id") % 200).cast("string"),
+                F.lit("|"),
+                F.hour("ts").cast("string"),
+            ),
+        ),
+        (
+            "user50_6hband",
+            F.concat(
+                (F.col("user_id") % 50).cast("string"),
+                F.lit("|"),
+                F.floor(F.hour("ts") / 6).cast("string"),
+            ),
+        ),
+        ("user10", (F.col("user_id") % 10).cast("string")),
+    ]
+    return k_anonymity_report(ev, 25, levels)
+
+
 @q(
     "events_hourly_rollup",
     """
