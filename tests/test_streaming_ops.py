@@ -625,3 +625,53 @@ class TestStreamingFrequentItems:
         cands = {r["term"]: r["est"] for r in latest_candidates(summaries).collect()}
         assert "hot_a" in cands and "hot_b" in cands
         assert cands["hot_a"] <= 800 and cands["hot_b"] <= 600
+
+
+class TestStreamingCountMin:
+    """The additive sketch streams through a NATIVE aggregation: no custom
+    state, d*w bounded state, and the final matrix equals the batch build
+    cell-for-cell no matter how the stream is micro-batched."""
+
+    def _terms(self, spark):
+        rows = [("hot",)] * 500 + [(f"t{i % 37}",) for i in range(2000)]
+        return spark.createDataFrame(rows, "term string")
+
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from geocube_spark.operators.sketches import countmin_cells
+        from geocube_spark.streaming.cm_stream import countmin_stream
+
+        src = str(tmp_path / "cm_terms")
+        t = self._terms(spark)
+        # three uneven micro-batches
+        t.limit(700).coalesce(1).write.parquet(src)
+        t.subtract(t.limit(700)).coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            countmin_stream(stream)
+            .writeStream.format("memory")
+            .queryName("cm_stream_out")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "cm_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["seed"], r["bucket"]): r["c"]
+            for r in spark.sql("SELECT * FROM cm_stream_out").collect()
+        }
+        # subtract() dedupes rows, so rebuild the batch truth from the
+        # exact same parquet the stream consumed
+        want = {
+            (r["seed"], r["bucket"]): r["c"]
+            for r in countmin_cells(spark.read.parquet(src)).collect()
+        }
+        assert got == want
+        from geocube_spark.operators.sketches import CM_DEPTH, CM_WIDTH
+
+        assert len(got) <= CM_DEPTH * CM_WIDTH
