@@ -142,3 +142,84 @@ class TestQAMask:
         r = qa_mask_summary(tiles).collect()[0]
         assert (r["n_cloud"], r["n_shadow"], r["n_snow"]) == (1, 1, 1)
         assert r["n_clear"] == 1 and r["clear_sum"] == 1
+
+
+class TestRandomizedInvariants:
+    """Seeded-random property sweeps: the invariants must hold on ANY
+    input, not just the analytic fixtures."""
+
+    def test_flow_mass_conservation_random_dem(self, spark):
+        # integer DEM with values 0..9: a flow path strictly descends z,
+        # so its length is bounded by 9 hops -> rounds=10 is the fixpoint
+        import numpy as np
+
+        for seed in (5, 23):
+            rng = np.random.RandomState(seed)
+            z = rng.randint(0, 10, size=(12, 12))
+            rows = [
+                (int(i), int(j), float(z[i, j]))
+                for i in range(12)
+                for j in range(12)
+            ]
+            cells = spark.createDataFrame(rows, "i int, j int, z double")
+            edges = d8_flow_direction(cells)
+            acc = flow_accumulation(cells, edges, rounds=10)
+            pit_total = (
+                acc.join(edges, ["i", "j"], "left_anti")
+                .agg(F.sum("acc"))
+                .collect()[0][0]
+            )
+            assert pit_total == 144, f"seed {seed}: mass not conserved"
+
+    def test_idw_is_convex_combination(self, spark):
+        # without an exact hit, the interpolate lies within the value range
+        # of the contributing stations
+        import numpy as np
+
+        for seed in (7, 41):
+            rng = np.random.RandomState(seed)
+            pts = [
+                (float(x), float(y), float(v))
+                for x, y, v in zip(
+                    rng.uniform(0.3, 19.7, 15),
+                    rng.uniform(0.3, 19.7, 15),
+                    rng.uniform(-50, 50, 15),
+                )
+            ]
+            points = spark.createDataFrame(pts, "x double, y double, val double")
+            cells = spark.range(16).select(
+                F.col("id").cast("int").alias("ci"),
+                F.lit(0).cast("int").alias("cj"),
+                (1.25 + 1.25 * F.col("id")).alias("cx"),
+                F.lit(10.0).alias("cy"),
+            )
+            lo, hi = min(p[2] for p in pts), max(p[2] for p in pts)
+            for r in idw_grid(points, cells, radius=30.0).collect():
+                assert lo - 1e-6 <= r["idw"] <= hi + 1e-6
+
+    def test_histogram_match_cdf_dominance_random(self, spark):
+        """For every src bin b, the matched ref bin u is the SMALLEST with
+        CDF_ref(u) >= CDF_src(b) — checked against a numpy recomputation
+        on random distributions."""
+        import numpy as np
+
+        from geocube_spark.operators.algebra import histogram_match
+
+        for seed in (13, 29):
+            rng = np.random.RandomState(seed)
+            src_v = rng.randint(0, 16, 400).astype(float)
+            ref_v = rng.randint(0, 12, 300).astype(float)
+            src = spark.createDataFrame(
+                [(0, 0, src_v.tolist())], "block_x int, block_y int, px array<double>"
+            )
+            ref = spark.createDataFrame(
+                [(0, 0, ref_v.tolist())], "block_x int, block_y int, px array<double>"
+            )
+            out = histogram_match(src, ref, src_bins=16, ref_bins=12).collect()[0]
+            cs = np.cumsum(np.bincount(src_v.astype(int), minlength=16)) / len(src_v)
+            cr = np.cumsum(np.bincount(ref_v.astype(int), minlength=12)) / len(ref_v)
+            for v, m in zip(out["px"], out["px_matched"]):
+                b, u = int(v), int(m)
+                assert cr[u] >= cs[b] - 1e-12, f"seed {seed}: not dominated"
+                if u > 0:
+                    assert cr[u - 1] < cs[b] + 1e-12, f"seed {seed}: not minimal"

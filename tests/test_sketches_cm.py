@@ -72,3 +72,18 @@ class TestCountMin:
         bound = 3.0 * n / CM_WIDTH
         for r in rows:
             assert r["overcount"] <= bound
+
+
+class TestCountMinRandomCorpora:
+    def test_one_sided_error_random(self, spark):
+        # the est >= true theorem must hold on any corpus, not just the
+        # fixture vocabulary
+        import numpy as np
+
+        for seed in (11, 47):
+            rng = np.random.RandomState(seed)
+            zipf = rng.zipf(1.5, size=3000)
+            rows = [(f"w{int(v) % 200}",) for v in zipf]
+            t = spark.createDataFrame(rows, "term string")
+            for r in countmin_accuracy(t, top=500).collect():
+                assert r["est_cnt"] >= r["true_cnt"], f"seed {seed}"
