@@ -5708,6 +5708,64 @@ def histogram_equalization(spark, sf_dir):
     )
 
 
+# Vector->raster burning (gdal_rasterize analog, polygonize's inverse):
+# center-inside even-odd rule, holes excluded, max-wins overlaps.  Spark
+# runs the REAL WKB through the vectorized ring-crossing kernel behind a
+# bbox-tile equi-join + per-(polygon,tile) applyInPandas (one decode per
+# group); the oracle rasterizes the same L-shape + hole + overlapping
+# square analytically from its rect composition.
+@q(
+    "rasterize_polygons",
+    """
+    WITH cells AS (
+        SELECT CAST(c.range % 32 AS INT) AS gi, CAST(c.range // 32 AS INT) AS gj,
+               (c.range % 32) + 0.5 AS cx, (c.range // 32) + 0.5 AS cy
+        FROM range(0, 1024) c
+    ),
+    burned AS (
+        SELECT gi, gj,
+               CASE WHEN cx > 24 AND cx < 30 AND cy > 24 AND cy < 30 THEN 9.0
+                    WHEN ((cx < 20 AND cy < 8) OR (cx < 8 AND cy < 20))
+                         AND NOT (cx > 2 AND cx < 6 AND cy > 2 AND cy < 6)
+                    THEN 5.0 END AS burn
+        FROM cells
+    )
+    SELECT CAST(gj AS INT) AS gj, CAST(count(*) AS BIGINT) AS n_burned,
+           CAST(min(gi) AS INT) AS min_gi, CAST(max(gi) AS INT) AS max_gi,
+           round(sum(burn), 6) AS burn_sum
+    FROM burned WHERE burn IS NOT NULL
+    GROUP BY gj ORDER BY gj
+    """,
+)
+def rasterize_polygons_q(spark, sf_dir):
+    from geocube_spark.functions.geometry import polygon_wkb
+    from geocube_spark.operators.rasterize import rasterize_polygons
+
+    lshape = polygon_wkb(
+        [(0.0, 0.0), (20.0, 0.0), (20.0, 8.0), (8.0, 8.0), (8.0, 20.0), (0.0, 20.0)],
+        holes=[[(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)]],
+    )
+    square = polygon_wkb(
+        [(24.0, 24.0), (30.0, 24.0), (30.0, 30.0), (24.0, 30.0)]
+    )
+    polys = spark.createDataFrame(
+        [(1, bytearray(lshape), 5.0), (2, bytearray(square), 9.0)],
+        "poly_id int, wkb binary, burn_val double",
+    )
+    out = rasterize_polygons(polys, nx=32, ny=32)
+    return (
+        out.groupBy("gj")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_burned"),
+            F.min("gi").cast("int").alias("min_gi"),
+            F.max("gi").cast("int").alias("max_gi"),
+            F.round(F.sum("burn"), 6).alias("burn_sum"),
+        )
+        .select(F.col("gj").cast("int").alias("gj"), "n_burned", "min_gi", "max_gi", "burn_sum")
+        .orderBy("gj")
+    )
+
+
 # D8 flow direction + accumulation (O'Callaghan & Mark 1984): every DEM
 # cell drains to its steepest-descent neighbor; accumulation counts the
 # cells draining through each one.  Direction is ONE equi-join + argmax;

@@ -1,0 +1,74 @@
+"""Vector->raster burning: analytic shapes, max-wins overlap, and the
+polygonize -> rasterize ROUND TRIP (the two operators are inverses: a
+random mask vectorized to WKB and burned back must reproduce itself
+exactly, holes included)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.geometry import polygon_wkb
+from geocube_spark.operators.rasterize import rasterize_polygons
+
+
+def _tiles(spark, grid: np.ndarray, b: int):
+    h, w = grid.shape
+    rows = []
+    for by in range(h // b):
+        for bx in range(w // b):
+            rows.append(
+                (bx, by, grid[by * b : (by + 1) * b, bx * b : (bx + 1) * b].ravel().tolist())
+            )
+    return spark.createDataFrame(rows, "block_x int, block_y int, px array<double>")
+
+
+class TestRasterize:
+    def test_rect_burns_exact_cells(self, spark):
+        polys = spark.createDataFrame(
+            [(1, bytearray(polygon_wkb([(1.0, 1.0), (4.0, 1.0), (4.0, 3.0), (1.0, 3.0)])), 2.0)],
+            "poly_id int, wkb binary, burn_val double",
+        )
+        got = {(r["gi"], r["gj"]) for r in rasterize_polygons(polys, nx=8, ny=8).collect()}
+        want = {(gi, gj) for gi in (1, 2, 3) for gj in (1, 2)}
+        assert got == want
+
+    def test_overlap_max_wins(self, spark):
+        a = polygon_wkb([(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)])
+        b = polygon_wkb([(2.0, 2.0), (6.0, 2.0), (6.0, 6.0), (2.0, 6.0)])
+        polys = spark.createDataFrame(
+            [(1, bytearray(a), 3.0), (2, bytearray(b), 7.0)],
+            "poly_id int, wkb binary, burn_val double",
+        )
+        burns = {
+            (r["gi"], r["gj"]): r["burn"]
+            for r in rasterize_polygons(polys, nx=8, ny=8).collect()
+        }
+        assert burns[(3, 3)] == 7.0  # overlap -> max
+        assert burns[(0, 0)] == 3.0
+        assert burns[(5, 5)] == 7.0
+
+    def test_polygonize_rasterize_round_trip(self, spark):
+        from geocube_spark.operators.regions import polygonize_wkb
+
+        for seed in (9, 31):
+            rng = np.random.RandomState(seed)
+            g = (rng.rand(16, 16) > 0.5).astype(float)
+            vec = polygonize_wkb(_tiles(spark, g, 8), block=8).collect()
+            # polygonize emits regions for BOTH values; burn back only the
+            # foreground ones
+            polys = spark.createDataFrame(
+                [
+                    (i, bytearray(r["wkb"]), 1.0)
+                    for i, r in enumerate(vec)
+                    if r["val"] == 1.0
+                ],
+                "poly_id int, wkb binary, burn_val double",
+            )
+            # polygonize emits (x=col, y=row) pixel-square geometry; burn
+            # back on the same axes
+            back = rasterize_polygons(polys, nx=16, ny=16).collect()
+            got = {(r["gi"], r["gj"]) for r in back}
+            want = {(int(x), int(y)) for y, x in zip(*np.nonzero(g))}
+            assert got == want, f"seed {seed}: round trip diverged"
