@@ -886,6 +886,62 @@ def graph_label_propagation_q(spark, sf_dir):
     )
 
 
+# Materialized-view lifecycle (warehouse MV freshness protocol on the
+# commit log): the MV commit pins exact upstream versions; staleness is a
+# METADATA comparison (no data read); auto-refresh re-pins; the previous
+# materialization stays time-travel readable.  Deterministic lifecycle ->
+# constant-tuple oracle (catalog_time_travel family).
+@q(
+    "materialized_view_lifecycle",
+    """
+    SELECT CAST(1 AS BIGINT) AS mv_v1,
+           CAST(1 AS INT) AS fresh_after_create,
+           CAST(0 AS INT) AS fresh_after_dep_write,
+           CAST(22 AS BIGINT) AS cached_total,
+           CAST(122 AS BIGINT) AS auto_total,
+           CAST(1 AS INT) AS fresh_after_refresh,
+           CAST(22 AS BIGINT) AS time_travel_total
+    """,
+)
+def materialized_view_lifecycle_q(spark, sf_dir):
+    import shutil
+    import tempfile
+
+    from geocube_spark.sources.catalog import Catalog
+    from geocube_spark.sources.matview import (
+        create_materialized_view,
+        read_materialized_view,
+        view_staleness,
+    )
+
+    def builder(cat):
+        return cat.read("base").groupBy().agg(F.sum("v").cast("long").alias("total"))
+
+    root = tempfile.mkdtemp(prefix="mvcat_")
+    try:
+        cat = Catalog(spark, root, retain_versions=4)
+        cat.write("base", spark.createDataFrame([(10,), (12,)], "v int"))
+        mv_v1 = create_materialized_view(cat, "mv", builder, ["base"])
+        fresh1 = int(view_staleness(cat, "mv")["fresh"])
+        cat.write("base", spark.createDataFrame([(100,), (22,)], "v int"))
+        fresh2 = int(view_staleness(cat, "mv")["fresh"])
+        cached = read_materialized_view(cat, "mv").collect()[0]["total"]
+        auto = read_materialized_view(cat, "mv", builder, mode="auto").collect()[0][
+            "total"
+        ]
+        fresh3 = int(view_staleness(cat, "mv")["fresh"])
+        tt = cat.read("mv", version=1).collect()[0]["total"]
+        row = (mv_v1, fresh1, fresh2, cached, auto, fresh3, tt)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [row],
+        "mv_v1 long, fresh_after_create int, fresh_after_dep_write int, "
+        "cached_total long, auto_total long, fresh_after_refresh int, "
+        "time_travel_total long",
+    )
+
+
 # Catalog time travel (Delta-style read-as-of over the commit log):
 # two committed versions of a scratch table, read back by version + the
 # history surface.  The lifecycle is deterministic, so the oracle is the
