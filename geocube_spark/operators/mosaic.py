@@ -165,3 +165,59 @@ def temporal_composite(
 
         per_px = F.transform(idx, _median)
     return grouped.select(*keys, "n_layers", per_px.alias("px"))
+
+
+# ------------------------------------------------------------- feathering
+
+def feather_blend(
+    layers: DataFrame,
+    block: int = 64,
+    px_col: str = "px",
+    out_col: str = "px_blend",
+) -> DataFrame:
+    """Seamline feathering: blend overlapping acquisitions with weights
+    proportional to each pixel's distance to its acquisition's footprint
+    edge (the gdalwarp cutline-blend / seamline-feather pattern) —
+    acquisitions fade out toward their edges instead of cutting a hard
+    latest-wins seam.
+
+        out(p) = sum_l w_l(p) * v_l(p) / sum_l w_l(p)
+        w_l(p) = max(0, min(dist to each of the 4 footprint edges))
+
+    ``layers``: (layer_id, block_x, block_y, px, fp_x0, fp_x1, fp_y0,
+    fp_y1) with footprints in GLOBAL pixel coordinates (half-open).
+    Returns one row per block with the blended array.
+
+    Scale shape: one groupBy(block) collects the (few) overlapping
+    acquisitions per block — the shuffle is acquisitions x blocks rows,
+    never pixels — then the blend is a pure nested higher-order function
+    over the pixel index (weights are integer pixel distances, derived
+    in-plan from the block origin; no UDF, no per-pixel state).  The
+    weight sum being 0 (outside every footprint) yields NULL, the nodata
+    convention of the mosaic family.
+    """
+    b = block
+    lay = F.struct("px", "fp_x0", "fp_x1", "fp_y0", "fp_y1")
+    g = layers.groupBy("block_x", "block_y").agg(F.collect_list(lay).alias("ls"))
+    # per pixel index i: global (x, y); per layer: w = clamped edge distance
+    blend = F.expr(
+        f"""
+        transform(sequence(0, {b * b} - 1), i -> (
+            aggregate(ls, named_struct('n', 0.0D, 'd', 0.0D), (acc, l) -> (
+                named_struct(
+                  'n', acc.n + greatest(0.0D, least(
+                        CAST(block_x * {b} + (i % {b}) - l.fp_x0 + 1 AS DOUBLE),
+                        CAST(l.fp_x1 - block_x * {b} - (i % {b}) AS DOUBLE),
+                        CAST(block_y * {b} + (i DIV {b}) - l.fp_y0 + 1 AS DOUBLE),
+                        CAST(l.fp_y1 - block_y * {b} - (i DIV {b}) AS DOUBLE)))
+                       * l.px[i],
+                  'd', acc.d + greatest(0.0D, least(
+                        CAST(block_x * {b} + (i % {b}) - l.fp_x0 + 1 AS DOUBLE),
+                        CAST(l.fp_x1 - block_x * {b} - (i % {b}) AS DOUBLE),
+                        CAST(block_y * {b} + (i DIV {b}) - l.fp_y0 + 1 AS DOUBLE),
+                        CAST(l.fp_y1 - block_y * {b} - (i DIV {b}) AS DOUBLE))))
+            ), acc -> CASE WHEN acc.d > 0 THEN acc.n / acc.d END)
+        ))
+        """
+    )
+    return g.select("block_x", "block_y", blend.alias(out_col))

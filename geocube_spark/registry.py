@@ -5894,6 +5894,84 @@ def idw_interpolation_q(spark, sf_dir):
     )
     return idw_grid(pts, cells, radius=32.0)
 
+
+# Seamline feathering (gdalwarp cutline-blend pattern): overlapping
+# acquisitions blend with weights = distance to their footprint edge, so
+# seams fade instead of cutting (the latest-wins mosaic's complement).
+# Two synthetic acquisitions with offset footprints; pixels outside both
+# are NULL (nodata).  Integer pixel-distance weights; oracle recomputes
+# the identical blend analytically.
+@q(
+    "mosaic_feather_blend",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS DOUBLE) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    w AS (
+        SELECT gi, gj, v,
+               CAST((CAST(v AS INT) + 10) % 97 AS DOUBLE) AS vb,
+               greatest(0, least(gi + 1, 96 - gi, gj + 1, 112 - gj)) AS wa,
+               greatest(0, least(gi - 31, 128 - gi, gj + 1, 128 - gj)) AS wb
+        FROM px
+    ),
+    bl AS (
+        SELECT gi // 64 AS bx, gj // 64 AS by,
+               CASE WHEN wa + wb > 0 THEN (wa * v + wb * vb) / (wa + wb) END AS o
+        FROM w
+    )
+    SELECT CAST(bx AS INT) AS block_x, CAST(by AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(count(o) AS BIGINT) AS n_valid,
+           round(sum(coalesce(o, 0)), 6) AS blend_sum
+    FROM bl GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def mosaic_feather_blend_q(spark, sf_dir):
+    from geocube_spark.operators.mosaic import feather_blend
+
+    fd = ensure_fixtures()
+    src = spark.read.parquet(f"{fd}/warp_src.parquet")
+    a = src.select(
+        "block_x", "block_y", "px",
+        F.lit(0).alias("fp_x0"), F.lit(96).alias("fp_x1"),
+        F.lit(0).alias("fp_y0"), F.lit(112).alias("fp_y1"),
+    )
+    b = src.select(
+        "block_x", "block_y",
+        F.transform(
+            "px", lambda v: ((v.cast("int") + 10) % 97).cast("double")
+        ).alias("px"),
+        F.lit(32).alias("fp_x0"), F.lit(128).alias("fp_x1"),
+        F.lit(0).alias("fp_y0"), F.lit(128).alias("fp_y1"),
+    )
+    out = feather_blend(a.unionByName(b), block=64)
+    return (
+        out.select(
+            "block_x", "block_y",
+            F.size("px_blend").alias("n_px"),
+            F.expr("size(filter(px_blend, v -> v IS NOT NULL))").alias("n_valid"),
+            F.expr(
+                "aggregate(px_blend, 0.0D, (a, v) -> a + coalesce(v, 0.0D))"
+            ).alias("s"),
+        )
+        .groupBy("block_x", "block_y")
+        .agg(
+            F.sum("n_px").cast("long").alias("n_px"),
+            F.sum("n_valid").cast("long").alias("n_valid"),
+            F.round(F.sum("s"), 6).alias("blend_sum"),
+        )
+        .select(
+            F.col("block_x").cast("int").alias("block_x"),
+            F.col("block_y").cast("int").alias("block_y"),
+            "n_px", "n_valid", "blend_sum",
+        )
+        .orderBy("block_x", "block_y")
+    )
+
+
+# QA-band cloud masking (Landsat C2 bit semantics: cloud=bit3, shadow=bit4,
 # snow=bit5): per-block flag counts + the clear-masked value sum — the
 # reduction every composite pipeline runs before aggregation.  The QA word
 # is derived per-pixel from the fixture value by a Knuth multiplicative

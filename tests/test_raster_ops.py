@@ -1063,3 +1063,44 @@ class TestAdaptiveSpatialJoin:
         a = key(zonal_stats(tiles, zones, block=4, strategy="broadcast").collect())
         b = key(zonal_stats(tiles, zones, block=4, strategy="bucketed").collect())
         assert a == b and len(a) == 2
+
+
+class TestFeatherBlend:
+    def _layers(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "block_x int, block_y int, px array<double>, "
+            "fp_x0 int, fp_x1 int, fp_y0 int, fp_y1 int",
+        )
+
+    def test_single_layer_identity(self, spark):
+        from geocube_spark.operators.mosaic import feather_blend
+
+        px = [float(i) for i in range(16)]
+        out = feather_blend(
+            self._layers(spark, [(0, 0, px, 0, 4, 0, 4)]), block=4
+        ).collect()[0]["px_blend"]
+        assert out == px  # weights cancel in n/d
+
+    def test_outside_all_footprints_is_null(self, spark):
+        from geocube_spark.operators.mosaic import feather_blend
+
+        px = [1.0] * 16
+        out = feather_blend(
+            self._layers(spark, [(0, 0, px, 0, 2, 0, 4)]), block=4
+        ).collect()[0]["px_blend"]
+        # columns x=2,3 are outside the footprint -> nodata
+        assert out[0] is not None and out[2] is None and out[3] is None
+
+    def test_equal_weights_average(self, spark):
+        from geocube_spark.operators.mosaic import feather_blend
+
+        a = [10.0] * 16
+        b = [20.0] * 16
+        out = feather_blend(
+            self._layers(
+                spark, [(0, 0, a, 0, 4, 0, 4), (0, 0, b, 0, 4, 0, 4)]
+            ),
+            block=4,
+        ).collect()[0]["px_blend"]
+        assert all(v == 15.0 for v in out)  # identical footprints -> mean
