@@ -2182,6 +2182,100 @@ def minhash_near_duplicates(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """(size, mtime_ns) identity of one source parquet table — the cache
+    key for persisted index fixtures (see _embeddings_fingerprint)."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(root):
+        for dirpath, _, names in os.walk(root):
+            for n in sorted(names):
+                st = os.stat(os.path.join(dirpath, n))
+                parts.append(f"{n}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{os.path.basename(root)}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()
+
+
+def ensure_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the frozen-corpus LSH bucket index once per SF
+    (dedup.build_minhash_index over the doc_id % 5 != 0 'already ingested'
+    majority), parquet partitioned by band.  Cache keyed on a fingerprint
+    of the source documents files, like the persisted IVF index."""
+    import json
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    out = os.path.join(FIXTURE_DIR, f"minhash_index_{tag}")
+    side = os.path.join(out, "_index_meta.json")
+    fp = _table_fingerprint(sf_dir, "documents")
+    stale = True
+    if os.path.exists(side):
+        with open(side) as f:
+            stale = json.load(f).get("source_fp") != fp
+    if stale:
+        corpus = _docs(spark, sf_dir).filter(F.col("doc_id") % 5 != 0)
+        tmp = out + "__build"
+        shutil.rmtree(tmp, ignore_errors=True)
+        dd.build_minhash_index(corpus).write.mode("overwrite").partitionBy(
+            "band"
+        ).parquet(tmp)
+        shutil.rmtree(out, ignore_errors=True)
+        os.replace(tmp, out)
+        with open(side, "w") as f:
+            json.dump({"source_fp": fp}, f)
+    return out
+
+
+@q(
+    "incremental_dedup",
+    _ngram_jaccard_sql(
+        0.5,
+        select=(
+            "SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,"
+            " CAST(count(*) AS BIGINT) AS n_verified_true,"
+            " CAST(0 AS BIGINT) AS n_true_missed"
+        ),
+    ).replace(
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5",
+        "WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5"
+        " AND (doc_a % 5 = 0 OR doc_b % 5 = 0)",
+    ),
+)
+def incremental_dedup(spark, sf_dir):
+    """INCREMENTAL dedup: a new ingest batch (doc_id % 5 = 0, 20% of the
+    corpus) deduped against the PERSISTED LSH bucket index of the frozen
+    majority plus itself — corpus text is never re-shingled; only candidate
+    ids are fetched back (dedup.incremental_dedup).  Invariant mirrors
+    minhash_lsh_candidates, restricted to pairs with >= 1 delta endpoint:
+    the verified output equals the exact quadratic truth (containment +
+    verify precision), re-derived by the oracle from exact SQL at the
+    queried SF — scale-parametric, no seeded count pinned."""
+    docs = _docs(spark, sf_dir)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = spark.read.parquet(ensure_minhash_index(spark, sf_dir))
+    verified = dd.incremental_dedup(idx, delta, docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    true_pairs = (
+        dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+        .filter((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
+        .select("doc_a", "doc_b")
+    )
+    flags = _pair_flags(true_pairs, verified, ["doc_a", "doc_b"])
+    return flags.agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_true_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1)),
+            F.lit(0),
+        ).cast("long").alias("n_verified_true"),
+        F.coalesce(
+            F.sum(F.when(F.col("_e").isNotNull() & F.col("_a").isNull(), 1)), F.lit(0)
+        ).cast("long").alias("n_true_missed"),
+    )
+
+
 @q(
     "simhash_near_duplicates",
     """
@@ -6014,6 +6108,50 @@ def qa_band_mask_q(spark, sf_dir):
         ),
     )
     return qa_mask_summary(tiles)
+
+
+# GDAL-proximity parity (gdal_proximity.py -values 0 -maxdist 16): per-pixel
+# distance to the nearest zero-valued pixel, capped.  Spark side is the
+# bounded-halo bucket join of operators/proximity.py (targets replicate to
+# visible blocks, pixels never explode); the oracle is the INDEPENDENT
+# quadratic truth — every pixel joined to every target within the Chebyshev
+# box.  Distances are exact integer squared sums, so the match is
+# bit-for-bit.
+@q(
+    "raster_proximity",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 AS INT) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    tgt AS (SELECT gi AS tx, gj AS ty FROM px WHERE v = 0),
+    near AS (
+        SELECT p.gi, p.gj,
+               CAST(min((p.gi - t.tx) * (p.gi - t.tx)
+                        + (p.gj - t.ty) * (p.gj - t.ty)) AS BIGINT) AS d2
+        FROM px p JOIN tgt t
+          ON abs(p.gi - t.tx) <= 16 AND abs(p.gj - t.ty) <= 16
+        GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT p.gi // 64 AS bx, p.gj // 64 AS by,
+               CASE WHEN n.d2 IS NOT NULL AND n.d2 <= 256 THEN n.d2 END AS d2
+        FROM px p LEFT JOIN near n ON n.gi = p.gi AND n.gj = p.gj
+    )
+    SELECT CAST(bx AS INT) AS block_x, CAST(by AS INT) AS block_y,
+           CAST(count(d2) AS BIGINT) AS n_reached,
+           CAST(count(*) - count(d2) AS BIGINT) AS n_unreached,
+           CAST(coalesce(sum(d2), 0) AS BIGINT) AS sum_min_d2
+    FROM cell GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def raster_proximity(spark, sf_dir):
+    from geocube_spark.operators.proximity import proximity_summary
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    return proximity_summary(tiles, max_dist=16, target_value=0.0)
 
 
 # Histogram matching / specification (Gonzalez & Woods §3.3.2): remap the
