@@ -15,12 +15,18 @@ Plan shape (and why it scales):
   common max_dist <= block case), then ONE hash shuffle groups targets
   per block: the same bounded-halo exchange as the focal operators,
   shuffle volume O(targets * ring^2), never O(pixels);
-- the per-pixel min squared distance is a nested higher-order
-  expression over the px array vs the block's (small) candidate list —
-  whole-stage JVM, no Python, no per-pixel shuffle;
+- per block, an exact squared-distance Euclidean distance transform
+  (Felzenszwalb & Huttenlocher, "Distance Transforms of Sampled
+  Functions", Theory of Computing 2012) runs over the block+halo
+  window inside one ``applyInPandas`` task: pass 1 is a vectorized
+  two-sweep binary column transform, pass 2 the lower-envelope-of-
+  parabolas scan per output row — O(window pixels) total, INDEPENDENT
+  of how many targets the block sees.  A dense-target raster
+  (distance-to-water on a coastline) costs the same as a sparse one;
+  the previous O(pixels x candidate-targets) expression fold did not.
 - correctness of the halo: any target within Euclidean max_dist of a
   pixel differs by <= max_dist on each axis, so it lies inside the
-  pixel block's ring — the candidate set is a superset of the
+  pixel block's ring — the window's target set is a superset of the
   Euclidean ball, and a superset min that lands <= max_dist^2 IS the
   true min.
 
@@ -33,23 +39,145 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.column import Column
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_BIG = np.int64(2**40)  # "no target" sentinel; (q-v)^2 + f stays < 2^63
 
 
 def _targets(tiles: DataFrame, target_value: float, block: int) -> DataFrame:
-    """(tgi, tgj) global coords of every pixel equal to target_value."""
-    idx = F.sequence(F.lit(0), F.size("px") - 1)
-    hit = F.filter(idx, lambda k: F.col("px")[k] == F.lit(target_value))
+    """(tgi, tgj) global coords of every pixel equal to target_value.
+
+    posexplode, not a higher-order index filter: the generator evaluates
+    the ``px`` expression ONCE per row and streams elements (narrow, no
+    shuffle), whereas ``F.filter(idx, k -> px[k] == v)`` re-evaluates a
+    computed ``px`` (e.g. a QA-band remap ``transform(px, ...)``) for
+    EVERY index probe — Catalyst does not CSE inside HOF lambdas, which
+    made dense-target extraction O(n_px^2) per block."""
     return (
-        tiles.select("block_x", "block_y", hit.alias("ks"))
-        .select("block_x", "block_y", F.explode("ks").alias("k"))
+        tiles.select("block_x", "block_y", F.posexplode("px").alias("k", "v"))
+        .where(F.col("v") == F.lit(target_value))
         .select(
             (F.col("block_x") * block + F.col("k") % block).alias("tgi"),
             (F.col("block_y") * block + (F.col("k") / block).cast("int")).alias("tgj"),
         )
     )
+
+
+def _edt_1d_envelope(f: np.ndarray) -> np.ndarray:
+    """Exact 1-D squared-distance transform of one scanline.
+
+    Felzenszwalb-Huttenlocher lower envelope of the parabolas
+    ``y = f[v] + (x - v)^2``: O(n) amortized — each parabola is pushed
+    once and popped at most once.  ``f`` is int64 (squared distances or
+    _BIG); the output is int64 and exact (the float intersection
+    abscissae only order the envelope, the distances themselves are
+    integer arithmetic).
+    """
+    n = f.shape[0]
+    v = np.empty(n, dtype=np.int64)  # parabola apexes in the envelope
+    z = np.empty(n + 1, dtype=np.float64)  # envelope breakpoints
+    v[0] = 0
+    z[0] = -np.inf
+    z[1] = np.inf
+    k = 0
+    ff = f.astype(np.float64)
+    for q in range(1, n):
+        s = (ff[q] + q * q - (ff[v[k]] + v[k] * v[k])) / (2.0 * (q - v[k]))
+        while s <= z[k]:
+            k -= 1
+            s = (ff[q] + q * q - (ff[v[k]] + v[k] * v[k])) / (2.0 * (q - v[k]))
+        k += 1
+        v[k] = q
+        z[k] = s
+        z[k + 1] = np.inf
+    # evaluate the envelope left-to-right
+    out = np.empty(n, dtype=np.int64)
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        dq = q - v[k]
+        out[q] = np.int64(dq) * np.int64(dq) + f[v[k]]
+    return out
+
+
+def _edt_window(mask: np.ndarray) -> np.ndarray:
+    """Exact squared EDT of a boolean target mask, shape (H, W) -> int64.
+
+    Pass 1 (columns, vectorized across all W columns at once): the 1-D
+    distance to the nearest True in each column is a forward running
+    minimum of ``d <- min(d_prev + 1, 0 if target)`` and the mirrored
+    backward sweep — binary input makes the parabola machinery
+    unnecessary along the first axis.  Pass 2 (rows): the general
+    envelope scan over ``f = dy^2``.
+    """
+    h, w = mask.shape
+    dy = np.full((h, w), _BIG, dtype=np.int64)
+    run = np.full(w, _BIG, dtype=np.int64)
+    for y in range(h):  # h iterations of width-w vector ops
+        run = np.minimum(run + 1, np.where(mask[y], 0, _BIG))
+        dy[y] = run
+    run = np.full(w, _BIG, dtype=np.int64)
+    for y in range(h - 1, -1, -1):
+        run = np.minimum(run + 1, np.where(mask[y], 0, _BIG))
+        dy[y] = np.minimum(dy[y], run)
+    g = np.where(dy >= _BIG, _BIG, dy * dy)
+    out = np.empty((h, w), dtype=np.int64)
+    for y in range(h):
+        out[y] = _edt_1d_envelope(g[y])
+    return out
+
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("block_x", IntegerType()),
+        StructField("block_y", IntegerType()),
+        StructField("n_reached", LongType()),
+        StructField("sum_min_d2", LongType()),
+    ]
+)
+
+
+def _block_edt_fn(block: int, halo: int, cap: int):
+    """applyInPandas kernel: one (block_x, block_y) group of halo targets
+    -> one summary row.  Builds the (block+2*halo)^2 target mask from the
+    replicated coordinates, runs the exact EDT, crops to the inner block
+    and reduces — O(window pixels) regardless of target density."""
+    win = block + 2 * halo
+
+    def fn(key, pdf):
+        bx, by = int(key[0]), int(key[1])
+        n_px = int(pdf["n_px"].iloc[0])
+        # local halo-window coords of each replicated target
+        li = pdf["tgi"].to_numpy(dtype=np.int64) - bx * block + halo
+        lj = pdf["tgj"].to_numpy(dtype=np.int64) - by * block + halo
+        keep = (li >= 0) & (li < win) & (lj >= 0) & (lj < win)
+        mask = np.zeros((win, win), dtype=bool)
+        mask[lj[keep], li[keep]] = True  # rows = j (y), cols = i (x)
+        d2 = _edt_window(mask)[halo : halo + block, halo : halo + block]
+        # pixels exist at linear index k < n_px; k -> (i=k%block, j=k//block)
+        flat = d2.reshape(-1)[:n_px]  # row-major (j, i) == linear k order
+        reached = flat <= cap
+        return pd.DataFrame(
+            {
+                "block_x": [bx],
+                "block_y": [by],
+                "n_reached": [int(reached.sum())],
+                "sum_min_d2": [int(flat[reached].sum())],
+            }
+        )
+
+    return fn
 
 
 def proximity_summary(
@@ -63,6 +191,7 @@ def proximity_summary(
     as reached with distance 0).  A pixel is reached iff some target lies
     within Euclidean ``max_dist``."""
     ring = math.ceil(max_dist / block)
+    halo = ring * block
     offsets = [(di, dj) for di in range(-ring, ring + 1) for dj in range(-ring, ring + 1)]
     tg = _targets(tiles, target_value, block)
     off = F.array(
@@ -76,46 +205,23 @@ def proximity_summary(
     ).select(
         ((F.col("tgi") / block).cast("int") + F.col("o.di")).alias("block_x"),
         ((F.col("tgj") / block).cast("int") + F.col("o.dj")).alias("block_y"),
-        F.struct(
-            F.col("tgi").cast("long").alias("x"), F.col("tgj").cast("long").alias("y")
-        ).alias("t"),
+        F.col("tgi").cast("long").alias("tgi"),
+        F.col("tgj").cast("long").alias("tgj"),
     )
-    per_block = rep.groupBy("block_x", "block_y").agg(
-        F.collect_list("t").alias("tgts")
+    nx = tiles.select("block_x", "block_y", F.size("px").alias("n_px"))
+    # one hash shuffle on the block keys; blocks with no visible target
+    # never reach Python and are closed out relationally below
+    edt_in = rep.join(nx, ["block_x", "block_y"])
+    res = edt_in.groupBy("block_x", "block_y").applyInPandas(
+        _block_edt_fn(block, halo, int(max_dist) * int(max_dist)), _OUT_SCHEMA
     )
-    joined = tiles.select("block_x", "block_y", "px").join(
-        per_block, ["block_x", "block_y"], "left"
-    )
-
-    cap = F.lit(int(max_dist) * int(max_dist)).cast("long")
-    big = F.lit(2**62).cast("long")
-
-    def min_d2(k: Column) -> Column:
-        gi = (F.col("block_x") * block + k % block).cast("long")
-        gj = (F.col("block_y") * block + (k / block).cast("int")).cast("long")
-        best = F.aggregate(
-            F.coalesce(F.col("tgts"), F.array()),
-            big,
-            lambda acc, t: F.least(
-                acc, (gi - t["x"]) * (gi - t["x"]) + (gj - t["y"]) * (gj - t["y"])
-            ),
-        )
-        return F.when(best <= cap, best)
-
-    d2s = F.transform(F.sequence(F.lit(0), F.size("px") - 1), min_d2)
-    cells = joined.select(
-        "block_x",
-        "block_y",
-        F.size("px").alias("n_px"),
-        F.size(F.filter(d2s, lambda d: d.isNotNull())).alias("n_reached"),
-        F.aggregate(
-            d2s, F.lit(0).cast("long"), lambda acc, d: acc + F.coalesce(d, F.lit(0))
-        ).alias("sum_min_d2"),
-    )
-    return cells.select(
+    out = nx.join(res, ["block_x", "block_y"], "left")
+    return out.select(
         F.col("block_x").cast("int").alias("block_x"),
         F.col("block_y").cast("int").alias("block_y"),
-        F.col("n_reached").cast("long").alias("n_reached"),
-        (F.col("n_px") - F.col("n_reached")).cast("long").alias("n_unreached"),
-        F.col("sum_min_d2").cast("long").alias("sum_min_d2"),
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+        (F.col("n_px") - F.coalesce("n_reached", F.lit(0)))
+        .cast("long")
+        .alias("n_unreached"),
+        F.coalesce("sum_min_d2", F.lit(0)).cast("long").alias("sum_min_d2"),
     ).orderBy("block_x", "block_y")

@@ -6154,6 +6154,51 @@ def raster_proximity(spark, sf_dir):
     return proximity_summary(tiles, max_dist=16, target_value=0.0)
 
 
+# Dense-target variant: remapping v -> v mod 3 makes ~1/3 of all pixels
+# targets (~5.4k on the 128² fixture vs ~170 above).  The per-block exact
+# EDT (operators/proximity.py) is O(window pixels) independent of target
+# density, so this costs the same as the sparse case — the quadratic
+# pixel x target formulation it replaced would be ~32x slower here.  Same
+# bit-for-bit integer-d² contract against the quadratic DuckDB truth.
+@q(
+    "raster_proximity_dense",
+    """
+    WITH px AS (
+        SELECT i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range) % 97 % 3 AS INT) AS v
+        FROM range(0, 128) i, range(0, 128) j
+    ),
+    tgt AS (SELECT gi AS tx, gj AS ty FROM px WHERE v = 0),
+    near AS (
+        SELECT p.gi, p.gj,
+               CAST(min((p.gi - t.tx) * (p.gi - t.tx)
+                        + (p.gj - t.ty) * (p.gj - t.ty)) AS BIGINT) AS d2
+        FROM px p JOIN tgt t
+          ON abs(p.gi - t.tx) <= 8 AND abs(p.gj - t.ty) <= 8
+        GROUP BY 1, 2
+    ),
+    cell AS (
+        SELECT p.gi // 64 AS bx, p.gj // 64 AS by,
+               CASE WHEN n.d2 IS NOT NULL AND n.d2 <= 64 THEN n.d2 END AS d2
+        FROM px p LEFT JOIN near n ON n.gi = p.gi AND n.gj = p.gj
+    )
+    SELECT CAST(bx AS INT) AS block_x, CAST(by AS INT) AS block_y,
+           CAST(count(d2) AS BIGINT) AS n_reached,
+           CAST(count(*) - count(d2) AS BIGINT) AS n_unreached,
+           CAST(coalesce(sum(d2), 0) AS BIGINT) AS sum_min_d2
+    FROM cell GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def raster_proximity_dense(spark, sf_dir):
+    from geocube_spark.operators.proximity import proximity_summary
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet").withColumn(
+        "px", F.transform("px", lambda v: v % 3)
+    )
+    return proximity_summary(tiles, max_dist=8, target_value=0.0)
+
+
 # Histogram matching / specification (Gonzalez & Woods §3.3.2): remap the
 # source scene's values so their distribution follows a reference scene's —
 # the radiometric normalization step before mosaicking acquisitions.  The
