@@ -39,6 +39,19 @@ _SEG_SCHEMA = StructType(
 
 _Q = 1 << 20  # endpoint quantization for exact stitching keys
 
+# marching-squares case table (corner bits: v00=1, v01=2, v11=4, v10=8),
+# segments as (start edge, end edge) over Top/Bottom/Left/Right crossings
+_CASE_SEGS = {
+    1: [("L", "T")], 14: [("L", "T")],
+    2: [("T", "R")], 13: [("T", "R")],
+    4: [("R", "B")], 11: [("R", "B")],
+    8: [("B", "L")], 7: [("B", "L")],
+    3: [("L", "R")], 12: [("L", "R")],
+    6: [("T", "B")], 9: [("T", "B")],
+    5: [("L", "B"), ("T", "R")],
+    10: [("L", "T"), ("R", "B")],
+}
+
 
 def contour_segments(
     tiles: DataFrame,
@@ -117,50 +130,63 @@ def contour_segments(
         if corner is not None:
             ext[b, b] = corner
         gx0, gy0 = bx * b, by * b
-        rows = []
+        # vectorized case-table march: the whole block's cells at once.
+        # v00 = top-left pixel of each cell, cells indexed [row ci, col cj]
+        v00 = ext[:-1, :-1]
+        v01 = ext[:-1, 1:]
+        v10 = ext[1:, :-1]
+        v11 = ext[1:, 1:]
+        valid = ~(np.isnan(v01) | np.isnan(v10) | np.isnan(v11))  # raster edge
+        ci, cj = np.mgrid[0:b, 0:b]
+        xs = (gx0 + cj).astype(np.float64)
+        ys = (gy0 + ci).astype(np.float64)
+        chunks: list[np.ndarray] = []
         for li, level in enumerate(lv):
-            for ci in range(b):
-                for cj in range(b):
-                    v00 = ext[ci, cj]
-                    v01 = ext[ci, cj + 1]
-                    v10 = ext[ci + 1, cj]
-                    v11 = ext[ci + 1, cj + 1]
-                    if np.isnan(v01) or np.isnan(v10) or np.isnan(v11):
-                        continue  # raster edge: no cell
-                    case = (
-                        (v00 > level)
-                        | ((v01 > level) << 1)
-                        | ((v11 > level) << 2)
-                        | ((v10 > level) << 3)
+            case = (
+                (v00 > level).astype(np.int8)
+                | ((v01 > level).astype(np.int8) << 1)
+                | ((v11 > level).astype(np.int8) << 2)
+                | ((v10 > level).astype(np.int8) << 3)
+            )
+            if not (valid & (case != 0) & (case != 15)).any():
+                continue
+            with np.errstate(divide="ignore", invalid="ignore"):
+                # per-edge crossing parameter; selected edges always
+                # straddle the level (va != vb), unselected edges may
+                # divide by zero harmlessly — exactly the scalar interp
+                edge = {
+                    "T": (xs + (level - v00) / (v01 - v00), ys),
+                    "B": (xs + (level - v10) / (v11 - v10), ys + 1.0),
+                    "L": (xs, ys + (level - v00) / (v10 - v00)),
+                    "R": (xs + 1.0, ys + (level - v01) / (v11 - v01)),
+                }
+            for c, pairs in _CASE_SEGS.items():
+                m = valid & (case == c)
+                if not m.any():
+                    continue
+                for e1, e2 in pairs:
+                    (ax, ay), (bx2, by2) = edge[e1], edge[e2]
+                    chunks.append(
+                        np.column_stack(
+                            [
+                                np.full(int(m.sum()), li, dtype=np.float64),
+                                ax[m], ay[m], bx2[m], by2[m],
+                            ]
+                        )
                     )
-                    if case in (0, 15):
-                        continue
-                    x, y = gx0 + cj, gy0 + ci
-
-                    def interp(va, vb):
-                        # selected edges always straddle the level (va != vb);
-                        # unselected edges may divide by zero harmlessly
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            return (level - va) / (vb - va)
-
-                    top = (x + interp(v00, v01), y)
-                    botm = (x + interp(v10, v11), y + 1)
-                    left = (x, y + interp(v00, v10))
-                    rght = (x + 1, y + interp(v01, v11))
-                    segs = {
-                        1: [(left, top)], 14: [(left, top)],
-                        2: [(top, rght)], 13: [(top, rght)],
-                        4: [(rght, botm)], 11: [(rght, botm)],
-                        8: [(botm, left)], 7: [(botm, left)],
-                        3: [(left, rght)], 12: [(left, rght)],
-                        6: [(top, botm)], 9: [(top, botm)],
-                        5: [(left, botm), (top, rght)],
-                        10: [(left, top), (rght, botm)],
-                    }[int(case)]
-                    for (ax, ay), (bx_, by_) in segs:
-                        rows.append((li, float(ax), float(ay), float(bx_), float(by_)))
+        if not chunks:
+            return pd.DataFrame(
+                {"level_i": [], "x1": [], "y1": [], "x2": [], "y2": []}
+            )
+        allrows = np.concatenate(chunks)
         return pd.DataFrame(
-            rows, columns=["level_i", "x1", "y1", "x2", "y2"]
+            {
+                "level_i": allrows[:, 0].astype(np.int32),
+                "x1": allrows[:, 1],
+                "y1": allrows[:, 2],
+                "x2": allrows[:, 3],
+                "y2": allrows[:, 4],
+            }
         )
 
     return (
