@@ -395,12 +395,25 @@ def xyz_tile(
     z: int,
     nodata: float = float("nan"),
     tile_px: int = 256,
+    base_res: float | None = None,
+    max_level: int = 0,
 ) -> DataFrame:
     """R11: regrid + mosaic onto one XYZ WebMercator tile; PNG/palette
-    encoding (S7/C10) happens at the edge, not in the engine."""
+    encoding (S7/C10) happens at the edge, not in the engine.
+
+    O8 (-ovr AUTO, image.go:402): when ``base_res`` is given and the
+    input carries a ``level`` column, the coarsest overview whose
+    resolution still covers this zoom's output resolution is selected as
+    a driver literal — zoomed-out tiles prune the full-res scan away
+    instead of pooling it down."""
     from geocube_spark.operators.mosaic import mosaic_blocks
+    from geocube_spark.plans.overview import scan_at_overview
 
     (ox, oy), res = xyz_tile_grid(x, y, z, tile_px)
+    if base_res is not None and "level" in tiles_with_time.columns:
+        tiles_with_time, _ = scan_at_overview(
+            tiles_with_time, base_res, res, max_level
+        )
     regridded = regrid_to_grid(
         tiles_with_time, (ox, oy), res, out_block=tile_px, nodata=nodata
     )

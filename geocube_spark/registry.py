@@ -107,6 +107,33 @@ def ensure_consolidated(spark: SparkSession) -> str:
     return out
 
 
+def ensure_pyramided(spark: SparkSession) -> str:
+    """Materialize the Int16 stack's overview pyramid ONCE, partitioned by
+    level (handler_consolidation.go:489-500 levels math): level 0 verbatim
+    plus the AVERAGE level-1 overview, written ``partitionBy("level")`` so
+    the O8 auto-selection literal prunes whole level directories at the
+    scan."""
+    out = os.path.join(FIXTURE_DIR, "pyramid_tiles")
+    if not os.path.exists(out):
+        from geocube_spark.operators.pyramid import build_level
+
+        fd = ensure_fixtures()
+        tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+        datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+        src = tiles.join(
+            datasets.filter(F.col("dmapping.no_data") == -32768.0).select(
+                "container_uri"
+            ),
+            "container_uri",
+            "left_semi",
+        )
+        lvl1 = build_level(src, level=1, alg="AVERAGE", nodata=-32768.0)
+        src.select(*lvl1.columns).unionByName(lvl1).write.mode(
+            "overwrite"
+        ).partitionBy("level").parquet(out)
+    return out
+
+
 # ------------------------------------------------------------ entity mapping
 # TPC-H -> canonical catalog schema, so the driver tables flow through the
 # real plan builders (the relational-correctness harness of FIXTURES.md).
@@ -4130,6 +4157,104 @@ def pyramid_level1(spark, sf_dir):
         F.col("block_x").cast("int").alias("block_x"),
         F.col("block_y").cast("int").alias("block_y"),
         F.round(F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 4).alias("px_sum"),
+    )
+
+
+# O8 automatic overview-level selection (-ovr AUTO, image.go:402): a read
+# requesting 25 m output over a 10 m catalog must hit the level-1 overview
+# (base_res * 2^1 = 20 <= 25 < 40), not the full-res scan.  Spark reads the
+# level-partitioned pyramid store through scan_at_overview — the chosen
+# level is a driver literal, so `level = 1` prunes whole level directories
+# at the scan (asserted in tests/test_plan_quality.py).  The oracle
+# INDEPENDENTLY re-derives the level from the resolutions in SQL
+# (floor(log2(out/base)) clamped) AND re-pools the level-1 pixels from the
+# base tiles (the pyramid_level1 pooling), so a wrong level choice or a
+# wrong materialized overview both hash-mismatch.
+@q(
+    "get_cube_overview_auto",
+    f"""
+    WITH sel AS (
+        SELECT CAST(greatest(0, least(CAST(floor(log2(25.0 / 10.0)) AS INT), 1))
+                    AS INT) AS lvl
+    ),
+    t AS (
+        SELECT ti.* FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') ti
+        JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+          ON ti.container_uri = d.container_uri
+        WHERE ti.level = 0 AND d.dmapping.no_data = -32768.0
+    ),
+    quads AS (
+        SELECT container_uri, band,
+               first(px) FILTER (block_x = 0 AND block_y = 0) AS q0,
+               first(px) FILTER (block_x = 1 AND block_y = 0) AS q1,
+               first(px) FILTER (block_x = 0 AND block_y = 1) AS q2,
+               first(px) FILTER (block_x = 1 AND block_y = 1) AS q3
+        FROM t GROUP BY container_uri, band
+    ),
+    opx AS (
+        SELECT container_uri, band, i.range AS i,
+               (i.range // 64) * 2 AS sr, (i.range % 64) * 2 AS sc
+        FROM quads, range(0, 4096) i
+    ),
+    vals AS (
+        SELECT o.container_uri, o.band, o.i,
+               CASE WHEN o.sr < 64 AND o.sc < 64 THEN
+                   [qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sr < 64 THEN
+                   [qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sc < 64 THEN
+                   [qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               ELSE
+                   [qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               END AS w
+        FROM opx o JOIN quads qq USING (container_uri, band)
+    ),
+    pooled AS (
+        SELECT container_uri, band, i,
+               CASE WHEN len(list_filter(w, v -> v != -32768.0)) = 0
+                    THEN -32768.0
+                    ELSE list_aggregate(list_filter(w, v -> v != -32768.0), 'sum')
+                         / len(list_filter(w, v -> v != -32768.0))
+               END AS v
+        FROM vals
+    )
+    SELECT p.container_uri, p.band, sel.lvl AS level,
+           round(sum(p.v), 4) AS px_sum
+    FROM pooled p, sel
+    GROUP BY p.container_uri, p.band, sel.lvl
+    """,
+)
+def get_cube_overview_auto(spark, sf_dir):
+    from geocube_spark.plans.overview import scan_at_overview
+
+    pyr = ensure_pyramided(spark)
+    store = spark.read.parquet(pyr)
+    pruned, lvl = scan_at_overview(store, base_res=10.0, out_res=25.0, max_level=1)
+    return (
+        pruned.groupBy("container_uri", "band")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 4
+            ).alias("px_sum")
+        )
+        .select(
+            "container_uri",
+            "band",
+            F.lit(lvl).cast("int").alias("level"),
+            "px_sum",
+        )
     )
 
 

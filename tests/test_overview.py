@@ -1,0 +1,55 @@
+"""O8 automatic overview-level selection (image.go:402 -ovr AUTO)."""
+
+from __future__ import annotations
+
+import pytest
+
+from geocube_spark.plans.overview import auto_overview_level, scan_at_overview
+
+
+@pytest.mark.parametrize(
+    "base,out,maxl,want",
+    [
+        (10.0, 10.0, 4, 0),  # native read
+        (10.0, 5.0, 4, 0),  # zoom-in: never upsample an overview
+        (10.0, 19.9, 4, 0),  # not yet coarse enough for level 1
+        (10.0, 20.0, 4, 1),  # exactly 2x -> level 1 (res == requested ok)
+        (10.0, 39.9, 4, 1),
+        (10.0, 40.0, 4, 2),
+        (10.0, 1000.0, 3, 3),  # clamped to the pyramid's top
+        (10.0, 25.0, 0, 0),  # no overviews materialized
+    ],
+)
+def test_auto_overview_level(base, out, maxl, want):
+    assert auto_overview_level(base, out, maxl) == want
+
+
+def test_scan_at_overview_prunes_and_rescales_affine(spark):
+    rows = [
+        (0, 0, 0, [1.0], {"a": 10.0, "b": 0.0, "c": 5.0, "d": 0.0, "e": -10.0, "f": 7.0}),
+        (1, 0, 0, [2.0], {"a": 10.0, "b": 0.0, "c": 5.0, "d": 0.0, "e": -10.0, "f": 7.0}),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "level int, block_x int, block_y int, px array<double>, "
+        "pix_to_crs struct<a double, b double, c double, d double, e double, f double>",
+    )
+    pruned, lvl = scan_at_overview(df, base_res=10.0, out_res=25.0, max_level=1)
+    assert lvl == 1
+    got = pruned.collect()
+    assert len(got) == 1
+    gt = got[0]["pix_to_crs"]
+    # linear part scaled by 2^1, origin unchanged
+    assert (gt["a"], gt["e"]) == (20.0, -20.0)
+    assert (gt["c"], gt["f"]) == (5.0, 7.0)
+
+
+def test_scan_at_overview_native_keeps_affine(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0], {"a": 10.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": -10.0, "f": 0.0})],
+        "level int, px array<double>, "
+        "pix_to_crs struct<a double, b double, c double, d double, e double, f double>",
+    )
+    pruned, lvl = scan_at_overview(df, base_res=10.0, out_res=8.0, max_level=3)
+    assert lvl == 0
+    assert pruned.collect()[0]["pix_to_crs"]["a"] == 10.0

@@ -243,6 +243,18 @@ class TestCatalogHotPathPlans:
         assert "BroadcastNestedLoopJoin" not in phys
         assert "CartesianProduct" not in phys
 
+    def test_overview_auto_level_pruned_at_scan(self, spark):
+        # O8: the auto-selected overview level is a driver literal, so the
+        # level-partitioned pyramid store is pruned to ONE level directory
+        df = self._q(spark, "get_cube_overview_auto")
+        fmt = formatted_plan(df)
+        pf_line = next(
+            line for line in fmt.splitlines() if "PartitionFilters" in line
+        )
+        assert "level" in pf_line and "1" in pf_line
+        # the finer level never reaches the plan: only one level scanned
+        assert "EqualTo(level,0)" not in fmt
+
     def test_mosaic_latest_first_pushdown_and_broadcast(self, spark):
         df = self._q(spark, "mosaic_latest_first")
         fmt = formatted_plan(df)
