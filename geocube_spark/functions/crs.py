@@ -1009,6 +1009,8 @@ _WKT_PARAM_ALIASES = {
 }
 _WKT_WGS84_DATUMS = re.compile(
     r"(?i)wgs[ _]?(19)?84|grs[ _]?(19)?80|etrs[ _]?89|nad[ _]?83"
+    r"|world[ _]?geodetic[ _]?system[ _]?(19)?84"
+    r"|european[ _]?terrestrial[ _]?reference[ _]?system[ _]?(19)?89"
 )
 
 
@@ -1030,7 +1032,20 @@ def _wkt_projcs_from_parameters(s: str) -> int | None:
     fam = _WKT_PROJ_FAMILIES.get(method)
     if fam is None:
         raise CRSError(f"unsupported WKT projection method: {m.group(1)!r}")
-    if not _WKT_WGS84_DATUMS.search(s):
+    # key the compatibility gate on the DATUM/SPHEROID clause NAMES only —
+    # searching the whole WKT lets a non-WGS84 datum (e.g. Bessel 1841)
+    # whose PROJCS name merely contains 'ETRS89'/'NAD83' pass and be
+    # silently constructed on the wrong ellipsoid (~100 m errors); this
+    # mirrors the proj4 path's keyed +datum/+ellps check.
+    clause_names = [
+        cm.group(1)
+        for cm in re.finditer(
+            r'(?i)\b(?:DATUM|GEODETICDATUM|TRF|SPHEROID|ELLIPSOID)'
+            r'\s*\[\s*"([^"]+)"',
+            s,
+        )
+    ]
+    if not any(_WKT_WGS84_DATUMS.search(n) for n in clause_names):
         raise CRSError(
             "WKT base datum is not WGS84/GRS80-compatible; register a "
             "custom transform via register_transform() instead"
@@ -1043,6 +1058,17 @@ def _wkt_projcs_from_parameters(s: str) -> int | None:
         key = _WKT_PARAM_ALIASES.get(_wkt_key(pm.group(1)))
         if key is not None:
             kwargs[key] = float(pm.group(2))
+    if fam == "stere":
+        # GDAL's common WKT1 Polar_Stereographic spelling (variant B)
+        # carries the standard parallel as latitude_of_origin: a lat_0
+        # with |lat| != 90 IS lat_ts, and the pole is inferred from its
+        # hemisphere; likewise an explicit standard parallel without lat_0.
+        lat0 = kwargs.get("lat_0")
+        if lat0 is not None and abs(lat0) != 90.0:
+            kwargs.setdefault("lat_ts", kwargs.pop("lat_0"))
+            kwargs["lat_0"] = math.copysign(90.0, kwargs["lat_ts"])
+        elif lat0 is None and kwargs.get("lat_ts") is not None:
+            kwargs["lat_0"] = math.copysign(90.0, kwargs["lat_ts"])
     return crs_from_parameters(fam, **kwargs)
 
 

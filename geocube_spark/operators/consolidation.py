@@ -52,7 +52,9 @@ def interlacing_sort_columns(pattern: str) -> list[str]:
     return cols
 
 
-def interlacing_sort_exprs(df: DataFrame, pattern: str):
+def interlacing_sort_exprs(
+    df: DataFrame, pattern: str, rank_source: DataFrame | None = None
+):
     """FULL-grammar sort keys for the consolidated-parquet sink: returns
     ``(df_with_keys, sort_column_names)`` realizing conditional per-level
     clauses and value/range selectors (``Z=0>T>R>B;Z=1:>R>T>B``).
@@ -64,7 +66,13 @@ def interlacing_sort_exprs(df: DataFrame, pattern: str):
     own level priority.  R/B selectors index the sorted distinct
     record/band sets — the ranks come from two dim-sized broadcast joins,
     computed only when a selector actually needs them (the 100 TB fact
-    table is never globally windowed)."""
+    table is never globally windowed).
+
+    ``rank_source`` pins the frame the R/B ranks are computed over: under
+    per-cell batching (consolidate_tiles_cancellable) each batch must
+    rank selector indices against the CONTAINER-GLOBAL chronological
+    record/band sets, not the batch's subset — pass the full frame there;
+    defaults to ``df`` itself for single-shot writes."""
     from geocube_spark.operators.interlace import (
         LEVELS,
         parse_interlacing,
@@ -83,10 +91,11 @@ def interlacing_sort_exprs(df: DataFrame, pattern: str):
         or c.selectors["B"].hi is not None
         for c in clauses
     )
+    ranks_over = df if rank_source is None else rank_source
     out = df
     if need_r_idx:
         rdim = (
-            df.select("record_datetime", "record_id")
+            ranks_over.select("record_datetime", "record_id")
             .distinct()
             .withColumn(
                 "_il_ridx",
@@ -99,7 +108,7 @@ def interlacing_sort_exprs(df: DataFrame, pattern: str):
         out = out.join(F.broadcast(rdim), ["record_datetime", "record_id"])
     if need_b_idx:
         bdim = (
-            df.select("band")
+            ranks_over.select("band")
             .distinct()
             .withColumn(
                 "_il_bidx", F.row_number().over(Window.orderBy("band")) - 1
@@ -549,6 +558,7 @@ def consolidate_tiles(
     cell_col: str = "cell_uri",
     spatial_cluster: bool = False,
     mode: str = "overwrite",
+    rank_source: DataFrame | None = None,
 ) -> None:
     """The rewrite job (O12/R7): partition by cell, physically order rows by
     the interlacing pattern, write.  At 100 TB this is the operation that
@@ -576,7 +586,7 @@ def consolidate_tiles(
         # full grammar: conditional clauses / selectors become computed
         # per-row sort keys (clause index + 4 fixed-width level keys)
         keyed, key_cols = interlacing_sort_exprs(
-            tiles_with_time, interlacing_pattern
+            tiles_with_time, interlacing_pattern, rank_source=rank_source
         )
         # the computed keys STAY in the written files (like the z_order
         # column below): dropping them post-sort would leave the writer
@@ -912,6 +922,9 @@ def consolidate_tiles_cancellable(
             staging,
             cell_col=cell_col,
             mode="append",
+            # selector indices (R=0:2 etc.) must resolve against the
+            # container-global record/band chronology, not this batch's
+            rank_source=tiles_with_time,
         )
         if progress is not None:
             progress(bi + 1, len(batches))

@@ -255,7 +255,11 @@ def incremental_dedup(
     vs_corpus = (
         d.join(
             c,
-            (F.col("d.band") == F.col("c.band")) & (F.col("d.key") == F.col("c.key")),
+            (F.col("d.band") == F.col("c.band"))
+            & (F.col("d.key") == F.col("c.key"))
+            # a delta doc already present in the corpus index (replayed
+            # epoch) must not emit a degenerate self-pair (jaccard 1.0)
+            & (F.col("d.doc_id") != F.col("c.doc_id")),
         )
         .select(
             F.least(F.col("d.doc_id"), F.col("c.doc_id")).alias("doc_a"),

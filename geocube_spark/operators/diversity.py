@@ -22,6 +22,8 @@ match exactly.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
@@ -41,6 +43,14 @@ def _vec_lit(vec: list[float]):
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _round_half_up6(x: float) -> float:
+    """round(x, 6) with SQL semantics: half away from zero, applied to the
+    exact binary value of the double (Decimal(float) is lossless)."""
+    return float(
+        Decimal(float(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
 def kcenter_sample(
     spark: SparkSession,
     emb: DataFrame,
@@ -50,8 +60,11 @@ def kcenter_sample(
 ) -> DataFrame:
     """(rank, vec_id, sep_dist): the k chosen centers in selection order;
     ``sep_dist`` is the point's cosine distance to the previously chosen
-    set at selection time (monotone non-increasing — asserted in tests).
-    The last round's maximum is the k-center coverage radius."""
+    set at selection time (monotone non-increasing — asserted in tests),
+    rounded HALF-AWAY-FROM-ZERO (SQL round semantics — Python round() is
+    banker's and would diverge from the DuckDB twin on an exact .5 tie at
+    the 6th decimal).  The last round's maximum is the k-center coverage
+    radius."""
     first = emb.orderBy(id_col).limit(1).collect()[0]
     chosen = [(0, int(first[id_col]), 0.0)]
     cur = emb.select(
@@ -61,7 +74,7 @@ def kcenter_sample(
     ).localCheckpoint()
     for r in range(1, k):
         far = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
-        chosen.append((r, int(far["vec_id"]), round(float(far["mind"]), 6)))
+        chosen.append((r, int(far["vec_id"]), _round_half_up6(far["mind"])))
         cur = cur.select(
             "vec_id",
             "v",

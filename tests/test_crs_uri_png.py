@@ -1062,6 +1062,35 @@ class TestParameterDrivenCRS:
         with pytest.raises(CRSError):
             parse_crs(wkt)
 
+    def test_wkt_datum_gate_keyed_on_clause_not_whole_string(self):
+        # PROJCS NAME contains 'ETRS89' but the base datum is Bessel 1841 —
+        # must raise, not silently construct on the WGS84 ellipsoid
+        wkt = (
+            'PROJCS["ETRS89-lookalike zone",GEOGCS["DHDN",DATUM["Deutsches_'
+            'Hauptdreiecksnetz",SPHEROID["Bessel 1841",6377397.155,'
+            '299.1528128]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Transverse_Mercator"],'
+            'PARAMETER["central_meridian",9],UNIT["metre",1]]'
+        )
+        with pytest.raises(CRSError):
+            parse_crs(wkt)
+
+    def test_wkt1_polar_stereographic_variant_b_gdal_spelling(self):
+        # GDAL's common WKT1 spelling carries the standard parallel as
+        # latitude_of_origin = -71: lat_ts=-71, pole inferred south
+        wkt = (
+            'PROJCS["custom antarctic ps",GEOGCS["WGS 84",DATUM["WGS_1984",'
+            'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Polar_Stereographic"],'
+            'PARAMETER["latitude_of_origin",-71],'
+            'PARAMETER["central_meridian",0],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1]]'
+        )
+        assert parse_crs(wkt) == 3031  # dedupes onto Antarctic PS
+
     def test_wkt_unsupported_method_raises(self):
         wkt = (
             'PROJCS["oblique",GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID'

@@ -66,6 +66,18 @@ def test_incremental_pairs_are_ordered_and_delta_touching(spark):
         assert r.jaccard >= 0.5
 
 
+def test_replayed_delta_doc_emits_no_self_pair(spark):
+    # a delta doc ALREADY in the corpus index (replayed epoch) must not
+    # produce a degenerate (doc_a == doc_b, jaccard 1.0) pair
+    docs = _corpus(spark, BASE)
+    idx = dd.build_minhash_index(docs)  # index includes everything
+    delta = docs.filter(F.col("doc_id") == 0)  # replayed
+    rows = dd.incremental_dedup(idx, delta, docs, threshold=0.5).collect()
+    assert all(r.doc_a != r.doc_b for r in rows)
+    # the genuine near-dups of doc 0 still surface
+    assert {(r.doc_a, r.doc_b) for r in rows} >= {(0, 4)}
+
+
 def test_empty_delta_yields_no_pairs(spark):
     docs = _corpus(spark, BASE)
     idx = dd.build_minhash_index(docs)

@@ -284,3 +284,46 @@ class TestParquetSortTwin:
         pdf = spark.read.parquet(part).toPandas()
         assert list(pdf["record_id"]) == ["rA", "rB"]  # rA selected first
         assert list(pdf["_il_clause"]) == [0, 1]  # rB = fallback clause
+
+    def test_selector_ranks_are_container_global_under_batching(
+        self, spark, tmp_path
+    ):
+        # per-cell batching (batch_cells=1): a cell whose ONLY record is
+        # the chronologically-second must still rank it R-index 1 (global
+        # chronology) -> fallback clause, identical to the one-shot write
+        from pyspark.sql import functions as F
+
+        from geocube_spark.operators.consolidation import (
+            consolidate_tiles,
+            consolidate_tiles_cancellable,
+        )
+
+        rows = [
+            # cellA holds both records; cellB holds ONLY the later record
+            ("cellA", 1, 0, 0, 0, [0.0], "rA", "2024-01-01"),
+            ("cellA", 1, 0, 0, 1, [0.0], "rB", "2024-02-01"),
+            ("cellB", 1, 0, 0, 0, [0.0], "rB", "2024-02-01"),
+        ]
+        tiles = spark.createDataFrame(
+            rows,
+            "cell_uri string, band int, level int, block_x int, block_y int,"
+            " px array<double>, record_id string, record_datetime string",
+        ).withColumn(
+            "record_datetime", F.col("record_datetime").cast("timestamp")
+        )
+        import glob as g
+
+        one = str(tmp_path / "oneshot")
+        consolidate_tiles(tiles, "R=0:1>Z>T>B", one)
+        batched = str(tmp_path / "batched")
+        status = consolidate_tiles_cancellable(
+            tiles, "R=0:1>Z>T>B", batched, job_id="j1",
+            cancel_dir=str(tmp_path / "cancel"), batch_cells=1,
+        )
+        assert status == "DONE"
+        for out in (one, batched):
+            part = sorted(g.glob(f"{out}/cell_uri=cellB/*.parquet"))[0]
+            pdf = spark.read.parquet(part).toPandas()
+            # rB is record index 1 GLOBALLY: not selected by R=0:1 even
+            # though it is cellB's only (hence locally-first) record
+            assert list(pdf["_il_clause"]) == [1]
