@@ -354,7 +354,32 @@ def decode_jpeg(data: bytes, tables: dict | None = None) -> np.ndarray:
     Components are returned in stream order WITHOUT colour conversion —
     callers decide (TIFF photometric 6 means YCbCr: apply
     :func:`ycbcr_to_rgb`).
+
+    Malformed external input (truncated / bit-flipped streams) always
+    raises ``ValueError('corrupt JPEG stream: ...')`` — the decode
+    boundary converts every low-level slip (index/key/overflow/struct
+    errors from garbage headers or entropy data) into the one documented
+    error type, fuzz-asserted in tests/test_jpeg.py.
     """
+    try:
+        return _decode_jpeg_unguarded(data, tables)
+    except ValueError:
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        ZeroDivisionError,
+        StopIteration,
+        MemoryError,
+        struct.error,
+    ) as e:
+        raise ValueError(
+            f"corrupt JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg_unguarded(data: bytes, tables: dict | None) -> np.ndarray:
     t = {
         "qt": dict((tables or {}).get("qt", {})),
         "dc": dict((tables or {}).get("dc", {})),
