@@ -173,7 +173,15 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the shingle sets.
     Returns (doc_a, doc_b, jaccard >= threshold)."""
-    cands = minhash_lsh_candidates(documents, text_col, num_hashes, bands, shingle_k, seed)
+    # Materialize the candidate id pairs (a few longs per near-dup): the
+    # verify stage references this set three times (pairs + both id
+    # projections through the semi-join), and Spark re-plans — and would
+    # re-run the signature + banding self-join — per reference (same
+    # idiom as incremental_dedup; also keeps the final plan O(1) in the
+    # candidate subtree instead of reprinting it five times).
+    cands = minhash_lsh_candidates(
+        documents, text_col, num_hashes, bands, shingle_k, seed
+    ).localCheckpoint()
     # exact-verify shingles are computed ONLY for docs that appear in a
     # candidate pair (a tiny fraction of the corpus): semi-join first
     cand_ids = (

@@ -20,6 +20,25 @@ from pyspark.sql import functions as F
 from geocube_spark.functions.vectors import cosine_expr, dot_expr
 
 
+def with_broadcast_arrays(df: DataFrame, **arrays: list[float]) -> DataFrame:
+    """Attach named double-array constants (query vector, quantizer stats)
+    as a ONE-ROW broadcast relation instead of baked literal arrays: the
+    values ship in the broadcast payload, not the plan string, so plan
+    size stays O(1) in dim — and independent of how many downstream
+    operators reference the arrays (a literal is reprinted at every node).
+    Surfaces as a benign 1-row BroadcastNestedLoopJoin (the exempted
+    pattern in tools/plan_audit.py HARD_RULES_EXEMPT_BNLJ)."""
+    spark = df.sparkSession
+    row = tuple([float(x) for x in v] for v in arrays.values())
+    schema = ", ".join(f"{name} array<double>" for name in arrays)
+    return df.crossJoin(F.broadcast(spark.createDataFrame([row], schema)))
+
+
+def _arr(v) -> Column:
+    """list -> literal array column; Column (broadcast-attached) passthrough."""
+    return v if isinstance(v, Column) else F.array(*[F.lit(float(x)) for x in v])
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -30,16 +49,18 @@ def brute_force_topk(
 ) -> DataFrame:
     """Top-k most similar to one query vector.
 
-    The query vector is a literal array (broadcast into codegen); the plan is
-    scan -> project(score) -> global top-k, which Spark executes as per-
-    partition partial top-k + driver merge — optimal for any table size.
+    The query vector rides a 1-row broadcast relation (plan size O(1) in
+    dim — see with_broadcast_arrays); the plan is scan -> project(score)
+    -> global top-k, which Spark executes as per-partition partial top-k
+    + driver merge — optimal for any table size.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    attached = with_broadcast_arrays(embeddings, _qv=query_vec)
+    q = F.col("_qv")
     score = (
         cosine_expr(F.col(vec_col), q) if metric == "cosine" else dot_expr(F.col(vec_col), q)
     )
     return (
-        embeddings.select(F.col(id_col), score.alias("score"))
+        attached.select(F.col(id_col), score.alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -57,10 +78,10 @@ def matryoshka_candidates(
     Matryoshka prefilter stage (per-partition partial top-n, no corpus
     shuffle; reads a prefix_dim/dim fraction of the vector bytes when
     embeddings are stored dimension-chunked)."""
-    prefix_q = F.array(*[F.lit(float(x)) for x in query_vec[:prefix_dim]])
+    prefix_q = F.col("_qp")
     prefix = F.slice(F.col(vec_col), 1, prefix_dim)
     return (
-        embeddings.select(
+        with_broadcast_arrays(embeddings, _qp=query_vec[:prefix_dim]).select(
             F.col(id_col), cosine_expr(prefix, prefix_q).alias("approx_score")
         )
         .orderBy(F.col("approx_score").desc(), F.col(id_col))
@@ -92,9 +113,12 @@ def matryoshka_topk(
     candidates = matryoshka_candidates(
         embeddings, query_vec, expand * k, prefix_dim, vec_col, id_col
     ).select(id_col)
-    full_q = F.array(*[F.lit(float(x)) for x in query_vec])
-    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
-        F.col(id_col), cosine_expr(F.col(vec_col), full_q).alias("score")
+    rescored = (
+        with_broadcast_arrays(embeddings, _qv=query_vec)
+        .join(F.broadcast(candidates), id_col)
+        .select(
+            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
+        )
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -134,8 +158,8 @@ def sq8_quantize(
     persisted element is truly ONE byte.  Pure JVM transform (no UDF); at
     100 TB this is the column you PERSIST — 4x smaller than float32, 8x
     smaller than float64, so the ANN scan reads a quarter of the bytes."""
-    mins_arr = F.array(*[F.lit(m) for m in mins])
-    scales_arr = F.array(*[F.lit(sc) for sc in scales])
+    mins_arr = _arr(mins)
+    scales_arr = _arr(scales)
     idx = F.transform(F.col(vec_col), lambda _x, i: i + 1)
     codes = F.zip_with(
         F.col(vec_col),
@@ -161,8 +185,8 @@ def sq8_dequant_expr(
     code_col: Column, mins: list[float], scales: list[float]
 ) -> Column:
     """Reconstruct approximate doubles from codes: x̂_i = min_i + c_i·scale_i."""
-    mins_arr = F.array(*[F.lit(m) for m in mins])
-    scales_arr = F.array(*[F.lit(sc) for sc in scales])
+    mins_arr = _arr(mins)
+    scales_arr = _arr(scales)
     idx = F.transform(code_col, lambda _x, i: i + 1)
     return F.zip_with(
         code_col,
@@ -195,17 +219,29 @@ def sq8_topk(
     """
     dim = len(query_vec)
     mins, scales = sq8_stats(embeddings, dim, vec_col)
-    coded = sq8_quantize(embeddings, mins, scales, vec_col)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    approx = cosine_expr(sq8_dequant_expr(F.col("codes"), mins, scales), qv)
+    # stats + query vector ride ONE 1-row broadcast relation: plan size is
+    # O(1) in dim where the literal form reprinted 4 dim-length arrays at
+    # every operator (17 KB of plan at dim=64)
+    attached = with_broadcast_arrays(
+        embeddings, _mins=mins, _scales=scales, _qv=query_vec
+    )
+    coded = sq8_quantize(attached, F.col("_mins"), F.col("_scales"), vec_col)
+    approx = cosine_expr(
+        sq8_dequant_expr(F.col("codes"), F.col("_mins"), F.col("_scales")),
+        F.col("_qv"),
+    )
     candidates = (
         coded.select(F.col(id_col), approx.alias("approx_score"))
         .orderBy(F.col("approx_score").desc(), F.col(id_col))
         .limit(expand * k)
         .select(id_col)
     )
-    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
-        F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("score")
+    rescored = (
+        with_broadcast_arrays(embeddings, _qv=query_vec)
+        .join(F.broadcast(candidates), id_col)
+        .select(
+            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
+        )
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -427,9 +463,12 @@ def pq_topk(
         .limit(expand * k)
         .select(id_col)
     )
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
-        F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("score")
+    rescored = (
+        with_broadcast_arrays(embeddings, _qv=query_vec)
+        .join(F.broadcast(candidates), id_col)
+        .select(
+            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
+        )
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -481,9 +520,12 @@ def ivfpq_topk(
         .limit(expand * k)
         .select(id_col)
     )
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    rescored = embeddings.join(F.broadcast(candidates), id_col).select(
-        F.col(id_col), cosine_expr(F.col(vec_col), qv).alias("score")
+    rescored = (
+        with_broadcast_arrays(embeddings, _qv=query_vec)
+        .join(F.broadcast(candidates), id_col)
+        .select(
+            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
+        )
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -534,6 +576,33 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+# above this many baked plane coefficients the literal expression bloats
+# the plan (bits x dim doubles reprinted at every node) — switch to the
+# closure-shipped Arrow UDF, same guard idea as _PQ_LITERAL_LUT_MAX
+_LSH_LITERAL_PLANES_MAX = 128
+
+
+def lsh_bucket_udf(planes: list[list[float]]):
+    """Sign-projection bucket id via a vectorized Arrow UDF that CLOSES
+    OVER the plane matrix (broadcast-by-value, one numpy GEMM per batch) —
+    plan size O(1) in bits*dim where the literal expr bakes every
+    coefficient.  Same closure-shipping pattern as ivf_assign_udf."""
+    from pyspark.sql.types import LongType
+
+    P = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)  # (d, bits)
+    weights = (np.int64(1) << np.arange(P.shape[1], dtype=np.int64))
+
+    @F.pandas_udf(LongType())
+    def bucket(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        bits = (mat @ P) >= 0.0
+        return pd.Series((bits * weights).sum(axis=1))
+
+    return bucket
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -556,11 +625,16 @@ def lsh_topk(
             qbucket |= 1 << i
     probe = [b for b in range(1 << bits) if bin(b ^ qbucket).count("1") <= multiprobe_hamming]
 
-    bucketed = embeddings.withColumn("_bucket", lsh_bucket_expr(F.col(vec_col), planes))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    if bits * dim > _LSH_LITERAL_PLANES_MAX:
+        bucket_col = lsh_bucket_udf(planes)(F.col(vec_col))
+    else:
+        bucket_col = lsh_bucket_expr(F.col(vec_col), planes)
+    bucketed = with_broadcast_arrays(
+        embeddings.withColumn("_bucket", bucket_col), _qv=query_vec
+    )
     return (
         bucketed.filter(F.col("_bucket").isin(probe))
-        .select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -668,13 +742,15 @@ def ivf_topk(
     d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
 
-    assigned = embeddings.withColumn(
-        "_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+    assigned = with_broadcast_arrays(
+        embeddings.withColumn(
+            "_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
+        ),
+        _qv=query_vec,
     )
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         assigned.filter(F.col("_cluster").isin(probe))
-        .select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        .select(F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )
@@ -1089,10 +1165,12 @@ def ivf_topk_indexed(
     probed ``cluster=N`` directories + per-partition partial top-k."""
     probe = probe_clusters(ivf_load_centroids(index_path), query_vec, nprobe)
 
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = spark.read.parquet(index_path).filter(F.col("cluster").isin(probe))
+    df = with_broadcast_arrays(
+        spark.read.parquet(index_path).filter(F.col("cluster").isin(probe)),
+        _qv=query_vec,
+    )
     return (
-        df.select(F.col(id_col), cosine_expr(F.col(vec_col), qcol).alias("score"))
+        df.select(F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col))
         .limit(k)
     )

@@ -2628,9 +2628,9 @@ def embedding_lsh_topk(spark, sf_dir):
     # wrong score on a non-top hit would still be caught; all three checks
     # hang off ONE pass over the lsh result (left-join flags), so the ANN
     # probe and the exact ranking each execute once
-    corpus_scores = emb.select(
+    corpus_scores = sim.with_broadcast_arrays(emb, _qv=qv).select(
         "vec_id",
-        F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
+        F.round(cosine_expr(F.col("embedding"), F.col("_qv")), 6).alias("score"),
     )
     flagged = lsh.join(
         corpus_scores.withColumn("_m", F.lit(1)), ["vec_id", "score"], "left"
@@ -2717,9 +2717,9 @@ def embedding_ivf_topk(spark, sf_dir):
         "vec_id", F.round("score", 6).alias("score")
     )
     exact_all = sim.brute_force_topk(emb, qv, k=20)
-    corpus_scores = emb.select(
+    corpus_scores = sim.with_broadcast_arrays(emb, _qv=qv).select(
         "vec_id",
-        F.round(cosine_expr(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])), 6).alias("score"),
+        F.round(cosine_expr(F.col("embedding"), F.col("_qv")), 6).alias("score"),
     )
     flagged = ivf.join(
         corpus_scores.withColumn("_m", F.lit(1)), ["vec_id", "score"], "left"
@@ -2761,14 +2761,9 @@ def embedding_ivfpq_topk(spark, sf_dir):
         emb, qv, k=20, n_clusters=8, nprobe=3, m=32, ks=64, expand=8
     ).select("vec_id", F.round("score", 6).alias("score"))
     exact_all = sim.brute_force_topk(emb, qv, k=20)
-    corpus_scores = emb.select(
+    corpus_scores = sim.with_broadcast_arrays(emb, _qv=qv).select(
         "vec_id",
-        F.round(
-            cosine_expr(
-                F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv])
-            ),
-            6,
-        ).alias("score"),
+        F.round(cosine_expr(F.col("embedding"), F.col("_qv")), 6).alias("score"),
     )
     flagged = out.join(
         corpus_scores.withColumn("_m", F.lit(1)), ["vec_id", "score"], "left"

@@ -225,7 +225,9 @@ class TestProductQuantization:
         out = sim.pq_topk(emb, q, k=10, m=8, ks=16, expand=4)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
-        assert "BroadcastNestedLoopJoin" not in plan
+        # the ONLY BNLJ allowed is the benign 1-row query-vector attach
+        # (with_broadcast_arrays); candidate ids must broadcast-HASH-join
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
         assert "CartesianProduct" not in plan
 
     def test_guards(self, emb):

@@ -40,6 +40,17 @@ HARD_RULES_EXEMPT_BNLJ = {
     # plan: each round is materialized by an eager localCheckpoint, so the
     # final plan is TakeOrdered over checkpointed vocab scans — no BNLJ)
     "embedding_topk",          # 1-row query-vector cross join
+    # the whole ANN family routes constants (query vector / SQ8 stats)
+    # through similarity.with_broadcast_arrays — a 1-row broadcast
+    # relation instead of dim-length literals reprinted at every node
+    "embedding_sq8_topk",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "embedding_ivf_indexed",
+    "embedding_ivf_append",
+    "embedding_pq_topk",
+    "embedding_ivfpq_topk",
+    "embedding_matryoshka_recall",
     "hard_negative_mining",    # bounded anchor-batch broadcast θ-join
     "tidy_db_counts",          # scalar table-count union
     "tpch_q22",                # 1-row avg-balance threshold broadcast
@@ -69,7 +80,12 @@ HARD_RULES_EXEMPT_BNLJ = {
 # entirely at production constants — a model/matrix belongs in a closure or
 # broadcast var, not in the plan.  64 KB is ~6× the largest legitimate plan
 # in the repo (LSH plane literals at bits=8, dim=32).
-PLAN_SIZE_CAP_KB = 64
+# Constants (query vectors, quantizer stats, LSH planes, ADC LUTs) must
+# ride broadcasts/closures, never the plan string — the ANN family is all
+# < 10 KB now.  What legitimately remains above 10 KB is STRUCTURAL depth
+# (unrolled iterative rounds, multi-stage join trees like tpch_q2), capped
+# here; flow_accumulation's lazy round chain is the known 31.5 KB maximum.
+PLAN_SIZE_CAP_KB = 32
 
 
 def audit_plan(plan: str) -> dict:
