@@ -1663,3 +1663,97 @@ def snap_transform(
     w_blocks = math.ceil((xmax - ox) / step)
     h_blocks = math.ceil((oy - ymin) / step)
     return ox, oy, w_blocks * block, h_blocks * block
+
+
+# ----------------------------------------------- grid-based datum shifts
+#
+# NTv2-style correction grids (the mechanism PROJ's +nadgrids/NTv2 files
+# implement; the reference honors them through PROJ —
+# /root/reference/internal/utils/proj/proj.go:47-73): a geographic
+# lat/lon lattice of per-node (dlon, dlat) arc-second corrections,
+# bilinearly interpolated at the query point and ADDED to go from the
+# shifted datum to the base datum.  OSGB36/NAD27-class users need this —
+# Helmert alone leaves metre-level residuals that only the empirical grid
+# absorbs.  Registered through the same plugin registry as every other
+# transform (register_transform), so regrid/warp pick it up untouched.
+
+
+class ShiftGrid:
+    """Uniform geographic lattice of arc-second corrections.
+
+    ``dlon_sec``/``dlat_sec`` are (nrows, ncols) arrays; node (r, c) sits
+    at (lon0 + c*step, lat0 + r*step).  Points outside the lattice get
+    ZERO shift (GDAL/PROJ NTv2 fallback semantics: no coverage, no
+    correction)."""
+
+    def __init__(
+        self,
+        lon0: float,
+        lat0: float,
+        step: float,
+        dlon_sec: np.ndarray,
+        dlat_sec: np.ndarray,
+    ):
+        self.lon0 = float(lon0)
+        self.lat0 = float(lat0)
+        self.step = float(step)
+        self.dlon_sec = np.asarray(dlon_sec, dtype=np.float64)
+        self.dlat_sec = np.asarray(dlat_sec, dtype=np.float64)
+        if self.dlon_sec.shape != self.dlat_sec.shape:
+            raise CRSError("gridshift: dlon/dlat lattices differ in shape")
+
+    def shift_degrees(
+        self, lon: np.ndarray, lat: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Bilinear (dlon_deg, dlat_deg) at each point; zero off-grid."""
+        nrows, ncols = self.dlon_sec.shape
+        u = (lon - self.lon0) / self.step
+        v = (lat - self.lat0) / self.step
+        inside = (u >= 0) & (u <= ncols - 1) & (v >= 0) & (v <= nrows - 1)
+        # clamp so the gather below is always in-bounds; 'inside' zeroes
+        # the result for clamped points afterwards
+        c0 = np.clip(np.floor(u), 0, ncols - 2).astype(np.int64)
+        r0 = np.clip(np.floor(v), 0, nrows - 2).astype(np.int64)
+        fu = u - c0
+        fv = v - r0
+        w00 = (1.0 - fu) * (1.0 - fv)
+        w10 = fu * (1.0 - fv)
+        w01 = (1.0 - fu) * fv
+        w11 = fu * fv
+
+        def interp(g: np.ndarray) -> np.ndarray:
+            val = (
+                g[r0, c0] * w00
+                + g[r0, c0 + 1] * w10
+                + g[r0 + 1, c0] * w01
+                + g[r0 + 1, c0 + 1] * w11
+            )
+            return np.where(inside, val, 0.0)
+
+        return interp(self.dlon_sec) / 3600.0, interp(self.dlat_sec) / 3600.0
+
+
+def register_gridshift_transform(
+    shifted_srid: int, base_srid: int, grid: ShiftGrid, iterations: int = 4
+) -> None:
+    """Register shifted-datum-geographic <-> base-geographic transforms.
+
+    Forward (shifted -> base) is the direct NTv2 application: add the
+    interpolated correction.  Inverse (base -> shifted) is the standard
+    fixed-point iteration (PROJ's nadcon/ntv2 inverse): p <- target -
+    shift(p), which converges to ~1e-12 deg in a handful of rounds for
+    arc-second-scale smooth grids."""
+
+    def fwd(xs: np.ndarray, ys: np.ndarray):
+        dlon, dlat = grid.shift_degrees(xs, ys)
+        return xs + dlon, ys + dlat
+
+    def inv(xs: np.ndarray, ys: np.ndarray):
+        px, py = np.array(xs, dtype=np.float64), np.array(ys, dtype=np.float64)
+        for _ in range(iterations):
+            dlon, dlat = grid.shift_degrees(px, py)
+            px, py = xs - dlon, ys - dlat
+        return px, py
+
+    register_transform(shifted_srid, base_srid, fwd)
+    register_transform(base_srid, shifted_srid, inv)

@@ -6746,6 +6746,114 @@ def warp_cross_crs_laea(spark, sf_dir):
     )
 
 
+# Grid-based datum shift under warp (C6 depth: PROJ +nadgrids/NTv2 —
+# /root/reference/internal/utils/proj/proj.go:47-73): SRID 904801 is a
+# geographic CRS on a datum offset from WGS84 by a synthetic NTv2-style
+# arc-second correction lattice (16x16 nodes, 0.25-deg step, closed-form
+# integer node values so DuckDB re-derives every node).  The 4326 fixture
+# raster NEAR-warps onto a 904801 grid through the plugin-registered
+# grid transform; the oracle re-implements the bilinear lattice lookup +
+# shift + inverse affine analytically.  Shift magnitudes (<= 5 arcsec)
+# are provably below the 28.125-arcsec minimum that could land a shifted
+# pixel center on a floor() boundary, so the indices are bit-exact.
+@q(
+    "warp_cross_crs_gridshift",
+    """
+    WITH cells AS (
+        SELECT obx.range AS obx, oby.range AS oby, i.range AS idx
+        FROM range(0, 2) obx, range(0, 2) oby, range(0, 4096) i
+    ),
+    pt AS (
+        SELECT obx, oby, idx,
+               0.0 + (obx*64 + (idx % 64) + 0.5) * 0.015625 AS lon,
+               50.0 - (oby*64 + (idx // 64) + 0.5) * 0.015625 AS lat
+        FROM cells
+    ),
+    uv AS (
+        SELECT obx, oby, idx, lon, lat,
+               (lon - (-0.5)) / 0.25 AS u,
+               (lat - 47.5) / 0.25 AS v
+        FROM pt
+    ),
+    cell AS (
+        SELECT obx, oby, idx, lon, lat,
+               CAST(floor(u) AS BIGINT) AS c0, CAST(floor(v) AS BIGINT) AS r0,
+               u - floor(u) AS fu, v - floor(v) AS fv
+        FROM uv
+    ),
+    sh AS (
+        SELECT obx, oby, idx, lon, lat,
+               (((7*c0 + 2*r0) % 9) - 4) * ((1 - fu) * (1 - fv))
+             + (((7*(c0+1) + 2*r0) % 9) - 4) * (fu * (1 - fv))
+             + (((7*c0 + 2*(r0+1)) % 9) - 4) * ((1 - fu) * fv)
+             + (((7*(c0+1) + 2*(r0+1)) % 9) - 4) * (fu * fv) AS dlon_sec,
+               (((3*c0 + 5*r0) % 11) - 5) * ((1 - fu) * (1 - fv))
+             + (((3*(c0+1) + 5*r0) % 11) - 5) * (fu * (1 - fv))
+             + (((3*c0 + 5*(r0+1)) % 11) - 5) * ((1 - fu) * fv)
+             + (((3*(c0+1) + 5*(r0+1)) % 11) - 5) * (fu * fv) AS dlat_sec
+        FROM cell
+    ),
+    src AS (
+        SELECT obx, oby,
+               CAST(floor((lon + dlon_sec / 3600.0) / 0.015625) AS BIGINT) AS ix,
+               CAST(floor((50.0 - (lat + dlat_sec / 3600.0)) / 0.015625) AS BIGINT) AS iy
+        FROM sh
+    ),
+    v AS (
+        SELECT obx, oby,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) ELSE -1.0 END AS val
+        FROM src
+    )
+    SELECT obx AS out_block_x, oby AS out_block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val != -1.0) AS BIGINT) AS n_valid
+    FROM v GROUP BY 1, 2
+    HAVING n_valid > 0
+    """,
+)
+def warp_cross_crs_gridshift(spark, sf_dir):
+    import numpy as np
+
+    from geocube_spark.functions.crs import (
+        ShiftGrid,
+        register_gridshift_transform,
+    )
+    from geocube_spark.operators.regrid import regrid_to_grid
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    r, c = np.mgrid[0:16, 0:16]
+    grid = ShiftGrid(
+        lon0=-0.5, lat0=47.5, step=0.25,
+        dlon_sec=(7 * c + 2 * r) % 9 - 4,
+        dlat_sec=(3 * c + 5 * r) % 11 - 5,
+    )
+    register_gridshift_transform(904801, 4326, grid)
+    out = regrid_to_grid(
+        tiles,
+        out_origin=(0.0, 50.0),
+        out_res=0.015625,
+        out_block=64,
+        nodata=-1.0,
+        resampling="NEAR",
+        src_srid=4326,
+        dst_srid=904801,
+    )
+    return (
+        out.groupBy("out_block_x", "out_block_y")
+        .agg(
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 6
+            ).alias("px_sum"),
+            F.sum(F.size(F.filter("px", lambda v: v != -1.0)))
+            .cast("long")
+            .alias("n_valid"),
+        )
+        .filter(F.col("n_valid") > 0)
+    )
+
+
 # R2/R3 area-weighted pooling UNDER a cross-CRS warp (GDAL `-r average/
 # med/mode` during reprojection — image.go:396-408 applies the
 # variable.go:18-61 enum to the warp, not just the aligned pyramid).  The

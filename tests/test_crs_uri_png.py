@@ -1138,3 +1138,59 @@ class TestParameterDrivenCRS:
 
         got = cell_area(40.0) / cell_area(60.0)
         assert abs(got - true_ratio(40.0, 60.0)) < 1e-6
+
+
+class TestGridShiftTransforms:
+    """NTv2-style correction lattices (proj.go:47-73 parity surface)."""
+
+    def _grid(self):
+        import numpy as np
+
+        from geocube_spark.functions.crs import ShiftGrid
+
+        r, c = np.mgrid[0:16, 0:16]
+        return ShiftGrid(
+            lon0=-0.5, lat0=47.5, step=0.25,
+            dlon_sec=(7 * c + 2 * r) % 9 - 4,
+            dlat_sec=(3 * c + 5 * r) % 11 - 5,
+        )
+
+    def test_node_values_exact(self):
+        import numpy as np
+
+        g = self._grid()
+        # at a lattice node the bilinear collapses to the node value
+        lon = np.array([-0.5 + 3 * 0.25])  # c=3
+        lat = np.array([47.5 + 2 * 0.25])  # r=2
+        dlon, dlat = g.shift_degrees(lon, lat)
+        assert dlon[0] * 3600 == (7 * 3 + 2 * 2) % 9 - 4
+        assert dlat[0] * 3600 == (3 * 3 + 5 * 2) % 11 - 5
+
+    def test_off_grid_zero_shift(self):
+        import numpy as np
+
+        g = self._grid()
+        dlon, dlat = g.shift_degrees(np.array([100.0]), np.array([0.0]))
+        assert dlon[0] == 0.0 and dlat[0] == 0.0
+
+    def test_registered_roundtrip(self):
+        import numpy as np
+
+        from geocube_spark.functions.crs import (
+            register_gridshift_transform,
+            transform_points,
+        )
+
+        register_gridshift_transform(904801, 4326, self._grid())
+        lon = np.linspace(0.05, 1.95, 23)
+        lat = np.linspace(48.1, 49.9, 23)
+        bx, by = transform_points(904801, 4326, lon, lat)
+        # shifts applied and bounded by the 5-arcsec lattice amplitude
+        assert np.all(np.abs(bx - lon) <= 5.0 / 3600 + 1e-12)
+        assert np.any(bx != lon)
+        # inverse (fixed-point) recovers the shifted-datum coords
+        ix, iy = transform_points(4326, 904801, bx, by)
+        # ~1e-9 deg = 0.1 mm — far inside any correction grid's own
+        # accuracy; the fixed-point contraction rate is the shift gradient
+        assert np.max(np.abs(ix - lon)) < 1e-9
+        assert np.max(np.abs(iy - lat)) < 1e-9
