@@ -644,6 +644,7 @@ def consolidate_to_mucog(
     compression: str = "deflate",
     nodata: float | None = None,
     tile_order: str = "block",
+    alpha_band: bool = False,
 ) -> DataFrame:
     """S5/S6 as REAL bytes: build one (Mu)COG GeoTIFF per output container
     from the tile table (``sources/gtiff.py`` — pure-stdlib TIFF 6.0 +
@@ -767,9 +768,32 @@ def consolidate_to_mucog(
                 # only levels >= 1 (no full-res rows) would otherwise have
                 # every transform under-scaled by 2^min_lvl.
                 s = float(2 ** int(lvl))
+                if alpha_band:
+                    # explicit validity mask as the last band (ExtraSamples
+                    # unassociated alpha) — what the reference's
+                    # consolidation emits so GDAL-side consumers keep the
+                    # nodata semantics after any format hop
+                    # (handler_consolidation_test.go:16-178).  Opaque value
+                    # = dtype max for integers, 255 for floats (GDAL
+                    # convention); a pixel is opaque when ANY band is valid.
+                    if nodata is None:
+                        invalid = np.zeros(arr.shape[1:], dtype=bool)
+                    elif np.isnan(nodata):
+                        invalid = np.isnan(arr).all(axis=0)
+                    else:
+                        invalid = (arr == nodata).all(axis=0)
+                    opaque = (
+                        np.iinfo(arr.dtype).max
+                        if np.issubdtype(arr.dtype, np.integer)
+                        else 255.0
+                    )
+                    arr = np.concatenate(
+                        [arr, np.where(invalid, 0, opaque)[None].astype(arr.dtype)]
+                    )
                 images.append(
                     RasterImage(
                         bands=arr,
+                        alpha=alpha_band,
                         transform=(
                             tr["a"] * s, tr["b"] * s,
                             tr["c"] + bx0 * n * tr["a"] * s,

@@ -46,6 +46,7 @@ _TILE_LENGTH = 323
 _PREDICTOR = 317  # 1 = none, 2 = horizontal differencing
 _TILE_OFFSETS = 324
 _TILE_BYTE_COUNTS = 325
+_EXTRA_SAMPLES = 338  # 2 = unassociated alpha (the GDAL alpha-band tag)
 _SAMPLE_FORMAT = 339  # 1 = uint, 2 = int, 3 = ieeefp, 6 = complex ieeefp
 _JPEG_TABLES = 347  # abbreviated DQT/DHT stream shared by all JPEG tiles
 _MODEL_PIXEL_SCALE = 33550
@@ -97,6 +98,7 @@ class RasterImage:
     epsg: int = 0
     nodata: float | None = None
     subfile_type: int = 0  # 0 full-res, 1 reduced (overview)
+    alpha: bool = False  # last band is an unassociated alpha/validity mask
 
     def __post_init__(self):
         if self.bands.ndim == 2:
@@ -540,6 +542,12 @@ def write_tiff(
         )
         gk = _geokeys(img)
         entries.append((_GEO_KEY_DIRECTORY, _T_SHORT, len(gk), _pack_array(_T_SHORT, gk)))
+        if img.alpha:
+            # ExtraSamples: the last sample is unassociated alpha — what
+            # GDAL writes for an explicit nodata-mask band (the reference's
+            # consolidation emits this band,
+            # handler_consolidation_test.go:16-178 "bands incl. alpha")
+            entries.append((_EXTRA_SAMPLES, _T_SHORT, 1, _pack_array(_T_SHORT, [2])))
         if img.nodata is not None:
             nd = _pack_array(_T_ASCII, repr(img.nodata))
             entries.append((_GDAL_NODATA, _T_ASCII, len(nd), nd))
@@ -688,6 +696,7 @@ class TiffImage:
     tile_width: int = 0
     tile_height: int = 0
     planar: int = 1  # TIFF PlanarConfiguration: 1 chunky, 2 per-band planes
+    alpha: bool = False  # ExtraSamples marks the last band as alpha
 
 
 def _tiff_version(data: bytes) -> bool:
@@ -865,6 +874,9 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                 tile_width=tw,
                 tile_height=th,
                 planar=planar,
+                alpha=any(
+                    v in (1, 2) for v in tags.get(_EXTRA_SAMPLES, [])
+                ),
             )
         )
     return images

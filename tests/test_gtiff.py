@@ -167,6 +167,96 @@ class TestOverviewTransformScale:
         assert sorted(im.transform[0] for im in images) == [20.0, 40.0]
 
 
+class TestAlphaMaskBand:
+    """Reference parity: consolidation writes an explicit alpha band for
+    nodata masking (handler_consolidation_test.go:16-178, 'bands incl.
+    alpha') — mask must equal the validity of the nodata semantics."""
+
+    def test_writer_reader_extrasamples_roundtrip(self):
+        arr = np.array(
+            [[[5, 0], [7, 9]], [[255, 0], [255, 255]]], dtype="uint8"
+        )
+        img = RasterImage(
+            bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0), alpha=True
+        )
+        [out] = read_tiff(write_tiff([img], tile_size=(2, 2), compression="none"))
+        assert out.alpha is True
+        np.testing.assert_array_equal(out.bands, arr)
+        # a plain image carries no ExtraSamples
+        [plain] = read_tiff(
+            write_tiff(
+                [RasterImage(bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0))],
+                tile_size=(2, 2),
+            )
+        )
+        assert plain.alpha is False
+
+    def test_consolidated_alpha_equals_validity(self, spark):
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        n = 8
+        px = [float(i % 5) for i in range(n * n)]  # zeros = nodata holes
+        tiles = spark.createDataFrame(
+            [
+                {
+                    "out_container_uri": "c.tif",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": 0,
+                    "block_y": 0,
+                    "px": px,
+                    "pix_to_crs": {
+                        "a": 10.0, "b": 0.0, "c": 100.0,
+                        "d": 0.0, "e": -10.0, "f": 200.0,
+                    },
+                    "crs_srid": 32631,
+                }
+            ]
+        )
+        out = consolidate_to_mucog(
+            tiles, dtype="uint8", nodata=0.0, alpha_band=True
+        ).collect()
+        [img] = read_tiff(bytes(out[0]["tiff"]))
+        assert img.alpha is True
+        assert img.bands.shape[0] == 2  # data + alpha
+        data, alpha = img.bands[0], img.bands[1]
+        want = np.array(px, dtype="uint8").reshape(n, n)
+        np.testing.assert_array_equal(data, want)
+        # mask == validity of the nodata semantics, opaque = dtype max
+        np.testing.assert_array_equal(alpha != 0, want != 0)
+        assert set(np.unique(alpha)) <= {0, 255}
+
+    def test_float_nan_nodata_alpha(self, spark):
+        from geocube_spark.operators.consolidation import consolidate_to_mucog
+
+        n = 4
+        px = [float("nan") if i % 3 == 0 else float(i) for i in range(n * n)]
+        tiles = spark.createDataFrame(
+            [
+                {
+                    "out_container_uri": "f.tif",
+                    "band": 1,
+                    "level": 0,
+                    "block_x": 0,
+                    "block_y": 0,
+                    "px": px,
+                    "pix_to_crs": {
+                        "a": 1.0, "b": 0.0, "c": 0.0,
+                        "d": 0.0, "e": -1.0, "f": 0.0,
+                    },
+                    "crs_srid": 4326,
+                }
+            ]
+        )
+        out = consolidate_to_mucog(
+            tiles, dtype="float64", nodata=float("nan"), alpha_band=True
+        ).collect()
+        [img] = read_tiff(bytes(out[0]["tiff"]))
+        alpha = img.bands[1]
+        valid = ~np.isnan(np.array(px).reshape(n, n))
+        np.testing.assert_array_equal(alpha == 255.0, valid)
+
+
 class TestExternalCOGIngest:
     def test_tile_rows_roundtrip(self):
         img = _img(dtype="uint16", w=64, h=64)
