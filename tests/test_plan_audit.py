@@ -74,3 +74,26 @@ def test_exemption_list_is_not_stale(plans):
             f"exempt query {name} no longer uses a BNLJ — remove it from "
             "HARD_RULES_EXEMPT_BNLJ"
         )
+
+
+def test_plans_md_row_count_matches_registry():
+    """The committed PLANS.md inventory must cover EVERY registered query —
+    a late-round query without an audit row means the end-of-round
+    `plan_audit.py --write-md` regen was skipped (round-6 verdict: 175
+    rows vs 190 queries)."""
+    import re
+
+    from geocube_spark import registry
+
+    with open("/root/repo/PLANS.md") as f:
+        names = {
+            m.group(1)
+            for line in f
+            if (m := re.match(r"\| (\w+) \|", line)) and m.group(1) != "query"
+        }
+    registered = set(registry.queries())
+    assert names == registered, (
+        f"PLANS.md is stale: missing {sorted(registered - names)[:5]}..., "
+        f"extra {sorted(names - registered)[:5]} — regenerate with "
+        "`python tools/plan_audit.py /root/testdata/sf0.001 --write-md`"
+    )
