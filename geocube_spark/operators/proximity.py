@@ -8,22 +8,23 @@ image.go` produces the tiles; proximity is computed client-side today —
 here it is pushed into the engine as one declarative plan).
 
 Plan shape (and why it scales):
-- targets are extracted per block with a JVM higher-order filter — one
-  narrow pass, O(targets) rows out, pixels never explode;
-- each target replicates to the blocks whose max-dist halo can see it
+- pass 1 (narrow, no shuffle): each block packs its target pixels into a
+  BITMAP (``np.packbits`` — block_px/8 bytes, 512 B for a 64² block)
+  inside one ``mapInPandas`` over the tile rows;
+- each bitmap replicates to the blocks whose max-dist halo can see it
   (``ring = ceil(max_dist / block)`` — a 3x3 neighborhood for the
-  common max_dist <= block case), then ONE hash shuffle groups targets
-  per block: the same bounded-halo exchange as the focal operators,
-  shuffle volume O(targets * ring^2), never O(pixels);
+  common max_dist <= block case), then ONE hash shuffle groups bitmaps
+  per block.  Shuffle volume is O(blocks * ring² * block_px/8) BYTES —
+  independent of target density.  The previous design shuffled one
+  (long, long) row per replicated target: ~160x more bytes on a dense
+  mask (distance-to-water on a coastline), and O(pixels) rows at worst;
 - per block, an exact squared-distance Euclidean distance transform
   (Felzenszwalb & Huttenlocher, "Distance Transforms of Sampled
-  Functions", Theory of Computing 2012) runs over the block+halo
-  window inside one ``applyInPandas`` task: pass 1 is a vectorized
-  two-sweep binary column transform, pass 2 the lower-envelope-of-
-  parabolas scan per output row — O(window pixels) total, INDEPENDENT
-  of how many targets the block sees.  A dense-target raster
-  (distance-to-water on a coastline) costs the same as a sparse one;
-  the previous O(pixels x candidate-targets) expression fold did not.
+  Functions", Theory of Computing 2012) runs over the assembled
+  block+halo window: pass 1 is a vectorized two-sweep binary column
+  transform, pass 2 the lower-envelope-of-parabolas scan per output
+  row — O(window pixels) total, INDEPENDENT of how many targets the
+  block sees;
 - correctness of the halo: any target within Euclidean max_dist of a
   pixel differs by <= max_dist on each axis, so it lies inside the
   pixel block's ring — the window's target set is a superset of the
@@ -38,6 +39,7 @@ match bit-for-bit with no float tolerance.
 from __future__ import annotations
 
 import math
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -45,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StructField,
@@ -54,22 +57,40 @@ from pyspark.sql.types import (
 _BIG = np.int64(2**40)  # "no target" sentinel; (q-v)^2 + f stays < 2^63
 
 
-def _targets(tiles: DataFrame, target_value: float, block: int) -> DataFrame:
-    """(tgi, tgj) global coords of every pixel equal to target_value.
+_MASK_SCHEMA = StructType(
+    [
+        StructField("block_x", IntegerType()),
+        StructField("block_y", IntegerType()),
+        StructField("n_px", IntegerType()),
+        StructField("mask", BinaryType()),
+    ]
+)
 
-    posexplode, not a higher-order index filter: the generator evaluates
-    the ``px`` expression ONCE per row and streams elements (narrow, no
-    shuffle), whereas ``F.filter(idx, k -> px[k] == v)`` re-evaluates a
-    computed ``px`` (e.g. a QA-band remap ``transform(px, ...)``) for
-    EVERY index probe — Catalyst does not CSE inside HOF lambdas, which
-    made dense-target extraction O(n_px^2) per block."""
-    return (
-        tiles.select("block_x", "block_y", F.posexplode("px").alias("k", "v"))
-        .where(F.col("v") == F.lit(target_value))
-        .select(
-            (F.col("block_x") * block + F.col("k") % block).alias("tgi"),
-            (F.col("block_y") * block + (F.col("k") / block).cast("int")).alias("tgj"),
-        )
+
+def _target_masks(
+    tiles: DataFrame, target_value: float, block: int
+) -> DataFrame:
+    """One row per block: its target pixels as a packed bitmap
+    (block²/8 bytes), plus the live pixel count.  Narrow mapInPandas —
+    the pixel arrays never leave their scan task."""
+    b = int(block)
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for bx, by, px in zip(pdf["block_x"], pdf["block_y"], pdf["px"]):
+                arr = np.asarray(px, dtype=np.float64)
+                flat = np.zeros(b * b, dtype=bool)
+                flat[: len(arr)] = arr == target_value
+                rows.append(
+                    (int(bx), int(by), len(arr), np.packbits(flat).tobytes())
+                )
+            yield pd.DataFrame(
+                rows, columns=["block_x", "block_y", "n_px", "mask"]
+            )
+
+    return tiles.select("block_x", "block_y", "px").mapInPandas(
+        pack, _MASK_SCHEMA
     )
 
 
@@ -148,24 +169,33 @@ _OUT_SCHEMA = StructType(
 )
 
 
-def _block_edt_fn(block: int, halo: int, cap: int):
-    """applyInPandas kernel: one (block_x, block_y) group of halo targets
-    -> one summary row.  Builds the (block+2*halo)^2 target mask from the
-    replicated coordinates, runs the exact EDT, crops to the inner block
-    and reduces — O(window pixels) regardless of target density."""
-    win = block + 2 * halo
+def _block_edt_fn(block: int, ring: int, cap: int):
+    """applyInPandas kernel: one (block_x, block_y) group of neighbor
+    bitmaps -> one summary row.  Unpacks each (di, dj)-offset bitmap into
+    its window position, runs the exact EDT, crops to the inner block and
+    reduces — O(window pixels) regardless of target density."""
+    b = int(block)
+    halo = ring * b
+    win = b + 2 * halo
 
     def fn(key, pdf):
         bx, by = int(key[0]), int(key[1])
-        n_px = int(pdf["n_px"].iloc[0])
-        # local halo-window coords of each replicated target
-        li = pdf["tgi"].to_numpy(dtype=np.int64) - bx * block + halo
-        lj = pdf["tgj"].to_numpy(dtype=np.int64) - by * block + halo
-        keep = (li >= 0) & (li < win) & (lj >= 0) & (lj < win)
         mask = np.zeros((win, win), dtype=bool)
-        mask[lj[keep], li[keep]] = True  # rows = j (y), cols = i (x)
-        d2 = _edt_window(mask)[halo : halo + block, halo : halo + block]
-        # pixels exist at linear index k < n_px; k -> (i=k%block, j=k//block)
+        n_px = 0
+        for di, dj, npx, buf in zip(
+            pdf["di"], pdf["dj"], pdf["n_px"], pdf["mask"]
+        ):
+            m = np.unpackbits(
+                np.frombuffer(bytes(buf), dtype=np.uint8), count=b * b
+            ).astype(bool).reshape(b, b)  # rows = j (y), cols = i (x)
+            # source block = (bx - di, by - dj) -> window block slot
+            c0 = (ring - int(di)) * b
+            r0 = (ring - int(dj)) * b
+            mask[r0 : r0 + b, c0 : c0 + b] = m
+            if di == 0 and dj == 0:
+                n_px = int(npx)
+        d2 = _edt_window(mask)[halo : halo + b, halo : halo + b]
+        # pixels exist at linear index k < n_px; k -> (i=k%b, j=k//b)
         flat = d2.reshape(-1)[:n_px]  # row-major (j, i) == linear k order
         reached = flat <= cap
         return pd.DataFrame(
@@ -191,30 +221,38 @@ def proximity_summary(
     as reached with distance 0).  A pixel is reached iff some target lies
     within Euclidean ``max_dist``."""
     ring = math.ceil(max_dist / block)
-    halo = ring * block
     offsets = [(di, dj) for di in range(-ring, ring + 1) for dj in range(-ring, ring + 1)]
-    tg = _targets(tiles, target_value, block)
+    masks = _target_masks(tiles, target_value, block)
     off = F.array(
         *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj")) for di, dj in offsets]
     )
-    # replicate each target into every block whose halo can see it
-    rep = tg.select(
-        "tgi",
-        "tgj",
-        F.explode(off).alias("o"),
+    # replicate each block's bitmap into every block whose halo sees it
+    rep = masks.select(
+        "block_x", "block_y", "n_px", "mask", F.explode(off).alias("o")
     ).select(
-        ((F.col("tgi") / block).cast("int") + F.col("o.di")).alias("block_x"),
-        ((F.col("tgj") / block).cast("int") + F.col("o.dj")).alias("block_y"),
-        F.col("tgi").cast("long").alias("tgi"),
-        F.col("tgj").cast("long").alias("tgj"),
+        (F.col("block_x") + F.col("o.di")).alias("tx"),
+        (F.col("block_y") + F.col("o.dj")).alias("ty"),
+        F.col("o.di").alias("di"),
+        F.col("o.dj").alias("dj"),
+        "n_px",
+        "mask",
     )
-    nx = tiles.select("block_x", "block_y", F.size("px").alias("n_px"))
-    # one hash shuffle on the block keys; blocks with no visible target
-    # never reach Python and are closed out relationally below
-    edt_in = rep.join(nx, ["block_x", "block_y"])
-    res = edt_in.groupBy("block_x", "block_y").applyInPandas(
-        _block_edt_fn(block, halo, int(max_dist) * int(max_dist)), _OUT_SCHEMA
+    # one hash shuffle on the block keys; groups lacking a center row
+    # (halo spill past the raster edge) emit nothing and are closed out
+    # relationally below.  applyInPandas sees only rows whose TARGET
+    # block exists — enforced by the semi-join against real blocks.
+    real = masks.select(
+        F.col("block_x").alias("tx"), F.col("block_y").alias("ty")
     )
+    res = (
+        rep.join(real, ["tx", "ty"], "left_semi")
+        .groupBy("tx", "ty")
+        .applyInPandas(
+            _block_edt_fn(block, ring, int(max_dist) * int(max_dist)),
+            _OUT_SCHEMA,
+        )
+    )
+    nx = masks.select("block_x", "block_y", "n_px")
     out = nx.join(res, ["block_x", "block_y"], "left")
     return out.select(
         F.col("block_x").cast("int").alias("block_x"),
