@@ -55,33 +55,44 @@ _PARTS_SCHEMA = StructType(
 
 
 def _label_block(px: np.ndarray) -> np.ndarray:
-    """4-connected union-find labeling of one block; returns the root
-    FLAT INDEX per pixel."""
+    """4-connected labeling of one block; returns the component's MINIMUM
+    flat index per pixel (the same root contract as a union-by-min
+    union-find).
+
+    Fully numpy-vectorized Shiloach-Vishkin-style iteration: each round
+    hooks every pixel to the min label among its equal-valued 4-neighbors
+    (four shifted vector mins), then pointer-jumps to the root
+    (``lab = lab[lab]`` until stable — pointers always point downward,
+    so the structure is acyclic).  O(log diameter) rounds of O(pixels)
+    vector work replaces the previous per-pixel Python union-find loop
+    (~65k interpreter iterations per 256² block)."""
     h, w = px.shape
-    parent = np.arange(h * w, dtype=np.int64)
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:  # path compression
-            parent[i], i = root, parent[i]
-        return root
-
-    for y in range(h):
-        base = y * w
-        row = px[y]
-        for x in range(w):
-            i = base + x
-            if x and row[x] == row[x - 1]:
-                ra, rb = find(i), find(i - 1)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-            if y and row[x] == px[y - 1, x]:
-                ra, rb = find(i), find(i - w)
-                if ra != rb:
-                    parent[max(ra, rb)] = min(ra, rb)
-    return np.array([find(i) for i in range(h * w)], dtype=np.int64)
+    lab = np.arange(h * w, dtype=np.int64).reshape(h, w)
+    same_h = px[:, 1:] == px[:, :-1]
+    same_v = px[1:, :] == px[:-1, :]
+    while True:
+        new = lab.copy()
+        np.minimum(
+            new[:, 1:], np.where(same_h, lab[:, :-1], lab[:, 1:]), out=new[:, 1:]
+        )
+        np.minimum(
+            new[:, :-1], np.where(same_h, lab[:, 1:], lab[:, :-1]), out=new[:, :-1]
+        )
+        np.minimum(
+            new[1:, :], np.where(same_v, lab[:-1, :], lab[1:, :]), out=new[1:, :]
+        )
+        np.minimum(
+            new[:-1, :], np.where(same_v, lab[1:, :], lab[:-1, :]), out=new[:-1, :]
+        )
+        flat = new.ravel()
+        while True:  # full pointer jump: lab[i] <= i, acyclic
+            nxt = flat[flat]
+            if np.array_equal(nxt, flat):
+                break
+            flat = nxt
+        if np.array_equal(flat, lab.ravel()):
+            return flat
+        lab = flat.reshape(h, w)
 
 
 def _block_parts(tiles: DataFrame, block: int, px_col: str) -> DataFrame:

@@ -450,6 +450,61 @@ class TestContours:
         assert abs(out["total_length"] - (8 * 2.5 - 4 + 2 * 2 ** 0.5)) < 1e-6
 
 
+class TestLabelBlockVectorizedParity:
+    """The Shiloach-Vishkin-style vectorized block labeler must reproduce
+    the scalar union-by-min union-find exactly (root = component's min
+    flat index), including on serpentine regions that maximize the
+    propagation diameter."""
+
+    @staticmethod
+    def _scalar_ref(px):
+        import numpy as np
+
+        h, w = px.shape
+        parent = np.arange(h * w, dtype=np.int64)
+
+        def find(i):
+            r = i
+            while parent[r] != r:
+                r = parent[r]
+            while parent[i] != r:
+                parent[i], i = r, parent[i]
+            return r
+
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x and px[y, x] == px[y, x - 1]:
+                    ra, rb = find(i), find(i - 1)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                if y and px[y, x] == px[y - 1, x]:
+                    ra, rb = find(i), find(i - w)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        return np.array([find(i) for i in range(h * w)], dtype=np.int64)
+
+    def test_random_checker_and_snake_equal(self):
+        import numpy as np
+
+        from geocube_spark.operators.regions import _label_block
+
+        rng = np.random.default_rng(11)
+        cases = [
+            rng.integers(0, k, (h, w)).astype(float)
+            for k in (2, 5)
+            for h, w in ((17, 23), (32, 32))
+        ]
+        cases.append((np.indices((16, 16)).sum(0) % 2).astype(float))
+        snake = np.ones((16, 16))
+        snake[::2, :] = 0
+        snake[1::4, -1] = 0
+        snake[3::4, 0] = 0  # one serpentine region spanning the block
+        cases.append(snake)
+        for c in cases:
+            np.testing.assert_array_equal(_label_block(c), self._scalar_ref(c))
+
+
 class TestContoursVectorizedParity:
     """The numpy case-table march must reproduce the scalar per-cell
     reference exactly (same IEEE interpolation) — guards the vectorized
