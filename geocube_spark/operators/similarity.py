@@ -110,15 +110,23 @@ def matryoshka_topk(
     embeddings the prefix ranking is near-exact; on generic embeddings
     the expand factor buys back the difference (oracle-checked equal to
     brute force on the test corpora)."""
-    candidates = matryoshka_candidates(
-        embeddings, query_vec, expand * k, prefix_dim, vec_col, id_col
-    ).select(id_col)
-    rescored = (
-        with_broadcast_arrays(embeddings, _qv=query_vec)
-        .join(F.broadcast(candidates), id_col)
-        .select(
-            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
+    # prefix + full query ride ONE 1-row broadcast; prefilter and rescore
+    # both read it (matryoshka_candidates stays the standalone prefilter
+    # for the recall-measurement query)
+    attached = with_broadcast_arrays(
+        embeddings, _qp=query_vec[:prefix_dim], _qv=query_vec
+    )
+    prefix = F.slice(F.col(vec_col), 1, prefix_dim)
+    candidates = (
+        attached.select(
+            F.col(id_col), cosine_expr(prefix, F.col("_qp")).alias("approx_score")
         )
+        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        .limit(expand * k)
+        .select(id_col)
+    )
+    rescored = attached.join(F.broadcast(candidates), id_col).select(
+        F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
@@ -236,12 +244,9 @@ def sq8_topk(
         .limit(expand * k)
         .select(id_col)
     )
-    rescored = (
-        with_broadcast_arrays(embeddings, _qv=query_vec)
-        .join(F.broadcast(candidates), id_col)
-        .select(
-            F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
-        )
+    # rescore off the SAME attached frame — one 1-row broadcast per query
+    rescored = attached.join(F.broadcast(candidates), id_col).select(
+        F.col(id_col), cosine_expr(F.col(vec_col), F.col("_qv")).alias("score")
     )
     return rescored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
 
