@@ -134,6 +134,28 @@ def ensure_pyramided(spark: SparkSession) -> str:
     return out
 
 
+def ensure_zarr_fixture() -> str:
+    """Closed-form Zarr v2 store: 2 bands x 100x100 float64, 32x32 chunks
+    (edge chunks overhang and pad with fill -1), zlib compressor, value
+    v(b,y,x) = (13x + 7y + 29b) mod 101 — fully re-derivable in SQL."""
+    out = os.path.join(FIXTURE_DIR, "zarr_demo")
+    if not os.path.exists(os.path.join(out, ".zarray")):
+        import numpy as np
+
+        from geocube_spark.sources.zarr import write_zarr_array
+
+        ensure_fixtures()
+        b, y, x = np.meshgrid(
+            np.arange(2), np.arange(100), np.arange(100), indexing="ij"
+        )
+        arr = ((13 * x + 7 * y + 29 * b) % 101).astype(np.float64)
+        write_zarr_array(
+            out, arr, chunks=(1, 32, 32), compressor="zlib", fill_value=-1.0,
+            attrs={"crs": "EPSG:4326", "transform": [0.01, 0.0, 0.0, 0.0, -0.01, 50.0]},
+        )
+    return out
+
+
 # ------------------------------------------------------------ entity mapping
 # TPC-H -> canonical catalog schema, so the driver tables flow through the
 # real plan builders (the relational-correctness harness of FIXTURES.md).
@@ -6228,6 +6250,56 @@ def qa_band_mask_q(spark, sf_dir):
         ),
     )
     return qa_mask_summary(tiles)
+
+
+# Zarr v2 source (beyond-reference S-class: the cloud-native chunked
+# array format the xarray/Pangeo stack publishes; GDAL reads it via its
+# Zarr driver).  The chunk GRID is metadata-only — the driver reads the
+# few-hundred-byte .zarray, enumerates keys arithmetically, and executors
+# decompress their own chunks; a 100 TB store is exactly grid-many
+# parallel file reads.  Oracle re-derives every pixel (incl. the
+# fill-padded edge-chunk overhang) from the closed form.
+@q(
+    "zarr_block_read",
+    """
+    WITH cells AS (
+        SELECT b.range AS b, gy.range AS gy, gx.range AS gx, i.range AS i
+        FROM range(0, 2) b, range(0, 4) gy, range(0, 4) gx, range(0, 1024) i
+    ),
+    px AS (
+        SELECT b, gy, gx,
+               gy * 32 + i // 32 AS y, gx * 32 + i % 32 AS x
+        FROM cells
+    ),
+    v AS (
+        SELECT b, gx, gy,
+               CASE WHEN y < 100 AND x < 100
+                    THEN CAST((13 * x + 7 * y + 29 * b) % 101 AS DOUBLE)
+                    ELSE -1.0 END AS val
+        FROM px
+    )
+    SELECT CAST(b + 1 AS INT) AS band,
+           CAST(gx AS INT) AS block_x, CAST(gy AS INT) AS block_y,
+           round(sum(val), 6) AS px_sum,
+           CAST(count(*) FILTER (val = -1.0) AS BIGINT) AS n_fill
+    FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def zarr_block_read(spark, sf_dir):
+    from geocube_spark.sources.zarr import zarr_tile_rows
+
+    store = ensure_zarr_fixture()
+    tiles = zarr_tile_rows(spark, store)
+    # rows are already one per (band, block): pure projection, no shuffle
+    return tiles.select(
+        "band",
+        "block_x",
+        "block_y",
+        F.round(
+            F.aggregate("px", F.lit(0.0), lambda a, v: a + v), 6
+        ).alias("px_sum"),
+        F.size(F.filter("px", lambda v: v == -1.0)).cast("long").alias("n_fill"),
+    ).orderBy("band", "block_x", "block_y")
 
 
 # GDAL-proximity parity (gdal_proximity.py -values 0 -maxdist 16): per-pixel
