@@ -156,6 +156,17 @@ def ensure_zarr_fixture() -> str:
     return out
 
 
+def ensure_stac_fixture() -> str:
+    """Deterministic STAC item collection (JSONL, 40 items x 2 assets)."""
+    out = os.path.join(FIXTURE_DIR, "stac_items.jsonl")
+    if not os.path.exists(out):
+        from geocube_spark.sources.stac import write_stac_fixture
+
+        ensure_fixtures()
+        write_stac_fixture(out)
+    return out
+
+
 # ------------------------------------------------------------ entity mapping
 # TPC-H -> canonical catalog schema, so the driver tables flow through the
 # real plan builders (the relational-correctness harness of FIXTURES.md).
@@ -6250,6 +6261,73 @@ def qa_band_mask_q(spark, sf_dir):
         ),
     )
     return qa_mask_summary(tiles)
+
+
+# STAC ingest (beyond-reference S-class: the de-facto public satellite
+# catalog format — a migrating user's first job is STAC item -> record,
+# STAC asset -> dataset).  Items read with an EXPLICIT schema (one pass,
+# no inference scan); footprint bboxes via pure JVM array functions; the
+# searchable properties land in the record tag map so F4 predicates
+# apply unchanged.  Oracle re-parses the same JSONL with DuckDB
+# read_json and re-derives every aggregate.
+@q(
+    "stac_ingest_rollup",
+    f"""
+    SELECT properties.platform AS platform,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(len(list_filter(map_values(assets),
+                a -> list_contains(a.roles, 'data')))) AS BIGINT) AS n_data_assets,
+           round(avg(properties."eo:cloud_cover"), 6) AS avg_cloud,
+           min(properties.datetime) AS first_dt,
+           round(min(list_min(list_transform(flatten(geometry.coordinates),
+                p -> p[1]))), 6) AS env_xmin,
+           round(max(list_max(list_transform(flatten(geometry.coordinates),
+                p -> p[2]))), 6) AS env_ymax
+    FROM read_json('{FIXTURE_DIR}/stac_items.jsonl', format='newline_delimited',
+         columns={{id: 'VARCHAR', collection: 'VARCHAR',
+                  geometry: 'STRUCT(type VARCHAR, coordinates DOUBLE[][][])',
+                  properties: 'STRUCT(datetime VARCHAR, platform VARCHAR,
+                               constellation VARCHAR, gsd DOUBLE,
+                               "eo:cloud_cover" DOUBLE, "proj:epsg" DOUBLE)',
+                  assets: 'MAP(VARCHAR, STRUCT(href VARCHAR, type VARCHAR,
+                               roles VARCHAR[]))'}})
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def stac_ingest_rollup(spark, sf_dir):
+    from geocube_spark.sources.stac import (
+        read_stac_items,
+        stac_assets_to_datasets,
+        stac_items_to_records,
+    )
+
+    fx = ensure_stac_fixture()
+    items = read_stac_items(spark, fx)
+    recs = stac_items_to_records(items)
+    ds = stac_assets_to_datasets(items, roles=["data"])
+    per_rec = ds.groupBy(F.col("record_id").alias("id")).agg(
+        F.count(F.lit(1)).alias("n_assets")
+    )
+    raw_dt = items.select(
+        F.col("id"), F.col("properties.datetime").alias("dt_raw")
+    )
+    j = recs.join(per_rec, "id", "left").join(F.broadcast(raw_dt), "id")
+    return (
+        j.groupBy(F.col("tags")["platform"].alias("platform"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.coalesce("n_assets", F.lit(0)))
+            .cast("long")
+            .alias("n_data_assets"),
+            F.round(
+                F.avg(F.col("tags")["cloud_cover"].cast("double")), 6
+            ).alias("avg_cloud"),
+            F.min("dt_raw").alias("first_dt"),
+            F.round(F.min("bbox.xmin"), 6).alias("env_xmin"),
+            F.round(F.max("bbox.ymax"), 6).alias("env_ymax"),
+        )
+        .orderBy("platform")
+    )
 
 
 # Zarr v2 source (beyond-reference S-class: the cloud-native chunked
