@@ -16,6 +16,8 @@ exact same math.  Geohash is the public Niemeyer scheme (base32 alphabet
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -134,3 +136,67 @@ def geohash_sql(lon: str, lat: str, precision: int = 6) -> str:
         for g in range(precision)
     ]
     return " || ".join(chars)
+
+
+# ----------------------------------------------------- Bing quadkeys
+#
+# Microsoft Bing Maps tile-key scheme (the third common spatial key next
+# to geohash and Morton): the XYZ tile address interleaves into a base-4
+# string whose PREFIXES are ancestors — zoom-out = string truncation,
+# range scans cover whole subtrees.  Digit l (from the top): bit (z-l) of
+# x plus twice bit (z-l) of y.
+
+
+def quadkey_from_xyz_expr(tx: Column, ty: Column, z: int) -> Column:
+    """XYZ tile (tx, ty) at fixed zoom ``z`` -> quadkey string (length z).
+    Pure JVM: z unrolled shift-and-mask digit expressions concatenated
+    (z <= 23, so the unroll is tiny and stays in codegen)."""
+    txl, tyl = tx.cast("long"), ty.cast("long")
+    digits = [
+        (
+            F.shiftright(txl, l - 1).bitwiseAND(F.lit(1))
+            + F.shiftright(tyl, l - 1).bitwiseAND(F.lit(1)) * 2
+        ).cast("string")
+        for l in range(int(z), 0, -1)
+    ]
+    return F.concat_ws("", *digits)
+
+
+def quadkey_from_xyz_sql(tx: str, ty: str, z: int) -> str:
+    """DuckDB twin of :func:`quadkey_from_xyz_expr`."""
+    return (
+        f"list_aggregate(list_transform(generate_series({int(z)}, 1, -1), "
+        f"l -> CAST((({tx} >> (l - 1)) & 1) + 2 * ((({ty}) >> (l - 1)) & 1) "
+        f"AS VARCHAR)), 'string_agg', '')"
+    )
+
+
+def lonlat_to_tile_expr(lon: Column, lat: Column, z: int) -> tuple[Column, Column]:
+    """WebMercator XYZ tile indices for a lon/lat point at zoom ``z`` —
+    the slippy-map formula, clamped to the valid tile range."""
+    n = F.lit(float(1 << int(z)))
+    tx = F.floor((lon + 180.0) / 360.0 * n)
+    lat_r = F.radians(lat)
+    ty = F.floor(
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / F.lit(math.pi))
+        / 2.0
+        * n
+    )
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(0), F.least(c.cast("long"), F.lit((1 << int(z)) - 1))
+    )
+    return clamp(tx), clamp(ty)
+
+
+def lonlat_to_tile_sql(lon: str, lat: str, z: int) -> tuple[str, str]:
+    n = float(1 << int(z))
+    tx = (
+        f"greatest(0, least(CAST(floor((({lon}) + 180.0) / 360.0 * {n}) AS "
+        f"BIGINT), {(1 << int(z)) - 1}))"
+    )
+    ty = (
+        f"greatest(0, least(CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0 / "
+        f"cos(radians({lat}))) / pi()) / 2.0 * {n}) AS BIGINT), "
+        f"{(1 << int(z)) - 1}))"
+    )
+    return tx, ty

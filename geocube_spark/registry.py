@@ -5839,6 +5839,8 @@ def band_normalized_difference(spark, sf_dir):
 from geocube_spark.functions.spatialkeys import (  # noqa: E402
     geohash_expr,
     geohash_sql,
+    lonlat_to_tile_sql,
+    quadkey_from_xyz_sql,
     zorder_expr,
     zorder_sql,
 )
@@ -5886,6 +5888,58 @@ def geohash_spatial_index(spark, sf_dir):
             F.max("z_key").cast("long").alias("z_max"),
         )
         .orderBy("geohash")
+    )
+
+
+# Bing quadkey spatial index (companion to geohash/Morton): dataset bbox
+# centroids -> zoom-8 WebMercator tiles -> base-4 quadkeys whose string
+# PREFIXES are ancestor tiles, so zoom-out reads are prefix range scans.
+# Both engines replay the identical slippy-map tile math and the digit
+# interleave; the zoom-5 prefix rollup proves the subtree-prefix property
+# on real data.
+@q(
+    "quadkey_spatial_index",
+    f"""
+    WITH d AS (
+        SELECT (bbox.xmin + bbox.xmax) / 2 AS cx,
+               (bbox.ymin + bbox.ymax) / 2 AS cy
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    ),
+    t AS (
+        SELECT {lonlat_to_tile_sql('cx', 'cy', 8)[0]} AS tx,
+               {lonlat_to_tile_sql('cx', 'cy', 8)[1]} AS ty
+        FROM d
+    ),
+    k AS (SELECT {quadkey_from_xyz_sql('tx', 'ty', 8)} AS qk FROM t)
+    SELECT substr(qk, 1, 5) AS prefix,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           CAST(count(DISTINCT qk) AS BIGINT) AS n_tiles,
+           min(qk) AS qk_min, max(qk) AS qk_max
+    FROM k GROUP BY 1 ORDER BY 1
+    """,
+)
+def quadkey_spatial_index(spark, sf_dir):
+    from geocube_spark.functions.spatialkeys import (
+        lonlat_to_tile_expr,
+        quadkey_from_xyz_expr,
+    )
+
+    fd = ensure_fixtures()
+    d = spark.read.parquet(f"{fd}/datasets.parquet").select(
+        ((F.col("bbox.xmin") + F.col("bbox.xmax")) / 2).alias("cx"),
+        ((F.col("bbox.ymin") + F.col("bbox.ymax")) / 2).alias("cy"),
+    )
+    tx, ty = lonlat_to_tile_expr(F.col("cx"), F.col("cy"), 8)
+    keyed = d.select(quadkey_from_xyz_expr(tx, ty, 8).alias("qk"))
+    return (
+        keyed.groupBy(F.substring("qk", 1, 5).alias("prefix"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_datasets"),
+            F.count_distinct("qk").cast("long").alias("n_tiles"),
+            F.min("qk").alias("qk_min"),
+            F.max("qk").alias("qk_max"),
+        )
+        .orderBy("prefix")
     )
 
 

@@ -315,3 +315,59 @@ class TestSpatialKeys:
             ).first()
             assert row["n"] == k * k
             assert row["hi"] - row["lo"] + 1 == k * k, (x0, y0, k)
+
+
+class TestQuadkeys:
+    """Bing quadkey scheme: known vectors from the Bing Maps tile-system
+    docs + the prefix-ancestor property."""
+
+    def test_known_vectors(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import quadkey_from_xyz_expr
+
+        df = spark.createDataFrame(
+            [(3, 5, 3), (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)],
+            "tx int, ty int, z int",
+        )
+        # Bing docs: tile (3,5) at level 3 -> "213"
+        got3 = df.filter("z = 3").select(
+            quadkey_from_xyz_expr(F.col("tx"), F.col("ty"), 3).alias("qk")
+        ).collect()[0]["qk"]
+        assert got3 == "213"
+        l1 = {
+            (r["tx"], r["ty"]): r["qk"]
+            for r in df.filter("z = 1").select(
+                "tx", "ty",
+                quadkey_from_xyz_expr(F.col("tx"), F.col("ty"), 1).alias("qk"),
+            ).collect()
+        }
+        assert l1 == {(0, 0): "0", (1, 0): "1", (0, 1): "2", (1, 1): "3"}
+
+    def test_prefix_is_parent_tile(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import quadkey_from_xyz_expr
+
+        df = spark.createDataFrame([(181, 101)], "tx int, ty int")
+        qk8, qk7 = df.select(
+            quadkey_from_xyz_expr(F.col("tx"), F.col("ty"), 8).alias("a"),
+            quadkey_from_xyz_expr(
+                F.floor(F.col("tx") / 2), F.floor(F.col("ty") / 2), 7
+            ).alias("b"),
+        ).collect()[0]
+        assert qk8[:7] == qk7  # zoom-out == string truncation
+
+    def test_lonlat_tiles_clamped(self, spark):
+        from pyspark.sql import functions as F
+
+        from geocube_spark.functions.spatialkeys import lonlat_to_tile_expr
+
+        df = spark.createDataFrame(
+            [(0.0, 0.0), (-180.0, 85.05), (179.999, -85.05)], "lon double, lat double"
+        )
+        tx, ty = lonlat_to_tile_expr(F.col("lon"), F.col("lat"), 2)
+        rows = df.select(tx.alias("tx"), ty.alias("ty")).collect()
+        assert (rows[0]["tx"], rows[0]["ty"]) == (2, 2)  # greenwich/equator
+        assert (rows[1]["tx"], rows[1]["ty"]) == (0, 0)
+        assert (rows[2]["tx"], rows[2]["ty"]) == (3, 3)
