@@ -53,3 +53,48 @@ def test_scan_at_overview_native_keeps_affine(spark):
     pruned, lvl = scan_at_overview(df, base_res=10.0, out_res=8.0, max_level=3)
     assert lvl == 0
     assert pruned.collect()[0]["pix_to_crs"]["a"] == 10.0
+
+
+def test_xyz_tile_auto_selects_overview_level(spark):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from geocube_spark.operators.regrid import xyz_tile, xyz_tile_grid
+
+    # a 2-level store centered on tile (1, 1, 2); base_res chosen so the
+    # zoom's output resolution sits between level 1 and level 2
+    (ox, oy), res = xyz_tile_grid(1, 1, 2)
+    rows = []
+    for lvl in (0, 1):
+        rows.append(
+            {
+                "container_uri": "pyr://c1",
+                "band": 1,
+                "level": lvl,
+                "block_x": 0,
+                "block_y": 0,
+                "px": [float(lvl + 1)] * 256,
+                "crs_srid": 3857,
+                "pix_to_crs": {
+                    "a": res / 2.5, "b": 0.0, "c": ox,
+                    "d": 0.0, "e": -res / 2.5, "f": oy,
+                },
+                "record_id": "r1",
+            }
+        )
+    tiles = spark.createDataFrame(rows).withColumn(
+        "record_datetime", F.lit("2024-01-01").cast("timestamp")
+    )
+    out = xyz_tile(tiles, 1, 1, 2, base_res=res / 2.5, max_level=1)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # floor(log2(2.5)) = 1 -> the level-0 rows are pruned at the filter
+    assert re.search(r"level#\d+L? = 1", plan), plan
+    # and the sampled pixels come from the level-1 content
+    vals = {
+        v
+        for r in out.collect()
+        for v in r["px"]
+        if v is not None and v == v  # drop null/NaN gaps
+    }
+    assert vals == {2.0}
