@@ -221,3 +221,138 @@ def feather_blend(
         """
     )
     return g.select("block_x", "block_y", blend.alias(out_col))
+
+
+def temporal_trend(
+    tiles_with_time: DataFrame,
+    time_col: str = "t",
+    nodata: float = 0.0,
+    block: int = 64,
+    px_col: str = "px",
+    keys: tuple[str, ...] = ("block_x", "block_y"),
+) -> DataFrame:
+    """Per-pixel monotonic-trend detection across a block's time layers:
+    Mann-Kendall S statistic (sum of pairwise value-difference signs) and
+    the Theil-Sen slope (median of pairwise slopes) — the standard
+    nonparametric trend pair of EO time-series analysis (NDVI greening /
+    drying maps), robust to outliers and nodata gaps.
+
+    Plan: ONE groupBy(keys) gathers each block's layers (the same A7
+    shuffle volume any temporal reduce moves), then everything is
+    whole-stage JVM higher-order expressions — the per-pixel value
+    series is materialized ONCE per pixel (a transform-bound lambda
+    variable, so pair probes are O(1) array reads, not re-evaluations),
+    pairs enumerate from the runtime layer count, nodata observations
+    drop out of both statistics.  No Python, no per-pixel shuffle.
+
+    Returns one row per block: n_px, n_trendable (>= 2 valid
+    observations), sum_s (exact integer), n_pos / n_neg (pixels with
+    S > 0 / S < 0), and slope24_sum = sum of per-pixel median slopes
+    SCALED BY 24 — for integer-valued inputs on integer time axes with
+    spacings dividing 4, every median (interpolated or not) times 24 is
+    an exact integer, so cross-engine sums match bit-for-bit with no
+    float-association tolerance.
+    """
+    nd = F.lit(float(nodata))
+    n = block * block
+    grouped = tiles_with_time.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(time_col).cast("double").alias("t"),
+                    F.col(px_col).alias("px"),
+                )
+            )
+        ).alias("layers")
+    )
+    ts = F.transform(F.col("layers"), lambda l: l["t"])
+    k_layers = F.size("layers")
+    # all (i, j) layer-index pairs with i < j, 1-based, from the RUNTIME
+    # layer count (guarded sequence: i = k has no partners)
+    pair_list = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), k_layers),
+            lambda i: F.when(
+                i < k_layers,
+                F.transform(
+                    F.sequence(i + 1, k_layers),
+                    lambda j: F.struct(i.alias("a"), j.alias("b")),
+                ),
+            ).otherwise(F.array()),
+        )
+    )
+    with_pairs = grouped.select(
+        *keys, "layers", ts.alias("ts"), pair_list.alias("prs")
+    )
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    # per-pixel series materialized once; stats bind it as a lambda var
+    series = F.transform(
+        idx,
+        lambda k: F.transform(
+            F.col("layers"), lambda l: F.element_at(l["px"], (k + 1).cast("int"))
+        ),
+    )
+    stats = F.transform(
+        series,
+        lambda vs: F.struct(
+            F.size(F.filter(vs, lambda v: v != nd)).alias("nv"),
+            F.aggregate(
+                F.filter(
+                    F.col("prs"),
+                    lambda p: (F.element_at(vs, p["a"].cast("int")) != nd)
+                    & (F.element_at(vs, p["b"].cast("int")) != nd),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, p: acc
+                + F.signum(
+                    F.element_at(vs, p["b"].cast("int"))
+                    - F.element_at(vs, p["a"].cast("int"))
+                ).cast("long"),
+            ).alias("s"),
+            F.array_sort(
+                F.transform(
+                    F.filter(
+                        F.col("prs"),
+                        lambda p: (F.element_at(vs, p["a"].cast("int")) != nd)
+                        & (F.element_at(vs, p["b"].cast("int")) != nd),
+                    ),
+                    lambda p: (
+                        F.element_at(vs, p["b"].cast("int"))
+                        - F.element_at(vs, p["a"].cast("int"))
+                    )
+                    / (
+                        F.element_at(F.col("ts"), p["b"].cast("int"))
+                        - F.element_at(F.col("ts"), p["a"].cast("int"))
+                    ),
+                )
+            ).alias("sl"),
+        ),
+    )
+    # interpolating median of the sorted slope list, scaled by 24
+    def med24(st):
+        m = F.size(st["sl"])
+        lo = F.element_at(st["sl"], ((m + 1) / 2).cast("int"))
+        hi = F.element_at(st["sl"], (m / 2).cast("int") + 1)
+        return F.when(m > 0, (lo + hi) / 2.0 * 24.0).otherwise(F.lit(0.0))
+
+    per_block = with_pairs.select(
+        *keys, stats.alias("st")
+    ).select(
+        *keys,
+        F.size("st").cast("long").alias("n_px"),
+        F.size(F.filter("st", lambda s: s["nv"] >= 2)).cast("long").alias(
+            "n_trendable"
+        ),
+        F.aggregate(
+            "st", F.lit(0).cast("long"), lambda acc, s: acc + s["s"]
+        ).alias("sum_s"),
+        F.size(F.filter("st", lambda s: s["s"] > 0)).cast("long").alias("n_pos"),
+        F.size(F.filter("st", lambda s: s["s"] < 0)).cast("long").alias("n_neg"),
+        F.round(
+            F.aggregate(
+                "st", F.lit(0.0), lambda acc, s: acc + med24(s)
+            ),
+            6,
+        ).alias("slope24_sum"),
+    )
+    return per_block.orderBy(*keys)

@@ -5891,6 +5891,75 @@ def geohash_spatial_index(spark, sf_dir):
     )
 
 
+# Mann-Kendall / Theil-Sen temporal trend (the nonparametric trend pair
+# of EO time-series analysis): per-pixel S statistic + median pairwise
+# slope over a 5-layer closed-form stack with nodata gaps.  Everything
+# is JVM HOF expressions (series materialized once per pixel); slopes
+# report as sum(median * 24) — exact integers-over-24 for this time
+# axis, so cross-engine sums carry no float-association tolerance.
+@q(
+    "temporal_trend_mk",
+    """
+    WITH px AS (
+        SELECT t.range AS t, i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range + 17 * t.range) % 97
+                    AS DOUBLE) AS v
+        FROM range(0, 5) t, range(0, 128) i, range(0, 128) j
+    ),
+    pairs AS (
+        SELECT a.gi, a.gj, a.v AS va, b.v AS vb, a.t AS ta, b.t AS tb
+        FROM px a JOIN px b ON b.gi = a.gi AND b.gj = a.gj AND b.t > a.t
+        WHERE a.v != 0 AND b.v != 0
+    ),
+    perpx AS (
+        SELECT gi, gj,
+               CAST(sum(sign(vb - va)) AS BIGINT) AS s,
+               median((vb - va) / (tb - ta)) AS slope
+        FROM pairs GROUP BY gi, gj
+    ),
+    obs AS (
+        SELECT gi, gj, count(*) FILTER (v != 0) AS nv
+        FROM px GROUP BY gi, gj
+    )
+    SELECT CAST(o.gi // 64 AS INT) AS block_x,
+           CAST(o.gj // 64 AS INT) AS block_y,
+           CAST(count(*) AS BIGINT) AS n_px,
+           CAST(count(*) FILTER (o.nv >= 2) AS BIGINT) AS n_trendable,
+           CAST(coalesce(sum(p.s), 0) AS BIGINT) AS sum_s,
+           CAST(count(*) FILTER (p.s > 0) AS BIGINT) AS n_pos,
+           CAST(count(*) FILTER (p.s < 0) AS BIGINT) AS n_neg,
+           round(coalesce(sum(p.slope * 24), 0), 6) AS slope24_sum
+    FROM obs o LEFT JOIN perpx p ON p.gi = o.gi AND p.gj = o.gj
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def temporal_trend_mk(spark, sf_dir):
+    from geocube_spark.operators.mosaic import temporal_trend
+
+    blocks = spark.createDataFrame(
+        [(bx, by, t) for bx in range(2) for by in range(2) for t in range(5)],
+        "block_x int, block_y int, t int",
+    )
+    gi = (F.col("block_x") * 64 + F.col("k") % 64).cast("long")
+    gj = (F.col("block_y") * 64 + (F.col("k") / 64).cast("int")).cast("long")
+    tiles = (
+        blocks.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(4095))))
+        .withColumn(
+            "v",
+            ((13 * gi + 7 * gj + 17 * F.col("t")) % 97).cast("double"),
+        )
+        .groupBy("block_x", "block_y", "t")
+        .agg(F.array_sort(F.collect_list(F.struct("k", "v"))).alias("kv"))
+        .select(
+            "block_x",
+            "block_y",
+            "t",
+            F.transform("kv", lambda e: e["v"]).alias("px"),
+        )
+    )
+    return temporal_trend(tiles, time_col="t", nodata=0.0)
+
+
 # Bing quadkey spatial index (companion to geohash/Morton): dataset bbox
 # centroids -> zoom-8 WebMercator tiles -> base-4 quadkeys whose string
 # PREFIXES are ancestor tiles, so zoom-out reads are prefix range scans.

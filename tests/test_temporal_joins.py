@@ -153,3 +153,69 @@ class TestInterpolateGaps:
         )
         assert "hashpartitioning(k" in plan
         assert "rangepartitioning" not in plan.lower()
+
+
+class TestTemporalTrend:
+    """Mann-Kendall S + Theil-Sen slope over block time layers."""
+
+    def _tiles(self, spark, series_by_px, t_vals):
+        # one 2x2 block; series_by_px: 4 lists of len(t_vals)
+        rows = [
+            (0, 0, float(t), [float(series_by_px[k][ti]) for k in range(4)])
+            for ti, t in enumerate(t_vals)
+        ]
+        return spark.createDataFrame(
+            rows, "block_x int, block_y int, t double, px array<double>"
+        )
+
+    def test_monotonic_and_flat_and_gaps(self, spark):
+        from geocube_spark.operators.mosaic import temporal_trend
+
+        series = [
+            [1, 2, 3, 4, 5],     # strictly up: S = 10, slope = 1
+            [5, 4, 3, 2, 1],     # strictly down: S = -10, slope = -1
+            [7, 7, 7, 7, 7],     # flat: S = 0, slope = 0
+            [2, 0, 4, 0, 8],     # nodata gaps at t=1,3: obs (0,2,4)
+        ]
+        out = temporal_trend(
+            self._tiles(spark, series, [0, 1, 2, 3, 4]),
+            time_col="t",
+            nodata=0.0,
+            block=2,
+        ).collect()[0]
+        assert out["n_px"] == 4
+        assert out["n_trendable"] == 4
+        # S: 10 - 10 + 0 + 3 (three valid up-pairs in the gapped series)
+        assert out["sum_s"] == 3
+        assert out["n_pos"] == 2 and out["n_neg"] == 1
+        # slopes: 1, -1, 0, median(1, 1.5, 2) = 1.5  -> sum*24 = 36
+        assert out["slope24_sum"] == (1 - 1 + 0 + 1.5) * 24
+
+    def test_single_observation_not_trendable(self, spark):
+        from geocube_spark.operators.mosaic import temporal_trend
+
+        series = [[3, 0], [0, 0], [1, 2], [0, 5]]
+        out = temporal_trend(
+            self._tiles(spark, series, [0, 1]),
+            time_col="t",
+            nodata=0.0,
+            block=2,
+        ).collect()[0]
+        # only pixel 2 has two valid observations
+        assert out["n_trendable"] == 1
+        assert out["sum_s"] == 1 and out["slope24_sum"] == 24.0
+
+    def test_even_pair_count_interpolates_like_sql_median(self, spark):
+        from geocube_spark.operators.mosaic import temporal_trend
+
+        # 4 observations -> 6 pairs; drop one obs to nodata -> 3 valid
+        # obs -> 3 pairs (odd); keep all 4 -> 6 pairs (even, interpolate)
+        series = [[0, 2, 3, 9], [1, 1, 1, 1], [1, 1, 1, 1], [1, 1, 1, 1]]
+        out = temporal_trend(
+            self._tiles(spark, series, [0, 1, 2, 3]),
+            time_col="t",
+            nodata=-1.0,
+            block=2,
+        ).collect()[0]
+        # slopes of px0: 2,1.5,3,1,3.5,6 sorted -> median (2+3)/2 = 2.5
+        assert out["slope24_sum"] == 2.5 * 24 + 0 + 0 + 0
