@@ -160,3 +160,78 @@ def build_pyramid(
         acc = nxt
         out = out.unionByName(nxt)
     return out
+
+
+def pyramid_delta(
+    tiles_l0: DataFrame,
+    prev_pyramid: DataFrame,
+    touched: DataFrame,
+    max_level: int,
+    block_w: int = 64,
+    block_h: int = 64,
+    alg: str = "AVERAGE",
+    nodata: float = 0.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental overview maintenance: recompute ONLY the ancestor path
+    of the changed level-0 blocks (consolidation_event.go's per-container
+    rebuild, narrowed to the touched set — the step a landing-zone ingest
+    stream needs so overviews stay fresh without full-pyramid rebuilds).
+
+    ``touched``: (container_uri, band, block_x, block_y) of CHANGED
+    level-0 blocks — dim-sized per ingest batch, broadcast everywhere.
+    Each level recomputes exactly the parents of the previous level's
+    affected set; their sibling children come from the UPDATED lower
+    level (untouched siblings ride through from ``prev_pyramid``), so a
+    single changed block costs O(max_level) block pools, not a rebuild.
+
+    Returns ``(delta, updated)``: the freshly rebuilt overview rows
+    (what an incremental writer upserts) and the full refreshed pyramid
+    (level 0 verbatim + carried + rebuilt overviews).
+    """
+    key = ["container_uri", "band", "block_x", "block_y"]
+    affected = touched.select(*key).distinct()
+    updated = tiles_l0.filter(F.col("level") == 0)
+    out_delta = None
+    lower_full = updated
+    for lvl in range(1, max_level + 1):
+        parents = (
+            affected.select(
+                "container_uri",
+                "band",
+                (F.col("block_x") / 2).cast("int").alias("block_x"),
+                (F.col("block_y") / 2).cast("int").alias("block_y"),
+            ).distinct()
+        )
+        # children of the affected parents, from the UPDATED lower level:
+        # broadcast semi-join on the derived parent key — no fan-out
+        children = (
+            lower_full.withColumn(
+                "_pbx", (F.col("block_x") / 2).cast("int")
+            )
+            .withColumn("_pby", (F.col("block_y") / 2).cast("int"))
+            .join(
+                F.broadcast(
+                    parents.select(
+                        "container_uri",
+                        "band",
+                        F.col("block_x").alias("_pbx"),
+                        F.col("block_y").alias("_pby"),
+                    )
+                ),
+                ["container_uri", "band", "_pbx", "_pby"],
+                "left_semi",
+            )
+            .drop("_pbx", "_pby")
+        )
+        rebuilt = build_level(children, lvl, block_w, block_h, alg, nodata)
+        carried = (
+            prev_pyramid.filter(F.col("level") == lvl)
+            .join(F.broadcast(parents), key, "left_anti")
+        )
+        lower_full = carried.unionByName(rebuilt)
+        updated = updated.unionByName(lower_full)
+        out_delta = (
+            rebuilt if out_delta is None else out_delta.unionByName(rebuilt)
+        )
+        affected = parents
+    return out_delta, updated

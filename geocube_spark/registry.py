@@ -5891,6 +5891,126 @@ def geohash_spatial_index(spark, sf_dir):
     )
 
 
+# Incremental overview maintenance (A8 + S9: keep pyramids fresh under
+# landing-zone ingest without full rebuilds): one level-0 block per
+# container gets an ingest "update" (+50 on valid pixels), pyramid_delta
+# recomputes ONLY the ancestor path from the mixed old/new children.
+# Oracle replays the level-1 pooling with the bumped child — a stale or
+# over-eager recompute both hash-mismatch.
+@q(
+    "pyramid_incremental_refresh",
+    f"""
+    WITH t AS (
+        SELECT ti.* FROM read_parquet('{FIXTURE_DIR}/tiles.parquet') ti
+        JOIN read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+          ON ti.container_uri = d.container_uri
+        WHERE ti.level = 0 AND d.dmapping.no_data = -32768.0
+    ),
+    bumped AS (
+        SELECT container_uri, band, block_x, block_y,
+               CASE WHEN block_x = 0 AND block_y = 1
+                    THEN list_transform(px, v -> CASE WHEN v = -32768.0
+                         THEN v ELSE v + 50.0 END)
+                    ELSE px END AS px
+        FROM t
+    ),
+    quads AS (
+        SELECT container_uri, band,
+               first(px) FILTER (block_x = 0 AND block_y = 0) AS q0,
+               first(px) FILTER (block_x = 1 AND block_y = 0) AS q1,
+               first(px) FILTER (block_x = 0 AND block_y = 1) AS q2,
+               first(px) FILTER (block_x = 1 AND block_y = 1) AS q3
+        FROM bumped GROUP BY container_uri, band
+    ),
+    opx AS (
+        SELECT container_uri, band, i.range AS i,
+               (i.range // 64) * 2 AS sr, (i.range % 64) * 2 AS sc
+        FROM quads, range(0, 4096) i
+    ),
+    vals AS (
+        SELECT o.container_uri, o.band, o.i,
+               CASE WHEN o.sr < 64 AND o.sc < 64 THEN
+                   [qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q0[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sr < 64 THEN
+                   [qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q1[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               WHEN o.sc < 64 THEN
+                   [qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q2[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               ELSE
+                   [qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64) * 64 + (o.sc % 64) + 2],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 1],
+                    qq.q3[(o.sr % 64 + 1) * 64 + (o.sc % 64) + 2]]
+               END AS w
+        FROM opx o JOIN quads qq USING (container_uri, band)
+    ),
+    pooled AS (
+        SELECT container_uri, band, i,
+               CASE WHEN len(list_filter(w, v -> v != -32768.0)) = 0
+                    THEN -32768.0
+                    ELSE list_aggregate(list_filter(w, v -> v != -32768.0), 'sum')
+                         / len(list_filter(w, v -> v != -32768.0))
+               END AS v
+        FROM vals
+    )
+    SELECT container_uri, band, CAST(1 AS INT) AS level,
+           CAST(count(DISTINCT i) / 4096 AS BIGINT) AS n_delta_blocks,
+           round(sum(v), 4) AS px_sum
+    FROM pooled GROUP BY container_uri, band
+    ORDER BY container_uri, band
+    """,
+)
+def pyramid_incremental_refresh(spark, sf_dir):
+    from geocube_spark.operators.pyramid import build_pyramid, pyramid_delta
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/tiles.parquet")
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    src = tiles.join(
+        datasets.filter(F.col("dmapping.no_data") == -32768.0).select(
+            "container_uri"
+        ),
+        "container_uri",
+        "left_semi",
+    )
+    prev = build_pyramid(src, max_level=1, alg="AVERAGE", nodata=-32768.0)
+    new0 = src.withColumn(
+        "px",
+        F.when(
+            (F.col("block_x") == 0) & (F.col("block_y") == 1),
+            F.transform(
+                "px",
+                lambda v: F.when(v == -32768.0, v).otherwise(v + 50.0),
+            ),
+        ).otherwise(F.col("px")),
+    )
+    touched = src.filter(
+        (F.col("block_x") == 0) & (F.col("block_y") == 1)
+    ).select("container_uri", "band", "block_x", "block_y")
+    delta, _updated = pyramid_delta(
+        new0, prev, touched, max_level=1, alg="AVERAGE", nodata=-32768.0
+    )
+    return (
+        delta.groupBy("container_uri", "band")
+        .agg(
+            F.first("level").cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_delta_blocks"),
+            F.round(
+                F.sum(F.aggregate("px", F.lit(0.0), lambda a, v: a + v)), 4
+            ).alias("px_sum"),
+        )
+        .orderBy("container_uri", "band")
+    )
+
+
 # Mann-Kendall / Theil-Sen temporal trend (the nonparametric trend pair
 # of EO time-series analysis): per-pixel S statistic + median pairwise
 # slope over a 5-layer closed-form stack with nodata gaps.  Everything
