@@ -141,9 +141,18 @@ def get_cube(
     min_valid_fraction: float = 0.0,
     block_pixels: int = 4096,
     bands: list[int] | None = None,
+    base_res: float | None = None,
+    out_res: float | None = None,
+    max_level: int = 0,
 ) -> DataFrame:
     """Full GetCube read path (§3.1 steps 1-8): catalog plan -> tile join ->
     per-slice latest-wins mosaic -> valid-pixel filter.
+
+    O8 (-ovr AUTO, image.go:402): when ``base_res`` AND ``out_res`` are
+    given and the tile table carries a ``level`` column, the coarsest
+    overview whose resolution still covers the request is selected as a
+    driver literal BEFORE the dataset join — a zoomed-out cube read
+    partition-prunes the full-res tiles away.
 
     One slice per record datetime group; output rows are mosaicked blocks
     keyed by (record slice, band, block).  The catalog side is the same
@@ -177,6 +186,10 @@ def get_cube(
     )
     if bands is not None:  # F13 band-subset projection (image.go:221-231)
         tiles = tiles.filter(F.col("band").isin(bands))
+    if base_res is not None and out_res is not None and "level" in tiles.columns:
+        from geocube_spark.plans.overview import scan_at_overview
+
+        tiles, _ = scan_at_overview(tiles, base_res, out_res, max_level)
     joined = tiles.join(F.broadcast(slim), "container_uri")
     # mosaic per (record-slice is implicit: each record is its own slice in
     # headers; the cube's pixel plane merges ALL matching records per block)

@@ -98,3 +98,24 @@ def test_xyz_tile_auto_selects_overview_level(spark):
         if v is not None and v == v  # drop null/NaN gaps
     }
     assert vals == {2.0}
+
+
+def test_get_cube_auto_overview_prunes_before_join(spark, fixture_dir):
+    import re
+
+    from pyspark.sql import functions as F
+
+    from geocube_spark.plans.cube import get_cube
+    from geocube_spark.plans.find_datasets import DatasetFilters
+
+    datasets = spark.read.parquet(f"{fixture_dir}/datasets.parquet")
+    records = spark.read.parquet(f"{fixture_dir}/records.parquet")
+    tiles = spark.read.parquet(f"{fixture_dir}/tiles.parquet")
+    cube = get_cube(
+        datasets, records, tiles,
+        DatasetFilters(status="ACTIVE", order=False),
+        nodata=-32768.0,
+        base_res=10.0, out_res=25.0, max_level=1,
+    )
+    plan = cube._jdf.queryExecution().optimizedPlan().toString()
+    assert re.search(r"level#\d+\w* = 1", plan), plan
