@@ -675,3 +675,105 @@ class TestStreamingCountMin:
         from geocube_spark.operators.sketches import CM_DEPTH, CM_WIDTH
 
         assert len(got) <= CM_DEPTH * CM_WIDTH
+
+
+class TestStreamingPyramidRefresh:
+    """Landing-zone ingest keeps overviews fresh incrementally:
+    stream == build_pyramid(batch of everything), across waves and an
+    in-place file update."""
+
+    def _tif(self, vals, w=128, h=128):
+        import numpy as np
+
+        from geocube_spark.sources.gtiff import RasterImage, write_tiff
+
+        arr = np.asarray(vals, dtype="uint8").reshape(1, h, w)
+        return write_tiff(
+            [RasterImage(bands=arr, transform=(10.0, 0, 0, 0, -10.0, 0),
+                         epsg=32631, nodata=None)],
+            tile_size=(64, 64),
+            compression="lzw",
+        )
+
+    def test_stream_converges_to_batch_pyramid(self, spark, tmp_path):
+        import numpy as np
+
+        from geocube_spark.operators.pyramid import build_pyramid
+        from geocube_spark.sources.catalog import Catalog
+        from geocube_spark.streaming.pyramid_stream import (
+            run_pyramid_refresh_stream,
+        )
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 200, 128 * 128)
+        b = rng.integers(0, 200, 128 * 128)
+        (landing / "a.tif").write_bytes(self._tif(a))
+        cat = Catalog(spark, str(tmp_path / "cat"))
+        ckpt = str(tmp_path / "ckpt")
+
+        def run():
+            q = run_pyramid_refresh_stream(
+                spark, str(landing), cat, "l0", "pyr", ckpt,
+                max_level=1, nodata=-1.0,
+            )
+            q.awaitTermination(120)
+
+        run()  # wave 1: one container
+        assert cat.read("pyr").filter("level = 1").count() == 1
+        (landing / "b.tif").write_bytes(self._tif(b))
+        run()  # wave 2: second container arrives
+        pyr = cat.read("pyr")
+        assert pyr.filter("level = 1").count() == 2
+        want = build_pyramid(
+            cat.read("l0"), max_level=1, nodata=-1.0
+        )
+        got = {
+            (r["container_uri"], r["level"], r["block_x"], r["block_y"]):
+                np.asarray(r["px"])
+            for r in pyr.collect()
+        }
+        for r in want.collect():
+            k = (r["container_uri"], r["level"], r["block_x"], r["block_y"])
+            np.testing.assert_array_equal(got[k], np.asarray(r["px"]))
+        assert len(got) == want.count()
+
+    def test_replayed_epoch_noop(self, spark, tmp_path):
+        import numpy as np
+
+        from geocube_spark.sources.catalog import Catalog
+        from geocube_spark.streaming.pyramid_stream import refresh_batch_fn
+
+        cat = Catalog(spark, str(tmp_path / "cat2"))
+        rows = [
+            {
+                "container_uri": "c1", "band": 1, "level": 0,
+                "block_x": bx, "block_y": by,
+                "px": [float(bx * 2 + by)] * 16,
+                "crs_srid": 32631,
+                "pix_to_crs": {"a": 10.0, "b": 0.0, "c": 0.0,
+                               "d": 0.0, "e": -10.0, "f": 0.0},
+            }
+            for bx in range(2)
+            for by in range(2)
+        ]
+        df = spark.createDataFrame(rows)
+        fn = refresh_batch_fn(cat, "l0", "pyr", max_level=1,
+                              block_w=4, block_h=4, nodata=-1.0)
+        fn(df, 0)
+        v_after = cat.history("pyr").count()
+        fn(df, 0)  # replay: exactly-once skip, no new version
+        assert cat.history("pyr").count() == v_after
+        # applying as a NEW epoch with identical data is idempotent on
+        # content (key-replace), only the version advances
+        before = {
+            (r["level"], r["block_x"], r["block_y"]): list(r["px"])
+            for r in cat.read("pyr").collect()
+        }
+        fn(df, 1)
+        after = {
+            (r["level"], r["block_x"], r["block_y"]): list(r["px"])
+            for r in cat.read("pyr").collect()
+        }
+        assert before == after
