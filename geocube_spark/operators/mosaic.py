@@ -356,3 +356,69 @@ def temporal_trend(
         ).alias("slope24_sum"),
     )
     return per_block.orderBy(*keys)
+
+
+def bap_composite(
+    layers: DataFrame,
+    d2_cap: int,
+    block: int = 64,
+    keys: tuple[str, ...] = ("block_x", "block_y"),
+) -> DataFrame:
+    """Best-available-pixel compositing (White et al. 2014 — the Landsat
+    BAP recipe): per pixel, choose the observation maximizing
+    ``layer_score + d2/d2_cap`` where ``d2`` is the clipped squared
+    distance to the nearest cloud (operators/proximity.proximity_map) —
+    observations far from clouds win, cloud pixels themselves (d2 = 0)
+    are ineligible, and score ties break to the LATEST acquisition.
+
+    Input rows: keys + (t, px, d2, layer_score); one row per (block,
+    acquisition).  Output: keys + composite px (nodata NaN where every
+    layer is cloudy) + chosen_t (the winning acquisition per pixel,
+    -1 where none).  One groupBy(keys) shuffle — the same A7 volume —
+    then pure JVM folds; with dyadic layer scores and d2/d2_cap the
+    scores are exact doubles, so the choice is bit-deterministic.
+    """
+    cap = F.lit(float(d2_cap))
+    grouped = layers.groupBy(*keys).agg(
+        F.collect_list(
+            F.struct(
+                F.col("t").cast("double").alias("t"),
+                F.col("px").alias("px"),
+                F.col("d2").alias("d2"),
+                F.col("layer_score").cast("double").alias("sc"),
+            )
+        ).alias("ls")
+    )
+    n = block * block
+    idx = F.sequence(F.lit(0), F.lit(n - 1))
+
+    def pick(k):
+        init = F.struct(
+            F.lit(-1.0).alias("score"),
+            F.lit(-1.0).alias("t"),
+            F.lit(float("nan")).alias("v"),
+        )
+
+        def step(acc, l):
+            d2k = F.element_at(l["d2"], (k + 1).cast("int")).cast("double")
+            score = F.when(d2k > 0, l["sc"] + d2k / cap).otherwise(F.lit(-1.0))
+            better = (score > acc["score"]) | (
+                (score == acc["score"]) & (l["t"] > acc["t"])
+            )
+            return F.when(
+                (score >= 0) & better,
+                F.struct(
+                    score.alias("score"),
+                    l["t"].alias("t"),
+                    F.element_at(l["px"], (k + 1).cast("int")).alias("v"),
+                ),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col("ls"), init, step)
+
+    picked = F.transform(idx, pick)
+    return grouped.select(
+        *keys,
+        F.transform(picked, lambda p: p["v"]).alias("px"),
+        F.transform(picked, lambda p: p["t"]).alias("chosen_t"),
+    )

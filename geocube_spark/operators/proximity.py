@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     IntegerType,
     LongType,
@@ -263,3 +264,83 @@ def proximity_summary(
         .alias("n_unreached"),
         F.coalesce("sum_min_d2", F.lit(0)).cast("long").alias("sum_min_d2"),
     ).orderBy("block_x", "block_y")
+
+
+_MAP_SCHEMA = StructType(
+    [
+        StructField("block_x", IntegerType()),
+        StructField("block_y", IntegerType()),
+        StructField("d2", ArrayType(LongType())),
+    ]
+)
+
+
+def _block_edt_map_fn(block: int, ring: int, cap: int):
+    """applyInPandas kernel emitting the PER-PIXEL clipped min squared
+    distance (pixels beyond max_dist, or with no visible target, report
+    cap) — the input plane for distance-weighted compositing."""
+    b = int(block)
+    halo = ring * b
+    win = b + 2 * halo
+
+    def fn(key, pdf):
+        bx, by = int(key[0]), int(key[1])
+        mask = np.zeros((win, win), dtype=bool)
+        n_px = 0
+        for di, dj, npx, buf in zip(
+            pdf["di"], pdf["dj"], pdf["n_px"], pdf["mask"]
+        ):
+            m = np.unpackbits(
+                np.frombuffer(bytes(buf), dtype=np.uint8), count=b * b
+            ).astype(bool).reshape(b, b)
+            c0 = (ring - int(di)) * b
+            r0 = (ring - int(dj)) * b
+            mask[r0 : r0 + b, c0 : c0 + b] = m
+            if di == 0 and dj == 0:
+                n_px = int(npx)
+        d2 = _edt_window(mask)[halo : halo + b, halo : halo + b]
+        flat = np.minimum(d2.reshape(-1)[:n_px], cap)
+        return pd.DataFrame(
+            {"block_x": [bx], "block_y": [by], "d2": [flat.tolist()]}
+        )
+
+    return fn
+
+
+def proximity_map(
+    tiles: DataFrame,
+    max_dist: int,
+    target_value: float = 0.0,
+    block: int = 64,
+) -> DataFrame:
+    """(block_x, block_y, d2): per-pixel min squared distance to the
+    nearest target, clipped at max_dist² (no-target pixels report the
+    cap).  Same bitmap halo exchange + exact EDT as proximity_summary —
+    the per-pixel output plane for distance-to-cloud compositing."""
+    ring = math.ceil(max_dist / block)
+    offsets = [(di, dj) for di in range(-ring, ring + 1) for dj in range(-ring, ring + 1)]
+    masks = _target_masks(tiles, target_value, block)
+    off = F.array(
+        *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj")) for di, dj in offsets]
+    )
+    rep = masks.select(
+        "block_x", "block_y", "n_px", "mask", F.explode(off).alias("o")
+    ).select(
+        (F.col("block_x") + F.col("o.di")).alias("tx"),
+        (F.col("block_y") + F.col("o.dj")).alias("ty"),
+        F.col("o.di").alias("di"),
+        F.col("o.dj").alias("dj"),
+        "n_px",
+        "mask",
+    )
+    real = masks.select(
+        F.col("block_x").alias("tx"), F.col("block_y").alias("ty")
+    )
+    return (
+        rep.join(real, ["tx", "ty"], "left_semi")
+        .groupBy("tx", "ty")
+        .applyInPandas(
+            _block_edt_map_fn(block, ring, int(max_dist) * int(max_dist)),
+            _MAP_SCHEMA,
+        )
+    )

@@ -5891,6 +5891,114 @@ def geohash_spatial_index(spark, sf_dir):
     )
 
 
+# Best-available-pixel compositing (White et al. 2014 — the Landsat BAP
+# recipe): three acquisitions with per-layer cloud masks; each pixel
+# takes the observation maximizing seasonal_score + distance-to-cloud
+# (the proximity_map EDT plane), clouds ineligible, ties to the latest
+# acquisition.  Dyadic scores (quarters + d2/64) are exact doubles, so
+# the per-pixel choice is bit-deterministic and the oracle replays it
+# with a quadratic distance join + window rank.
+@q(
+    "bap_cloudfree_composite",
+    """
+    WITH px AS (
+        SELECT t.range AS t, i.range AS gi, j.range AS gj,
+               CAST((13 * i.range + 7 * j.range + 23 * t.range) % 89
+                    AS DOUBLE) AS v
+        FROM range(0, 3) t, range(0, 128) i, range(0, 128) j
+    ),
+    tgt AS (SELECT t, gi AS tx, gj AS ty FROM px WHERE v = 0),
+    near AS (
+        SELECT p.t, p.gi, p.gj,
+               min((p.gi - g.tx) * (p.gi - g.tx)
+                   + (p.gj - g.ty) * (p.gj - g.ty)) AS d2raw
+        FROM px p JOIN tgt g
+          ON g.t = p.t AND abs(p.gi - g.tx) <= 8 AND abs(p.gj - g.ty) <= 8
+        GROUP BY 1, 2, 3
+    ),
+    sc AS (
+        SELECT p.t, p.gi, p.gj, p.v,
+               least(coalesce(n.d2raw, 64), 64) AS d2
+        FROM px p LEFT JOIN near n
+          ON n.t = p.t AND n.gi = p.gi AND n.gj = p.gj
+    ),
+    scored AS (
+        SELECT *,
+               CASE WHEN d2 > 0 THEN
+                    (CASE t WHEN 0 THEN 0.25 WHEN 1 THEN 0.5 ELSE 0.375 END)
+                    + d2 / 64.0
+               ELSE -1.0 END AS score
+        FROM sc
+    ),
+    win AS (
+        SELECT gi, gj, t, v, score,
+               row_number() OVER (PARTITION BY gi, gj
+                                  ORDER BY score DESC, t DESC) AS rk
+        FROM scored
+    )
+    SELECT CAST(gi // 64 AS INT) AS block_x, CAST(gj // 64 AS INT) AS block_y,
+           round(sum(CASE WHEN score >= 0 THEN v END), 6) AS px_sum,
+           CAST(count(*) FILTER (score >= 0 AND t = 0) AS BIGINT) AS n_t0,
+           CAST(count(*) FILTER (score >= 0 AND t = 1) AS BIGINT) AS n_t1,
+           CAST(count(*) FILTER (score >= 0 AND t = 2) AS BIGINT) AS n_t2,
+           CAST(count(*) FILTER (score < 0) AS BIGINT) AS n_allcloud
+    FROM win WHERE rk = 1
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def bap_cloudfree_composite(spark, sf_dir):
+    from geocube_spark.operators.mosaic import bap_composite
+    from geocube_spark.operators.proximity import proximity_map
+
+    scores = {0: 0.25, 1: 0.5, 2: 0.375}
+    blocks = spark.createDataFrame(
+        [(bx, by) for bx in range(2) for by in range(2)],
+        "block_x int, block_y int",
+    )
+    gi = (F.col("block_x") * 64 + F.col("k") % 64).cast("long")
+    gj = (F.col("block_y") * 64 + (F.col("k") / 64).cast("int")).cast("long")
+    layers = None
+    for t, sc in scores.items():
+        tiles_t = (
+            blocks.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(4095))))
+            .withColumn("v", ((13 * gi + 7 * gj + 23 * t) % 89).cast("double"))
+            .groupBy("block_x", "block_y")
+            .agg(F.array_sort(F.collect_list(F.struct("k", "v"))).alias("kv"))
+            .select(
+                "block_x",
+                "block_y",
+                F.transform("kv", lambda e: e["v"]).alias("px"),
+            )
+        )
+        pm = proximity_map(tiles_t, max_dist=8, target_value=0.0)
+        layer = (
+            tiles_t.join(pm, ["block_x", "block_y"])
+            .withColumn("t", F.lit(t))
+            .withColumn("layer_score", F.lit(sc))
+        )
+        layers = layer if layers is None else layers.unionByName(layer)
+    out = bap_composite(layers, d2_cap=64)
+    chosen = F.zip_with(
+        F.col("px"), F.col("chosen_t"), lambda v, t: F.struct(v.alias("v"), t.alias("t"))
+    )
+    return out.select(
+        F.col("block_x").cast("int").alias("block_x"),
+        F.col("block_y").cast("int").alias("block_y"),
+        F.round(
+            F.aggregate(
+                chosen,
+                F.lit(0.0),
+                lambda a, c: a + F.when(c["t"] >= 0, c["v"]).otherwise(F.lit(0.0)),
+            ),
+            6,
+        ).alias("px_sum"),
+        F.size(F.filter(F.col("chosen_t"), lambda t: t == 0)).cast("long").alias("n_t0"),
+        F.size(F.filter(F.col("chosen_t"), lambda t: t == 1)).cast("long").alias("n_t1"),
+        F.size(F.filter(F.col("chosen_t"), lambda t: t == 2)).cast("long").alias("n_t2"),
+        F.size(F.filter(F.col("chosen_t"), lambda t: t < 0)).cast("long").alias("n_allcloud"),
+    ).orderBy("block_x", "block_y")
+
+
 # Incremental overview maintenance (A8 + S9: keep pyramids fresh under
 # landing-zone ingest without full rebuilds): one level-0 block per
 # container gets an ingest "update" (+50 on valid pixels), pyramid_delta

@@ -116,3 +116,57 @@ def test_proximity_dense_equals_sparse_contract(spark):
     reached = want <= 4
     assert r.n_reached == int(reached.sum())
     assert r.sum_min_d2 == int(want[reached].sum())
+
+
+def test_proximity_map_values(spark):
+    # single target at global (0,0); map reports clipped exact d²
+    a = [1.0] * 16
+    a[0] = 0.0
+    tiles = _tiles(spark, {(0, 0): a})
+    from geocube_spark.operators.proximity import proximity_map
+
+    row = proximity_map(tiles, max_dist=2, target_value=0.0, block=4).collect()[0]
+    d2 = row["d2"]
+    assert d2[0] == 0  # the target itself
+    assert d2[1] == 1 and d2[5] == 2
+    assert d2[15] == 4  # (3,3): d²=18 clipped at cap=4
+    assert len(d2) == 16
+
+
+def test_bap_composite_choice_and_ties(spark):
+    from geocube_spark.operators.mosaic import bap_composite
+
+    # 2x2 block, two layers; d2 arrays crafted directly
+    rows = [
+        # t=0: score 0.25 + d2/4
+        (0, 0, 0, [10.0, 11.0, 12.0, 13.0], [4, 0, 2, 2], 0.25),
+        # t=1: score 0.5 + d2/4
+        (0, 0, 1, [20.0, 21.0, 22.0, 23.0], [2, 1, 0, 1], 0.5),
+    ]
+    layers = spark.createDataFrame(
+        rows,
+        "block_x int, block_y int, t int, px array<double>, d2 array<long>,"
+        " layer_score double",
+    )
+    out = bap_composite(layers, d2_cap=4, block=2).collect()[0]
+    # px0: t0 score 1.25 vs t1 1.0 -> t0; px1: t0 cloudy -> t1
+    # px2: t1 cloudy -> t0; px3: t0 0.75 == t1 0.75 -> tie, latest wins
+    assert out["px"] == [10.0, 21.0, 12.0, 23.0]
+    assert out["chosen_t"] == [0.0, 1.0, 0.0, 1.0]
+
+
+def test_bap_all_cloud_pixel_is_nodata(spark):
+    from geocube_spark.operators.mosaic import bap_composite
+
+    rows = [
+        (0, 0, 0, [5.0], [0], 0.25),
+        (0, 0, 1, [6.0], [0], 0.5),
+    ]
+    layers = spark.createDataFrame(
+        rows,
+        "block_x int, block_y int, t int, px array<double>, d2 array<long>,"
+        " layer_score double",
+    )
+    out = bap_composite(layers, d2_cap=4, block=1).collect()[0]
+    assert out["chosen_t"] == [-1.0]
+    assert out["px"][0] != out["px"][0]  # NaN
