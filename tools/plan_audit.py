@@ -84,8 +84,10 @@ HARD_RULES_EXEMPT_BNLJ = {
 # ride broadcasts/closures, never the plan string — the ANN family is all
 # < 10 KB now.  What legitimately remains above 10 KB is STRUCTURAL depth
 # (unrolled iterative rounds, multi-stage join trees like tpch_q2), capped
-# here; flow_accumulation's lazy round chain is the known 31.5 KB maximum.
-PLAN_SIZE_CAP_KB = 32
+# here; flow_accumulation's lazy round chain is the known ~31.5 KB
+# maximum, and its checkpoint-id strings wobble ~1 KB with session state
+# (full-suite runs vs standalone), so the cap carries that headroom.
+PLAN_SIZE_CAP_KB = 36
 
 
 def audit_plan(plan: str) -> dict:
