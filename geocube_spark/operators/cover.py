@@ -189,17 +189,22 @@ def cover_regular_wkb(
 def cover_singlecell(
     aoi_rects: list[tuple[float, float, float, float]], spec: RegularGridSpec
 ) -> tuple[float, float, int, int]:
-    """Singlecell grid (singlecellgrid.go:53-105): the AOI bbox becomes ONE
-    cell — origin snapped to resolution, size in pixels."""
+    """Singlecell grid (singlecellgrid.go:52-86): the AOI bbox becomes ONE
+    cell.  Reference semantics exactly: origin = the RAW TOP-LEFT bound
+    (min x, MAX y — no snapping; the pix->CRS affine is
+    Translation(ox, oy) * Scale(res, -res)), sizes = round(extent/res)
+    half-away-from-zero (Go math.Round).  Ported reference test:
+    tests/test_cover_parity.py::test_singlecell_reference_cell."""
+    import math
+
     xmin = min(r[0] for r in aoi_rects)
     ymin = min(r[1] for r in aoi_rects)
     xmax = max(r[2] for r in aoi_rects)
     ymax = max(r[3] for r in aoi_rects)
-    ox = spec.ox + ((xmin - spec.ox) // spec.resolution) * spec.resolution
-    oy = spec.oy + ((ymin - spec.oy) // spec.resolution) * spec.resolution
-    w = int(-(-(xmax - ox) // spec.resolution))
-    h = int(-(-(ymax - oy) // spec.resolution))
-    return ox, oy, w, h
+    res = abs(spec.resolution)
+    w = int(math.floor(abs(xmax - xmin) / res + 0.5))
+    h = int(math.floor(abs(ymax - ymin) / res + 0.5))
+    return xmin, ymax, w, h
 
 
 def cover_custom(

@@ -171,10 +171,12 @@ class TestCover:
         assert len(uris) == len(set(uris))  # L3 dedup
 
     def test_singlecell(self):
+        # reference semantics (singlecellgrid.go:52-86): raw TOP-LEFT
+        # origin, sizes rounded half-away-from-zero
         spec = RegularGridSpec(crs="epsg:4326", cell_size=1, resolution=0.5)
         ox, oy, w, h = cover_singlecell([(0.3, 0.2, 2.4, 1.9)], spec)
-        assert (ox, oy) == (0.0, 0.0)
-        assert (w, h) == (5, 4)  # ceil(2.4/0.5)=5, ceil(1.9/0.5)=4
+        assert (ox, oy) == (0.3, 1.9)
+        assert (w, h) == (4, 3)  # round(2.1/0.5)=4, round(1.7/0.5)=3
 
     def test_concave_aoi_cover_excludes_notch(self, spark):
         # France-like concave outline (the reference covers france.geojson in
