@@ -9,6 +9,20 @@ Layout matches GDAL order: x' = c + a*col + b*row ; y' = f + d*col + e*row.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from fractions import Fraction
+
+
+def _hp(o: float, sx: float, x: float, sy: float, y: float) -> float:
+    """``o + sx*x + sy*y`` CORRECTLY ROUNDED (one rounding, not three) —
+    the reference computes this in extended precision
+    (affine.go:52-61 highPrecisionTransform) so that composing a
+    geotransform with a large pixel Translation stays bit-compatible
+    with direct application at deep-zoom offsets.  Exact-rational
+    evaluation + one float conversion gives the identical contract.
+    Driver-/group-level call sites only (never per-pixel)."""
+    return float(
+        Fraction(o) + Fraction(sx) * Fraction(x) + Fraction(sy) * Fraction(y)
+    )
 
 
 @dataclass(frozen=True)
@@ -34,19 +48,21 @@ class Affine:
 
     def apply(self, col: float, row: float) -> tuple[float, float]:
         return (
-            self.c + self.a * col + self.b * row,
-            self.f + self.d * col + self.e * row,
+            _hp(self.c, self.a, col, self.b, row),
+            _hp(self.f, self.d, col, self.e, row),
         )
 
     def multiply(self, o: "Affine") -> "Affine":
-        """self ∘ o: apply o first, then self (matrix product)."""
+        """self ∘ o: apply o first, then self (matrix product; every
+        coefficient correctly rounded like the reference's
+        high-precision Multiply)."""
         return Affine(
-            self.a * o.a + self.b * o.d,
-            self.a * o.b + self.b * o.e,
-            self.a * o.c + self.b * o.f + self.c,
-            self.d * o.a + self.e * o.d,
-            self.d * o.b + self.e * o.e,
-            self.d * o.c + self.e * o.f + self.f,
+            _hp(0.0, self.a, o.a, self.b, o.d),
+            _hp(0.0, self.a, o.b, self.b, o.e),
+            _hp(self.c, self.a, o.c, self.b, o.f),
+            _hp(0.0, self.d, o.a, self.e, o.d),
+            _hp(0.0, self.d, o.b, self.e, o.e),
+            _hp(self.f, self.d, o.c, self.e, o.f),
         )
 
     def determinant(self) -> float:

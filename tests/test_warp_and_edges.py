@@ -289,3 +289,30 @@ class TestPoolBlock:
         csx, csy = self._corners(2, 0.0, 0.0, 3.0, 3.0)
         vals, own = _pool_block(raster, csx, csy, "AVERAGE", float("nan"))
         assert vals[0, 0] == pytest.approx(2.0)
+
+
+class TestAffineHighPrecision:
+    """Ported reference test (affine_test.go TestHighPrecision): at
+    webmercator zoom 10, composing the geotransform with a large pixel
+    Translation must agree with direct application of the un-composed
+    transform to 1e-9 m — the precision property the reference's affine
+    composition guarantees for deep-zoom tile addressing."""
+
+    def test_composed_translation_matches_direct(self):
+        import math
+
+        earth_radius = 6378137.0
+        ox, oy = -earth_radius * math.pi, earth_radius * math.pi
+        resolution = 2 * earth_radius * math.pi / (256 * (1 << 10))
+        a = Affine.translation(ox, oy).multiply(
+            Affine.scale(resolution, -resolution)
+        )
+        i0, j0 = 600 * 256, 300 * 256
+        a0 = a.multiply(Affine.translation(i0, j0))
+        d = 1024.0
+        while d < 16384:
+            x0, y0 = a0.apply(d, d)
+            x1, y1 = a.apply(i0 + d, j0 + d)
+            assert abs(x0 - x1) <= 1e-9, (d, x0, x1)
+            assert abs(y0 - y1) <= 1e-9, (d, y0, y1)
+            d += 256
