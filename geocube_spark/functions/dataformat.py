@@ -115,7 +115,22 @@ def cast_value_expr(col: Column, src: dict, dst: dict) -> Column:
     round half-away like GDAL's scale path.
     """
     check_castable(src, dst)
-    v = _from_external(_to_external(col, src), dst)
+    # With a non-unit exponent, pre-clamp to the source internal range
+    # BEFORE the power — GDAL's -scale/-exponent path clips inputs to the
+    # source range (image.go:118-135 CastDatasetOptions), and a negative
+    # base under a fractional exponent would otherwise inject NaN.  The
+    # linear case keeps the reference's extrapolate-then-dtype-clamp
+    # (castValueBF, image.go:142-162: math.Pow(x, 1) == x).
+    src_col = col
+    if float(src["exponent"]) != 1.0:
+        lo, hi = float(src["min_value"]), float(src["max_value"])
+        src_col = F.greatest(F.lit(lo), F.least(F.lit(hi), col))
+    ve = _to_external(src_col, src)
+    if float(dst["exponent"]) != 1.0:
+        drlo = float(dst["real_min_value"])
+        drhi = float(dst["real_max_value"])
+        ve = F.greatest(F.lit(drlo), F.least(F.lit(drhi), ve))
+    v = _from_external(ve, dst)
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
     v = F.greatest(F.lit(blo), F.least(F.lit(bhi), v))
     if dst["dtype"] in INT_DTYPES:
@@ -157,10 +172,20 @@ def cast_numpy(arr: np.ndarray, src: dict, dst: dict) -> np.ndarray:
 
     lo, hi = src["min_value"], src["max_value"]
     rlo, rhi = src["real_min_value"], src["real_max_value"]
+    if src["exponent"] != 1.0:
+        # pre-clamp to the source range before the fractional power (GDAL
+        # -scale clips inputs; avoids NaN from a negative base) — nodata
+        # is masked from the ORIGINAL values above, so clamping can't
+        # alias it; the linear case extrapolates like the reference
+        np.clip(a, lo, hi, out=a)
     ve = rlo + (rhi - rlo) * ((a - lo) / (hi - lo)) ** src["exponent"]
 
     dlo, dhi = dst["min_value"], dst["max_value"]
     drlo, drhi = dst["real_min_value"], dst["real_max_value"]
+    if dst["exponent"] != 1.0:
+        # the inverse power has the same negative-base hazard when the
+        # source side extrapolated (linear src, fractional dst)
+        np.clip(ve, drlo, drhi, out=ve)
     vi = dlo + (dhi - dlo) * ((ve - drlo) / (drhi - drlo)) ** (1.0 / dst["exponent"])
 
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
@@ -185,8 +210,12 @@ def cast_sql(px_col: str, src: dict, dst: dict) -> str:
     de = dst["exponent"]
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
 
-    ext = f"({rlo} + ({rhi} - {rlo}) * pow((v - {lo}) / ({hi} - {lo}), {e}))"
-    inv = f"({dlo} + ({dhi} - {dlo}) * pow(({ext} - {drlo}) / ({drhi} - {drlo}), {1.0 / de}))"
+    # same conditional pre-clamp as cast_value_expr/cast_numpy: source
+    # range before a fractional power (nodata is CASE-guarded upstream)
+    v_in = f"greatest({lo}, least({hi}, v))" if e != 1.0 else "v"
+    ext = f"({rlo} + ({rhi} - {rlo}) * pow(({v_in} - {lo}) / ({hi} - {lo}), {e}))"
+    ve_in = f"greatest({drlo}, least({drhi}, {ext}))" if de != 1.0 else ext
+    inv = f"({dlo} + ({dhi} - {dlo}) * pow(({ve_in} - {drlo}) / ({drhi} - {drlo}), {1.0 / de}))"
     clamped = f"greatest({blo}, least({bhi}, {inv}))"
     if dst["dtype"] in INT_DTYPES:
         clamped = f"round({clamped}, 0)"
