@@ -115,12 +115,21 @@ def cast_value_expr(col: Column, src: dict, dst: dict) -> Column:
     round half-away like GDAL's scale path.
     """
     check_castable(src, dst)
-    # With a non-unit exponent, pre-clamp to the source internal range
-    # BEFORE the power — GDAL's -scale/-exponent path clips inputs to the
-    # source range (image.go:118-135 CastDatasetOptions), and a negative
-    # base under a fractional exponent would otherwise inject NaN.  The
-    # linear case keeps the reference's extrapolate-then-dtype-clamp
-    # (castValueBF, image.go:142-162: math.Pow(x, 1) == x).
+    # Equal exponents cancel into a pure linear -scale in the reference
+    # (image.go:203-216: CastDatasetOptions emits exponent-1 options with
+    # NO input clipping — out-of-range pixels extrapolate linearly and only
+    # clamp at dtype bounds).  Model that by rewriting both mappings to
+    # exponent 1 (external ranges are equal per check_castable, so the
+    # powers cancel exactly) and skipping the exponent-mode clamps.
+    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
+        src = {**src, "exponent": 1.0}
+        dst = {**dst, "exponent": 1.0}
+    # With a genuinely mixed non-unit exponent, pre-clamp to the source
+    # internal range BEFORE the power — GDAL's -scale/-exponent path clips
+    # inputs to the source range (image.go:118-135 castDatasetOptions), and
+    # a negative base under a fractional exponent would otherwise inject
+    # NaN.  The linear case keeps the reference's extrapolate-then-
+    # dtype-clamp (castValueBF, image.go:142-162: math.Pow(x, 1) == x).
     src_col = col
     if float(src["exponent"]) != 1.0:
         lo, hi = float(src["min_value"]), float(src["max_value"])
@@ -135,7 +144,15 @@ def cast_value_expr(col: Column, src: dict, dst: dict) -> Column:
     v = F.greatest(F.lit(blo), F.least(F.lit(bhi), v))
     if dst["dtype"] in INT_DTYPES:
         v = F.round(v, 0)
-    return F.when(_nan_safe_eq(col, src["no_data"]), F.lit(float(dst["no_data"]))).otherwise(v)
+    # NaN that is NOT nodata propagates as NaN (castValueBF: math.Pow(NaN,e)
+    # = NaN; Go's math.Min/Max propagate NaN) — without this guard Spark's
+    # least/greatest would clamp NaN to a finite bound.  cast_numpy already
+    # propagates (np.clip/power keep NaN); cast_sql gets the same CASE arm.
+    return (
+        F.when(_nan_safe_eq(col, src["no_data"]), F.lit(float(dst["no_data"])))
+        .when(F.isnan(col), F.lit(float("nan")))
+        .otherwise(v)
+    )
 
 
 def cast_expr(px: Column, src: dict, dst: dict) -> Column:
@@ -166,6 +183,11 @@ def cast_numpy(arr: np.ndarray, src: dict, dst: dict) -> np.ndarray:
     if is_identity(src, dst):
         return arr
     check_castable(src, dst)
+    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
+        # equal exponents cancel into a pure linear -scale (image.go:203-216)
+        # with no input clipping — see cast_value_expr
+        src = {**src, "exponent": 1.0}
+        dst = {**dst, "exponent": 1.0}
     a = arr.astype(np.float64, copy=True)
     nd = src["no_data"]
     mask = np.isnan(a) if (isinstance(nd, float) and math.isnan(nd)) else (a == nd)
@@ -176,7 +198,9 @@ def cast_numpy(arr: np.ndarray, src: dict, dst: dict) -> np.ndarray:
         # pre-clamp to the source range before the fractional power (GDAL
         # -scale clips inputs; avoids NaN from a negative base) — nodata
         # is masked from the ORIGINAL values above, so clamping can't
-        # alias it; the linear case extrapolates like the reference
+        # alias it; the linear case extrapolates like the reference.
+        # NaN survives np.clip, so non-nodata NaN propagates (twin parity
+        # with cast_value_expr's explicit NaN arm).
         np.clip(a, lo, hi, out=a)
     ve = rlo + (rhi - rlo) * ((a - lo) / (hi - lo)) ** src["exponent"]
 
@@ -202,6 +226,10 @@ def cast_sql(px_col: str, src: dict, dst: dict) -> str:
     if is_identity(src, dst):
         return px_col
     check_castable(src, dst)
+    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
+        # equal exponents cancel into a pure linear -scale (image.go:203-216)
+        src = {**src, "exponent": 1.0}
+        dst = {**dst, "exponent": 1.0}
     lo, hi = src["min_value"], src["max_value"]
     rlo, rhi = src["real_min_value"], src["real_max_value"]
     e = src["exponent"]
@@ -221,7 +249,9 @@ def cast_sql(px_col: str, src: dict, dst: dict) -> str:
         clamped = f"round({clamped}, 0)"
     nd = src["no_data"]
     nd_pred = "isnan(v)" if (isinstance(nd, float) and math.isnan(nd)) else f"v = {nd}"
+    # non-nodata NaN propagates (twin parity with cast_value_expr/cast_numpy)
     return (
         f"list_transform({px_col}, v -> CASE WHEN {nd_pred} "
-        f"THEN {dst['no_data']} ELSE {clamped} END)"
+        f"THEN {dst['no_data']} WHEN isnan(v) THEN 'NaN'::DOUBLE "
+        f"ELSE {clamped} END)"
     )
