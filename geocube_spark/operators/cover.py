@@ -55,7 +55,12 @@ def cover_for_layout(
         return cover_singlecell(aoi_rects, spec)
     if cells is None:
         raise ValueError(f"custom grid {grid!r} needs a cells table")
-    return cover_custom(aoi_rects, cells.filter(F.col("grid") == grid))
+    cell_df = cells.filter(F.col("grid") == grid)
+    if "subgrid" in params or "resolution" in params:
+        # newCustomGrid (customgrid.go:44-54): 'resolution' alone implies
+        # subgrid=singlecell; either way the cover recurses per cell
+        return cover_custom_subgrid(aoi_rects, cell_df, params)
+    return cover_custom(aoi_rects, cell_df)
 
 
 @dataclass
@@ -205,6 +210,174 @@ def cover_singlecell(
     w = int(math.floor(abs(xmax - xmin) / res + 0.5))
     h = int(math.floor(abs(ymax - ymin) / res + 0.5))
     return xmin, ymax, w, h
+
+
+def cover_custom_subgrid(
+    aoi_rects: list[tuple[float, float, float, float]],
+    cells: DataFrame,
+    parameters: dict[str, str],
+) -> DataFrame:
+    """CustomGrid.Covers composition (customgrid.go:70-108): the J5 cell
+    intersections each get a SUBGRID built in the cell's OWN CRS, and the
+    per-cell intersection is covered with it, emitting ``cellID/<subURI>``
+    tiles.
+
+    Parameter semantics follow newCustomGrid (customgrid.go:44-54): either
+    ``subgrid`` names the subgrid kind, or ``resolution`` alone implies
+    ``subgrid=singlecell``.  Subgrid kinds:
+
+    - ``singlecell`` (singlecellgrid.go:52-86): the intersection's bbox in
+      the cell CRS becomes ONE tile, URI ``cellID/originX/originY/w/h``
+      with origin = projected top-left and w/h = round(extent/res)
+      half-away-from-zero.  The reference projects only the RING VERTICES
+      (FlatCoords, no densification) before taking bounds — for the
+      rectilinear intersections produced by cover_custom that is exactly
+      the 4 bbox corners, which is what we project.
+    - ``regular`` (regulargrid.go:169-261): integer range arithmetic over
+      the projected intersection bbox in the cell CRS, URI ``cellID/i/j``
+      with the reference's orientation (pixToCRS = Translation(ox,oy) *
+      Scale(res,-res): row j counts y-DOWN from oy).
+
+    Scale: the whole composition is one DataFrame plan — J5 join ->
+    Arrow-batched per-srid corner projection -> sequence-explode — so a
+    worldwide AOI against a million-cell grid never funnels through the
+    driver.  Projected bounds are rounded to 1e-3 CRS units (mm) on both
+    the engine and oracle sides so floor/ceil boundaries sit ~6 orders of
+    magnitude above the ~3 nm numpy-vs-SQL transform noise (same trick as
+    the warp oracles' binary-exact grid constants).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    params = dict(parameters)
+    subgrid = params.get("subgrid")
+    if subgrid is None:
+        if "resolution" not in params:
+            raise ValueError(
+                "customGrid: need either parameters 'subgrid' or 'resolution' "
+                "(customgrid.go:44-50)"
+            )
+        subgrid = "singlecell"
+    res = abs(float(params["resolution"]))
+
+    inter = cover_custom(aoi_rects, cells)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def project_bounds(srid: pd.Series, bounds: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from geocube_spark.functions.crs import transform_points
+
+        n = len(srid)
+        out = [None] * n
+        sr = srid.to_numpy()
+        bb = np.array([list(b) for b in bounds], dtype=np.float64).reshape(n, 4)
+        for s in np.unique(sr):
+            idx = np.nonzero(sr == s)[0]
+            x0, y0, x1, y1 = (bb[idx, k] for k in range(4))
+            # the 4 corners of each rectilinear intersection
+            xs = np.concatenate([x0, x1, x1, x0])
+            ys = np.concatenate([y0, y0, y1, y1])
+            px, py = transform_points(4326, int(s), xs, ys)
+            px = px.reshape(4, len(idx))
+            py = py.reshape(4, len(idx))
+            # mm quantum: the numpy-vs-SQL transform twins agree to ~3 nm,
+            # so a 1e-3 rounding boundary is ~6 orders of magnitude away
+            # from the noise (same reasoning as the warp oracles' 1024 m
+            # grid constants)
+            bxmin = np.round(px.min(axis=0), 3)
+            bymin = np.round(py.min(axis=0), 3)
+            bxmax = np.round(px.max(axis=0), 3)
+            bymax = np.round(py.max(axis=0), 3)
+            for k, i in enumerate(idx):
+                out[i] = [float(bxmin[k]), float(bymin[k]), float(bxmax[k]), float(bymax[k])]
+        return pd.Series(out)
+
+    proj = (
+        inter.withColumn("crs_bounds", project_bounds(F.col("srid"), F.col("isect_bounds")))
+        .withColumn("bx0", F.element_at("crs_bounds", 1))
+        .withColumn("by0", F.element_at("crs_bounds", 2))
+        .withColumn("bx1", F.element_at("crs_bounds", 3))
+        .withColumn("by1", F.element_at("crs_bounds", 4))
+    )
+
+    if subgrid == "singlecell":
+        # width/height = round(extent/res) half away from zero (Go math.Round)
+        w = F.floor(F.abs(F.col("bx1") - F.col("bx0")) / res + 0.5).cast("long")
+        h = F.floor(F.abs(F.col("by1") - F.col("by0")) / res + 0.5).cast("long")
+        return proj.select(
+            F.col("id").alias("cell_id"),
+            "srid",
+            F.concat_ws(
+                "/",
+                F.col("id"),
+                F.format_string("%.3f", F.col("bx0")),
+                F.format_string("%.3f", F.col("by1")),
+                w.cast("string"),
+                h.cast("string"),
+            ).alias("cell_uri"),
+            F.col("bx0").alias("origin_x"),
+            F.col("by1").alias("origin_y"),
+            w.alias("width"),
+            h.alias("height"),
+        )
+
+    if subgrid == "regular":
+        cell_size = int(params.get("cell_size", "256"))
+        ox = float(params.get("ox", "0"))
+        oy = float(params.get("oy", "0"))
+        span = cell_size * res
+        # reference orientation: i counts x-up from ox, row j counts y-DOWN
+        # from oy (regulargrid.go:120-121 pixToCRS Scale(res,-res))
+        i0 = F.floor((F.col("bx0") - ox) / span).cast("long")
+        i1 = F.ceil((F.col("bx1") - ox) / span).cast("long") - 1
+        j0 = F.floor((oy - F.col("by1")) / span).cast("long")
+        j1 = F.ceil((oy - F.col("by0")) / span).cast("long") - 1
+        tiles = proj.select(
+            F.col("id").alias("cell_id"),
+            "srid",
+            "bx0",
+            "by0",
+            "bx1",
+            "by1",
+            F.explode(F.sequence(i0, F.greatest(i1, i0))).alias("i"),
+            j0.alias("j0"),
+            j1.alias("j1"),
+        ).select(
+            "cell_id",
+            "srid",
+            "bx0",
+            "by0",
+            "bx1",
+            "by1",
+            "i",
+            F.explode(F.sequence(F.col("j0"), F.greatest(F.col("j1"), F.col("j0")))).alias("j"),
+        )
+        # exact phase: subcell rect ∩ projected intersection bbox non-empty
+        cxmin = ox + F.col("i") * span
+        cymax = oy - F.col("j") * span
+        tiles = tiles.filter(
+            (cxmin < F.col("bx1"))
+            & (cxmin + span > F.col("bx0"))
+            & (cymax > F.col("by0"))
+            & (cymax - span < F.col("by1"))
+        )
+        return (
+            tiles.select(
+                F.concat_ws("/", F.col("cell_id"), F.col("i"), F.col("j")).alias("cell_uri"),
+                "cell_id",
+                "srid",
+                "i",
+                "j",
+                cxmin.alias("tile_xmin"),
+                (cymax - span).alias("tile_ymin"),
+                (cxmin + span).alias("tile_xmax"),
+                cymax.alias("tile_ymax"),
+            )
+            .dropDuplicates(["cell_uri"])  # L3 dedup (layout.go:82-101)
+        )
+
+    raise ValueError(f"customGrid: unknown subgrid kind {subgrid!r}")
 
 
 def cover_custom(

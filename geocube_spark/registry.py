@@ -4707,6 +4707,118 @@ def cover_custom_cells(spark, sf_dir):
     )
 
 
+# R8 (complete): custom-grid PER-CELL SUBGRID recursion — CustomGrid.Covers
+# (customgrid.go:70-108) composes the J5 intersections with a subgrid built
+# in each cell's OWN CRS.  The oracle re-derives the projected intersection
+# bbox per cell through tm_forward_sql_columns (one UNION branch per UTM
+# zone in the fixture grid), then replays the identical singlecell /
+# regular-range arithmetic in SQL.  Bounds are rounded to mm on both sides
+# so floor/ceil boundaries sit ~6 orders of magnitude above the ~3 nm
+# numpy-vs-SQL transform noise.
+def _subgrid_crs_bbox_cte(x0: float, y0: float, x1: float, y1: float) -> str:
+    from geocube_spark.functions.crs import tm_forward_sql_columns
+
+    branches = "\n        UNION ALL ".join(
+        f"SELECT id, srid, {tm_forward_sql_columns('lon', 'lat', s)} "
+        f"FROM corners WHERE srid = {s}"
+        for s in range(32601, 32609)
+    )
+    return f"""
+    isect AS (
+        SELECT id, srid,
+               greatest(bbox.xmin, {x0}) AS ix0, greatest(bbox.ymin, {y0}) AS iy0,
+               least(bbox.xmax, {x1}) AS ix1, least(bbox.ymax, {y1}) AS iy1
+        FROM read_parquet('{FIXTURE_DIR}/cells.parquet')
+        WHERE grid = 'mgrs_like'
+          AND bbox.xmin < {x1} AND bbox.xmax > {x0}
+          AND bbox.ymin < {y1} AND bbox.ymax > {y0}
+    ),
+    corners AS (
+        SELECT id, srid,
+               CASE c.k WHEN 0 THEN ix0 WHEN 1 THEN ix1 WHEN 2 THEN ix1 ELSE ix0 END AS lon,
+               CASE c.k WHEN 0 THEN iy0 WHEN 1 THEN iy0 WHEN 2 THEN iy1 ELSE iy1 END AS lat
+        FROM isect, (SELECT unnest([0, 1, 2, 3]) AS k) c
+    ),
+    en AS (
+        {branches}
+    ),
+    crs_bbox AS (
+        SELECT id, srid,
+               round(min(utm_e), 3) AS bx0, round(min(utm_n), 3) AS by0,
+               round(max(utm_e), 3) AS bx1, round(max(utm_n), 3) AS by1
+        FROM en GROUP BY id, srid
+    )"""
+
+
+_SUBGRID_AOI = (-165.0, -38.0, -150.0, -20.0)
+
+
+@q(
+    "cover_custom_subgrid",
+    f"""
+    WITH {_subgrid_crs_bbox_cte(*_SUBGRID_AOI)},
+    tiles AS (
+        SELECT id AS cell_id, srid, i, j,
+               (i * 25600.0) AS cxmin, (0.0 - j * 25600.0) AS cymax,
+               bx0, by0, bx1, by1
+        FROM crs_bbox,
+             unnest(generate_series(
+                 CAST(floor(bx0 / 25600.0) AS BIGINT),
+                 greatest(CAST(ceil(bx1 / 25600.0) AS BIGINT) - 1,
+                          CAST(floor(bx0 / 25600.0) AS BIGINT)))) AS t_i(i),
+             unnest(generate_series(
+                 CAST(floor((0.0 - by1) / 25600.0) AS BIGINT),
+                 greatest(CAST(ceil((0.0 - by0) / 25600.0) AS BIGINT) - 1,
+                          CAST(floor((0.0 - by1) / 25600.0) AS BIGINT)))) AS t_j(j)
+    )
+    SELECT cell_id || '/' || i::VARCHAR || '/' || j::VARCHAR AS cell_uri,
+           cell_id, srid, CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j
+    FROM tiles
+    WHERE cxmin < bx1 AND cxmin + 25600.0 > bx0
+      AND cymax > by0 AND cymax - 25600.0 < by1
+    """,
+)
+def cover_custom_subgrid(spark, sf_dir):
+    """Regular subgrid recursion: Parameters = subgrid=regular,
+    resolution=100, cell_size=256 (span 25.6 km per subcell)."""
+    from geocube_spark.operators.cover import cover_custom_subgrid as _cover
+
+    fd = ensure_fixtures()
+    cells = spark.read.parquet(f"{fd}/cells.parquet").filter(F.col("grid") == "mgrs_like")
+    out = _cover(
+        [_SUBGRID_AOI], cells,
+        {"subgrid": "regular", "resolution": "100", "cell_size": "256"},
+    )
+    return out.select("cell_uri", "cell_id", "srid", "i", "j")
+
+
+@q(
+    "cover_custom_subgrid_singlecell",
+    f"""
+    WITH {_subgrid_crs_bbox_cte(*_SUBGRID_AOI)}
+    SELECT id AS cell_id, srid,
+           id || '/' || printf('%.3f', bx0) || '/' || printf('%.3f', by1)
+              || '/' || CAST(floor(abs(bx1 - bx0) / 10.0 + 0.5) AS BIGINT)::VARCHAR
+              || '/' || CAST(floor(abs(by1 - by0) / 10.0 + 0.5) AS BIGINT)::VARCHAR AS cell_uri,
+           bx0 AS origin_x, by1 AS origin_y,
+           CAST(floor(abs(bx1 - bx0) / 10.0 + 0.5) AS BIGINT) AS width,
+           CAST(floor(abs(by1 - by0) / 10.0 + 0.5) AS BIGINT) AS height
+    FROM crs_bbox
+    """,
+)
+def cover_custom_subgrid_singlecell(spark, sf_dir):
+    """Default subgrid (customgrid.go:44-54: 'resolution' alone implies
+    singlecell): one tile per custom cell, URI cellID/originX/originY/w/h."""
+    from geocube_spark.operators.cover import cover_custom_subgrid as _cover
+
+    fd = ensure_fixtures()
+    cells = spark.read.parquet(f"{fd}/cells.parquet").filter(F.col("grid") == "mgrs_like")
+    out = _cover([_SUBGRID_AOI], cells, {"resolution": "10"})
+    return out.select(
+        "cell_id", "srid", "cell_uri", "origin_x", "origin_y", "width", "height"
+    )
+
+
 # L4 + R13: consolidation work-skipping — full-container exclusion and
 # COG-reuse short-circuit as planning filters.
 @q(

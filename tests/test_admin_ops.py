@@ -240,10 +240,99 @@ class TestGridDispatch:
         ox, oy, w, h = single
         assert w > 0 and h > 0
 
+        # mgrs_like has resolution=10 and no subgrid -> per newCustomGrid
+        # (customgrid.go:44-54) the cover recurses with a singlecell subgrid:
+        # one tile per intersected cell, URI cellID/originX/originY/w/h
         custom = cover_for_layout(spark, layouts["mgrs_like"], rects, cells)
-        assert custom.count() == 25
+        rows = custom.collect()
+        assert len(rows) == 25
+        for r in rows:
+            cell_id, ox, oy, w, h = r["cell_uri"].split("/")
+            assert cell_id == r["cell_id"]
+            assert float(ox) == pytest.approx(r["origin_x"], abs=1e-3)
+            assert float(oy) == pytest.approx(r["origin_y"], abs=1e-3)
+            assert int(w) == r["width"] > 0 and int(h) == r["height"] > 0
 
     def test_custom_without_cells_raises(self, spark, fixture_dir):
         layouts = {r["name"]: r for r in spark.read.parquet(f"{fixture_dir}/layouts.parquet").collect()}
         with pytest.raises(ValueError):
             cover_for_layout(spark, layouts["mgrs_like"], [(0.0, 0.0, 1.0, 1.0)], None)
+
+
+class TestCustomSubgrid:
+    """CustomGrid.Covers subgrid recursion (customgrid.go:70-108)."""
+
+    RECTS = [(-165.0, -38.0, -150.0, -20.0)]
+
+    def test_regular_subgrid_orientation(self, spark, fixture_dir):
+        """Row index counts y-DOWN from oy (regulargrid.go:120-121:
+        pixToCRS = Translation(ox,oy) * Scale(res,-res)); southern-
+        hemisphere cells therefore get positive j."""
+        from geocube_spark.operators.cover import cover_custom_subgrid
+
+        cells = spark.read.parquet(f"{fixture_dir}/cells.parquet")
+        out = cover_custom_subgrid(
+            self.RECTS, cells.filter("grid = 'mgrs_like'"),
+            {"subgrid": "regular", "resolution": "1000", "cell_size": "256"},
+        ).collect()
+        assert len(out) > 25  # genuinely recursed, not one row per cell
+        span = 256 * 1000.0
+        for r in out:
+            assert r["cell_uri"] == f"{r['cell_id']}/{r['i']}/{r['j']}"
+            assert r["j"] >= 0  # negative northings -> j counts down from oy=0
+            # tile rect consistent with the (i, j) indices
+            assert r["tile_xmin"] == pytest.approx(r["i"] * span)
+            assert r["tile_ymax"] == pytest.approx(-r["j"] * span)
+
+    def test_resolution_implies_singlecell(self, spark, fixture_dir):
+        """customgrid.go:44-54: no 'subgrid' parameter + 'resolution' ->
+        subgrid = singlecell."""
+        from geocube_spark.operators.cover import cover_custom_subgrid
+
+        cells = spark.read.parquet(f"{fixture_dir}/cells.parquet")
+        out = cover_custom_subgrid(
+            self.RECTS, cells.filter("grid = 'mgrs_like'"), {"resolution": "10"}
+        ).collect()
+        assert len(out) == 25
+        ids = {r["cell_id"] for r in out}
+        assert len(ids) == 25  # exactly one singlecell tile per custom cell
+
+    def test_singlecell_matches_reference_formula(self, spark, fixture_dir):
+        """Singlecell tile = bbox of the PROJECTED intersection corners
+        (singlecellgrid.go:62-80: transform ring vertices, take bounds,
+        origin = top-left, sizes = math.Round(extent/res))."""
+        import math
+
+        from geocube_spark.functions.crs import transform_points
+        from geocube_spark.operators.cover import cover_custom, cover_custom_subgrid
+
+        cells = spark.read.parquet(f"{fixture_dir}/cells.parquet").filter(
+            "grid = 'mgrs_like'"
+        )
+        inter = {r["id"]: r for r in cover_custom(self.RECTS, cells).collect()}
+        out = cover_custom_subgrid(self.RECTS, cells, {"resolution": "10"}).collect()
+        assert set(inter) == {r["cell_id"] for r in out}
+        for r in out:
+            ref = inter[r["cell_id"]]
+            x0, y0, x1, y1 = ref["isect_bounds"]
+            import numpy as np
+
+            px, py = transform_points(
+                4326, ref["srid"],
+                np.array([x0, x1, x1, x0]), np.array([y0, y0, y1, y1]),
+            )
+            bx0, bx1 = round(px.min(), 3), round(px.max(), 3)
+            by0, by1 = round(py.min(), 3), round(py.max(), 3)
+            assert r["origin_x"] == pytest.approx(bx0, abs=1e-9)
+            assert r["origin_y"] == pytest.approx(by1, abs=1e-9)
+            assert r["width"] == int(math.floor(abs(bx1 - bx0) / 10.0 + 0.5))
+            assert r["height"] == int(math.floor(abs(by1 - by0) / 10.0 + 0.5))
+
+    def test_missing_params_raise(self, spark, fixture_dir):
+        from geocube_spark.operators.cover import cover_custom_subgrid
+
+        cells = spark.read.parquet(f"{fixture_dir}/cells.parquet")
+        with pytest.raises(ValueError, match="subgrid.*or.*resolution"):
+            cover_custom_subgrid(self.RECTS, cells, {})
+        with pytest.raises(ValueError, match="unknown subgrid"):
+            cover_custom_subgrid(self.RECTS, cells, {"subgrid": "hex", "resolution": "1"})

@@ -69,6 +69,8 @@ HARD_RULES_EXEMPT_BNLJ = {
     # tests/test_raster_ops.py::TestAdaptiveSpatialJoin), so the exemption
     # covers only the fixture-scale broadcast plan the audit executes:
     "cover_custom_cells",
+    "cover_custom_subgrid",             # same J5 adaptive join inside
+    "cover_custom_subgrid_singlecell",  # same J5 adaptive join inside
     "valid_shape_per_cell",
     "valid_shape_rotated_cells",
     "zonal_statistics",        # zones dim broadcast θ-join (J5 shape)
