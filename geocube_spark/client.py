@@ -34,10 +34,22 @@ from geocube_spark.sources.catalog import (
     Catalog,
     make_aoi_rows,
     update_record_tags,
-    validate_dmapping,
-    validate_record_name,
 )
 from geocube_spark.streaming.jobs import advance_job_state, task_counters
+from geocube_spark.validation import (
+    ValidationError,
+    validate_aoi_bounds,
+    validate_consolidation_params,
+    validate_dataset_with_variable,
+    validate_dformat,
+    validate_dmapping,
+    validate_grid,
+    validate_instance_name,
+    validate_layout,
+    validate_named_palette,
+    validate_record,
+    validate_variable,
+)
 
 
 def _uuid() -> str:
@@ -72,6 +84,10 @@ class GeocubeClient:
         Returned ids are deterministic (uuid5 of geometry hash), so they are
         correct whether or not a row was newly inserted."""
         rows = make_aoi_rows(geoms_wkb)
+        for r in rows:
+            b = r["bbox"]
+            # record.go:201-214: coordinates must be geographic
+            validate_aoi_bounds((b["xmin"], b["ymin"], b["xmax"], b["ymax"]))
         new_df = self.spark.createDataFrame(rows, schemas.AOI)
         if self.catalog.exists("aoi"):
             existing = self.catalog.read("aoi")
@@ -85,7 +101,7 @@ class GeocubeClient:
         self, names: list[str], tags: dict[str, str], datetimes: list[datetime], aoi_ids: list[str]
     ) -> list[str]:
         for n in names:
-            validate_record_name(n)
+            validate_record(n, tags)  # record.go:174-199 (URN + tag charset)
         rows = [
             {"id": _uuid(), "name": n, "datetime": dt, "tags": tags, "aoi_id": a}
             for n, dt, a in zip(names, datetimes, aoi_ids)
@@ -126,12 +142,18 @@ class GeocubeClient:
     # ----------------------------------------------------------- variables
 
     def create_variable(
-        self, name: str, bands: list[str], dformat: dict, resampling_alg: str = "NEAR"
+        self,
+        name: str,
+        bands: list[str],
+        dformat: dict,
+        resampling_alg: str = "NEAR",
+        palette: str | None = None,
     ) -> str:
-        validate_dmapping({**dformat, "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0})
+        # variable.go:296-328: URN name, palette rules, dformat, band rules
+        validate_variable(name, bands, dformat, palette)
         row = {
             "id": _uuid(), "name": name, "unit": "", "description": "",
-            "bands": bands, "dformat": dformat, "palette": None,
+            "bands": bands, "dformat": dformat, "palette": palette,
             "resampling_alg": resampling_alg,
         }
         df = self.spark.createDataFrame([row], schemas.VARIABLE)
@@ -139,6 +161,7 @@ class GeocubeClient:
         return row["id"]
 
     def instantiate_variable(self, variable_id: str, name: str, metadata: dict | None = None) -> str:
+        validate_instance_name(name)  # variable.go:286-293 (single segment)
         row = {"id": _uuid(), "name": name, "metadata": metadata or {}, "variable_id": variable_id}
         df = self.spark.createDataFrame([row], schemas.INSTANCE)
         self._append("instances", df)
@@ -155,9 +178,36 @@ class GeocubeClient:
     # ------------------------------------------------------------ datasets
 
     def index_datasets(self, dataset_rows: list[dict]) -> int:
-        """IndexDatasets: validate + append fact rows (S2 bulk ingest)."""
+        """IndexDatasets: validate + append fact rows (S2 bulk ingest).
+
+        Beyond the per-row DataMapping rules (dataset.go:208-220), each row
+        is validated AGAINST ITS VARIABLE when the instances/variables
+        tables exist (dataset.go:191-206 ValidateWithVariable: band arity,
+        cast lattice, external-range intersection) — one broadcast-sized
+        collect of the instance->variable dim, never a per-row scan."""
+        variables_by_instance: dict[str, dict] = {}
+        if self.catalog.exists("instances") and self.catalog.exists("variables"):
+            inst_ids = {r["instance_id"] for r in dataset_rows}
+            dim = (
+                self.catalog.read("instances")
+                .filter(F.col("id").isin(list(inst_ids)))
+                .select(F.col("id").alias("instance_id"), "variable_id")
+                .join(
+                    self.catalog.read("variables").select(
+                        F.col("id").alias("variable_id"), "bands", "dformat"
+                    ),
+                    "variable_id",
+                )
+                .collect()
+            )
+            variables_by_instance = {
+                r["instance_id"]: r.asDict(recursive=True) for r in dim
+            }
         for r in dataset_rows:
             validate_dmapping(r["dmapping"])
+            v = variables_by_instance.get(r["instance_id"])
+            if v is not None:
+                validate_dataset_with_variable(r["bands"], r["dmapping"], v)
             xmin, ymin, xmax, ymax = wkb_bounds(r["geom_wkb"])
             r.setdefault("bbox", {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax})
             r.setdefault("id", _uuid())
@@ -283,6 +333,179 @@ class GeocubeClient:
         if row is None:
             raise KeyError(f"no consolidation params for variable {variable_id!r}")
         return row.asDict(recursive=True)
+
+    def config_consolidation(
+        self,
+        variable_id: str,
+        dformat: dict,
+        compression: str = "NO",
+        creation_params: dict[str, str] | None = None,
+        resampling_alg: str = "NEAR",
+        exponent: float = 1.0,
+        storage_class: str = "STANDARD",
+    ) -> dict:
+        """ConfigConsolidation (geocube.proto / consolidation_params.go:
+        36-150): validate the storage recipe, merge the per-compression
+        creation-param defaults, upsert one row per variable."""
+        validate_dformat(dformat)
+        normalized = validate_consolidation_params(
+            dformat["dtype"], compression, creation_params, resampling_alg
+        )
+        row = {
+            "variable_id": variable_id, "dformat": dformat, "exponent": exponent,
+            "compression": compression, "creation_params": normalized,
+            "resampling_alg": resampling_alg, "storage_class": storage_class,
+        }
+        df = self.spark.createDataFrame([row], self.catalog.read("consolidation_params").schema) \
+            if self.catalog.exists("consolidation_params") else None
+        if df is not None:
+            others = self.catalog.read("consolidation_params").filter(
+                F.col("variable_id") != variable_id
+            )
+            self.catalog.write("consolidation_params", others.unionByName(df))
+        else:
+            self.catalog.write(
+                "consolidation_params",
+                self.spark.createDataFrame([row]),
+            )
+        return row
+
+    # --------------------------------------------- layout/grid/palette CRUD
+
+    def create_layout(
+        self,
+        name: str,
+        grid_parameters: dict[str, str],
+        block_x_size: int = 256,
+        block_y_size: int = 256,
+        max_records: int = 1024,
+        overviews_min_size: int = 256,
+        interlacing_pattern: str = "Z=0>T>R>B;Z=1:>R>T>B",
+        grid_flags: list[str] | None = None,
+    ) -> None:
+        """CreateLayout (geocube.proto; validation layout.go:116-132).
+        Duplicate names are rejected (pg unique constraint twin)."""
+        validate_layout(name, block_x_size, block_y_size, max_records, interlacing_pattern)
+        if self.catalog.exists("layouts"):
+            if self.catalog.read("layouts").filter(F.col("name") == name).first():
+                raise ValidationError(f"layout {name!r} already exists")
+        row = {
+            "name": name, "grid_flags": grid_flags or [],
+            "grid_parameters": grid_parameters,
+            "block_x_size": block_x_size, "block_y_size": block_y_size,
+            "max_records": max_records, "overviews_min_size": overviews_min_size,
+            "interlacing_pattern": interlacing_pattern,
+        }
+        self._append("layouts", self.spark.createDataFrame([row], schemas.LAYOUT))
+
+    def list_layouts(self, name_glob: str | None = None) -> DataFrame:
+        from geocube_spark.functions.globs import like_filter
+
+        out = self.catalog.read("layouts")
+        if name_glob:
+            out = out.filter(like_filter(F.col("name"), name_glob))
+        return out
+
+    def delete_layout(self, name: str) -> None:
+        """DeleteLayout with the in-use guard: a layout referenced by
+        container_layouts (J6) cannot be deleted."""
+        layouts = self.catalog.read("layouts")
+        if not layouts.filter(F.col("name") == name).first():
+            raise KeyError(f"unknown layout {name!r}")
+        if self.catalog.exists("container_layouts"):
+            in_use = (
+                self.catalog.read("container_layouts")
+                .filter(F.col("layout_name") == name)
+                .first()
+            )
+            if in_use:
+                raise ValidationError(
+                    f"layout {name!r} is still referenced by containers"
+                )
+        self.catalog.write("layouts", layouts.filter(F.col("name") != name))
+
+    def create_grid(self, name: str, description: str, cells: list[dict]) -> None:
+        """CreateGrid (grid.go:79-102 validation; bulk cell insert =
+        pg_grids.go:27-59 COPY twin -> one DataFrame append).  Cell rows:
+        {id, crs, srid, geom_wkb}; bbox derived here for the J5 prune."""
+        validate_grid(name, cells)
+        if self.catalog.exists("cells"):
+            if self.catalog.read("cells").filter(F.col("grid") == name).first():
+                raise ValidationError(f"grid {name!r} already exists")
+        rows = []
+        for c in cells:
+            xmin, ymin, xmax, ymax = wkb_bounds(c["geom_wkb"])
+            rows.append(
+                {
+                    "id": c["id"], "grid": name, "crs": c["crs"],
+                    "srid": int(c["srid"]), "geom_wkb": c["geom_wkb"],
+                    "bbox": {"xmin": xmin, "ymin": ymin, "xmax": xmax, "ymax": ymax},
+                }
+            )
+        self._append("cells", self.spark.createDataFrame(rows, schemas.CELL))
+
+    def list_grids(self, name_glob: str | None = None) -> DataFrame:
+        """ListGrids: one row per grid with its cell count."""
+        from geocube_spark.functions.globs import like_filter
+
+        g = self.catalog.read("cells").groupBy("grid").agg(
+            F.count(F.lit(1)).alias("n_cells")
+        )
+        if name_glob:
+            g = g.filter(like_filter(F.col("grid"), name_glob))
+        return g.orderBy("grid")
+
+    def delete_grid(self, name: str) -> None:
+        """DeleteGrid with the in-use guard: a grid named by any layout's
+        grid_parameters cannot be deleted."""
+        cells = self.catalog.read("cells")
+        if not cells.filter(F.col("grid") == name).first():
+            raise KeyError(f"unknown grid {name!r}")
+        if self.catalog.exists("layouts"):
+            in_use = (
+                self.catalog.read("layouts")
+                .filter(F.element_at(F.col("grid_parameters"), "grid") == name)
+                .first()
+            )
+            if in_use:
+                raise ValidationError(f"grid {name!r} is still used by a layout")
+        self.catalog.write("cells", cells.filter(F.col("grid") != name))
+
+    def create_palette(self, name: str, points, replace: bool = False) -> None:
+        """CreatePalette (palette.go:54-72): >= 2 strictly-increasing color
+        points spanning exactly [0,1].  ``points`` are
+        functions.palette.ColorPoint; ``replace`` mirrors the RPC flag."""
+        validate_named_palette(name, points)
+        rows = [
+            {"name": name, "val": float(p.value), "r": p.r, "g": p.g, "b": p.b, "a": p.a}
+            for p in points
+        ]
+        df = self.spark.createDataFrame(
+            rows, "name string, val double, r int, g int, b int, a int"
+        )
+        if self.catalog.exists("palettes"):
+            existing = self.catalog.read("palettes")
+            if existing.filter(F.col("name") == name).first():
+                if not replace:
+                    raise ValidationError(f"palette {name!r} already exists")
+                existing = existing.filter(F.col("name") != name)
+            self.catalog.write("palettes", existing.unionByName(df))
+        else:
+            self.catalog.write("palettes", df)
+
+    def get_palette(self, name: str):
+        """Palette points, ordered by value, as ColorPoint list."""
+        from geocube_spark.functions.palette import ColorPoint
+
+        rows = (
+            self.catalog.read("palettes")
+            .filter(F.col("name") == name)
+            .orderBy("val")
+            .collect()
+        )
+        if not rows:
+            raise KeyError(f"unknown palette {name!r}")
+        return [ColorPoint(r["val"], r["r"], r["g"], r["b"], r["a"]) for r in rows]
 
     # ----------------------------------------------------------------- jobs
 

@@ -8,7 +8,6 @@ variable.go:286-328, dataset.go:191-220; AOI dedup-by-hash record.go:33-58.
 from __future__ import annotations
 
 import os
-import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,7 +16,6 @@ from pyspark.sql import functions as F
 from geocube_spark import schemas
 from geocube_spark.functions.geometry import geom_hash, wkb_bounds
 
-_URN = re.compile(r"^[a-zA-Z0-9_\-.:]+$")  # urn.go:43 name charset
 
 TABLES = {
     "aoi": schemas.AOI,
@@ -322,8 +320,13 @@ class Catalog:
 
 
 def validate_record_name(name: str) -> None:
-    if not _URN.match(name):
-        raise ValueError(f"invalid record URN name: {name!r}")
+    """Legacy alias — the write-path validators live in
+    geocube_spark.validation (urn.go:31-38: '/'-separated segments of
+    [a-zA-Z0-9-:_]; the old local regex wrongly allowed '.' and rejected
+    multi-segment names)."""
+    from geocube_spark.validation import validate_record
+
+    validate_record(name)
 
 
 def make_aoi_rows(geoms_wkb: list[bytes]) -> list[dict]:
@@ -345,17 +348,12 @@ def make_aoi_rows(geoms_wkb: list[bytes]) -> list[dict]:
 
 
 def validate_dmapping(dm: dict) -> None:
-    """dataformat.go:53-93 invariants: min<max, real_min<real_max when
-    exponent != 1 the internal range must start at 0 is NOT required by the
-    reference — it requires Range valid and exponent > 0."""
-    if not dm["min_value"] < dm["max_value"]:
-        raise ValueError("dmapping: min_value must be < max_value")
-    if not dm["real_min_value"] < dm["real_max_value"]:
-        raise ValueError("dmapping: real_min_value must be < real_max_value")
-    if dm["exponent"] <= 0:
-        raise ValueError("dmapping: exponent must be > 0")
-    if dm["dtype"] not in schemas.DTYPE_BOUNDS:
-        raise ValueError(f"dmapping: unknown dtype {dm['dtype']}")
+    """Legacy alias — full dataformat.go:53-93 rules (incl. range-within-
+    dtype-bounds and nodata-within-bounds-or-NaN, which the old local check
+    skipped) live in geocube_spark.validation."""
+    from geocube_spark import validation
+
+    validation.validate_dmapping(dm)
 
 
 def update_record_tags(

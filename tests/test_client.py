@@ -64,7 +64,11 @@ class TestEntityLifecycle:
             "client_var", ["B1"],
             {"dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 10000.0},
         )
-        iid = client.instantiate_variable(vid, "client_var/default")
+        # instance names are SINGLE URN segments (variable.go:286-293):
+        # slashes are rejected, unlike record/variable full URNs
+        with pytest.raises(ValueError, match="Invalid Name"):
+            client.instantiate_variable(vid, "client_var/default")
+        iid = client.instantiate_variable(vid, "default")
         vs = client.list_variables("client_*").collect()
         assert len(vs) == 1 and vs[0]["id"] == vid
         assert iid
@@ -211,3 +215,151 @@ class TestClientExtensions:
             tiles, pts, transform=(1.0, 0.0, 0.0, 0.0, -1.0, 4.0), block=B
         ).collect()[0]["value"]
         assert v == np.arange(16.0).reshape(4, 4)[1, 1]
+
+
+class TestLayoutGridPaletteCRUD:
+    """Layout/grid/palette CRUD (geocube.proto RPC list) with the
+    reference's validation + in-use delete guards."""
+
+    @pytest.fixture()
+    def crud_client(self, spark, tmp_path):
+        return GeocubeClient(spark, str(tmp_path / "crud_catalog"))
+
+    def test_layout_crud(self, crud_client):
+        c = crud_client
+        c.create_layout(
+            "utm_256", {"grid": "regular", "crs": "epsg:32631",
+                        "cell_size": "256", "resolution": "10"},
+        )
+        assert [r["name"] for r in c.list_layouts().collect()] == ["utm_256"]
+        # duplicate name rejected
+        with pytest.raises(ValueError, match="already exists"):
+            c.create_layout("utm_256", {"grid": "regular"})
+        # validation: layout.go:116-132
+        with pytest.raises(ValueError, match="invalid name"):
+            c.create_layout("bad name", {})
+        with pytest.raises(ValueError, match="positive"):
+            c.create_layout("l2", {}, block_x_size=0)
+        with pytest.raises(ValueError, match="InterlacingPattern"):
+            c.create_layout("l3", {}, interlacing_pattern="Z>T")
+        c.delete_layout("utm_256")
+        assert c.list_layouts().count() == 0
+        with pytest.raises(KeyError):
+            c.delete_layout("utm_256")
+
+    def test_delete_layout_in_use_guard(self, spark, fixture_dir, tmp_path):
+        import shutil
+
+        root = tmp_path / "cat"
+        root.mkdir()
+        for t in ("layouts", "container_layouts"):
+            shutil.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        used = c.catalog.read("container_layouts").first()["layout_name"]
+        with pytest.raises(ValueError, match="still referenced"):
+            c.delete_layout(used)
+
+    def test_grid_crud_and_cover_integration(self, crud_client):
+        from geocube_spark.functions.geometry import rect_wkb
+
+        c = crud_client
+        cells = [
+            {"id": f"Z{i}", "crs": f"epsg:{32630 + i}", "srid": 32630 + i,
+             "geom_wkb": rect_wkb(-6.0 + 6 * i, 40.0, 0.0 + 6 * i, 48.0)}
+            for i in range(2)
+        ]
+        c.create_grid("test_mgrs", "two UTM-ish cells", cells)
+        got = c.list_grids().collect()
+        assert [(r["grid"], r["n_cells"]) for r in got] == [("test_mgrs", 2)]
+        with pytest.raises(ValueError, match="already exists"):
+            c.create_grid("test_mgrs", "", cells)
+        with pytest.raises(ValueError, match="reserved"):
+            c.create_grid("regular", "", cells)
+        # an API-created grid drives cover_for_layout end-to-end (TileAOI)
+        c.create_layout(
+            "mgrs_layout", {"grid": "test_mgrs", "resolution": "100"},
+        )
+        tiles = c.tile_aoi([(-4.0, 41.0, 8.0, 43.0)], "mgrs_layout")
+        rows = tiles.collect()
+        assert {r["cell_id"] for r in rows} == {"Z0", "Z1"}
+        assert all(r["width"] > 0 and r["height"] > 0 for r in rows)
+        # in-use guard, then cascading delete works once the layout is gone
+        with pytest.raises(ValueError, match="still used"):
+            c.delete_grid("test_mgrs")
+        c.delete_layout("mgrs_layout")
+        c.delete_grid("test_mgrs")
+        assert c.list_grids().count() == 0
+
+    def test_palette_crud(self, crud_client):
+        from geocube_spark.functions.palette import ColorPoint
+
+        c = crud_client
+        pts = [
+            ColorPoint(0.0, 0, 0, 0, 255),
+            ColorPoint(0.5, 255, 0, 0, 255),
+            ColorPoint(1.0, 255, 255, 255, 255),
+        ]
+        c.create_palette("inferno-ish", pts)
+        assert c.get_palette("inferno-ish") == pts
+        with pytest.raises(ValueError, match="already exists"):
+            c.create_palette("inferno-ish", pts)
+        # replace flag mirrors the RPC
+        c.create_palette("inferno-ish", pts[:1] + pts[2:], replace=True)
+        assert len(c.get_palette("inferno-ish")) == 2
+        with pytest.raises(ValueError, match="Palette Points"):
+            c.create_palette("p2", pts[:1])
+
+    def test_config_consolidation_normalizes(self, crud_client):
+        c = crud_client
+        row = c.config_consolidation(
+            "var-1",
+            {"dtype": "Float32", "no_data": float("nan"),
+             "min_value": 0.0, "max_value": 1.0},
+            compression="LOSSLESS",
+        )
+        assert row["creation_params"]["COMPRESS"] == "ZSTD"
+        got = c.get_consolidation_params("var-1")
+        assert got["creation_params"]["PREDICTOR"] == "2"
+        # upsert: second config replaces the row
+        c.config_consolidation(
+            "var-1",
+            {"dtype": "UInt8", "no_data": 0.0, "min_value": 1.0, "max_value": 255.0},
+            compression="CUSTOM", creation_params={"COMPRESS": "JPEG"},
+        )
+        got = c.get_consolidation_params("var-1")
+        assert got["creation_params"] == {"COMPRESS": "JPEG"}
+        with pytest.raises(ValueError, match="not supported"):
+            c.config_consolidation(
+                "var-2",
+                {"dtype": "Float32", "no_data": float("nan"),
+                 "min_value": 0.0, "max_value": 1.0},
+                compression="CUSTOM", creation_params={"COMPRESS": "JPEG"},
+            )
+
+    def test_index_datasets_variable_compat(self, spark, tmp_path):
+        """dataset.go:191-206 enforced on the index path."""
+        from geocube_spark.functions.geometry import rect_wkb
+
+        c = GeocubeClient(spark, str(tmp_path / "vc_catalog"))
+        vid = c.create_variable(
+            "NDVI", ["B1"],
+            {"dtype": "Int16", "no_data": -32768.0, "min_value": -10000.0,
+             "max_value": 10000.0},
+        )
+        iid = c.instantiate_variable(vid, "default")
+        base = {
+            "record_id": "r-1", "instance_id": iid, "container_uri": "s3://demo/c1",
+            "subdir": "", "status": "ACTIVE", "geom_wkb": rect_wkb(0, 0, 1, 1),
+            "shape_srid": 4326, "overviews": False, "locked_by_job_id": None,
+            "dmapping": {"dtype": "Int16", "no_data": -32768.0, "min_value": 0.0,
+                         "max_value": 10000.0, "real_min_value": 0.0,
+                         "real_max_value": 1.0, "exponent": 1.0},
+        }
+        assert c.index_datasets([{**base, "bands": [1]}]) == 1
+        with pytest.raises(ValueError, match="number of bands"):
+            c.index_datasets([{**base, "bands": [1, 2]}])
+        bad_range = {
+            **base["dmapping"], "real_min_value": 20000.0, "real_max_value": 30000.0,
+        }
+        with pytest.raises(ValueError, match="does not intersect"):
+            c.index_datasets([{**base, "bands": [1], "dmapping": bad_range}])
