@@ -458,14 +458,97 @@ def perplexity_buckets(
     ntile over (mean_nll, doc_id), fully deterministic.  Output: one row
     per bucket with its document count and NLL range.
 
-    Scale note: ntile needs a single global ordering of DOC-LEVEL rows —
-    three doubles per document, so the sort input is ~24 bytes/doc, but
-    the window still funnels through one task.  At 100 TB use
-    :func:`perplexity_bucket_assign` instead: approx-percentile
-    thresholds (one pass, mergeable sketches) and a stateless comparison
-    per doc — no global sort, boundary docs may land one bucket off by
-    the sketch's epsilon.
+    Scale: the ntile is computed by :func:`distributed_rank` — a
+    range-repartitioned EXACT global rank (the only sequential window runs
+    over the n_partitions-row offset dim) plus the closed-form ntile
+    formula, so nothing doc-sized ever funnels through one task.  The
+    literal ``ntile() OVER (ORDER BY ...)`` twin
+    (:func:`perplexity_buckets_exact_window`) and the epsilon-tolerant
+    sketch-threshold variant (:func:`perplexity_bucket_assign`) both
+    agreement-test against it.
     """
+    nll = unigram_logprob(docs, id_col=id_col, text_col=text_col)
+    ranked = distributed_rank(nll, ["mean_nll", "doc_id"])
+    return _bucketize_ranked(ranked, n_buckets)
+
+
+def distributed_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """EXACT global rank without a single-task window.
+
+    Plan: range-repartition on the (strict) total order, add per-partition
+    offsets from a PARTITION-COUNT-sized dim (the only sequential window
+    runs over n_partitions rows), then a PARTITIONED row_number.  The rank
+    is invariant to where the range boundaries fall, so the range
+    partitioner's sampling never changes the answer — but the partitioning
+    must be computed ONCE (counts and ranks must see the same boundaries),
+    hence the eager localCheckpoint (Spark does not reuse exchanges across
+    two actions of a nondeterministically-partitioned plan).
+
+    Appends ``rnk`` (1-based, dense over the whole frame) and ``n`` (total
+    rows).  The order must be a strict total order (include a tiebreaker
+    column) or ties may straddle partition boundaries inconsistently.
+    """
+    from pyspark.sql import Window
+
+    part = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn("rnk", F.col("_off") + F.row_number().over(w_in))
+        .drop("_pid", "_off")
+    )
+
+
+def _bucketize_ranked(ranked: DataFrame, n_buckets: int) -> DataFrame:
+    """Closed-form SQL ntile from (rnk, n): the first n%k buckets hold
+    ceil(n/k) rows, the rest floor(n/k) — identical to ntile(k) OVER the
+    same total order, bit-for-bit."""
+    labels = _bucket_labels(n_buckets)
+    k = n_buckets
+    q = F.floor(F.col("n") / k)
+    r = F.col("n") - k * q
+    head = r * (q + 1)  # rows living in the ceil-sized buckets
+    bucket_i = F.when(
+        F.col("rnk") <= head, F.ceil(F.col("rnk") / (q + 1))
+    ).otherwise(r + F.ceil((F.col("rnk") - head) / F.greatest(q, F.lit(1))))
+    lab = F.element_at(F.array(*[F.lit(x) for x in labels]), bucket_i.cast("int"))
+    return (
+        ranked.withColumn("bucket", lab)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.min("mean_nll"), 4).alias("min_nll"),
+            F.round(F.max("mean_nll"), 4).alias("max_nll"),
+            F.round(F.avg("mean_nll"), 4).alias("avg_nll"),
+        )
+    )
+
+
+def perplexity_buckets_exact_window(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The literal single-window ntile (the agreement-test twin of
+    :func:`perplexity_buckets`): correct but funnels every doc-level row
+    through ONE task — never register this as a query; it exists to pin
+    the distributed-rank path bit-for-bit."""
     from pyspark.sql import Window
 
     labels = _bucket_labels(n_buckets)

@@ -375,3 +375,57 @@ class TestWinnowing:
         ).count()
         # winnowing keeps ~2/(w+1) = 40% of gram positions; allow slack
         assert n_fp < 0.6 * n_grams
+
+
+class TestDistributedRankNtile:
+    """The registered perplexity_buckets now ranks via distributed_rank
+    (range-repartition + partitioned row_number) — it must agree with the
+    literal single-window ntile BIT-FOR-BIT, and its plan must not put a
+    single-partition window over doc-level rows."""
+
+    def test_matches_exact_window_bitwise(self, docs):
+        from geocube_spark.operators.retrieval import (
+            perplexity_buckets,
+            perplexity_buckets_exact_window,
+        )
+
+        got = {r["bucket"]: r.asDict() for r in perplexity_buckets(docs).collect()}
+        want = {
+            r["bucket"]: r.asDict()
+            for r in perplexity_buckets_exact_window(docs).collect()
+        }
+        assert got == want
+
+    def test_distributed_rank_is_dense_and_exact(self, spark):
+        import random
+
+        from geocube_spark.operators.retrieval import distributed_rank
+
+        rng = random.Random(7)
+        rows = [(f"d{i}", rng.uniform(0, 10)) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id string, mean_nll double").repartition(13)
+        out = distributed_rank(df, ["mean_nll", "doc_id"]).collect()
+        assert sorted(r["rnk"] for r in out) == list(range(1, 501))
+        assert all(r["n"] == 500 for r in out)
+        by_rank = sorted(out, key=lambda r: r["rnk"])
+        keys = [(r["mean_nll"], r["doc_id"]) for r in by_rank]
+        assert keys == sorted(keys)
+
+    def test_registered_plan_has_no_global_window(self, docs):
+        from geocube_spark.operators.retrieval import perplexity_buckets
+
+        plan = (
+            perplexity_buckets(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        low = plan.lower()
+        assert "ntile(" not in low
+        # the doc-level row_number must be PARTITIONED by _pid; the only
+        # unpartitioned windows allowed are the offset cumsum/total over
+        # the n_partitions-row counts dim (bounded, broadcast afterwards)
+        assert "row_number() windowspecdefinition(_pid" in low
+        # (the rangepartitioning exchange sits above the localCheckpoint
+        # cut, so the audited plan shows only the ExistingRDD scan of the
+        # checkpointed, range-partitioned rows)
