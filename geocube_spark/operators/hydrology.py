@@ -88,19 +88,21 @@ def d8_flow_direction(cells: DataFrame) -> DataFrame:
 
 
 def flow_accumulation(
-    cells: DataFrame, edges: DataFrame, rounds: int, checkpoint_every: int = 8
+    cells: DataFrame, edges: DataFrame, rounds: int, checkpoint_every: int = 4
 ) -> DataFrame:
     """(i, j, acc): number of cells draining through (i, j), itself
     included.  Exact once ``rounds`` >= the longest flow-path length.
 
     Each round's ``acc`` feeds exactly ONE consumer (the next round), so
-    the recursion stays a single lazy plan — no per-round materialization
-    — with a ``localCheckpoint`` every ``checkpoint_every`` rounds only to
-    bound plan depth on deep DEMs (measured on the fixture: per-round
-    checkpoints 5.2s, one mid-way 3.0s, fully lazy 2.8s — eager
-    materialization COSTS here; lineage depth 8 is well inside optimizer
-    comfort).  ``edges`` is checkpointed once: it IS re-read every
-    round."""
+    the recursion stays a lazy plan between checkpoints — the
+    ``localCheckpoint`` every ``checkpoint_every`` rounds caps lineage at
+    a FIXED depth, so the final (audited) plan size is independent of the
+    total round count: a 10 000-round continental DEM compiles the same
+    4-round plan as the fixture.  Cadence choice measured on the fixture:
+    per-round checkpoints 5.2 s, every-4 3.0 s, fully lazy 2.8 s — the
+    ~0.2 s is the price of a bounded plan (the fully-lazy 8-round chain
+    compiled to ~31.5 KB and grew with ``rounds``).  ``edges`` is
+    checkpointed once: it IS re-read every round."""
     base = cells.select("i", "j")
     acc = base.withColumn("acc", F.lit(1).cast("long"))
     e = edges.localCheckpoint()
