@@ -397,9 +397,16 @@ def xyz_tile(
     tile_px: int = 256,
     base_res: float | None = None,
     max_level: int = 0,
+    src_srid: int | None = None,
 ) -> DataFrame:
     """R11: regrid + mosaic onto one XYZ WebMercator tile; PNG/palette
-    encoding (S7/C10) happens at the edge, not in the engine.
+    encoding (S7/C10) happens at the edge (see registry.xyz_tile_png for
+    the full GetXYZTile->palette->PNG consumer path).
+
+    ``src_srid``: CRS of the source tile table when it is NOT WebMercator
+    — the reference warps whatever CRS the datasets live in onto the
+    mercator tile grid (svc/catalog.go:386-506 via MergeDatasets).  Left
+    None, the input is assumed 3857-native and no warp happens.
 
     O8 (-ovr AUTO, image.go:402): when ``base_res`` is given and the
     input carries a ``level`` column, the coarsest overview whose
@@ -415,7 +422,13 @@ def xyz_tile(
             tiles_with_time, base_res, res, max_level
         )
     regridded = regrid_to_grid(
-        tiles_with_time, (ox, oy), res, out_block=tile_px, nodata=nodata
+        tiles_with_time,
+        (ox, oy),
+        res,
+        out_block=tile_px,
+        nodata=nodata,
+        src_srid=src_srid,
+        dst_srid=None if src_srid is None else 3857,
     )
     only = regridded.filter((F.col("out_block_x") == 0) & (F.col("out_block_y") == 0))
     stacked = only.select(

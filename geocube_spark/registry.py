@@ -4286,6 +4286,121 @@ def get_cube_overview_auto(spark, sf_dir):
     )
 
 
+# R11+C10+S7 end-to-end: the reference's most common consumer path
+# (svc/catalog.go:386-506 GetXYZTile + image.go:522-584 toPNG + palette.go):
+# mosaic datasets onto one WebMercator XYZ tile, normalize through the
+# DataMapping, color through the palette LUT, encode a REAL PNG, decode it
+# back, and checksum the RGBA planes.  The decode-back makes the S7 codec
+# part of the verified surface (a bit-broken IDAT would corrupt the sums).
+# Oracle: pixel values re-derived analytically (inverse mercator is pure
+# IEEE mul/div on the lon->ix axis; atan/exp ulps on lat sit far from the
+# 1/64-degree floor boundaries), then the identical LUT application — the
+# 256-entry LUT is inlined as literals, index rounding is HALF-EVEN on
+# both sides (np.round / round_even) because v in {16,48,80} lands on
+# exact .5 ties.  PNG encode/decode cancels in the oracle by roundtrip
+# identity, which is precisely what the engine proves by doing it.
+def _xyz_png_pieces():
+    from geocube_spark.functions.palette import ColorPoint, build_lut
+    from geocube_spark.operators.regrid import xyz_tile_grid
+
+    pts = [
+        ColorPoint(0.0, 0, 0, 128, 255),
+        ColorPoint(0.5, 255, 165, 0, 255),
+        ColorPoint(1.0, 255, 255, 255, 255),
+    ]
+    (ox, oy), res = xyz_tile_grid(64, 43, 7)
+    return pts, build_lut(pts), ox, oy, res
+
+
+_XYZ_PNG_PTS, _XYZ_PNG_LUT, _XYZ_OX, _XYZ_OY, _XYZ_RES = _xyz_png_pieces()
+
+
+def _xyz_png_oracle() -> str:
+    luts = {
+        ch: "[" + ", ".join(str(e[k]) for e in _XYZ_PNG_LUT) + "]"
+        for k, ch in enumerate("rgba")
+    }
+    return f"""
+    WITH cells AS (SELECT i.range AS idx FROM range(0, 65536) i),
+    ll AS (
+        SELECT idx,
+               degrees(({_XYZ_OX!r} + ((idx % 256) + 0.5) * {_XYZ_RES!r})
+                       / 6378137.0) AS lon,
+               degrees(2*atan(exp(({_XYZ_OY!r} - ((idx // 256) + 0.5) * {_XYZ_RES!r})
+                                  / 6378137.0)) - pi()/2) AS lat
+        FROM cells
+    ),
+    src AS (
+        SELECT idx, CAST(floor(lon / 0.015625) AS BIGINT) AS ix,
+               CAST(floor((50.0 - lat) / 0.015625) AS BIGINT) AS iy
+        FROM ll
+    ),
+    v AS (
+        SELECT idx,
+               CASE WHEN ix >= 0 AND ix < 128 AND iy >= 0 AND iy < 128
+                    THEN CAST((13*ix + 7*iy) % 97 AS DOUBLE) END AS val
+        FROM src
+    ),
+    li AS (
+        SELECT CASE WHEN val IS NULL THEN NULL
+               ELSE CAST(round_even(least(greatest(val / 96.0, 0.0), 1.0) * 255, 0)
+                    AS INT) + 1 END AS k
+        FROM v
+    )
+    SELECT CAST(64 AS INT) AS x, CAST(43 AS INT) AS y, CAST(7 AS INT) AS z,
+           CAST(256 AS BIGINT) AS width, CAST(256 AS BIGINT) AS height,
+           CAST(sum(CASE WHEN k IS NULL THEN 0 ELSE {luts["r"]}[k] END) AS BIGINT) AS r_sum,
+           CAST(sum(CASE WHEN k IS NULL THEN 0 ELSE {luts["g"]}[k] END) AS BIGINT) AS g_sum,
+           CAST(sum(CASE WHEN k IS NULL THEN 0 ELSE {luts["b"]}[k] END) AS BIGINT) AS b_sum,
+           CAST(sum(CASE WHEN k IS NULL THEN 0 ELSE {luts["a"]}[k] END) AS BIGINT) AS a_sum,
+           CAST(count(*) FILTER (k IS NULL) AS BIGINT) AS n_transparent
+    FROM li
+    """
+
+
+@q("xyz_tile_png", _xyz_png_oracle())
+def xyz_tile_png(spark, sf_dir):
+    import pandas as _pd
+
+    from geocube_spark.operators.regrid import xyz_tile
+
+    fd = ensure_fixtures()
+    tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
+    tile = xyz_tile(tiles, 64, 43, 7, nodata=-1.0, src_srid=4326)
+    dm = {
+        "dtype": "Float64", "no_data": -1.0, "min_value": 0.0, "max_value": 96.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    pts = _XYZ_PNG_PTS
+    cols = [
+        "x", "y", "z", "width", "height",
+        "r_sum", "g_sum", "b_sum", "a_sum", "n_transparent",
+    ]
+
+    def render(batches):
+        from geocube_spark.sources.png import decode_png, slice_to_png
+
+        for pdf in batches:
+            rows = []
+            for px in pdf["px"]:
+                png = slice_to_png(list(px), 256, 256, dm, palette_points=pts)
+                back = decode_png(png)  # the S7 roundtrip, real bytes
+                flat = back.reshape(-1, 4).astype("int64")
+                rows.append((
+                    64, 43, 7, back.shape[1], back.shape[0],
+                    int(flat[:, 0].sum()), int(flat[:, 1].sum()),
+                    int(flat[:, 2].sum()), int(flat[:, 3].sum()),
+                    int((flat[:, 3] == 0).sum()),
+                ))
+            yield _pd.DataFrame(rows, columns=cols)
+
+    return tile.select("px").mapInPandas(
+        render,
+        "x int, y int, z int, width long, height long, r_sum long,"
+        " g_sum long, b_sum long, a_sum long, n_transparent long",
+    )
+
+
 @q(
     "cover_regular_grid",
     """
