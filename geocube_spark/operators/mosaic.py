@@ -375,50 +375,57 @@ def bap_composite(
     acquisition).  Output: keys + composite px (nodata NaN where every
     layer is cloudy) + chosen_t (the winning acquisition per pixel,
     -1 where none).  One groupBy(keys) shuffle — the same A7 volume —
-    then pure JVM folds; with dyadic layer scores and d2/d2_cap the
-    scores are exact doubles, so the choice is bit-deterministic.
+    into a vectorized Arrow kernel: with dyadic layer scores and
+    d2/d2_cap the scores are exact doubles, so the choice is
+    bit-deterministic.  (A pure-JVM higher-order-function fold computes
+    the same thing but walks a per-pixel expression tree per layer —
+    measured ~2× slower on 4096-px blocks; the numpy argmax path is one
+    vectorized sweep per layer in t order, which also makes the
+    score-tie-to-latest rule a plain masked overwrite.)
     """
-    cap = F.lit(float(d2_cap))
-    grouped = layers.groupBy(*keys).agg(
-        F.collect_list(
-            F.struct(
-                F.col("t").cast("double").alias("t"),
-                F.col("px").alias("px"),
-                F.col("d2").alias("d2"),
-                F.col("layer_score").cast("double").alias("sc"),
-            )
-        ).alias("ls")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cap = float(d2_cap)
+    key_fields = [layers.schema[k] for k in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("px", ArrayType(DoubleType())),
+            StructField("chosen_t", ArrayType(DoubleType())),
+        ]
     )
-    n = block * block
-    idx = F.sequence(F.lit(0), F.lit(n - 1))
+    nk = len(keys)
 
-    def pick(k):
-        init = F.struct(
-            F.lit(-1.0).alias("score"),
-            F.lit(-1.0).alias("t"),
-            F.lit(float("nan")).alias("v"),
-        )
+    def pick(key, pdf):
+        order = np.argsort(pdf["t"].to_numpy(), kind="stable")
+        n_px = len(pdf["px"].iloc[0])
+        best_score = np.full(n_px, -1.0)
+        best_t = np.full(n_px, -1.0)
+        best_v = np.full(n_px, np.nan)
+        # ascending t: on equal score the LATER acquisition overwrites,
+        # which is exactly the (score, t) lexicographic tie rule
+        for i in order:
+            row = pdf.iloc[i]
+            d2 = np.asarray(row["d2"], dtype=np.float64)
+            score = np.where(d2 > 0, float(row["layer_score"]) + d2 / cap, -1.0)
+            take = (score >= 0) & (score >= best_score)
+            best_score[take] = score[take]
+            best_t[take] = float(row["t"])
+            v = np.asarray(row["px"], dtype=np.float64)
+            best_v[take] = v[take]
+        out = {k: [v] for k, v in zip(keys, key)}
+        out.update({"px": [best_v], "chosen_t": [best_t]})
+        return pd.DataFrame(out)
 
-        def step(acc, l):
-            d2k = F.element_at(l["d2"], (k + 1).cast("int")).cast("double")
-            score = F.when(d2k > 0, l["sc"] + d2k / cap).otherwise(F.lit(-1.0))
-            better = (score > acc["score"]) | (
-                (score == acc["score"]) & (l["t"] > acc["t"])
-            )
-            return F.when(
-                (score >= 0) & better,
-                F.struct(
-                    score.alias("score"),
-                    l["t"].alias("t"),
-                    F.element_at(l["px"], (k + 1).cast("int")).alias("v"),
-                ),
-            ).otherwise(acc)
-
-        return F.aggregate(F.col("ls"), init, step)
-
-    picked = F.transform(idx, pick)
-    return grouped.select(
+    assert nk == len(key_fields)
+    picked = layers.groupBy(*keys).applyInPandas(pick, out_schema)
+    # pandas->Arrow maps float NaN to NULL on the way back; restore the
+    # nodata-NaN contract JVM-side (valid pixels are never null, so the
+    # blanket coalesce only touches the all-cloud holes)
+    return picked.select(
         *keys,
-        F.transform(picked, lambda p: p["v"]).alias("px"),
-        F.transform(picked, lambda p: p["t"]).alias("chosen_t"),
+        F.transform("px", lambda v: F.coalesce(v, F.lit(float("nan")))).alias("px"),
+        "chosen_t",
     )

@@ -69,29 +69,42 @@ _MASK_SCHEMA = StructType(
 
 
 def _target_masks(
-    tiles: DataFrame, target_value: float, block: int
+    tiles: DataFrame,
+    target_value: float,
+    block: int,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """One row per block: its target pixels as a packed bitmap
-    (block²/8 bytes), plus the live pixel count.  Narrow mapInPandas —
-    the pixel arrays never leave their scan task."""
+    """One row per (extra_keys, block): its target pixels as a packed
+    bitmap (block²/8 bytes), plus the live pixel count.  Narrow
+    mapInPandas — the pixel arrays never leave their scan task."""
     b = int(block)
+    ek = list(extra_keys)
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for bx, by, px in zip(pdf["block_x"], pdf["block_y"], pdf["px"]):
-                arr = np.asarray(px, dtype=np.float64)
+            for i in range(len(pdf)):
+                arr = np.asarray(pdf["px"].iloc[i], dtype=np.float64)
                 flat = np.zeros(b * b, dtype=bool)
                 flat[: len(arr)] = arr == target_value
                 rows.append(
-                    (int(bx), int(by), len(arr), np.packbits(flat).tobytes())
+                    tuple(pdf[k].iloc[i] for k in ek)
+                    + (
+                        int(pdf["block_x"].iloc[i]),
+                        int(pdf["block_y"].iloc[i]),
+                        len(arr),
+                        np.packbits(flat).tobytes(),
+                    )
                 )
             yield pd.DataFrame(
-                rows, columns=["block_x", "block_y", "n_px", "mask"]
+                rows, columns=ek + ["block_x", "block_y", "n_px", "mask"]
             )
 
-    return tiles.select("block_x", "block_y", "px").mapInPandas(
-        pack, _MASK_SCHEMA
+    schema = StructType(
+        [tiles.schema[k] for k in ek] + list(_MASK_SCHEMA.fields)
+    )
+    return tiles.select(*ek, "block_x", "block_y", "px").mapInPandas(
+        pack, schema
     )
 
 
@@ -275,16 +288,23 @@ _MAP_SCHEMA = StructType(
 )
 
 
-def _block_edt_map_fn(block: int, ring: int, cap: int):
+def _block_edt_map_fn(
+    block: int, ring: int, cap: int, extra_keys: tuple[str, ...] = ()
+):
     """applyInPandas kernel emitting the PER-PIXEL clipped min squared
     distance (pixels beyond max_dist, or with no visible target, report
-    cap) — the input plane for distance-weighted compositing."""
+    cap) — the input plane for distance-weighted compositing.  The first
+    ``len(extra_keys)`` key fields are pass-through layer keys (the
+    batched multi-layer pass); the last two are always (block_x,
+    block_y)."""
     b = int(block)
     halo = ring * b
     win = b + 2 * halo
+    n_extra = len(extra_keys)
 
     def fn(key, pdf):
-        bx, by = int(key[0]), int(key[1])
+        out = {k: [v] for k, v in zip(extra_keys, key)}
+        bx, by = int(key[n_extra]), int(key[n_extra + 1])
         mask = np.zeros((win, win), dtype=bool)
         n_px = 0
         for di, dj, npx, buf in zip(
@@ -300,9 +320,8 @@ def _block_edt_map_fn(block: int, ring: int, cap: int):
                 n_px = int(npx)
         d2 = _edt_window(mask)[halo : halo + b, halo : halo + b]
         flat = np.minimum(d2.reshape(-1)[:n_px], cap)
-        return pd.DataFrame(
-            {"block_x": [bx], "block_y": [by], "d2": [flat.tolist()]}
-        )
+        out.update({"block_x": [bx], "block_y": [by], "d2": [flat.tolist()]})
+        return pd.DataFrame(out)
 
     return fn
 
@@ -312,20 +331,30 @@ def proximity_map(
     max_dist: int,
     target_value: float = 0.0,
     block: int = 64,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(block_x, block_y, d2): per-pixel min squared distance to the
-    nearest target, clipped at max_dist² (no-target pixels report the
-    cap).  Same bitmap halo exchange + exact EDT as proximity_summary —
-    the per-pixel output plane for distance-to-cloud compositing."""
+    """(extra_keys..., block_x, block_y, d2): per-pixel min squared
+    distance to the nearest target, clipped at max_dist² (no-target
+    pixels report the cap).  Same bitmap halo exchange + exact EDT as
+    proximity_summary — the per-pixel output plane for distance-to-cloud
+    compositing.
+
+    ``extra_keys``: independent layer keys (e.g. acquisition ``t`` for
+    multi-date compositing).  ALL layers ride ONE halo exchange and ONE
+    applyInPandas pass keyed by (extra_keys, block) — N layers means N×
+    the groups in the same two shuffles, not N sequential passes; halos
+    never cross layers because the keys join exactly."""
     ring = math.ceil(max_dist / block)
     offsets = [(di, dj) for di in range(-ring, ring + 1) for dj in range(-ring, ring + 1)]
-    masks = _target_masks(tiles, target_value, block)
+    ek = list(extra_keys)
+    masks = _target_masks(tiles, target_value, block, tuple(ek))
     off = F.array(
         *[F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj")) for di, dj in offsets]
     )
     rep = masks.select(
-        "block_x", "block_y", "n_px", "mask", F.explode(off).alias("o")
+        *ek, "block_x", "block_y", "n_px", "mask", F.explode(off).alias("o")
     ).select(
+        *ek,
         (F.col("block_x") + F.col("o.di")).alias("tx"),
         (F.col("block_y") + F.col("o.dj")).alias("ty"),
         F.col("o.di").alias("di"),
@@ -334,13 +363,18 @@ def proximity_map(
         "mask",
     )
     real = masks.select(
-        F.col("block_x").alias("tx"), F.col("block_y").alias("ty")
+        *ek, F.col("block_x").alias("tx"), F.col("block_y").alias("ty")
+    )
+    out_schema = StructType(
+        [tiles.schema[k] for k in ek] + list(_MAP_SCHEMA.fields)
     )
     return (
-        rep.join(real, ["tx", "ty"], "left_semi")
-        .groupBy("tx", "ty")
+        rep.join(real, ek + ["tx", "ty"], "left_semi")
+        .groupBy(*ek, "tx", "ty")
         .applyInPandas(
-            _block_edt_map_fn(block, ring, int(max_dist) * int(max_dist)),
-            _MAP_SCHEMA,
+            _block_edt_map_fn(
+                block, ring, int(max_dist) * int(max_dist), tuple(ek)
+            ),
+            out_schema,
         )
     )

@@ -6179,31 +6179,32 @@ def bap_cloudfree_composite(spark, sf_dir):
 
     scores = {0: 0.25, 1: 0.5, 2: 0.375}
     blocks = spark.createDataFrame(
-        [(bx, by) for bx in range(2) for by in range(2)],
-        "block_x int, block_y int",
+        [(t, bx, by) for t in scores for bx in range(2) for by in range(2)],
+        "t int, block_x int, block_y int",
     )
-    gi = (F.col("block_x") * 64 + F.col("k") % 64).cast("long")
-    gj = (F.col("block_y") * 64 + (F.col("k") / 64).cast("int")).cast("long")
-    layers = None
-    for t, sc in scores.items():
-        tiles_t = (
-            blocks.withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(4095))))
-            .withColumn("v", ((13 * gi + 7 * gj + 23 * t) % 89).cast("double"))
-            .groupBy("block_x", "block_y")
-            .agg(F.array_sort(F.collect_list(F.struct("k", "v"))).alias("kv"))
-            .select(
-                "block_x",
-                "block_y",
-                F.transform("kv", lambda e: e["v"]).alias("px"),
-            )
-        )
-        pm = proximity_map(tiles_t, max_dist=8, target_value=0.0)
-        layer = (
-            tiles_t.join(pm, ["block_x", "block_y"])
-            .withColumn("t", F.lit(t))
-            .withColumn("layer_score", F.lit(sc))
-        )
-        layers = layer if layers is None else layers.unionByName(layer)
+    def _v(k):
+        gi = (F.col("block_x") * 64 + k % 64).cast("long")
+        gj = (F.col("block_y") * 64 + F.floor(k / 64)).cast("long")
+        return ((13 * gi + 7 * gj + 23 * F.col("t")) % 89).cast("double")
+
+    # closed-form px arrays as ONE projection — no explode/groupBy shuffle
+    # just to build the synthetic blocks
+    tiles_all = blocks.select(
+        "t",
+        "block_x",
+        "block_y",
+        F.transform(F.sequence(F.lit(0), F.lit(4095)), _v).alias("px"),
+    )
+    # ONE batched EDT pass for every acquisition: proximity_map keyed by
+    # (t, block) — one halo exchange + one applyInPandas over 3× the
+    # groups, instead of three sequential per-layer plane passes
+    pm = proximity_map(tiles_all, max_dist=8, target_value=0.0, extra_keys=("t",))
+    score_map = F.create_map(
+        *[x for t, sc in scores.items() for x in (F.lit(t), F.lit(sc))]
+    )
+    layers = tiles_all.join(pm, ["t", "block_x", "block_y"]).withColumn(
+        "layer_score", F.element_at(score_map, F.col("t"))
+    )
     out = bap_composite(layers, d2_cap=64)
     chosen = F.zip_with(
         F.col("px"), F.col("chosen_t"), lambda v, t: F.struct(v.alias("v"), t.alias("t"))
