@@ -57,9 +57,18 @@ def is_identity(src: dict, dst: dict) -> bool:
 
 
 def check_castable(src: dict, dst: dict) -> None:
-    """The chained cast src->ext->dst is only a single power-law transform
-    when the external ranges line up; mirror image.go:166-219's equivalence
-    algebra by requiring equal external ranges (the fixture invariant).
+    """Mirror CastDatasetOptions' equivalence algebra (image.go:166-219):
+    the chained cast src->ext->dst collapses to a single GDAL-expressible
+    -scale/-exponent transform exactly when
+
+    - dst.exponent == 1   (compose src's power with a linear rescale), or
+    - src.exponent == 1   (linear into dst's inverse power), or
+    - equal exponents AND equal external MINIMA (the powers cancel into a
+      pure linear map scaled by (Es/Ed)^(1/e)).
+
+    Anything else is the reference's ErrUnableToCast.  External ranges may
+    DIFFER (the cast preserves external values; out-of-range results clamp
+    at dtype bounds), matching the reference's cast0->cast3 test family.
     The dtype lattice (datatype.go:43-58) is enforced first: complex is
     one-way (Complex64 casts only to Complex64, reals never to complex)."""
     from geocube_spark.schemas import can_cast_to
@@ -69,14 +78,34 @@ def check_castable(src: dict, dst: dict) -> None:
             f"dtype lattice forbids cast {src['dtype']} -> {dst['dtype']} "
             "(datatype.go:43-58: complex is one-way)"
         )
-    if (src["real_min_value"], src["real_max_value"]) != (
-        dst["real_min_value"],
-        dst["real_max_value"],
-    ):
-        raise CastError(
-            "cannot cast between mappings with different external ranges: "
-            f"{src} -> {dst}"
-        )
+    se, de = float(src["exponent"]), float(dst["exponent"])
+    if de == 1.0 or se == 1.0:
+        return
+    if se == de and src["real_min_value"] == dst["real_min_value"]:
+        return
+    raise CastError(
+        "unable to cast (image.go:203-218 ErrUnableToCast): exponents "
+        f"{se} -> {de} with external ranges "
+        f"[{src['real_min_value']},{src['real_max_value']}] -> "
+        f"[{dst['real_min_value']},{dst['real_max_value']}]"
+    )
+
+
+def _linear_cast_params(src: dict, dst: dict) -> tuple[float, float] | None:
+    """For the equal-exponent case, the composed map is PURE LINEAR
+    vi' = b + a*vi (image.go:203-216: -scale with exponent 1, no input
+    clipping): a = dstInterval/srcInterval * (Es/Ed)^(1/e).  Returns None
+    when the general src->ext->dst chain applies instead."""
+    se, de = float(src["exponent"]), float(dst["exponent"])
+    if se != de or se == 1.0:
+        return None
+    es = float(src["real_max_value"]) - float(src["real_min_value"])
+    ed = float(dst["real_max_value"]) - float(dst["real_min_value"])
+    f = (es / ed) ** (1.0 / de)
+    slo, shi = float(src["min_value"]), float(src["max_value"])
+    dlo, dhi = float(dst["min_value"]), float(dst["max_value"])
+    a = (dhi - dlo) * f / (shi - slo)
+    return a, dlo - a * slo
 
 
 def _nan_safe_eq(col: Column, value: float) -> Column:
@@ -115,31 +144,32 @@ def cast_value_expr(col: Column, src: dict, dst: dict) -> Column:
     round half-away like GDAL's scale path.
     """
     check_castable(src, dst)
-    # Equal exponents cancel into a pure linear -scale in the reference
-    # (image.go:203-216: CastDatasetOptions emits exponent-1 options with
-    # NO input clipping — out-of-range pixels extrapolate linearly and only
-    # clamp at dtype bounds).  Model that by rewriting both mappings to
-    # exponent 1 (external ranges are equal per check_castable, so the
-    # powers cancel exactly) and skipping the exponent-mode clamps.
-    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
-        src = {**src, "exponent": 1.0}
-        dst = {**dst, "exponent": 1.0}
-    # With a genuinely mixed non-unit exponent, pre-clamp to the source
-    # internal range BEFORE the power — GDAL's -scale/-exponent path clips
-    # inputs to the source range (image.go:118-135 castDatasetOptions), and
-    # a negative base under a fractional exponent would otherwise inject
-    # NaN.  The linear case keeps the reference's extrapolate-then-
-    # dtype-clamp (castValueBF, image.go:142-162: math.Pow(x, 1) == x).
-    src_col = col
-    if float(src["exponent"]) != 1.0:
-        lo, hi = float(src["min_value"]), float(src["max_value"])
-        src_col = F.greatest(F.lit(lo), F.least(F.lit(hi), col))
-    ve = _to_external(src_col, src)
-    if float(dst["exponent"]) != 1.0:
-        drlo = float(dst["real_min_value"])
-        drhi = float(dst["real_max_value"])
-        ve = F.greatest(F.lit(drlo), F.least(F.lit(drhi), ve))
-    v = _from_external(ve, dst)
+    lin = _linear_cast_params(src, dst)
+    if lin is not None:
+        # Equal exponents cancel into a pure linear -scale in the reference
+        # (image.go:203-216: CastDatasetOptions emits exponent-1 options
+        # with NO input clipping — out-of-range pixels extrapolate linearly
+        # and only clamp at dtype bounds).
+        a, b = lin
+        v = F.lit(b) + F.lit(a) * col
+    else:
+        # With a genuinely mixed non-unit exponent, pre-clamp to the source
+        # internal range BEFORE the power — GDAL's -scale/-exponent path
+        # clips inputs to the source range (image.go:118-135
+        # castDatasetOptions), and a negative base under a fractional
+        # exponent would otherwise inject NaN.  The linear case keeps the
+        # reference's extrapolate-then-dtype-clamp (castValueBF,
+        # image.go:142-162: math.Pow(x, 1) == x).
+        src_col = col
+        if float(src["exponent"]) != 1.0:
+            lo, hi = float(src["min_value"]), float(src["max_value"])
+            src_col = F.greatest(F.lit(lo), F.least(F.lit(hi), col))
+        ve = _to_external(src_col, src)
+        if float(dst["exponent"]) != 1.0:
+            drlo = float(dst["real_min_value"])
+            drhi = float(dst["real_max_value"])
+            ve = F.greatest(F.lit(drlo), F.least(F.lit(drhi), ve))
+        v = _from_external(ve, dst)
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
     v = F.greatest(F.lit(blo), F.least(F.lit(bhi), v))
     if dst["dtype"] in INT_DTYPES:
@@ -183,34 +213,39 @@ def cast_numpy(arr: np.ndarray, src: dict, dst: dict) -> np.ndarray:
     if is_identity(src, dst):
         return arr
     check_castable(src, dst)
-    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
-        # equal exponents cancel into a pure linear -scale (image.go:203-216)
-        # with no input clipping — see cast_value_expr
-        src = {**src, "exponent": 1.0}
-        dst = {**dst, "exponent": 1.0}
     a = arr.astype(np.float64, copy=True)
     nd = src["no_data"]
     mask = np.isnan(a) if (isinstance(nd, float) and math.isnan(nd)) else (a == nd)
 
-    lo, hi = src["min_value"], src["max_value"]
-    rlo, rhi = src["real_min_value"], src["real_max_value"]
-    if src["exponent"] != 1.0:
-        # pre-clamp to the source range before the fractional power (GDAL
-        # -scale clips inputs; avoids NaN from a negative base) — nodata
-        # is masked from the ORIGINAL values above, so clamping can't
-        # alias it; the linear case extrapolates like the reference.
-        # NaN survives np.clip, so non-nodata NaN propagates (twin parity
-        # with cast_value_expr's explicit NaN arm).
-        np.clip(a, lo, hi, out=a)
-    ve = rlo + (rhi - rlo) * ((a - lo) / (hi - lo)) ** src["exponent"]
+    lin = _linear_cast_params(src, dst)
+    if lin is not None:
+        # equal exponents cancel into a pure linear -scale (image.go:
+        # 203-216) with no input clipping — see cast_value_expr
+        la, lb = lin
+        vi = lb + la * a
+    else:
+        lo, hi = src["min_value"], src["max_value"]
+        rlo, rhi = src["real_min_value"], src["real_max_value"]
+        if src["exponent"] != 1.0:
+            # pre-clamp to the source range before the fractional power
+            # (GDAL -scale clips inputs; avoids NaN from a negative base) —
+            # nodata is masked from the ORIGINAL values above, so clamping
+            # can't alias it; the linear case extrapolates like the
+            # reference.  NaN survives np.clip, so non-nodata NaN
+            # propagates (twin parity with cast_value_expr's explicit
+            # NaN arm).
+            np.clip(a, lo, hi, out=a)
+        ve = rlo + (rhi - rlo) * ((a - lo) / (hi - lo)) ** src["exponent"]
 
-    dlo, dhi = dst["min_value"], dst["max_value"]
-    drlo, drhi = dst["real_min_value"], dst["real_max_value"]
-    if dst["exponent"] != 1.0:
-        # the inverse power has the same negative-base hazard when the
-        # source side extrapolated (linear src, fractional dst)
-        np.clip(ve, drlo, drhi, out=ve)
-    vi = dlo + (dhi - dlo) * ((ve - drlo) / (drhi - drlo)) ** (1.0 / dst["exponent"])
+        dlo, dhi = dst["min_value"], dst["max_value"]
+        drlo, drhi = dst["real_min_value"], dst["real_max_value"]
+        if dst["exponent"] != 1.0:
+            # the inverse power has the same negative-base hazard when the
+            # source side extrapolated (linear src, fractional dst)
+            np.clip(ve, drlo, drhi, out=ve)
+        vi = dlo + (dhi - dlo) * ((ve - drlo) / (drhi - drlo)) ** (
+            1.0 / dst["exponent"]
+        )
 
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
     np.clip(vi, blo, bhi, out=vi)
@@ -226,24 +261,29 @@ def cast_sql(px_col: str, src: dict, dst: dict) -> str:
     if is_identity(src, dst):
         return px_col
     check_castable(src, dst)
-    if float(src["exponent"]) == float(dst["exponent"]) != 1.0:
-        # equal exponents cancel into a pure linear -scale (image.go:203-216)
-        src = {**src, "exponent": 1.0}
-        dst = {**dst, "exponent": 1.0}
-    lo, hi = src["min_value"], src["max_value"]
-    rlo, rhi = src["real_min_value"], src["real_max_value"]
-    e = src["exponent"]
-    dlo, dhi = dst["min_value"], dst["max_value"]
-    drlo, drhi = dst["real_min_value"], dst["real_max_value"]
-    de = dst["exponent"]
     blo, bhi = DTYPE_BOUNDS[dst["dtype"]]
+    lin = _linear_cast_params(src, dst)
+    if lin is not None:
+        # equal exponents: pure linear -scale (image.go:203-216)
+        la, lb = lin
+        inv = f"({lb!r} + {la!r} * v)"
+    else:
+        lo, hi = src["min_value"], src["max_value"]
+        rlo, rhi = src["real_min_value"], src["real_max_value"]
+        e = src["exponent"]
+        dlo, dhi = dst["min_value"], dst["max_value"]
+        drlo, drhi = dst["real_min_value"], dst["real_max_value"]
+        de = dst["exponent"]
 
-    # same conditional pre-clamp as cast_value_expr/cast_numpy: source
-    # range before a fractional power (nodata is CASE-guarded upstream)
-    v_in = f"greatest({lo}, least({hi}, v))" if e != 1.0 else "v"
-    ext = f"({rlo} + ({rhi} - {rlo}) * pow(({v_in} - {lo}) / ({hi} - {lo}), {e}))"
-    ve_in = f"greatest({drlo}, least({drhi}, {ext}))" if de != 1.0 else ext
-    inv = f"({dlo} + ({dhi} - {dlo}) * pow(({ve_in} - {drlo}) / ({drhi} - {drlo}), {1.0 / de}))"
+        # same conditional pre-clamp as cast_value_expr/cast_numpy: source
+        # range before a fractional power (nodata is CASE-guarded upstream)
+        v_in = f"greatest({lo}, least({hi}, v))" if e != 1.0 else "v"
+        ext = f"({rlo} + ({rhi} - {rlo}) * pow(({v_in} - {lo}) / ({hi} - {lo}), {e}))"
+        ve_in = f"greatest({drlo}, least({drhi}, {ext}))" if de != 1.0 else ext
+        inv = (
+            f"({dlo} + ({dhi} - {dlo}) * "
+            f"pow(({ve_in} - {drlo}) / ({drhi} - {drlo}), {1.0 / de}))"
+        )
     clamped = f"greatest({blo}, least({bhi}, {inv}))"
     if dst["dtype"] in INT_DTYPES:
         clamped = f"round({clamped}, 0)"

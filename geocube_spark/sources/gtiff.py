@@ -219,11 +219,15 @@ def lzw_decode(data: bytes) -> bytes:
             raise ValueError("corrupt LZW stream: code beyond table")
         out += entry
         prev = entry
-        # early change: the decoder's table lags the encoder's by ONE entry
-        # (the entry for the code just read is added on the NEXT code), so
-        # it widens at 2^w - 2 where the encoder widens at 2^w - 1 —
-        # libtiff's MAXCODE(nbits)-1 decode-side rule
-        if len(table) >= (1 << width) - 2 and width < 12:
+        # early change: libtiff's decode rule is free_ent > MAXCODE(n)-1
+        # with MAXCODE(n) = 2^n - 1, i.e. widen once the table reaches
+        # 2^w - 1 entries (the decoder's table lags the encoder's by one:
+        # the entry for the code just read is appended on the NEXT code).
+        # Verified against GDAL-written strips (the reference's own
+        # test_data/image_cast*.tif decode byte-exact); the previous
+        # 2^w - 2 rule was one code early and only roundtripped against
+        # this module's equally-early encoder.
+        if len(table) >= (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out)
 
@@ -254,14 +258,18 @@ def lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[w + c] = next_code
         next_code += 1
-        if next_code == (1 << width) - 1:  # early change, mirror the decoder
-            if width < 12:
-                width += 1
-            else:
-                emit(_LZW_CLEAR, width)
-                table = {bytes([j]): j for j in range(256)}
-                next_code = 258
-                width = 9
+        # early change, libtiff encode side: widen when the next free code
+        # exceeds MAXCODE(n) = 2^n - 1 (one later than the old 2^w - 1
+        # rule, mirroring the corrected decoder); at 12 bits, emit a
+        # ClearCode at 4094 like libtiff so early-change decoders never
+        # see an out-of-table code
+        if width < 12 and next_code == (1 << width):
+            width += 1
+        elif next_code == 4094:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code = 258
+            width = 9
         w = c
     if w:
         emit(table[w], width)

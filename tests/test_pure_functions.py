@@ -220,10 +220,26 @@ class TestCastNumpy:
         out = cast_numpy(arr, self.INT16, dict(self.INT16))
         assert out.tolist() == arr.tolist()
 
-    def test_incompatible_ranges_raise(self):
-        bad = dict(self.UINT8, real_min_value=0.0, real_max_value=2.0)
+    def test_uncastable_exponent_combinations_raise(self):
+        # image.go:203-218 ErrUnableToCast: both exponents non-unit is only
+        # castable when they are EQUAL with EQUAL external minima; different
+        # external ranges alone are fine (cast0->cast3 golden family)
+        check_castable(self.INT16, dict(self.UINT8, real_max_value=2.0))
         with pytest.raises(CastError):
-            check_castable(self.INT16, bad)
+            check_castable(
+                dict(self.INT16, exponent=2.0), dict(self.UINT8, exponent=3.0)
+            )
+        with pytest.raises(CastError):
+            check_castable(
+                dict(self.INT16, exponent=2.0, real_min_value=-1.0),
+                dict(self.UINT8, exponent=2.0, real_min_value=0.0),
+            )
+        # equal exponents + equal external min: castable even with
+        # different external maxima (the cast5->cast7 golden case)
+        check_castable(
+            dict(self.INT16, exponent=2.0, real_max_value=0.5),
+            dict(self.UINT8, exponent=2.0, real_max_value=1.0),
+        )
 
 
 class TestJobStateMachine:
