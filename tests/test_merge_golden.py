@@ -1,0 +1,138 @@
+"""Reference-golden merge parity: the reference's MergeDataset family
+(internal/image/image_test.go:202-387) replayed against its GDAL-produced
+expected rasters (internal/image/test_data/image_warp*.tif).
+
+The golden inputs/outputs all share one pixel grid (EPSG:32632, identical
+anisotropic resolution, origins offset by exact block multiples), so the
+reference's NEAR warp is the identity on pixel indices and MergeDatasets
+reduces to: cast each input to the output DataMapping (nodata remap
+included) and paint in order, skipping nodata — exactly C1 + the A7
+mosaic.  That lets the cases run through the REAL Spark operators
+(cast_expr + mosaic_blocks) and compare pixel-for-pixel with the golden.
+
+Covered contexts (the VRT-input and JPEG-lossy contexts need a VRT/JPEG
+golden chain and are exercised elsewhere — VRT composition by the jpeg
+roundtrip query, lossy by jpeg_tile_roundtrip):
+- "one dataset"                        warp0 -> warp0
+- "two datasets with the same dataformat"   warp0+warp1 -> warp3
+- "two datasets with different dataformat"  warp1+warp2 -> warp3
+  (warp2 carries nodata=-1; the cast to the output mapping remaps it to 0
+  before the merge — the nodata-convention unification MergeDatasets does)
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geocube_spark.functions.dataformat import cast_numpy
+
+TEST_DATA = "/root/reference/internal/image/test_data"
+BLOCK = 64
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(TEST_DATA), reason="reference test_data not available"
+)
+
+NAN = float("nan")
+
+
+def M(nd):
+    return {
+        "dtype": "Float32", "no_data": float(nd), "min_value": 0.0,
+        "max_value": 1.0, "real_min_value": 0.0, "real_max_value": 1.0,
+        "exponent": 1.0,
+    }
+
+
+# imagesDFormat[8..11]: Float32[0,1] nodata 0, except warp2's nodata -1
+DF_ND0 = M(0.0)
+DF_ND1 = M(-1.0)
+
+
+def _load(i):
+    from geocube_spark.sources.gtiff import read_tiff
+
+    return read_tiff(
+        open(os.path.join(TEST_DATA, f"image_warp{i}.tif"), "rb").read()
+    )[0]
+
+
+def _rows(img, src_df, out_df, col_off_px, t, nodata):
+    """Cast an input raster to the OUTPUT mapping, place it at its aligned
+    offset on the output grid, slice into square blocks."""
+    px = cast_numpy(img.bands[0].astype(np.float64), src_df, out_df)
+    h, w = px.shape
+    rows = []
+    for by in range(0, (h + BLOCK - 1) // BLOCK):
+        for bx in range(0, (w + col_off_px + BLOCK - 1) // BLOCK):
+            blk = np.full((BLOCK, BLOCK), nodata)
+            r0, c0 = by * BLOCK, bx * BLOCK - col_off_px
+            rs, cs = slice(max(r0, 0), min(r0 + BLOCK, h)), slice(
+                max(c0, 0), min(c0 + BLOCK, w)
+            )
+            if rs.start >= rs.stop or cs.start >= cs.stop:
+                continue
+            blk[
+                rs.start - r0 : rs.stop - r0, cs.start - c0 : cs.stop - c0
+            ] = px[rs, cs]
+            rows.append(
+                (1, 0, bx, by, blk.ravel().tolist(), f"rec-{t}",
+                 datetime(2020, 1, 1 + t))
+            )
+    return rows
+
+
+def _merge(spark, inputs, out_w, out_h, nodata=0.0):
+    """inputs: list of (img, src_dformat, col_offset_px).  Output mapping is
+    DF_ND0.  Paint order = list order (later = newer record = wins)."""
+    from geocube_spark.operators.mosaic import mosaic_blocks
+
+    rows = []
+    for t, (img, sdf, off) in enumerate(inputs):
+        rows += _rows(img, sdf, DF_ND0, off, t, nodata)
+    df = spark.createDataFrame(
+        rows,
+        "band int, level int, block_x int, block_y int, px array<double>,"
+        " record_id string, record_datetime timestamp",
+    )
+    out = mosaic_blocks(df, nodata=nodata).collect()
+    canvas = np.full(
+        (((out_h + BLOCK - 1) // BLOCK) * BLOCK,
+         ((out_w + BLOCK - 1) // BLOCK) * BLOCK),
+        nodata,
+    )
+    for r in out:
+        canvas[
+            r["block_y"] * BLOCK : (r["block_y"] + 1) * BLOCK,
+            r["block_x"] * BLOCK : (r["block_x"] + 1) * BLOCK,
+        ] = np.asarray(r["px"]).reshape(BLOCK, BLOCK)
+    return canvas[:out_h, :out_w]
+
+
+@needs_ref
+def test_merge_one_dataset(spark):
+    w0 = _load(0)
+    got = _merge(spark, [(w0, DF_ND0, 0)], 256, 201)
+    assert np.array_equal(got.astype(np.float32), w0.bands[0])
+
+
+@needs_ref
+def test_merge_two_same_dataformat(spark):
+    w0, w1, w3 = _load(0), _load(1), _load(3)
+    got = _merge(spark, [(w0, DF_ND0, 0), (w1, DF_ND0, 256)], 505, 201)
+    assert np.array_equal(got.astype(np.float32), w3.bands[0])
+
+
+@needs_ref
+def test_merge_two_different_dataformat(spark):
+    # warp2 is warp0 under a -1 nodata convention; the cast to the output
+    # mapping remaps -1 -> 0 and the merged result must equal warp3
+    w1, w2, w3 = _load(1), _load(2), _load(3)
+    assert w2.nodata == -1.0
+    got = _merge(spark, [(w2, DF_ND1, 0), (w1, DF_ND0, 256)], 505, 201)
+    assert np.array_equal(got.astype(np.float32), w3.bands[0])
