@@ -10,14 +10,16 @@ included) and paint in order, skipping nodata — exactly C1 + the A7
 mosaic.  That lets the cases run through the REAL Spark operators
 (cast_expr + mosaic_blocks) and compare pixel-for-pixel with the golden.
 
-Covered contexts (the VRT-input and JPEG-lossy contexts need a VRT/JPEG
-golden chain and are exercised elsewhere — VRT composition by the jpeg
-roundtrip query, lossy by jpeg_tile_roundtrip):
+Covered contexts:
 - "one dataset"                        warp0 -> warp0
 - "two datasets with the same dataformat"   warp0+warp1 -> warp3
 - "two datasets with different dataformat"  warp1+warp2 -> warp3
   (warp2 carries nodata=-1; the cast to the output mapping remaps it to 0
   before the merge — the nodata-convention unification MergeDatasets does)
+- "one dataset with a subset of bands"      warp01.vrt band 1 -> warp0
+  (through sources/vrt.py, the dependency-free VRT mosaic reader)
+The JPEG-lossy context needs a JPEG golden chain and is exercised by the
+jpeg_tile_roundtrip query instead.
 """
 
 from __future__ import annotations
@@ -136,3 +138,40 @@ def test_merge_two_different_dataformat(spark):
     assert w2.nodata == -1.0
     got = _merge(spark, [(w2, DF_ND1, 0), (w1, DF_ND0, 256)], 505, 201)
     assert np.array_equal(got.astype(np.float32), w3.bands[0])
+
+
+@needs_ref
+def test_vrt_band_composition_matches_sources():
+    """sources/vrt.py reads the reference's 2-band VRT fixtures: each band
+    is the placement of its ComplexSource rasters on the VRT grid."""
+    from geocube_spark.sources.vrt import read_vrt
+
+    v = read_vrt(os.path.join(TEST_DATA, "image_warp01.vrt"))
+    assert v.bands.shape == (2, 201, 505)
+    assert v.epsg == 32632 and v.nodata == 0.0
+    w0, w1 = _load(0), _load(1)
+    assert np.array_equal(v.bands[0][:, :256], w0.bands[0])
+    assert (v.bands[0][:, 256:] == 0).all()  # unfilled -> NoDataValue
+    assert np.array_equal(v.bands[1][:, 256:], w1.bands[0])
+    # GeoTransform reordered to the repo's (a,b,c,d,e,f) convention
+    assert v.transform[0] == pytest.approx(200.19801980198008)
+    assert v.transform[2] == pytest.approx(460943.9866)
+
+
+@needs_ref
+def test_merge_vrt_band_subset(spark):
+    """Context 'one dataset with a subset of bands' (image_test.go:302-323):
+    band 1 of image_warp01.vrt merged onto warp0's 256x201 grid equals
+    image_warp0 — the VRT composition + band subset path."""
+    from geocube_spark.sources.vrt import read_vrt
+
+    v = read_vrt(os.path.join(TEST_DATA, "image_warp01.vrt"), [1])
+    w0 = _load(0)
+
+    class _Img:  # adapt the VRT band to _rows' TiffImage-like shape;
+        # the 256-px output grid discards the VRT's out-of-grid columns
+        # (what the reference's warp window does)
+        bands = v.bands[:, :, :256]
+
+    got = _merge(spark, [(_Img, DF_ND0, 0)], 256, 201)
+    assert np.array_equal(got.astype(np.float32), w0.bands[0])
