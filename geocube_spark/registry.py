@@ -4934,6 +4934,93 @@ def cover_custom_subgrid_singlecell(spark, sf_dir):
     )
 
 
+# CRUD e2e under the oracle gate: a grid and layout created through the
+# CLIENT API (create_grid bulk-cell insert + create_layout validation)
+# drive TileAOI end-to-end; the oracle re-derives the per-cell singlecell
+# subgrid analytically from the SAME two literal cells.  Proves the
+# write path (validation + catalog commit) feeds the read path.
+_CRUD_CELLS = [
+    ("Z1", 32601, (-172.0, -42.0, -168.0, -37.5)),
+    ("Z2", 32602, (-168.0, -42.0, -164.0, -37.5)),
+]
+_CRUD_AOI = (-170.0, -40.0, -166.0, -38.0)
+
+
+def ensure_crud_catalog(spark: SparkSession) -> str:
+    from geocube_spark.client import GeocubeClient
+    from geocube_spark.functions.geometry import rect_wkb
+
+    root = os.path.join(FIXTURE_DIR, "crud_catalog")
+    client = GeocubeClient(spark, root)
+    if not client.catalog.exists("cells"):
+        client.create_grid(
+            "crud_mgrs",
+            "two UTM-zone cells created through the API",
+            [
+                {"id": cid, "crs": f"epsg:{srid}", "srid": srid,
+                 "geom_wkb": rect_wkb(*rect)}
+                for cid, srid, rect in _CRUD_CELLS
+            ],
+        )
+    if not client.catalog.exists("layouts"):
+        client.create_layout(
+            "crud_layout", {"grid": "crud_mgrs", "resolution": "10"}
+        )
+    return root
+
+
+def _crud_cover_oracle() -> str:
+    from geocube_spark.functions.crs import tm_forward_sql_columns
+
+    x0, y0, x1, y1 = _CRUD_AOI
+    values = []
+    for cid, srid, (cx0, cy0, cx1, cy1) in _CRUD_CELLS:
+        ix0, iy0 = max(cx0, x0), max(cy0, y0)
+        ix1, iy1 = min(cx1, x1), min(cy1, y1)
+        for lon, lat in ((ix0, iy0), (ix1, iy0), (ix1, iy1), (ix0, iy1)):
+            values.append(f"('{cid}', {srid}, {lon!r}, {lat!r})")
+    rows = ",\n        ".join(values)
+    branches = "\n        UNION ALL ".join(
+        f"SELECT id, srid, {tm_forward_sql_columns('lon', 'lat', srid)} "
+        f"FROM corners WHERE srid = {srid}"
+        for srid in sorted({srid for _, srid, _ in _CRUD_CELLS})
+    )
+    return f"""
+    WITH corners(id, srid, lon, lat) AS (VALUES
+        {rows}
+    ),
+    en AS (
+        {branches}
+    ),
+    crs_bbox AS (
+        SELECT id, srid,
+               round(min(utm_e), 3) AS bx0, round(min(utm_n), 3) AS by0,
+               round(max(utm_e), 3) AS bx1, round(max(utm_n), 3) AS by1
+        FROM en GROUP BY id, srid
+    )
+    SELECT id AS cell_id, srid,
+           id || '/' || printf('%.3f', bx0) || '/' || printf('%.3f', by1)
+              || '/' || CAST(floor(abs(bx1 - bx0) / 10.0 + 0.5) AS BIGINT)::VARCHAR
+              || '/' || CAST(floor(abs(by1 - by0) / 10.0 + 0.5) AS BIGINT)::VARCHAR AS cell_uri,
+           bx0 AS origin_x, by1 AS origin_y,
+           CAST(floor(abs(bx1 - bx0) / 10.0 + 0.5) AS BIGINT) AS width,
+           CAST(floor(abs(by1 - by0) / 10.0 + 0.5) AS BIGINT) AS height
+    FROM crs_bbox
+    """
+
+
+@q("grid_crud_cover_roundtrip", _crud_cover_oracle())
+def grid_crud_cover_roundtrip(spark, sf_dir):
+    from geocube_spark.client import GeocubeClient
+
+    root = ensure_crud_catalog(spark)
+    client = GeocubeClient(spark, root)
+    out = client.tile_aoi([_CRUD_AOI], "crud_layout")
+    return out.select(
+        "cell_id", "srid", "cell_uri", "origin_x", "origin_y", "width", "height"
+    )
+
+
 # L4 + R13: consolidation work-skipping — full-container exclusion and
 # COG-reuse short-circuit as planning filters.
 @q(

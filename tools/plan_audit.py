@@ -71,6 +71,7 @@ HARD_RULES_EXEMPT_BNLJ = {
     # covers only the fixture-scale broadcast plan the audit executes:
     "cover_custom_cells",
     "cover_custom_subgrid",             # same J5 adaptive join inside
+    "grid_crud_cover_roundtrip",        # same J5 adaptive join (API-created grid)
     "cover_custom_subgrid_singlecell",  # same J5 adaptive join inside
     "valid_shape_per_cell",
     "valid_shape_rotated_cells",
