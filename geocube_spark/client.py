@@ -139,6 +139,13 @@ class GeocubeClient:
         self.catalog.write("records", keep)
         return n
 
+    def get_aoi(self, aoi_id: str) -> dict:
+        """GetAOI: the deduplicated footprint geometry by id."""
+        row = self.catalog.read("aoi").filter(F.col("id") == aoi_id).first()
+        if row is None:
+            raise KeyError(f"unknown AOI {aoi_id!r}")
+        return row.asDict(recursive=True)
+
     # ----------------------------------------------------------- variables
 
     def create_variable(
@@ -174,6 +181,162 @@ class GeocubeClient:
         if name_glob:
             v = v.filter(like_filter(F.col("name"), name_glob))
         return v
+
+    def get_variable(
+        self,
+        variable_id: str | None = None,
+        name: str | None = None,
+        instance_id: str | None = None,
+    ) -> dict:
+        """GetVariable: lookup by id, name, or one of its instance ids
+        (the three request arms of the RPC); returns the variable with its
+        instances attached."""
+        variables = self.catalog.read("variables")
+        if instance_id is not None:
+            inst = (
+                self.catalog.read("instances")
+                .filter(F.col("id") == instance_id)
+                .first()
+            )
+            if inst is None:
+                raise KeyError(f"unknown instance {instance_id!r}")
+            variable_id = inst["variable_id"]
+        if variable_id is not None:
+            row = variables.filter(F.col("id") == variable_id).first()
+        elif name is not None:
+            row = variables.filter(F.col("name") == name).first()
+        else:
+            raise ValueError("get_variable needs variable_id, name or instance_id")
+        if row is None:
+            raise KeyError(f"unknown variable {variable_id or name!r}")
+        out = row.asDict(recursive=True)
+        if self.catalog.exists("instances"):
+            out["instances"] = [
+                r.asDict(recursive=True)
+                for r in self.catalog.read("instances")
+                .filter(F.col("variable_id") == out["id"])
+                .collect()
+            ]
+        else:
+            out["instances"] = []
+        return out
+
+    def update_variable(
+        self,
+        variable_id: str,
+        name: str | None = None,
+        unit: str | None = None,
+        description: str | None = None,
+        palette: str | None = None,
+        resampling_alg: str | None = None,
+    ) -> None:
+        """UpdateVariable (variable.go:191-217): only user-data fields are
+        mutable (dformat/bands are immutable once datasets reference them);
+        the updated entity re-validates."""
+        variables = self.catalog.read("variables")
+        row = variables.filter(F.col("id") == variable_id).first()
+        if row is None:
+            raise KeyError(f"unknown variable {variable_id!r}")
+        merged = row.asDict(recursive=True)
+        for k, v in (
+            ("name", name), ("unit", unit), ("description", description),
+            ("palette", palette), ("resampling_alg", resampling_alg),
+        ):
+            if v is not None:
+                merged[k] = v
+        validate_variable(
+            merged["name"], merged["bands"], merged["dformat"], merged["palette"]
+        )
+        updated = variables.filter(F.col("id") != variable_id).unionByName(
+            self.spark.createDataFrame([merged], schemas.VARIABLE)
+        )
+        self.catalog.write("variables", updated)
+
+    def delete_variable(self, variable_id: str) -> None:
+        """DeleteVariable with the referential guard: instances of the
+        variable that still have datasets block the delete; otherwise the
+        variable AND its instances are removed."""
+        variables = self.catalog.read("variables")
+        if not variables.filter(F.col("id") == variable_id).first():
+            raise KeyError(f"unknown variable {variable_id!r}")
+        if self.catalog.exists("instances"):
+            instances = self.catalog.read("instances")
+            mine = instances.filter(F.col("variable_id") == variable_id)
+            if self.catalog.exists("datasets"):
+                used = (
+                    self.catalog.read("datasets")
+                    .join(
+                        mine.select(F.col("id").alias("instance_id")),
+                        "instance_id",
+                        "left_semi",
+                    )
+                    .first()
+                )
+                if used:
+                    raise ValidationError(
+                        f"variable {variable_id!r} has instances referenced by datasets"
+                    )
+            self.catalog.write(
+                "instances", instances.filter(F.col("variable_id") != variable_id)
+            )
+        self.catalog.write(
+            "variables", variables.filter(F.col("id") != variable_id)
+        )
+
+    def update_instance(
+        self,
+        instance_id: str,
+        name: str | None = None,
+        add_metadata: dict[str, str] | None = None,
+        del_metadata_keys: list[str] | None = None,
+    ) -> None:
+        """UpdateInstance (variable.go:258-284): rename (unique within the
+        variable) and metadata upsert/delete."""
+        instances = self.catalog.read("instances")
+        row = instances.filter(F.col("id") == instance_id).first()
+        if row is None:
+            raise KeyError(f"unknown instance {instance_id!r}")
+        merged = row.asDict(recursive=True)
+        if name is not None and name != merged["name"]:
+            validate_instance_name(name)
+            dup = instances.filter(
+                (F.col("variable_id") == merged["variable_id"])
+                & (F.col("name") == name)
+                & (F.col("id") != instance_id)
+            ).first()
+            if dup:
+                raise ValidationError(
+                    f"instance named {name!r} already exists for this variable"
+                )
+            merged["name"] = name
+        md = dict(merged["metadata"] or {})
+        md.update(add_metadata or {})
+        for k in del_metadata_keys or []:
+            md.pop(k, None)
+        merged["metadata"] = md
+        updated = instances.filter(F.col("id") != instance_id).unionByName(
+            self.spark.createDataFrame([merged], schemas.INSTANCE)
+        )
+        self.catalog.write("instances", updated)
+
+    def delete_instance(self, instance_id: str) -> None:
+        """DeleteInstance with the datasets referential guard."""
+        instances = self.catalog.read("instances")
+        if not instances.filter(F.col("id") == instance_id).first():
+            raise KeyError(f"unknown instance {instance_id!r}")
+        if self.catalog.exists("datasets"):
+            used = (
+                self.catalog.read("datasets")
+                .filter(F.col("instance_id") == instance_id)
+                .first()
+            )
+            if used:
+                raise ValidationError(
+                    f"instance {instance_id!r} is still referenced by datasets"
+                )
+        self.catalog.write(
+            "instances", instances.filter(F.col("id") != instance_id)
+        )
 
     # ------------------------------------------------------------ datasets
 
@@ -641,9 +804,97 @@ class GeocubeClient:
         row = jobs.filter(F.col("id") == job_id).first()
         if row is None:
             raise KeyError(f"unknown job {job_id!r}")
-        new_state = advance_job_state(row["state"], event)
+        new_state, new_waiting = advance_job_state(
+            row["state"], event,
+            job_type=row["type"], exec_level=row["execution_level"],
+            waiting=row["waiting"], with_waiting=True,
+        )
+        hit = F.col("id") == job_id
         updated = jobs.withColumn(
-            "state", F.when(F.col("id") == job_id, F.lit(new_state)).otherwise(F.col("state"))
+            "state", F.when(hit, F.lit(new_state)).otherwise(F.col("state"))
+        ).withColumn(
+            "waiting", F.when(hit, F.lit(new_waiting)).otherwise(F.col("waiting"))
         )
         self.catalog.write("jobs", updated)
         return new_state
+
+    def get_job(self, job_id: str) -> dict:
+        """GetJob: the job row plus its task-state counters."""
+        row = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        if row is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        out = row.asDict(recursive=True)
+        if self.catalog.exists("tasks"):
+            out["tasks"] = {
+                r["state"]: r["n"]
+                for r in self.catalog.read("tasks")
+                .filter(F.col("job_id") == job_id)
+                .groupBy("state")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return out
+
+    def retry_job(self, job_id: str, force: bool = False) -> str:
+        """RetryJob: the Retried / RetryForced arc (job.go:395-420)."""
+        return self.advance_job(job_id, "RetryForced" if force else "Retried")
+
+    def cancel_job(self, job_id: str, force: bool = False) -> str:
+        """CancelJob: plain cancel only lands while the job is paused; a
+        forced cancel lands anytime (job.go:395-401)."""
+        return self.advance_job(
+            job_id, "CancelledByUserForced" if force else "CancelledByUser"
+        )
+
+    def continue_job(self, job_id: str) -> str:
+        """ContinueJob: step a step-by-step (waiting) job forward."""
+        return self.advance_job(job_id, "Continue")
+
+    def clean_jobs(self, states: tuple[str, ...] = ("DONE", "FAILED")) -> int:
+        """CleanJobs: remove terminated jobs (and their tasks and dataset
+        locks) in the given states; returns the number removed."""
+        jobs = self.catalog.read("jobs")
+        # materialize the doomed ids BEFORE the jobs write: the write
+        # garbage-collects the snapshot this filter reads, so a lazy
+        # dead-ids plan reused for the tasks/locks writes would re-scan a
+        # deleted version (admin-batch-sized list; never large)
+        ids = [
+            r["id"]
+            for r in jobs.filter(F.col("state").isin(list(states))).select("id").collect()
+        ]
+        if not ids:
+            return 0
+        self.catalog.write("jobs", jobs.filter(~F.col("id").isin(ids)))
+        if self.catalog.exists("tasks"):
+            tasks = self.catalog.read("tasks")
+            self.catalog.write("tasks", tasks.filter(~F.col("job_id").isin(ids)))
+        if self.catalog.exists("locked_datasets"):
+            locks = self.catalog.read("locked_datasets")
+            self.catalog.write(
+                "locked_datasets", locks.filter(~F.col("job_id").isin(ids))
+            )
+        return len(ids)
+
+    def get_containers(self, uris: list[str]) -> DataFrame:
+        """GetContainers: container rows for the given URIs with their
+        datasets nested (the RPC's per-container dataset list)."""
+        containers = self.catalog.read("containers").filter(F.col("uri").isin(uris))
+        datasets = self.catalog.read("datasets").filter(
+            F.col("container_uri").isin(uris)
+        )
+        per = datasets.groupBy(F.col("container_uri").alias("uri")).agg(
+            F.collect_list(
+                F.struct("id", "record_id", "instance_id", "subdir", "bands", "status")
+            ).alias("datasets")
+        )
+        return containers.join(per, "uri", "left")
+
+    @staticmethod
+    def version() -> str:
+        """Version RPC twin: the engine's own version string."""
+        from importlib.metadata import PackageNotFoundError, version as _v
+
+        try:
+            return _v("geocube-spark")
+        except PackageNotFoundError:
+            return "0.1.0"

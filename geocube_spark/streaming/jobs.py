@@ -212,20 +212,30 @@ _ERROR_EVENT = {
 
 
 def advance_job_state(
-    state: str, event: str, job_type: str = "consolidation", exec_level: int = EXEC_ASYNCHRONOUS
-) -> str:
+    state: str,
+    event: str,
+    job_type: str = "consolidation",
+    exec_level: int = EXEC_ASYNCHRONOUS,
+    waiting: bool = False,
+    with_waiting: bool = False,
+):
     """Single-step transition; accepts real event names (job.go JobStatus) or
     the legacy shorthand ``ok``/``error``/``cancel``.  Raises on an arc the
-    reference would report as UnhandledEvent."""
+    reference would report as UnhandledEvent.  ``waiting`` gates the
+    pause-only arcs (plain CancelledByUser, Continue — job.go:352-388);
+    ``with_waiting=True`` returns ``(new_state, new_waiting)`` so callers
+    can persist the pause flag alongside the state."""
     if event == "ok":
         event = _HAPPY_EVENT.get(state, "")
     elif event == "error":
         event = _ERROR_EVENT.get(state, "")
     elif event == "cancel":
         event = "CancelledByUserForced"
-    nxt, _w, handled = trigger(job_type, state, False, exec_level, event)
+    nxt, new_waiting, handled = trigger(job_type, state, waiting, exec_level, event)
     if not handled:
         raise ValueError(f"illegal transition {state} --{event}-->")
+    if with_waiting:
+        return nxt, new_waiting
     return nxt
 
 

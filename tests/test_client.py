@@ -363,3 +363,117 @@ class TestLayoutGridPaletteCRUD:
         }
         with pytest.raises(ValueError, match="does not intersect"):
             c.index_datasets([{**base, "bands": [1], "dmapping": bad_range}])
+
+
+class TestFullRpcSurface:
+    """The remaining geocube.proto RPCs as client methods: GetAOI,
+    Get/Update/DeleteVariable, Update/DeleteInstance, GetContainers,
+    GetJob/Retry/Cancel/Continue/CleanJobs, Version."""
+
+    @pytest.fixture()
+    def rpc_client(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "rpc_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        return GeocubeClient(spark, str(root))
+
+    def test_get_aoi(self, rpc_client):
+        some = rpc_client.catalog.read("aoi").first()
+        got = rpc_client.get_aoi(some["id"])
+        assert got["hash"] == some["hash"] and got["bbox"]["xmax"] >= got["bbox"]["xmin"]
+        with pytest.raises(KeyError):
+            rpc_client.get_aoi("nope")
+
+    def test_get_update_delete_variable(self, rpc_client):
+        c = rpc_client
+        vid = c.create_variable(
+            "RPC_VAR", ["B1"],
+            {"dtype": "Int16", "no_data": -32768.0, "min_value": 0.0, "max_value": 100.0},
+        )
+        iid = c.instantiate_variable(vid, "default")
+        # all three lookup arms resolve to the same variable + instances
+        by_id = c.get_variable(variable_id=vid)
+        by_name = c.get_variable(name="RPC_VAR")
+        by_inst = c.get_variable(instance_id=iid)
+        assert by_id["id"] == by_name["id"] == by_inst["id"] == vid
+        assert [i["id"] for i in by_id["instances"]] == [iid]
+        # user-data update re-validates (variable.go:191-217)
+        c.update_variable(vid, unit="index", description="rpc test", palette="magma")
+        got = c.get_variable(variable_id=vid)
+        assert got["unit"] == "index" and got["palette"] == "magma"
+        with pytest.raises(ValueError, match="Incorrect name"):
+            c.update_variable(vid, name="bad name")
+        # instance update: rename + metadata upsert/delete, dup-name guard
+        c.update_instance(iid, add_metadata={"PROC": "L2A", "V": "1"})
+        c.update_instance(iid, del_metadata_keys=["V"], name="main")
+        inst = c.get_variable(variable_id=vid)["instances"][0]
+        assert inst["name"] == "main" and inst["metadata"] == {"PROC": "L2A"}
+        other = c.instantiate_variable(vid, "second")
+        with pytest.raises(ValueError, match="already exists"):
+            c.update_instance(other, name="main")
+        # deletes: instance first, then the variable (no datasets -> allowed)
+        c.delete_instance(other)
+        c.delete_variable(vid)
+        with pytest.raises(KeyError):
+            c.get_variable(variable_id=vid)
+
+    def test_delete_guards_on_referenced_entities(self, rpc_client):
+        c = rpc_client
+        used_inst = c.catalog.read("datasets").first()["instance_id"]
+        with pytest.raises(ValueError, match="referenced"):
+            c.delete_instance(used_inst)
+        used_var = (
+            c.catalog.read("instances")
+            .filter(F.col("id") == used_inst)
+            .first()["variable_id"]
+        )
+        with pytest.raises(ValueError, match="referenced"):
+            c.delete_variable(used_var)
+
+    def test_get_containers(self, rpc_client):
+        c = rpc_client
+        uris = [r["container_uri"] for r in
+                c.catalog.read("datasets").select("container_uri").distinct().limit(2).collect()]
+        got = {r["uri"]: r for r in c.get_containers(uris).collect()}
+        assert set(got) == set(uris)
+        assert all(len(r["datasets"]) >= 1 for r in got.values())
+
+    def test_job_control_arcs(self, rpc_client):
+        c = rpc_client
+        # job-0 is NEW and NOT paused: the plain-cancel arc is waiting-only
+        # (job.go:395-401), so it is refused; the forced cancel lands
+        with pytest.raises(ValueError):
+            c.cancel_job("job-0")
+        assert c.cancel_job("job-0", force=True) == "ABORTED"
+        # job-2 is mid-consolidation: both cancel flavors land there
+        assert c.cancel_job("job-2") == "CONSOLIDATIONCANCELLING"
+        # cancellation failure -> CANCELLATIONFAILED, then Retried resumes
+        # the cancellation (the retry arc, jobs.py CONSOLIDATION_ARCS)
+        assert c.advance_job("job-2", "CancellationFailed") == "CANCELLATIONFAILED"
+        assert c.retry_job("job-2") == "CONSOLIDATIONCANCELLING"
+        # generic FAILED is terminal: retry is an unhandled event there
+        with pytest.raises(ValueError):
+            c.retry_job("job-4", force=True)
+        # job-1 is a step-by-step job PAUSED at CREATED: Continue clears the
+        # pause flag without changing state (trigger precedence rule 1)
+        assert c.continue_job("job-1") == "CREATED"
+        got = c.get_job("job-1")
+        assert got["waiting"] is False
+        with pytest.raises(ValueError):  # not paused anymore -> refused
+            c.continue_job("job-1")
+        assert got["id"] == "job-1" and isinstance(got.get("tasks", {}), dict)
+        # clean terminated jobs: job-3 is DONE; its tasks and locks go too
+        n_before = c.catalog.read("jobs").count()
+        assert c.clean_jobs(states=("DONE",)) == 1
+        assert c.catalog.read("jobs").count() == n_before - 1
+        assert (
+            c.catalog.read("tasks").filter(F.col("job_id") == "job-3").count() == 0
+        )
+        assert c.clean_jobs(states=("DONE",)) == 0  # idempotent
+
+    def test_version(self, rpc_client):
+        assert rpc_client.version()
