@@ -8,9 +8,16 @@ A DataMapping maps internal pixel values to external ("real") values:
     ve = real_min + (real_max - real_min) * ((vi - min)/(max - min)) ** exponent
 
 Casting from mapping A to mapping B goes internal_A -> external -> internal_B
-(the external ranges must agree for the cast to be meaningful — checked by
-``check_castable``), then clamps to the target dtype bounds and remaps nodata.
-NaN nodata is honoured (C14, bitmap.go:153-193): comparisons are NaN-aware.
+— the full CastDatasetOptions algebra (image.go:166-219): external ranges may
+DIFFER (the cast preserves external VALUES; out-of-range results clamp at
+dtype bounds); castable iff one exponent is 1, or the exponents are equal
+with equal external minima (then the powers cancel into a pure linear map
+scaled by (Es/Ed)^(1/e)) — anything else is ErrUnableToCast
+(``check_castable``).  The result clamps to the target dtype bounds and
+remaps nodata.  NaN nodata is honoured (C14, bitmap.go:153-193):
+comparisons are NaN-aware; non-nodata NaN propagates through all twins.
+All eight readable cases of the reference's own CastDataset golden family
+replay bit-exactly (tests/test_cast_golden.py).
 
 Two implementations, same closed form:
 - ``cast_expr``: pure Column expression over ``array<double>`` pixels — runs
