@@ -175,3 +175,41 @@ def test_merge_vrt_band_subset(spark):
 
     got = _merge(spark, [(_Img, DF_ND0, 0)], 256, 201)
     assert np.array_equal(got.astype(np.float32), w0.bands[0])
+
+
+@needs_ref
+def test_jpeg_lossy_golden_reads_and_approximates_cast():
+    """Context 'one dataset with lossy compression' (image_test.go:275-301):
+    image_warp6.tif is GDAL's JPEG-compressed UInt8 output (COMPRESS=JPEG
+    adds the validity ALPHA band — the withAlphaBand=true assertion of the
+    consolidation handler tests).  Our pure-numpy T.81 decoder must open
+    the GDAL-produced bytes, and the content must be the DataMapping cast
+    of warp0 up to JPEG loss:
+
+    - band 2 (alpha) thresholded at 128 recovers warp0's validity mask for
+      >= 99.5% of pixels (the mask band is itself JPEG-smeared),
+    - band 1 correlates > 0.9 with the EXACT cast on valid pixels and the
+      mean absolute deviation stays inside JPEG-quality-75 territory.
+    """
+    from geocube_spark.sources.gtiff import read_tiff
+
+    w0 = _load(0).bands[0].astype(np.float64)
+    w6 = read_tiff(
+        open(os.path.join(TEST_DATA, "image_warp6.tif"), "rb").read()
+    )[0]
+    assert w6.bands.shape == (2, 201, 256) and w6.bands.dtype == np.uint8
+    assert w6.epsg == 32632
+
+    df15 = {
+        "dtype": "UInt8", "no_data": 0.0, "min_value": 0.0, "max_value": 255.0,
+        "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 1.0,
+    }
+    want = cast_numpy(w0, DF_ND0, df15)
+    valid = w0 != 0
+    mask = w6.bands[1] >= 128
+    assert (mask == valid).mean() >= 0.995
+    sel = valid & mask
+    got = w6.bands[0][sel].astype(np.float64)
+    d = np.abs(got - want[sel])
+    assert d.mean() < 10.0 and d.max() < 64.0
+    assert np.corrcoef(got, want[sel])[0, 1] > 0.9
