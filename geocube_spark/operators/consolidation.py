@@ -16,6 +16,8 @@ Pieces:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -549,6 +551,64 @@ def cog_reuse_short_circuit(
     )
     _ = layout_block  # block-size parity is a tile-table invariant here
     return annotated.withColumn("reuse", reuse)
+
+
+def reconsolidation_plan(
+    datasets: DataFrame,
+    container_uri: str,
+    container_dmapping: dict,
+    container_bands_count: int,
+    uri_col: str = "container_uri",
+) -> DataFrame:
+    """csldPrepareOrdersNeedReconsolidation (consolidater.go:491-519) as a
+    DataFrame plan: per dataset, decide whether it needs (re)consolidation
+    against the target container family.
+
+    - a dataset whose URI is NOT under ``container_uri`` (InGroupOfContainers,
+      consolidation_event.go:223-225) always consolidates;
+    - an already-consolidated dataset reconsolidates iff its DataMapping
+      differs from the container's or it references a band beyond
+      ``container_bands_count`` (NeedsReconsolidation,
+      consolidation_event.go:229-242) — the decision is taken PER CONTAINER
+      (any triggering dataset drags its whole container along, the
+      memoized-by-URI semantics of the reference loop);
+    - untouched consolidated containers are flagged ``reusable`` so their
+      datasets can be appended to the order without rework
+      (csldPrepareOrdersNeedConsolidation, consolidater.go:460-489).
+
+    Returns datasets + (in_group, consolidation, reusable).  One partitioned
+    window over the per-URI rows — dataset-per-container fan-in, never a
+    global sort; at 10^9 datasets this is a groupBy(uri)-sized shuffle.
+
+    Ported reference table: tests/test_consolidation_e2e.py::
+    TestReconsolidationNeed (consolidater_test.go:71-139).
+    """
+    dm = container_dmapping
+    nd = float(dm["no_data"])
+    if math.isnan(nd):
+        nd_eq = F.isnan(F.col("dmapping.no_data"))
+    else:
+        nd_eq = F.col("dmapping.no_data") == nd
+    same_mapping = (
+        (F.col("dmapping.dtype") == dm["dtype"])
+        & nd_eq
+        & (F.col("dmapping.min_value") == float(dm["min_value"]))
+        & (F.col("dmapping.max_value") == float(dm["max_value"]))
+        & (F.col("dmapping.real_min_value") == float(dm["real_min_value"]))
+        & (F.col("dmapping.real_max_value") == float(dm["real_max_value"]))
+        & (F.col("dmapping.exponent") == float(dm["exponent"]))
+    )
+    band_overflow = F.array_max(F.col("bands")) > int(container_bands_count)
+    in_group = F.col(uri_col).startswith(container_uri)
+    needs = in_group & (~same_mapping | band_overflow)
+    w = Window.partitionBy(uri_col)
+    container_needs = F.max(needs.cast("int")).over(w) == 1
+    consolidation = F.when(~in_group, F.lit(True)).otherwise(container_needs)
+    return (
+        datasets.withColumn("in_group", in_group)
+        .withColumn("consolidation", consolidation)
+        .withColumn("reusable", in_group & ~consolidation)
+    )
 
 
 def consolidate_tiles(

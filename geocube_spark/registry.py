@@ -5021,6 +5021,64 @@ def grid_crud_cover_roundtrip(spark, sf_dir):
     )
 
 
+# Reconsolidation-need planning (csldPrepareOrdersNeedReconsolidation,
+# consolidater.go:491-519): per dataset, (re)consolidate iff it is outside
+# the container family, its DataMapping changed, or a band exceeds the
+# container's band count — memoized per container (any trigger drags the
+# container's siblings along); untouched containers are flagged reusable.
+# Container base = the fixture family with the exp-1 Int16 mapping and 2
+# bands, so all three decision arms fire on real rows.
+@q(
+    "reconsolidation_need",
+    f"""
+    WITH d AS (
+        SELECT container_uri, bands, dmapping,
+               starts_with(container_uri, 'file:///synth/') AS in_group,
+               (dmapping.dtype = 'Int16' AND dmapping.no_data = -32768.0
+                AND dmapping.min_value = 0.0 AND dmapping.max_value = 10000.0
+                AND dmapping.real_min_value = 0.0 AND dmapping.real_max_value = 1.0
+                AND dmapping.exponent = 1.0) AS same_mapping,
+               list_max(bands) > 2 AS band_overflow
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+    ),
+    flagged AS (
+        SELECT container_uri, in_group,
+               in_group AND (NOT same_mapping OR band_overflow) AS needs
+        FROM d
+    ),
+    per AS (
+        SELECT container_uri, in_group,
+               CASE WHEN NOT in_group THEN TRUE
+                    ELSE max(needs) OVER (PARTITION BY container_uri) END AS consolidation
+        FROM flagged
+    )
+    SELECT container_uri,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           bool_or(consolidation) AS consolidation,
+           bool_or(in_group AND NOT consolidation) AS reusable
+    FROM per GROUP BY container_uri
+    """,
+)
+def reconsolidation_need(spark, sf_dir):
+    from geocube_spark.operators.consolidation import reconsolidation_plan
+
+    fd = ensure_fixtures()
+    datasets = spark.read.parquet(f"{fd}/datasets.parquet")
+    dm = {
+        "dtype": "Int16", "no_data": -32768.0, "min_value": 0.0,
+        "max_value": 10000.0, "real_min_value": 0.0, "real_max_value": 1.0,
+        "exponent": 1.0,
+    }
+    out = reconsolidation_plan(
+        datasets, "file:///synth/", dm, container_bands_count=2
+    )
+    return out.groupBy("container_uri").agg(
+        F.count(F.lit(1)).cast("long").alias("n_datasets"),
+        F.bool_or("consolidation").alias("consolidation"),
+        F.bool_or(F.col("in_group") & ~F.col("consolidation")).alias("reusable"),
+    )
+
+
 # L4 + R13: consolidation work-skipping — full-container exclusion and
 # COG-reuse short-circuit as planning filters.
 @q(

@@ -245,3 +245,91 @@ class TestCooperativeCancellation:
         assert handled and st == "CONSOLIDATIONCANCELLING"
         st, _, handled = trigger("consolidation", st, False, 0, "CancellationDone")
         assert handled and st == "ABORTED"
+
+
+class TestReconsolidationNeed:
+    """consolidater_test.go:71-139 (CsldPrepareOrdersNeedReconsolidation)
+    ported context-for-context against operators.consolidation.
+    reconsolidation_plan.  Container: gs://BaseName2, DataMapping F
+    (Float32 [0,1] ext [0,1]), 3 bands."""
+
+    DM_F = {"dtype": "Float32", "no_data": 0.0, "min_value": 0.0, "max_value": 1.0,
+            "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 0.0}
+    DM_I = {"dtype": "Int16", "no_data": 0.0, "min_value": 0.0, "max_value": 10000.0,
+            "real_min_value": 0.0, "real_max_value": 1.0, "exponent": 0.0}
+    UNCONSOLIDATED = ("gs://BaseName1/1.tiff", [1, 2, 3], "F")
+    CONTAINER = ("gs://BaseName2", 3)
+
+    def _plan(self, spark, rows):
+        from geocube_spark.operators.consolidation import reconsolidation_plan
+
+        data = [
+            {"container_uri": uri, "bands": bands,
+             "dmapping": self.DM_F if dm == "F" else self.DM_I}
+            for uri, bands, dm in rows
+        ]
+        df = spark.createDataFrame(
+            data,
+            "container_uri string, bands array<int>, dmapping struct<"
+            "dtype:string,no_data:double,min_value:double,max_value:double,"
+            "real_min_value:double,real_max_value:double,exponent:double>",
+        )
+        out = reconsolidation_plan(df, self.CONTAINER[0], self.DM_F, self.CONTAINER[1])
+        got = out.collect()
+        need = any(r["consolidation"] for r in got)
+        reusable = sorted({r["container_uri"] for r in got if r["reusable"]})
+        return need, reusable
+
+    def test_one_basic_dataset(self, spark):
+        need, reuse = self._plan(spark, [self.UNCONSOLIDATED])
+        assert need and reuse == []
+
+    def test_consolidated_with_other_dataformat(self, spark):
+        need, reuse = self._plan(spark, [("gs://BaseName21.tiff", [1, 2, 3], "I")])
+        assert need and reuse == []
+
+    def test_consolidated_with_other_bands(self, spark):
+        # band 4 exceeds the container's 3 bands -> NeedsReconsolidation
+        need, reuse = self._plan(spark, [("gs://BaseName21.tiff", [2, 3, 4], "F")])
+        assert need and reuse == []
+
+    def test_consolidated_identical(self, spark):
+        need, reuse = self._plan(spark, [("gs://BaseName21.tiff", [1, 2, 3], "F")])
+        assert not need and reuse == ["gs://BaseName21.tiff"]
+
+    def test_several_identical_same_container(self, spark):
+        need, reuse = self._plan(
+            spark,
+            [("gs://BaseName21.tiff", [1, 2, 3], "F")] * 2,
+        )
+        assert not need and reuse == ["gs://BaseName21.tiff"]
+
+    def test_several_identical_two_containers(self, spark):
+        need, reuse = self._plan(
+            spark,
+            [("gs://BaseName21.tiff", [1, 2, 3], "F"),
+             ("gs://BaseName22.tiff", [1, 2, 3], "F")],
+        )
+        assert not need
+        assert reuse == ["gs://BaseName21.tiff", "gs://BaseName22.tiff"]
+
+    def test_mixed_consolidated_and_not(self, spark):
+        need, reuse = self._plan(
+            spark,
+            [("gs://BaseName21.tiff", [1, 2, 3], "F"),
+             ("gs://BaseName22.tiff", [1, 2, 3], "F"),
+             self.UNCONSOLIDATED],
+        )
+        assert need  # the unconsolidated dataset drags the job in
+        assert reuse == ["gs://BaseName21.tiff", "gs://BaseName22.tiff"]
+
+    def test_container_level_memoization(self, spark):
+        """A container where ONE dataset triggers reconsolidation drags its
+        sibling datasets along (the needReconsolidation[uri] memo in the
+        reference loop)."""
+        need, reuse = self._plan(
+            spark,
+            [("gs://BaseName21.tiff", [1, 2, 3], "F"),
+             ("gs://BaseName21.tiff", [2, 3, 4], "F")],  # band 4 overflows
+        )
+        assert need and reuse == []
