@@ -568,9 +568,29 @@ class TestURI:
         assert url_join("gs://b/", "layout", "cell/1", "x.tif") == "gs://b/layout/cell/1/x.tif"
 
     def test_urn(self):
-        validate_urn("S2A_MSIL1C:2018.tile-31")
+        # urn.go:31-38: '/'-separated segments of [a-zA-Z0-9-:_];
+        # dots are NOT in the charset (the pre-round-9 local regex
+        # wrongly accepted them)
+        validate_urn("S2A_MSIL1C:2018_tile-31")
+        validate_urn("mission/pass/tile-31")
         with pytest.raises(ValueError):
             validate_urn("no spaces")
+        with pytest.raises(ValueError):
+            validate_urn("S2A.tile")
+
+    def test_parse_storage_uri(self):
+        # gcs/utils_test.go TestParse, vector-for-vector
+        from geocube_spark.functions.uri import parse_storage_uri
+
+        for u in ("gs://bucket/object.foo", "/bucket/object.foo", "bucket/object.foo"):
+            assert parse_storage_uri(u) == ("bucket", "object.foo")
+        for u in ("gs://bucket/path/to/object.foo", "/bucket/path/to/object.foo",
+                  "bucket/path/to/object.foo"):
+            assert parse_storage_uri(u) == ("bucket", "path/to/object.foo")
+        for bad in ("bucket", "bucket/", "/bucket/", "gs://bucket",
+                    "gs://bucket/", "//path/to/object", "gs:///path/to/object"):
+            with pytest.raises(ValueError, match="badly formatted"):
+                parse_storage_uri(bad)
 
 
 class TestPNG:
