@@ -76,6 +76,55 @@ def delete_datasets(
     return survivors, dead_containers
 
 
+def purge_pending_deletions(
+    manifest: DataFrame, ignore_not_found: bool = True
+) -> DataFrame:
+    """The storage-GC step that CONSUMES the ``pending_deletions`` manifest
+    delete_datasets writes — the Delete/BulkDelete strategy of the
+    reference's storage layer (interface/storage/filesystem/strategy.go;
+    semantics pinned by its strategy_test.go: missing files error unless
+    IgnoreNotFound).
+
+    Runs DISTRIBUTED: each executor partition deletes its own URIs
+    (mapInPandas — the driver never loops over the manifest, so a
+    fleet-wide GC of 10^8 dead containers is one narrow scan).  Only
+    ``file://``/plain paths are deleted here; other schemes report
+    ``unsupported`` for the deployment's object-store hook to consume.
+
+    Returns (uri, status) with status in {deleted, missing, unsupported,
+    error}; with ``ignore_not_found=False`` a missing file raises inside
+    the task like the reference's default strategy.
+    """
+    import pandas as pd
+
+    inf = bool(ignore_not_found)
+
+    def drop(batches):
+        import os
+
+        for pdf in batches:
+            statuses = []
+            for uri in pdf["uri"]:
+                path = uri
+                if uri.startswith("file://"):
+                    path = uri[len("file://"):]
+                elif "://" in uri:
+                    statuses.append("unsupported")
+                    continue
+                try:
+                    os.remove(path)
+                    statuses.append("deleted")
+                except FileNotFoundError:
+                    if not inf:
+                        raise
+                    statuses.append("missing")
+                except OSError:
+                    statuses.append("error")
+            yield pd.DataFrame({"uri": pdf["uri"], "status": statuses})
+
+    return manifest.select("uri").mapInPandas(drop, "uri string, status string")
+
+
 def get_cube_from_metadatas(
     metadata: DataFrame,
     tiles: DataFrame,

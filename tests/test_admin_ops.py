@@ -336,3 +336,42 @@ class TestCustomSubgrid:
             cover_custom_subgrid(self.RECTS, cells, {})
         with pytest.raises(ValueError, match="unknown subgrid"):
             cover_custom_subgrid(self.RECTS, cells, {"subgrid": "hex", "resolution": "1"})
+
+
+class TestPurgePendingDeletions:
+    """Storage-GC manifest consumer (filesystem strategy semantics,
+    interface/storage/filesystem/strategy_test.go: delete ok, second
+    delete errors unless IgnoreNotFound, bulk with holes)."""
+
+    def test_bulk_delete_with_holes(self, spark, tmp_path):
+        import os
+
+        from geocube_spark.operators.admin import purge_pending_deletions
+
+        files = []
+        for i in range(20):
+            p = tmp_path / f"dead_{i}.tif"
+            p.write_bytes(b"x")
+            files.append(str(p))
+        for p in files[5:10]:  # pre-remove a hole, like the reference test
+            os.remove(p)
+        manifest = spark.createDataFrame(
+            [(f"file://{p}",) for p in files] + [("s3://bucket/far.tif",)],
+            "uri string",
+        )
+        got = {r["uri"]: r["status"] for r in purge_pending_deletions(manifest).collect()}
+        assert sum(s == "deleted" for s in got.values()) == 15
+        assert sum(s == "missing" for s in got.values()) == 5
+        assert got["s3://bucket/far.tif"] == "unsupported"
+        assert all(not os.path.exists(p) for p in files)
+
+    def test_missing_raises_without_ignore(self, spark, tmp_path):
+        from pyspark.errors.exceptions.captured import PythonException
+
+        from geocube_spark.operators.admin import purge_pending_deletions
+
+        manifest = spark.createDataFrame(
+            [(f"file://{tmp_path}/never_existed.tif",)], "uri string"
+        )
+        with pytest.raises(PythonException, match="No such file"):
+            purge_pending_deletions(manifest, ignore_not_found=False).collect()
