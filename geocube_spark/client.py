@@ -115,6 +115,21 @@ class GeocubeClient:
         aoi = self.catalog.read("aoi") if with_aoi or flt.aoi_extent else None
         return find_records(self.catalog.read("records"), aoi, flt)
 
+    def get_records(self, record_ids: list[str]) -> list[dict]:
+        """GetRecords RPC / ReadRecords (pg_records.go:193-225): fetch
+        records by explicit id list, PRESERVING the request order; any
+        missing id is an error (the reference's EntityNotFound)."""
+        fetched = {
+            r["id"]: r.asDict(recursive=True)
+            for r in self.catalog.read("records")
+            .filter(F.col("id").isin(record_ids))
+            .collect()
+        }
+        missing = [i for i in record_ids if i not in fetched]
+        if missing:
+            raise KeyError(f"unknown record(s) {missing!r}")
+        return [fetched[i] for i in record_ids]
+
     def add_records_tags(self, record_ids: list[str], tags: dict[str, str]) -> None:
         out = update_record_tags(self.catalog.read("records"), record_ids, add=tags)
         self.catalog.write("records", out)

@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from geocube_spark.operators.cover import RegularGridSpec, cover_regular
+from geocube_spark.operators.cover import RegularGridSpec, cover_regular_df
 
 # MuCOG interlacing pattern grammar (layouts.proto:41-66): priorities among
 # the four levels — [Z]oom/overview, [T]iles (geotiff blocks), [R]ecords,
@@ -195,18 +195,19 @@ def plan_consolidation(
         ),
         "record_id",
     )
-    # union-geometry extent of the job (A1, reduced to bbox for planning)
-    ext = with_rec.agg(
+    # union-geometry extent of the job (A1, reduced to bbox for planning):
+    # a 1-row lazy aggregate fed straight into the cell explode — the whole
+    # planning query stays ONE plan with no driver round-trip (the
+    # reference's GetDatasetsGeometryUnion DB call, consolidater.go:216-221,
+    # is this 1-row reduction)
+    ext_df = with_rec.agg(
+        F.lit(0).alias("rect_id"),
         F.min("bbox.xmin").alias("xmin"),
         F.min("bbox.ymin").alias("ymin"),
         F.max("bbox.xmax").alias("xmax"),
         F.max("bbox.ymax").alias("ymax"),
-    ).first()
-    cells = cover_regular(
-        datasets.sparkSession,
-        [(ext["xmin"], ext["ymin"], ext["xmax"], ext["ymax"])],
-        grid,
     )
+    cells = cover_regular_df(ext_df, grid)
     # per-cell dataset lists: bbox-intersect join (map-side via broadcast of
     # the cell list when small; both sides pre-pruned by bbox)
     joined = with_rec.join(

@@ -97,6 +97,16 @@ def cover_regular(
         [(i,) + tuple(map(float, r)) for i, r in enumerate(aoi_rects)],
         ["rect_id", "xmin", "ymin", "xmax", "ymax"],
     )
+    return cover_regular_df(rects_df, spec)
+
+
+def cover_regular_df(rects_df: DataFrame, spec: RegularGridSpec) -> DataFrame:
+    """Regular-grid cover over a DataFrame of AOI rects
+    (rect_id, xmin, ymin, xmax, ymax) — the lazy core of
+    :func:`cover_regular`.  Taking a DataFrame keeps callers whose extent
+    is itself a Spark aggregate (e.g. consolidation planning over the
+    job's locked datasets) a SINGLE lazy plan: no driver round-trip
+    between the extent reduction and the cell explode."""
     span = spec.cell_span
     i0 = F.floor((F.col("xmin") - spec.ox) / span).cast("long")
     i1 = F.ceil((F.col("xmax") - spec.ox) / span).cast("long") - 1

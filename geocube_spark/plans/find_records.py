@@ -20,6 +20,7 @@ from geocube_spark.plans.find_datasets import _tag_predicate
 
 @dataclass
 class RecordFilters:
+    ids: list[str] | None = None  # F2 (GetRecords RPC / ReadRecords id = ANY($1))
     name_glob: str | None = None  # F9/F5
     time_from: datetime | None = None  # F3
     time_to: datetime | None = None
@@ -33,6 +34,12 @@ class RecordFilters:
 
 def find_records(records: DataFrame, aoi: DataFrame | None, flt: RecordFilters) -> DataFrame:
     r = records
+    if flt.ids is not None:
+        # F2 for records (pg_records.go:196 id = ANY($1)): an explicit
+        # user-supplied id list — an IN-list literal, pushed to the scan.
+        # The list is request-sized by construction (an RPC argument); a
+        # relation-sized id set belongs in a semi-join, not a filter.
+        r = r.filter(F.col("id").isin(list(flt.ids)))
     if flt.name_glob is not None:
         r = r.filter(like_filter(F.col("name"), flt.name_glob))
     if flt.time_from is not None:

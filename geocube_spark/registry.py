@@ -420,6 +420,30 @@ def list_records_paginated(spark, sf_dir):
     )
 
 
+# F2 for records: GetRecords RPC / ReadRecords id = ANY($1)
+# (pg_records.go:193-225) — explicit id-list fetch through the same
+# find_records plan (RecordFilters.ids), ordered by time like FindRecords.
+# Includes one id absent from the table ('59999' at every SF): a filter
+# simply drops it; the client-level get_records twin errors instead
+# (tests/test_client.py).
+@q(
+    "get_records_by_id",
+    f"""
+    WITH r AS ({_RECORDS_SQL})
+    SELECT r.id, r.name, strftime(r.datetime, '%Y-%m-%d') AS record_date
+    FROM r
+    WHERE r.id IN ('1', '7', '33', '65', '129', '4000', '59999')
+    ORDER BY r.datetime, r.id
+    """,
+)
+def get_records_by_id(spark, sf_dir):
+    flt = RecordFilters(ids=["1", "7", "33", "65", "129", "4000", "59999"])
+    out = find_records(records_view(spark, sf_dir), None, flt)
+    return out.select(
+        "id", "name", F.date_format("datetime", "yyyy-MM-dd").alias("record_date")
+    )
+
+
 # A3/R12: headers-only cube — slices grouped by record, ordered by time.
 @q(
     "cube_headers_by_record",

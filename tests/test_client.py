@@ -381,6 +381,21 @@ class TestFullRpcSurface:
             _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
         return GeocubeClient(spark, str(root))
 
+    def test_get_records_by_ids(self, rpc_client):
+        """GetRecords (pg_records.go:193-225): request order preserved,
+        missing ids are EntityNotFound, and RecordFilters.ids drives the
+        same id predicate through the find_records plan."""
+        rows = rpc_client.catalog.read("records").orderBy("id").take(3)
+        ids = [rows[2]["id"], rows[0]["id"], rows[1]["id"]]  # shuffled order
+        got = rpc_client.get_records(ids)
+        assert [g["id"] for g in got] == ids  # preserveOrder semantics
+        assert got[0]["name"] == rows[2]["name"]
+        with pytest.raises(KeyError, match="nope"):
+            rpc_client.get_records([ids[0], "nope"])
+        # the filter arm drops unknowns instead of erroring
+        flt = rpc_client.list_records(RecordFilters(ids=[ids[0], "nope"])).collect()
+        assert [r["id"] for r in flt] == [ids[0]]
+
     def test_get_aoi(self, rpc_client):
         some = rpc_client.catalog.read("aoi").first()
         got = rpc_client.get_aoi(some["id"])
