@@ -685,6 +685,253 @@ class GeocubeClient:
             raise KeyError(f"unknown palette {name!r}")
         return [ColorPoint(r["val"], r["r"], r["g"], r["b"], r["a"]) for r in rows]
 
+    # -------------------------------------------------------- consolidation
+
+    def consolidate(
+        self,
+        job_name: str,
+        instance_id: str,
+        layout_name: str,
+        record_ids: list[str] | None = None,
+        tags: dict[str, str] | None = None,
+        from_time: datetime | None = None,
+        to_time: datetime | None = None,
+        execution_level: int = 1,
+    ) -> str:
+        """Consolidate RPC: create-job orchestration end-to-end.
+
+        Composes the reference's csldInit (svc/consolidater.go:108-151 —
+        list active datasets, read the variable's ConsolidationParams,
+        create the job, LOCK the datasets flag-INIT) with
+        csldPrepareOrders (consolidater.go:166-407 — cover the job's
+        union extent with the layout's grid, one task per
+        (cell, max_records-chunk), lock flag-TODELETE, release INIT)
+        through the job state machine: NEW -> JobCreated -> CREATED ->
+        OrdersPrepared -> CONSOLIDATIONINPROGRESS.  A step-by-step
+        ``execution_level`` pauses (Waiting) at CREATED before planning —
+        resume with :meth:`continue_consolidation`.
+
+        Returns the job id.  The rewrite itself (the reference's
+        consolidation worker) is the operators/consolidation pipeline:
+        consolidate_tiles_cancellable -> swap_datasets, driven by the
+        task rows this method emits.
+        """
+        import json
+
+        # ListActiveDatasetsID twin (pg_containers.go:350-383): ACTIVE
+        # datasets of the instance, optionally narrowed by record ids /
+        # record tags / record time range.
+        flt = DatasetFilters(
+            status="ACTIVE", instance_ids=[instance_id], record_ids=record_ids,
+            tags=tags, time_from=from_time, time_to=to_time, order=False,
+        )
+        sel = find_datasets(
+            self.catalog.read("datasets"), self.catalog.read("records"), flt
+        ).select("id", "locked_by_job_id")
+        job_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-spark/job/{job_name}"))
+        stats = sel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.col("locked_by_job_id").isNotNull()
+                & (F.col("locked_by_job_id") != job_id)
+            ).alias("n_conflicts"),
+        ).first()
+        if stats["n"] == 0:
+            # csldInit:110-112 EntityNotFound
+            raise KeyError("No dataset found for these records and instances")
+        if stats["n_conflicts"]:
+            # the reference's locked_datasets primary key rejects a second
+            # lock on the same dataset (pg unique violation inside SaveJob)
+            raise ValidationError(
+                f"{stats['n_conflicts']} dataset(s) already locked by another job"
+            )
+
+        # csldInit: ConsolidationParams of the instance's variable must exist
+        inst = self.catalog.read("instances").filter(F.col("id") == instance_id).first()
+        if inst is None:
+            raise KeyError(f"unknown instance {instance_id!r}")
+        params = self.get_consolidation_params(inst["variable_id"])
+        if not self.catalog.read("layouts").filter(F.col("name") == layout_name).first():
+            raise KeyError(f"unknown layout {layout_name!r}")
+
+        # Create the job + lock flag-INIT (job.LockDatasets, job.go:886-897).
+        # The lock column update is a JOIN against the selected-id set — the
+        # selection can be job-sized, so it never transits the driver.
+        now = datetime.now()
+        job_row = {
+            "id": job_id, "name": job_name, "type": "consolidation",
+            "state": "NEW",
+            "payload": json.dumps(
+                {"instance_id": instance_id, "layout_name": layout_name,
+                 "params_id": inst["variable_id"]},
+                sort_keys=True,
+            ),
+            "active_tasks": 0, "failed_tasks": 0,
+            "execution_level": int(execution_level), "waiting": False,
+            "creation_ts": now, "last_update_ts": now,
+        }
+        self._append("jobs", self.spark.createDataFrame([job_row], schemas.JOB))
+        ids = sel.select("id")
+        self._append(
+            "locked_datasets",
+            ids.select(
+                F.col("id").alias("dataset_id"),
+                F.lit(job_id).alias("job_id"),
+                F.lit(0).alias("flag"),  # LockFlagINIT (job.go:878-884)
+            ),
+        )
+        datasets = self.catalog.read("datasets")
+        self.catalog.write(
+            "datasets",
+            datasets.join(ids.withColumn("_lock", F.lit(True)), "id", "left")
+            .withColumn(
+                "locked_by_job_id",
+                F.when(F.col("_lock"), F.lit(job_id)).otherwise(
+                    F.col("locked_by_job_id")
+                ),
+            )
+            .drop("_lock"),
+        )
+
+        state, waiting = advance_job_state(
+            "NEW", "JobCreated", job_type="consolidation",
+            exec_level=int(execution_level), with_waiting=True,
+        )
+        self._set_job_state(job_id, state, waiting)
+        if waiting:
+            # step-by-step pause (job.go:119-130): planning resumes via
+            # continue_consolidation
+            return job_id
+        self._csld_prepare_orders(job_id)
+        return job_id
+
+    def continue_consolidation(self, job_id: str) -> str:
+        """ContinueJob for a consolidation paused at CREATED: clears the
+        Waiting flag and runs order preparation (the reference's
+        csldOnEnterNewState re-entry after Continue)."""
+        row = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        if row is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        if row["state"] != "CREATED" or not row["waiting"]:
+            return self.advance_job(job_id, "Continue")
+        self._set_job_state(job_id, "CREATED", False)
+        self._csld_prepare_orders(job_id)
+        return "CONSOLIDATIONINPROGRESS"
+
+    def _set_job_state(self, job_id: str, state: str, waiting: bool, active_tasks: int | None = None) -> None:
+        jobs = self.catalog.read("jobs")
+        hit = F.col("id") == job_id
+        updated = (
+            jobs.withColumn("state", F.when(hit, F.lit(state)).otherwise(F.col("state")))
+            .withColumn("waiting", F.when(hit, F.lit(waiting)).otherwise(F.col("waiting")))
+        )
+        if active_tasks is not None:
+            updated = updated.withColumn(
+                "active_tasks",
+                F.when(hit, F.lit(int(active_tasks))).otherwise(F.col("active_tasks")),
+            )
+        self.catalog.write("jobs", updated)
+
+    def _csld_prepare_orders(self, job_id: str) -> None:
+        """csldPrepareOrders (consolidater.go:166-407): plan one task per
+        (cell, chunk) over the job's flag-INIT locked datasets, emit task
+        rows, move locks INIT -> TODELETE, advance the state machine."""
+        import json
+
+        from geocube_spark.operators.consolidation import plan_consolidation
+        from geocube_spark.operators.cover import RegularGridSpec
+
+        job = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        payload = json.loads(job["payload"])
+        layout = (
+            self.catalog.read("layouts")
+            .filter(F.col("name") == payload["layout_name"])
+            .first()
+        )
+        grid_params = dict(layout["grid_parameters"])
+        if grid_params.get("grid", "regular") != "regular":
+            raise ValidationError(
+                "consolidate() plans over regular-grid layouts; custom grids "
+                "cover via tile_aoi + cover_custom_subgrid"
+            )
+        grid = RegularGridSpec(
+            crs=grid_params.get("crs", "epsg:4326"),
+            cell_size=int(grid_params.get("cell_size", "256")),
+            resolution=float(grid_params.get("resolution", "1")),
+            ox=float(grid_params.get("ox", "0")),
+            oy=float(grid_params.get("oy", "0")),
+        )
+        plan = plan_consolidation(
+            self.catalog.read("datasets"),
+            self.catalog.read("records"),
+            job_id,
+            grid,
+            max_records=int(layout["max_records"]),
+        )
+        # one task per order (job.CreateConsolidationTask); payload = the
+        # ConsolidationEvent as JSON bytes, task id deterministic in
+        # (job, container) so a re-run of planning is idempotent
+        tasks = plan.select(
+            F.md5(F.concat(F.lit(job_id), F.lit("/"), F.col("out_container_uri"))).alias("id"),
+            F.lit(job_id).alias("job_id"),
+            F.lit("NEW").alias("state"),
+            F.to_json(
+                F.struct(
+                    "out_container_uri", "cell_uri", "chunk_idx",
+                    F.transform("datasets", lambda m: m["dataset_id"]).alias("dataset_ids"),
+                    "n_datasets",
+                )
+            ).cast("binary").alias("payload"),
+        )
+        self._append("tasks", tasks)
+
+        # locks: TODELETE for every dataset named by a task, INIT released
+        # (consolidater.go:398-404).  Derived from the COMMITTED task rows —
+        # re-deriving from `plan` would re-run the planning query against a
+        # garbage-collected datasets snapshot.
+        committed = self.catalog.read("tasks").filter(F.col("job_id") == job_id)
+        task_ds = (
+            committed.select(
+                F.explode(
+                    F.from_json(
+                        F.col("payload").cast("string"),
+                        "dataset_ids array<string>",
+                    )["dataset_ids"]
+                ).alias("dataset_id")
+            )
+            .distinct()
+        )
+        n_tasks = committed.count()
+        locks = self.catalog.read("locked_datasets")
+        self.catalog.write(
+            "locked_datasets",
+            locks.filter(~((F.col("job_id") == job_id) & (F.col("flag") == 0)))
+            .unionByName(
+                task_ds.select(
+                    "dataset_id", F.lit(job_id).alias("job_id"), F.lit(1).alias("flag")
+                )
+            ),
+        )
+        datasets = self.catalog.read("datasets")
+        self.catalog.write(
+            "datasets",
+            datasets.join(task_ds.withColumnRenamed("dataset_id", "id")
+                          .withColumn("_keep", F.lit(True)), "id", "left")
+            .withColumn(
+                "locked_by_job_id",
+                F.when(
+                    (F.col("locked_by_job_id") == job_id) & F.col("_keep").isNull(),
+                    F.lit(None).cast("string"),
+                ).otherwise(F.col("locked_by_job_id")),
+            )
+            .drop("_keep"),
+        )
+        state, waiting = advance_job_state(
+            "CREATED", "OrdersPrepared", job_type="consolidation",
+            exec_level=int(job["execution_level"]), with_waiting=True,
+        )
+        self._set_job_state(job_id, state, waiting, active_tasks=n_tasks)
+
     # ----------------------------------------------------------------- jobs
 
     # ---- engine extensions (beyond the reference API surface; same

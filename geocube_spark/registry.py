@@ -5103,6 +5103,158 @@ def reconsolidation_need(spark, sf_dir):
     )
 
 
+# Client-level Consolidate RPC end-to-end: csldInit (job create + INIT
+# locks + params check, svc/consolidater.go:108-151) composed with
+# csldPrepareOrders (union extent -> regular-grid cover -> per-cell sorted
+# dataset lists -> max_records chunks -> task rows, consolidater.go:166-407)
+# through the job state machine to CONSOLIDATIONINPROGRESS.  The Spark side
+# returns the COMMITTED task payloads of the job; the oracle independently
+# re-derives every step in SQL from the same fixture parquet.
+_CSLD_INSTANCE_0 = "888ae788-dbc4-5f8a-82a1-4244d4315d66"  # fixtures._uuid("instance", 0)
+
+
+def ensure_consolidate_job(spark: SparkSession) -> str:
+    """Run ``client.consolidate()`` ONCE over a copy of the fixture catalog
+    (job id deterministic in the job name, task ids deterministic in the
+    job+container, so re-runs are byte-stable).  The fixture's job-0 locks
+    are released first — the conflict arm is covered in
+    tests/test_client.py::TestConsolidateOrchestration."""
+    import shutil
+
+    root = os.path.join(FIXTURE_DIR, "consolidate_job_catalog")
+    marker = os.path.join(root, "_done")
+    if not os.path.exists(marker):
+        from geocube_spark.client import GeocubeClient
+
+        fd = ensure_fixtures()
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "layouts", "consolidation_params", "jobs",
+                  "tasks", "locked_datasets"):
+            shutil.copy(os.path.join(fd, f"{t}.parquet"),
+                        os.path.join(root, f"{t}.parquet"))
+        c = GeocubeClient(spark, root)
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        c.catalog.write(
+            "locked_datasets",
+            c.catalog.read("locked_datasets").filter(F.col("job_id") != "job-0"),
+        )
+        # a finer layout THROUGH THE API (create_layout validation in
+        # the loop): span 256*0.25=64 units and max_records=8, so the plan
+        # yields many cells and multiple chunks per cell
+        c.create_layout(
+            "e2e_fine",
+            {"grid": "regular", "crs": "epsg:4326", "cell_size": "256",
+             "resolution": "0.0625", "ox": "0", "oy": "0"},
+            max_records=8,
+        )
+        c.consolidate("e2e", _CSLD_INSTANCE_0, "e2e_fine")
+        open(marker, "w").close()
+    return root
+
+
+@q(
+    "consolidate_e2e",
+    f"""
+    WITH sel AS (
+        SELECT id, record_id, container_uri, bbox
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')
+        WHERE status = 'ACTIVE' AND instance_id = '{_CSLD_INSTANCE_0}'
+    ),
+    wr AS (
+        SELECT sel.*, r.datetime AS rt
+        FROM sel JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r
+          ON sel.record_id = r.id
+    ),
+    ext AS (
+        SELECT min(bbox.xmin) AS xmin, min(bbox.ymin) AS ymin,
+               max(bbox.xmax) AS xmax, max(bbox.ymax) AS ymax
+        FROM wr
+    ),
+    ij AS (
+        SELECT xmin, ymin, xmax, ymax,
+               CAST(floor(xmin / 16.0) AS BIGINT) AS i0,
+               greatest(CAST(ceil(xmax / 16.0) AS BIGINT) - 1,
+                        CAST(floor(xmin / 16.0) AS BIGINT)) AS i1,
+               CAST(floor(ymin / 16.0) AS BIGINT) AS j0,
+               greatest(CAST(ceil(ymax / 16.0) AS BIGINT) - 1,
+                        CAST(floor(ymin / 16.0) AS BIGINT)) AS j1
+        FROM ext
+    ),
+    ci AS (
+        SELECT unnest(generate_series(i0, i1)) AS i, j0, j1,
+               xmin, ymin, xmax, ymax
+        FROM ij
+    ),
+    cij AS (
+        SELECT i, unnest(generate_series(j0, j1)) AS j, xmin, ymin, xmax, ymax
+        FROM ci
+    ),
+    cells AS (
+        SELECT i, j,
+               i * 16.0 AS cx0, j * 16.0 AS cy0,
+               i * 16.0 + 16.0 AS cx1, j * 16.0 + 16.0 AS cy1
+        FROM cij
+        WHERE i * 16.0 < xmax AND i * 16.0 + 16.0 > xmin
+          AND j * 16.0 < ymax AND j * 16.0 + 16.0 > ymin
+    ),
+    joined AS (
+        SELECT 'cell/' || c.i || '/' || c.j AS cell_uri, wr.*
+        FROM wr JOIN cells c
+          ON wr.bbox.xmin <= c.cx1 AND wr.bbox.xmax >= c.cx0
+         AND wr.bbox.ymin <= c.cy1 AND wr.bbox.ymax >= c.cy0
+    ),
+    per AS (
+        SELECT cell_uri,
+               list(id ORDER BY rt, record_id, id, container_uri) AS members
+        FROM joined GROUP BY cell_uri
+    ),
+    chunks AS (
+        SELECT cell_uri, members,
+               unnest(generate_series(
+                   0, CAST(floor((len(members) - 1) / 8) AS BIGINT)
+               )) AS g
+        FROM per
+    )
+    SELECT 'consolidated/' || cell_uri || '/' || g AS out_container_uri,
+           cell_uri,
+           CAST(g AS INT) AS chunk_idx,
+           array_to_string(list_slice(members, g * 8 + 1, (g + 1) * 8), ',')
+               AS dataset_ids,
+           CAST(len(list_slice(members, g * 8 + 1, (g + 1) * 8)) AS INT)
+               AS n_datasets
+    FROM chunks
+    """,
+)
+def consolidate_e2e(spark, sf_dir):
+    import uuid as _uuid_mod
+
+    from geocube_spark.sources.catalog import Catalog
+
+    root = ensure_consolidate_job(spark)
+    job_id = str(_uuid_mod.uuid5(_uuid_mod.NAMESPACE_URL, "geocube-spark/job/e2e"))
+    tasks = Catalog(spark, root).read("tasks").filter(F.col("job_id") == job_id)
+    return tasks.select(
+        F.from_json(
+            F.col("payload").cast("string"),
+            "out_container_uri string, cell_uri string, chunk_idx int, "
+            "dataset_ids array<string>, n_datasets int",
+        ).alias("p")
+    ).select(
+        "p.out_container_uri", "p.cell_uri", "p.chunk_idx",
+        # the ordered id list as one string: list-typed cells come back from
+        # the DuckDB oracle as numpy arrays the hash compare cannot take
+        F.array_join("p.dataset_ids", ",").alias("dataset_ids"),
+        "p.n_datasets",
+    )
+
+
 # L4 + R13: consolidation work-skipping — full-container exclusion and
 # COG-reuse short-circuit as planning filters.
 @q(

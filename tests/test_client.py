@@ -492,3 +492,129 @@ class TestFullRpcSurface:
 
     def test_version(self, rpc_client):
         assert rpc_client.version()
+
+
+class TestConsolidateOrchestration:
+    """client.consolidate(): csldInit + csldPrepareOrders end-to-end
+    (svc/service.go:430-461 ConsolidateFromRecords/Filters,
+    consolidater.go:108-151 csldInit, 166-407 csldPrepareOrders)."""
+
+    @pytest.fixture()
+    def csld_client(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "csld_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "layouts", "consolidation_params", "jobs",
+                  "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        # release the fixture's job-0 INIT locks so the new job can lock
+        # freely (the conflict arm is tested separately below)
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        c.catalog.write(
+            "locked_datasets",
+            c.catalog.read("locked_datasets").filter(F.col("job_id") != "job-0"),
+        )
+        return c
+
+    def _an_instance(self, c):
+        return c.catalog.read("instances").orderBy("name").first()["id"]
+
+    def test_consolidate_to_in_progress(self, csld_client):
+        c = csld_client
+        inst = self._an_instance(c)
+        job_id = c.consolidate("csld-e2e", inst, "regular_256")
+        job = c.get_job(job_id)
+        assert job["state"] == "CONSOLIDATIONINPROGRESS"
+        tasks = c.catalog.read("tasks").filter(F.col("job_id") == job_id)
+        n_tasks = tasks.count()
+        assert n_tasks >= 1 and job["active_tasks"] == n_tasks
+        assert job["tasks"] == {"NEW": n_tasks}
+        # every task payload is a ConsolidationEvent with the dataset list
+        import json
+
+        payloads = [json.loads(bytes(r["payload"])) for r in tasks.collect()]
+        assert all(
+            p["out_container_uri"].startswith("consolidated/")
+            and p["n_datasets"] == len(p["dataset_ids"]) >= 1
+            for p in payloads
+        )
+        # locks moved INIT -> TODELETE (flag 1) for exactly the task datasets
+        locked = c.catalog.read("locked_datasets").filter(F.col("job_id") == job_id)
+        assert locked.filter(F.col("flag") == 0).count() == 0
+        locked_ids = {r["dataset_id"] for r in locked.collect()}
+        task_ids = {i for p in payloads for i in p["dataset_ids"]}
+        assert locked_ids == task_ids
+        # the datasets table's lock column agrees (F11 reads it)
+        col_locked = {
+            r["id"]
+            for r in c.catalog.read("datasets")
+            .filter(F.col("locked_by_job_id") == job_id)
+            .collect()
+        }
+        assert col_locked == task_ids
+        # selected-but-planned-away datasets were RELEASED: every ACTIVE
+        # dataset of the instance intersecting a cell is in the task set
+        # (regular_256 covers the whole union extent, so all are)
+        sel = (
+            c.catalog.read("datasets")
+            .filter((F.col("status") == "ACTIVE") & (F.col("instance_id") == inst))
+            .count()
+        )
+        assert len(task_ids) == sel
+
+    def test_cancel_and_retry_arcs_replay(self, csld_client):
+        c = csld_client
+        inst = self._an_instance(c)
+        job_id = c.consolidate("csld-arcs", inst, "regular_256")
+        # plain cancel lands mid-consolidation (job.go:395-401)
+        assert c.cancel_job(job_id) == "CONSOLIDATIONCANCELLING"
+        assert c.advance_job(job_id, "CancellationDone") == "ABORTED"
+        # rollback completes the cancellation: ABORTED -> FAILED (job.go:503-508)
+        assert c.advance_job(job_id, "RollbackDone") == "FAILED"
+        # a second job on the same datasets: the first job's TODELETE locks
+        # are still held, so init refuses (pg lock-conflict twin)
+        with pytest.raises(ValueError, match="locked by another job"):
+            c.consolidate("csld-arcs-2", inst, "regular_256")
+        # retry arc on a fresh job driven to failure
+        inst2 = (
+            c.catalog.read("instances").orderBy("name").collect()[1]["id"]
+        )
+        job2 = c.consolidate("csld-retry", inst2, "regular_256")
+        assert c.advance_job(job2, "ConsolidationFailed") == "CONSOLIDATIONFAILED"
+        assert c.retry_job(job2) == "CONSOLIDATIONRETRYING"
+        # the retry re-sends the orders and resumes consolidation
+        assert c.advance_job(job2, "OrdersPrepared") == "CONSOLIDATIONINPROGRESS"
+
+    def test_step_by_step_pauses_then_continues(self, csld_client):
+        from geocube_spark.streaming.jobs import STEP_MAJOR
+
+        c = csld_client
+        inst = self._an_instance(c)
+        job_id = c.consolidate(
+            "csld-steps", inst, "regular_256", execution_level=STEP_MAJOR
+        )
+        job = c.get_job(job_id)
+        # paused at CREATED BEFORE planning: no tasks yet
+        assert job["state"] == "CREATED" and job["waiting"]
+        assert c.catalog.read("tasks").filter(F.col("job_id") == job_id).count() == 0
+        assert c.continue_consolidation(job_id) == "CONSOLIDATIONINPROGRESS"
+        assert c.catalog.read("tasks").filter(F.col("job_id") == job_id).count() >= 1
+
+    def test_error_arms(self, csld_client):
+        c = csld_client
+        inst = self._an_instance(c)
+        with pytest.raises(KeyError, match="No dataset found"):
+            c.consolidate("csld-none", inst, "regular_256",
+                          record_ids=["no-such-record"])
+        with pytest.raises(KeyError, match="layout"):
+            c.consolidate("csld-nolayout", inst, "nope_layout")
+        with pytest.raises(ValueError, match="regular-grid"):
+            c.consolidate("csld-custom", inst, "mgrs_like")
