@@ -6518,14 +6518,16 @@ def bap_cloudfree_composite(spark, sf_dir):
     )
     # ONE batched EDT pass for every acquisition: proximity_map keyed by
     # (t, block) — one halo exchange + one applyInPandas over 3× the
-    # groups, instead of three sequential per-layer plane passes
-    pm = proximity_map(tiles_all, max_dist=8, target_value=0.0, extra_keys=("t",))
+    # groups, instead of three sequential per-layer plane passes.  The px
+    # plane rides the exchange (carry=): no tiles⋈map re-join, so the
+    # whole query is scan -> mask pack -> EDT shuffle -> pick shuffle.
+    pm = proximity_map(
+        tiles_all, max_dist=8, target_value=0.0, extra_keys=("t",), carry=("px",)
+    )
     score_map = F.create_map(
         *[x for t, sc in scores.items() for x in (F.lit(t), F.lit(sc))]
     )
-    layers = tiles_all.join(pm, ["t", "block_x", "block_y"]).withColumn(
-        "layer_score", F.element_at(score_map, F.col("t"))
-    )
+    layers = pm.withColumn("layer_score", F.element_at(score_map, F.col("t")))
     out = bap_composite(layers, d2_cap=64)
     chosen = F.zip_with(
         F.col("px"), F.col("chosen_t"), lambda v, t: F.struct(v.alias("v"), t.alias("t"))
