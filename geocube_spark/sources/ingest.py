@@ -162,6 +162,99 @@ def chunk_bytes(data: bytes, chunk_size: int = 512 * 1024) -> list[bytes]:
     return [data[i : i + chunk_size] for i in range(0, len(data), chunk_size)] or [b""]
 
 
+class FIFOBuffer:
+    """utils/bitmap/bitmap_reader.go FIFOBuffer: a byte queue that
+    compacts the consumed prefix to the front on every push, so the
+    allocation stays bounded by (unconsumed + pushed) bytes.  ``push(n)``
+    returns a writable view of the n new bytes; ``pop(n)`` returns AT
+    MOST n bytes and advances.  ``buffer``/``pos`` are exposed because
+    the reference's own test (bitmap_test.go TestRotatingBuffer) asserts
+    the compaction contract through them — ported verbatim in
+    tests/test_bitmap_stream.py."""
+
+    def __init__(self) -> None:
+        self.buffer = bytearray()
+        self.pos = 0
+
+    def reset(self) -> None:
+        self.buffer = bytearray()
+        self.pos = 0
+
+    def push(self, n: int) -> memoryview:
+        if self.pos > 0:
+            del self.buffer[: self.pos]
+            self.pos = 0
+        start = len(self.buffer)
+        self.buffer.extend(b"\x00" * n)
+        return memoryview(self.buffer)[start:]
+
+    def pop(self, n: int) -> bytes:
+        n = min(n, len(self))
+        out = bytes(self.buffer[self.pos : self.pos + n])
+        self.pos += n
+        return out
+
+    def __len__(self) -> int:
+        return len(self.buffer) - self.pos
+
+
+class ImageChunkReader:
+    """ChunkReader over a decoded raster (bitmap.go:209-292 ImageReader):
+    streams an image's native bytes in caller-sized chunks while reading
+    the source LINE-GRANULAR through a FIFOBuffer — at no point does the
+    whole image sit in memory beyond the unconsumed window.  This is the
+    reference's streamable-bitmap path for shipping big GetCube slices
+    over a message-size-capped channel (S8).
+
+    ``bands`` is a (n_bands, h, w) numpy array; bytes stream
+    band-interleaved-by-line in the array's native dtype, matching a
+    whole-image ``tobytes()`` of the (h, bands, w) transpose for
+    multiband (single-band: plain row-major)."""
+
+    def __init__(self, bands) -> None:
+        import numpy as np
+
+        self._a = np.ascontiguousarray(bands)
+        if self._a.ndim == 2:
+            self._a = self._a[None]
+        self._nb, self._h, self._w = self._a.shape
+        self._stride = self._nb * self._w * self._a.dtype.itemsize
+        self._buffer = FIFOBuffer()
+        self._y = 0
+
+    def __len__(self) -> int:
+        return self._h * self._stride
+
+    def restart(self) -> None:
+        self._y = 0
+        self._buffer.reset()
+
+    def next(self, chunk_size: int) -> bytes:
+        """The next <= chunk_size bytes; raises EOFError when drained
+        (io.EOF twin).  Reads ceil((chunk - buffered)/stride) lines from
+        the source, exactly ImageReader.Next (bitmap.go:259-281)."""
+        import math as _math
+
+        buffered = len(self._buffer)
+        if self._y >= self._h:
+            if buffered == 0:
+                raise EOFError
+            return self._buffer.pop(chunk_size)
+        line_count = _math.ceil((chunk_size - buffered) / self._stride)
+        line_count = min(line_count, self._h - self._y)
+        if line_count > 0:
+            view = self._buffer.push(line_count * self._stride)
+            rows = self._a[:, self._y : self._y + line_count]  # (nb, lc, w)
+            view[:] = rows.transpose(1, 0, 2).tobytes()  # line-interleaved
+            self._y += line_count
+        return self._buffer.pop(chunk_size)
+
+    def read_all(self) -> bytes:
+        """NewBitmapFromDataset.ReadAllBytes twin: one copy of the whole
+        image in the same byte order the stream produces."""
+        return self._a.transpose(1, 0, 2).tobytes()
+
+
 def compress_chunks(chunks: list[bytes], level: int = 6) -> list[bytes]:
     """C12 deflate parity (utils/compress.go): per-chunk zlib at levels
     -3..9 — negative levels map to zlib defaults like the reference's

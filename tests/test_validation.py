@@ -296,6 +296,33 @@ class TestPalette:
                 "p", [ColorPoint(0.1, 0, 0, 0, 255), ColorPoint(1.0, 0, 0, 0, 255)]
             )
 
+    def test_reference_table(self):
+        """palette_test.go TestPalette, the full mutation sequence: wrong
+        name, no points, a valid 3-point ramp, then each way a point list
+        can break the exactly-[0,1] strictly-increasing contract."""
+
+        def ramp(vals):
+            cols = {0.0: (0, 0, 0), 0.5: (127, 0, 0), 1.0: (255, 0, 0)}
+            return [
+                ColorPoint(v, *cols.get(v, (0, 0, 0)), 1) for v in vals
+            ]
+
+        with pytest.raises(ValidationError):  # 'wrong name' does not fail
+            validate_named_palette("wrong name", ramp([0.0, 0.5, 1.0]))
+        with pytest.raises(ValidationError):  # 'no_points' does not fail
+            validate_named_palette("no_points", [])
+        validate_named_palette("test", ramp([0.0, 0.5, 1.0]))  # valid
+        with pytest.raises(ValidationError):  # first point moved off 0
+            validate_named_palette("test", ramp([0.1, 0.5, 1.0]))
+        with pytest.raises(ValidationError):  # last point moved off 1
+            validate_named_palette("test", ramp([0.0, 0.5, 0.9]))
+        with pytest.raises(ValidationError):  # appended 0.5 -> not increasing
+            validate_named_palette("test", ramp([0.0, 0.5, 1.0, 0.5]))
+        with pytest.raises(ValidationError):  # trailing duplicate 1.0
+            validate_named_palette("test", ramp([0.0, 0.5, 1.0, 1.0]))
+        with pytest.raises(ValidationError):  # interior duplicate 0.5
+            validate_named_palette("test", ramp([0.0, 0.5, 0.5, 1.0]))
+
 
 def test_nan_nodata_roundtrip_is_not_equal():
     # guard the NaN-compare subtlety: NaN != NaN, the validators must use
