@@ -75,6 +75,7 @@ def main() -> None:
     qs = registry.queries()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    stdevs: dict[str, float] = {}
     for name in BENCH_QUERIES or list(qs):
         fn = qs[name]
         runs: list[float] = []
@@ -89,6 +90,7 @@ def main() -> None:
         runs.sort()
         timings[name] = round(statistics.median(runs), 3)
         spreads[name] = round(runs[-1] - runs[0], 3)
+        stdevs[name] = round(statistics.stdev(runs), 3) if len(runs) > 1 else 0.0
         print(
             f"# {name}: {timings[name]:.2f}s ±{spreads[name]:.2f} ({n} rows)",
             file=sys.stderr,
@@ -106,6 +108,7 @@ def main() -> None:
                            "BENCH_FULL.json"), "w") as f:
         json.dump({"metric": "geocube_spark_headline_suite", "value": total,
                    "unit": "sec", "queries": timings, "spreads": spreads,
+                   "stdevs": stdevs,
                    "n_runs": N_RUNS, "spread_p90": spread_p90,
                    "sf": sf_val, "load": load,
                    "load_at_end": machine_load()}, f)

@@ -767,7 +767,7 @@ def read_tiff(data: bytes) -> list[TiffImage]:
         w, h = tags[_IMAGE_WIDTH][0], tags[_IMAGE_LENGTH][0]
         nb = tags.get(_SAMPLES_PER_PIXEL, [1])[0]
         comp = tags.get(_COMPRESSION, [1])[0]
-        if comp not in (1, 5, 7, 8, 32773):
+        if comp not in (1, 5, 7, 8, 32773, 50000):
             raise ValueError(f"unsupported TIFF compression code {comp}")
         predictor = tags.get(_PREDICTOR, [1])[0]
         if predictor not in (1, 2):
@@ -803,6 +803,11 @@ def read_tiff(data: bytes) -> list[TiffImage]:
                 payload = lzw_decode(payload)
             elif comp == 32773:
                 payload = packbits_decode(payload)
+            elif comp == 50000:
+                # GDAL ZSTD (RFC 8878) — decompression-only pure-Python codec
+                from geocube_spark.functions.zstd import decompress as _zstd
+
+                payload = _zstd(payload)
             return payload
 
         if _TILE_WIDTH not in tags:

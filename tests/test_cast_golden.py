@@ -22,8 +22,8 @@ itself part of the verified surface (the GDAL files are LZW early-change
 compressed; reading them exercises the S5 interop path end-to-end).
 
 image_cast8.tif (the nodata-removal case) is ZSTD-compressed (TIFF code
-50000) and no zstd codec ships in this environment — skipped with the
-semantics covered synthetically instead.
+50000), read through the repo's own RFC 8878 decoder
+(functions/zstd.py) — all nine goldens now replay.
 """
 
 from __future__ import annotations
@@ -127,13 +127,34 @@ def test_identity_cast_raises_no_cast_to_perform():
 
 def test_nodata_removal_synthetic():
     # Context "to the same dataformat removing nodata" (0 -> 14): same
-    # mapping, nodata -10001 -> NaN.  The golden (image_cast8.tif) is
-    # ZSTD-compressed, so the semantics are pinned synthetically: values
-    # pass through unchanged, nodata becomes NaN.
+    # mapping, nodata -10001 -> NaN — the value-domain semantics, pinned
+    # independent of any golden file.
     arr = np.array([-10001.0, -10000.0, 0.0, 10000.0])
     out = cast_numpy(arr, DFORMATS[0], DFORMATS[14])
     assert math.isnan(out[0])
     assert out[1:].tolist() == [-10000.0, 0.0, 10000.0]
+
+
+@needs_ref
+def test_nodata_removal_matches_cast8_golden():
+    """The formerly-skipped ninth golden: image_cast8.tif is
+    ZSTD-compressed (TIFF code 50000), now read through the repo's own
+    RFC 8878 decoder (functions/zstd.py).  The engine's float output
+    carries NaN at the removed-nodata positions; the golden's Int16
+    storage keeps the source value there (a GDAL storage artifact —
+    Int16 has no NaN), so the replay asserts (a) every valid pixel
+    passes through bit-exactly and (b) the NaN mask is exactly the
+    golden's source-nodata set."""
+    src = _load(0).astype(np.float64)
+    want = _load(8)  # image_cast8.tif, decoded via the zstd codec
+    assert want.dtype == np.int16 and want.shape == (215, 496)
+    got = cast_numpy(src, DFORMATS[0], DFORMATS[14])
+    nodata = src == -10001.0
+    assert np.isnan(got[nodata]).all()
+    assert not np.isnan(got[~nodata]).any()
+    assert (got[~nodata] == want[~nodata]).all()
+    # the golden's nodata cells hold the untouched source value
+    assert (want[nodata] == -10001).all()
 
 
 @needs_ref
