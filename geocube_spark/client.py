@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geocube_spark import schemas
-from geocube_spark.functions.geometry import geom_hash, wkb_bounds
+from geocube_spark.functions.geometry import geom_hash, rect_wkb, wkb_bounds
 from geocube_spark.operators.admin import (
     delete_datasets,
     get_cube_from_metadatas,
@@ -931,6 +931,506 @@ class GeocubeClient:
             exec_level=int(job["execution_level"]), with_waiting=True,
         )
         self._set_job_state(job_id, state, waiting, active_tasks=n_tasks)
+
+    _NP_DTYPE = {
+        "UInt8": "uint8", "UInt16": "uint16", "UInt32": "uint32",
+        "Int8": "int8", "Int16": "int16", "Int32": "int32",
+        "Float32": "float32", "Float64": "float64",
+    }
+
+    def process_consolidation_job(
+        self, job_id: str, out_dir: str | None = None, cancel_dir: str | None = None
+    ) -> tuple[str, str | None]:
+        """The consolidation WORKER plus the coordinator's post-arcs: run
+        every NEW task of an in-progress job, then index / swap / start
+        deletion, driving CONSOLIDATIONINPROGRESS -> CONSOLIDATIONDONE ->
+        CONSOLIDATIONINDEXED -> CONSOLIDATIONEFFECTIVE -> DONE.
+
+        Reference: handler_consolidation.go (the worker — here ONE
+        distributed consolidate_to_mucog pass over ALL tasks instead of a
+        task queue: every output container is one applyInPandas group, so
+        a thousand-task job is a thousand parallel groups in a single
+        Spark job), then csldIndex (consolidater.go:559-642),
+        csldSwapDatasets (:644-668, ACTIVE->TODELETE then
+        INACTIVE->ACTIVE), csldDeleteDatasets (:669-717 — a deletion JOB
+        is spawned for the old datasets, returned as the second element).
+
+        Container bytes land under ``out_dir`` (default
+        ``{catalog_root}/consolidated_data``), written executor-side.
+        A cancel marker (operators/consolidation.request_cancellation)
+        checked before execution and again before the swap maps onto the
+        CONSOLIDATIONCANCELLING arc, and nothing is published.
+        """
+        import json
+
+        from geocube_spark.operators.consolidation import (
+            consolidate_to_mucog,
+            is_cancelled,
+        )
+
+        job = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        if job is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        if job["state"] != "CONSOLIDATIONINPROGRESS":
+            raise ValueError(f"job {job_id!r} is {job['state']}, not in progress")
+        payload = json.loads(job["payload"])
+        params = self.get_consolidation_params(payload["params_id"])
+        out_dir = out_dir or f"{self.catalog.root}/consolidated_data"
+
+        def _cancelled() -> bool:
+            return cancel_dir is not None and is_cancelled(cancel_dir, job_id)
+
+        def _abort() -> tuple[str, None]:
+            self._set_job_state(job_id, "CONSOLIDATIONCANCELLING", False)
+            self._set_job_state(job_id, "ABORTED", False)
+            return "ABORTED", None
+
+        if _cancelled():
+            return _abort()
+
+        # ---- the worker: one distributed pass over every task's tiles
+        tasks = self.catalog.read("tasks").filter(
+            (F.col("job_id") == job_id) & (F.col("state") == "NEW")
+        )
+        orders = tasks.select(
+            F.col("id").alias("task_id"),
+            F.from_json(
+                F.col("payload").cast("string"),
+                "out_container_uri string, dataset_ids array<string>",
+            ).alias("o"),
+        ).select("task_id", "o.out_container_uri", F.explode("o.dataset_ids").alias("dsid"))
+        datasets = self.catalog.read("datasets")
+        src = orders.join(
+            datasets.select(
+                F.col("id").alias("dsid"), "container_uri", "record_id"
+            ),
+            "dsid",
+        ).join(
+            F.broadcast(
+                self.catalog.read("records").select(
+                    F.col("id").alias("record_id"),
+                    F.col("datetime").alias("record_datetime"),
+                )
+            ),
+            "record_id",
+        )
+        tiles = self.catalog.read("tiles").join(
+            src.select(
+                "container_uri", "out_container_uri", "record_id", "record_datetime"
+            ).dropDuplicates(["container_uri", "out_container_uri"]),
+            "container_uri",
+        )
+        dformat = params["dformat"]
+        built = consolidate_to_mucog(
+            tiles,
+            container_col="out_container_uri",
+            dtype=self._NP_DTYPE[dformat["dtype"]],
+            compression="none" if params["compression"] in ("NO", "NONE") else "deflate",
+            nodata=float(dformat["no_data"]),
+        )
+
+        def _write(batches):
+            import os as _os
+
+            import pandas as _pd
+
+            for pdf in batches:
+                paths = []
+                for r in pdf.itertuples(index=False):
+                    p = _os.path.join(out_dir, r.container_uri + ".tif")
+                    _os.makedirs(_os.path.dirname(p), exist_ok=True)
+                    with open(p, "wb") as f:
+                        f.write(r.tiff)
+                    paths.append(p)
+                yield _pd.DataFrame(
+                    {
+                        "container_uri": pdf["container_uri"],
+                        "n_images": pdf["n_images"],
+                        "n_bytes": pdf["n_bytes"],
+                        "path": paths,
+                    }
+                )
+
+        facts = built.mapInPandas(
+            _write,
+            "container_uri string, n_images long, n_bytes long, path string",
+        ).collect()  # one row per output container — task-sized, not data-sized
+        if not facts:
+            raise ValueError(f"job {job_id!r} has no executable tasks")
+        # ---- csldIndex inputs: per-(container, record) facts are
+        # task-sized (the reference's coordinator loops tasks the same
+        # way), so a driver build is the honest twin; the PIXEL volume
+        # above never left the executors.  Collected BEFORE the tasks
+        # status write below — that write garbage-collects the tasks
+        # snapshot this lazy plan reads.
+        per_rec = (
+            src.join(
+                datasets.select(F.col("id").alias("dsid"), "bbox", "shape_srid"),
+                "dsid",
+            )
+            .groupBy("out_container_uri", "record_id")
+            .agg(
+                F.min("bbox.xmin").alias("xmin"),
+                F.min("bbox.ymin").alias("ymin"),
+                F.max("bbox.xmax").alias("xmax"),
+                F.max("bbox.ymax").alias("ymax"),
+                F.first("shape_srid").alias("shape_srid"),
+                F.min("record_datetime").alias("rt"),
+            )
+            .collect()
+        )
+        self.catalog.write(
+            "tasks",
+            self.catalog.read("tasks").withColumn(
+                "state",
+                F.when(
+                    (F.col("job_id") == job_id) & (F.col("state") == "NEW"),
+                    F.lit("DONE"),
+                ).otherwise(F.col("state")),
+            ),
+        )
+        self._set_job_state(job_id, "CONSOLIDATIONDONE", False)
+        n_bands = len(
+            self.catalog.read("variables")
+            .filter(F.col("id") == payload["params_id"])
+            .first()["bands"]
+        )
+        by_container: dict[str, list] = {}
+        for r in per_rec:
+            by_container.setdefault(r["out_container_uri"], []).append(r)
+        new_containers = [
+            {"uri": uri, "managed": True,
+             "storage_class": params.get("storage_class", "STANDARD")}
+            for uri in by_container
+        ]
+        dm = {
+            "dtype": dformat["dtype"], "no_data": float(dformat["no_data"]),
+            "min_value": float(dformat["min_value"]),
+            "max_value": float(dformat["max_value"]),
+            "real_min_value": float(dformat["min_value"]),
+            "real_max_value": float(dformat["max_value"]),
+            "exponent": float(params.get("exponent", 1.0)),
+        }
+        new_datasets = []
+        for uri, recs in by_container.items():
+            recs.sort(key=lambda r: (r["rt"], r["record_id"]))
+            for i, r in enumerate(recs):
+                bbox = {"xmin": r["xmin"], "ymin": r["ymin"],
+                        "xmax": r["xmax"], "ymax": r["ymax"]}
+                new_datasets.append(
+                    {
+                        "id": str(uuid.uuid5(
+                            uuid.NAMESPACE_URL,
+                            f"geocube-spark/csld/{job_id}/{uri}/{r['record_id']}",
+                        )),
+                        "record_id": r["record_id"],
+                        "instance_id": payload["instance_id"],
+                        "container_uri": uri,
+                        # GTIFF_DIR:i selects the i-th image of the MuCOG;
+                        # single-image containers address the root (csldIndex)
+                        "subdir": "" if len(recs) == 1 else f"GTIFF_DIR:{i + 1}",
+                        "bands": list(range(1, n_bands + 1)),
+                        "status": "INACTIVE",
+                        "dmapping": dm,
+                        "geom_wkb": rect_wkb(
+                            bbox["xmin"], bbox["ymin"], bbox["xmax"], bbox["ymax"]
+                        ),
+                        "bbox": bbox,
+                        "shape_srid": int(r["shape_srid"]),
+                        "overviews": False,
+                        "locked_by_job_id": job_id,
+                    }
+                )
+        self._append(
+            "containers", self.spark.createDataFrame(new_containers, schemas.CONTAINER)
+        )
+        self._append(
+            "datasets", self.spark.createDataFrame(new_datasets, schemas.DATASET)
+        )
+        self._append(
+            "locked_datasets",
+            self.spark.createDataFrame(
+                [{"dataset_id": d["id"], "job_id": job_id, "flag": 2}  # NEW
+                 for d in new_datasets],
+                schemas.LOCKED_DATASET,
+            ),
+        )
+        self._set_job_state(job_id, "CONSOLIDATIONINDEXED", False)
+
+        if _cancelled():  # last exit before anything becomes visible
+            return _abort()
+
+        # ---- csldSwapDatasets: one column-wise flip over the lock set
+        d = self.catalog.read("datasets")
+        locked = F.col("locked_by_job_id") == job_id
+        self.catalog.write(
+            "datasets",
+            d.withColumn(
+                "status",
+                F.when(locked & (F.col("status") == "ACTIVE"), F.lit("TODELETE"))
+                .when(locked & (F.col("status") == "INACTIVE"), F.lit("ACTIVE"))
+                .otherwise(F.col("status")),
+            ),
+        )
+        # release the NEW locks (flag 2); old TODELETE locks stay put for
+        # the deletion job.  The datasets write runs FIRST: it consumes
+        # the current locked_datasets snapshot, which the locks write
+        # below garbage-collects.
+        locks = self.catalog.read("locked_datasets")
+        released = locks.filter(
+            (F.col("job_id") == job_id) & (F.col("flag") == 2)
+        ).select("dataset_id")
+        d = self.catalog.read("datasets")
+        self.catalog.write(
+            "datasets",
+            d.join(released.withColumnRenamed("dataset_id", "id")
+                   .withColumn("_rel", F.lit(True)), "id", "left")
+            .withColumn(
+                "locked_by_job_id",
+                F.when(F.col("_rel"), F.lit(None).cast("string")).otherwise(
+                    F.col("locked_by_job_id")
+                ),
+            )
+            .drop("_rel"),
+        )
+        self.catalog.write(
+            "locked_datasets",
+            locks.filter(~((F.col("job_id") == job_id) & (F.col("flag") == 2))),
+        )
+        self._set_job_state(job_id, "CONSOLIDATIONEFFECTIVE", False)
+
+        # ---- csldDeleteDatasets: spawn the deletion job for the old rows
+        deletion_id = str(
+            uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-spark/job/{job['name']}_deletion")
+        )
+        now = datetime.now()
+        self._append(
+            "jobs",
+            self.spark.createDataFrame(
+                [{
+                    "id": deletion_id, "name": f"{job['name']}_deletion",
+                    "type": "deletion", "state": "NEW", "payload": "{}",
+                    "active_tasks": 0, "failed_tasks": 0, "execution_level": 1,
+                    "waiting": False, "creation_ts": now, "last_update_ts": now,
+                }],
+                schemas.JOB,
+            ),
+        )
+        locks = self.catalog.read("locked_datasets")
+        self.catalog.write(
+            "locked_datasets",
+            locks.withColumn(
+                "job_id",
+                F.when(
+                    (F.col("job_id") == job_id) & (F.col("flag") == 1),
+                    F.lit(deletion_id),
+                ).otherwise(F.col("job_id")),
+            ),
+        )
+        d = self.catalog.read("datasets")
+        self.catalog.write(
+            "datasets",
+            d.withColumn(
+                "locked_by_job_id",
+                F.when(
+                    (F.col("locked_by_job_id") == job_id)
+                    & (F.col("status") == "TODELETE"),
+                    F.lit(deletion_id),
+                ).otherwise(F.col("locked_by_job_id")),
+            ),
+        )
+        self._set_job_state(job_id, "DONE", False)
+        return "DONE", deletion_id
+
+    # ------------------------------------------------------- deletion jobs
+
+    def delete_datasets_job(
+        self,
+        job_name: str,
+        instance_ids: list[str] | None = None,
+        record_ids: list[str] | None = None,
+        dataset_patterns: list[str] | None = None,
+        execution_level: int = 1,
+    ) -> str:
+        """DeleteDatasets RPC as a JOB (service.go:380-392 -> delInit,
+        operations.go:177-213): find the ACTIVE datasets matching the
+        filters, lock them flag-TODELETE under a new deletion job, and
+        advance NEW -> CREATED.  :meth:`process_deletion_job` runs the
+        remaining arcs.  (:meth:`delete_datasets` remains the immediate,
+        jobless twin for admin batches.)"""
+        import json
+
+        flt = DatasetFilters(
+            status="ACTIVE", instance_ids=instance_ids, record_ids=record_ids,
+            container_uri_globs=dataset_patterns, order=False,
+        )
+        sel = find_datasets(self.catalog.read("datasets"), None, flt).select(
+            "id", "locked_by_job_id"
+        )
+        job_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-spark/job/{job_name}"))
+        stats = sel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(
+                F.col("locked_by_job_id").isNotNull()
+                & (F.col("locked_by_job_id") != job_id)
+            ).alias("n_conflicts"),
+        ).first()
+        if stats["n"] == 0:
+            raise KeyError(
+                "No dataset found for these records, instances and/or pattern"
+            )
+        if stats["n_conflicts"]:
+            raise ValidationError(
+                f"{stats['n_conflicts']} dataset(s) already locked by another job"
+            )
+        now = datetime.now()
+        self._append(
+            "jobs",
+            self.spark.createDataFrame(
+                [{
+                    "id": job_id, "name": job_name, "type": "deletion",
+                    "state": "NEW",
+                    "payload": json.dumps({"filters": True}),
+                    "active_tasks": 0, "failed_tasks": 0,
+                    "execution_level": int(execution_level), "waiting": False,
+                    "creation_ts": now, "last_update_ts": now,
+                }],
+                schemas.JOB,
+            ),
+        )
+        ids = sel.select("id")
+        self._append(
+            "locked_datasets",
+            ids.select(
+                F.col("id").alias("dataset_id"),
+                F.lit(job_id).alias("job_id"),
+                F.lit(1).alias("flag"),  # LockFlagTODELETE
+            ),
+        )
+        datasets = self.catalog.read("datasets")
+        self.catalog.write(
+            "datasets",
+            datasets.join(ids.withColumn("_lock", F.lit(True)), "id", "left")
+            .withColumn(
+                "locked_by_job_id",
+                F.when(F.col("_lock"), F.lit(job_id)).otherwise(
+                    F.col("locked_by_job_id")
+                ),
+            )
+            .drop("_lock"),
+        )
+        self._set_job_state(job_id, "CREATED", False)
+        return job_id
+
+    def process_deletion_job(self, job_id: str) -> str:
+        """Run a deletion job's remaining arcs (delOnEnterNewState,
+        operations.go:120-175): CREATED -> set-to-delete ->
+        DELETIONINPROGRESS -> remove rows + emit per-container deletion
+        tasks -> DELETIONEFFECTIVE -> consume tasks into the
+        ``pending_deletions`` storage-GC manifest -> DONE.
+
+        Accepts a job in NEW (e.g. one spawned by
+        :meth:`process_consolidation_job`) or CREATED.  "Physical"
+        container deletion is manifest-append here — the distributed
+        storage-GC consumer (operators/admin.py) owns the actual
+        removals, same split as the reference's deleter workers."""
+        job = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        if job is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        if job["type"] != "deletion":
+            raise ValueError(f"job {job_id!r} is not a deletion job")
+        state = job["state"]
+        if state == "NEW":
+            self._set_job_state(job_id, "CREATED", False)
+            state = "CREATED"
+        if state == "CREATED":
+            # delSetToDelete (operations.go:215-228): ACTIVE -> TODELETE
+            d = self.catalog.read("datasets")
+            locked = F.col("locked_by_job_id") == job_id
+            self.catalog.write(
+                "datasets",
+                d.withColumn(
+                    "status",
+                    F.when(locked & (F.col("status") == "ACTIVE"),
+                           F.lit("TODELETE")).otherwise(F.col("status")),
+                ),
+            )
+            self._set_job_state(job_id, "DELETIONINPROGRESS", False)
+            state = "DELETIONINPROGRESS"
+        if state == "DELETIONINPROGRESS":
+            # delRemoveDatasets (operations.go:230-334): drop the rows,
+            # release locks, and emit one deletion task per container
+            # that became EMPTY — managed ones get physically deleted
+            d = self.catalog.read("datasets")
+            locked = (F.col("locked_by_job_id") == job_id) & (
+                F.col("status") == "TODELETE"
+            )
+            doomed = d.filter(locked)
+            survivors = d.filter(~F.coalesce(locked, F.lit(False)))
+            dead_uris = (
+                doomed.select("container_uri").distinct()
+                .join(survivors.select("container_uri").distinct(),
+                      "container_uri", "left_anti")
+            )
+            containers = self.catalog.read("containers")
+            dead = containers.join(
+                dead_uris.withColumnRenamed("container_uri", "uri"), "uri",
+                "left_semi",
+            )
+            # write order matters: every lazy plan above reads the CURRENT
+            # snapshots, which each table's own write garbage-collects —
+            # so consumers go first (tasks from containers+datasets, then
+            # containers, then datasets, then locks)
+            self._append(
+                "tasks",
+                dead.filter(F.col("managed")).select(
+                    F.md5(F.concat(F.lit(job_id), F.lit("/"), F.col("uri"))).alias("id"),
+                    F.lit(job_id).alias("job_id"),
+                    F.lit("NEW").alias("state"),
+                    F.col("uri").cast("binary").alias("payload"),
+                ),
+            )
+            self.catalog.write(
+                "containers",
+                containers.join(
+                    dead_uris.withColumnRenamed("container_uri", "uri"), "uri",
+                    "left_anti",
+                ),
+            )
+            self.catalog.write("datasets", survivors)
+            locks = self.catalog.read("locked_datasets")
+            self.catalog.write(
+                "locked_datasets", locks.filter(F.col("job_id") != job_id)
+            )
+            self._set_job_state(job_id, "DELETIONEFFECTIVE", False)
+            state = "DELETIONEFFECTIVE"
+        if state == "DELETIONEFFECTIVE":
+            # delDeleteContainers (operations.go:335-412): each task's URI
+            # joins the storage-GC manifest; tasks flip to DONE
+            pending = self.catalog.read("tasks").filter(
+                (F.col("job_id") == job_id) & (F.col("state") == "NEW")
+            )
+            manifest = pending.select(F.col("payload").cast("string").alias("uri"))
+            if self.catalog.exists("pending_deletions"):
+                manifest = (
+                    self.catalog.read("pending_deletions")
+                    .unionByName(manifest).distinct()
+                )
+            self.catalog.write("pending_deletions", manifest)
+            tasks = self.catalog.read("tasks")
+            self.catalog.write(
+                "tasks",
+                tasks.withColumn(
+                    "state",
+                    F.when(
+                        (F.col("job_id") == job_id) & (F.col("state") == "NEW"),
+                        F.lit("DONE"),
+                    ).otherwise(F.col("state")),
+                ),
+            )
+            self._set_job_state(job_id, "DONE", False)
+            return "DONE"
+        raise ValueError(f"deletion job {job_id!r} in unprocessable state {state}")
 
     # ----------------------------------------------------------------- jobs
 

@@ -618,3 +618,253 @@ class TestConsolidateOrchestration:
             c.consolidate("csld-nolayout", inst, "nope_layout")
         with pytest.raises(ValueError, match="regular-grid"):
             c.consolidate("csld-custom", inst, "mgrs_like")
+
+
+class TestConsolidationLifecycle:
+    """process_consolidation_job: the worker + csldIndex + csldSwap +
+    csldDelete arcs end-to-end — a job goes CONSOLIDATIONINPROGRESS ->
+    DONE with real MuCOG bytes on disk, new ACTIVE datasets indexed, old
+    rows TODELETE under a spawned deletion job (consolidater.go:559-717,
+    handler_consolidation.go)."""
+
+    @pytest.fixture()
+    def lc(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "lc_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        return c
+
+    def _tiled_selection(self, c):
+        """(instance_id, record_ids) of the tile-backed datasets richest
+        instance — the fixture's tiles cover the first 12 datasets."""
+        tiled = (
+            c.catalog.read("tiles").select("container_uri").distinct()
+            .join(c.catalog.read("datasets"), "container_uri")
+            .select("instance_id", "record_id", "id")
+            .collect()
+        )
+        by_inst = {}
+        for r in tiled:
+            by_inst.setdefault(r["instance_id"], []).append(r)
+        inst, rows = max(by_inst.items(), key=lambda kv: len(kv[1]))
+        return inst, sorted({r["record_id"] for r in rows}), [r["id"] for r in rows]
+
+    def _prepare(self, c, name):
+        inst, rec_ids, ds_ids = self._tiled_selection(c)
+        var_id = (
+            c.catalog.read("instances").filter(F.col("id") == inst).first()["variable_id"]
+        )
+        # a float64 recipe keeps the written pixels bit-identical to the
+        # tile table (no cast in the rewrite)
+        c.config_consolidation(
+            var_id,
+            {"dtype": "Float64", "no_data": -32768.0,
+             "min_value": -1e12, "max_value": 1e12},
+            compression="NO",
+        )
+        c.create_layout(
+            name + "_layout",
+            {"grid": "regular", "crs": "epsg:4326", "cell_size": "256",
+             "resolution": "1000000", "ox": "0", "oy": "0"},  # one world cell
+            max_records=1024,
+        )
+        job = c.consolidate(name, inst, name + "_layout", record_ids=rec_ids)
+        return inst, rec_ids, ds_ids, job
+
+    def test_full_lifecycle_to_done(self, lc, tmp_path):
+        import numpy as np
+
+        from geocube_spark.sources.gtiff import read_tiff
+
+        c = lc
+        inst, rec_ids, ds_ids, job = self._prepare(c, "lifecycle")
+        state, deletion_id = c.process_consolidation_job(job)
+        assert state == "DONE" and deletion_id
+        assert c.get_job(job)["state"] == "DONE"
+        # every task consumed
+        tstates = {r["state"] for r in
+                   c.catalog.read("tasks").filter(F.col("job_id") == job).collect()}
+        assert tstates == {"DONE"}
+        # old datasets swapped out, locked by the spawned deletion job
+        old = c.catalog.read("datasets").filter(F.col("id").isin(ds_ids)).collect()
+        assert {r["status"] for r in old} == {"TODELETE"}
+        assert {r["locked_by_job_id"] for r in old} == {deletion_id}
+        dj = c.get_job(deletion_id)
+        assert dj["type"] == "deletion" and dj["state"] == "NEW"
+        # new datasets ACTIVE on consolidated containers, released
+        new = (
+            c.catalog.read("datasets")
+            .filter(F.col("container_uri").startswith("consolidated/"))
+            .collect()
+        )
+        assert new and {r["status"] for r in new} == {"ACTIVE"}
+        assert {r["instance_id"] for r in new} == {inst}
+        assert {r["record_id"] for r in new} == set(rec_ids)
+        assert all(r["locked_by_job_id"] is None for r in new)
+        # the read path now serves the job's records from the NEW containers
+        served = c.list_datasets(
+            DatasetFilters(status="ACTIVE", instance_ids=[inst],
+                           record_ids=rec_ids, order=False)
+        ).collect()
+        assert {r["container_uri"] for r in served} == {r["container_uri"] for r in new}
+        # ---- byte-level proof: decode one written MuCOG and replay one
+        # record's pixels against the tile table
+        uri = new[0]["container_uri"]
+        path = f"{c.catalog.root}/consolidated_data/{uri}.tif"
+        imgs = read_tiff(open(path, "rb").read())
+        assert len(imgs) == len(rec_ids)  # one image per record, time order
+        recs = [
+            (r["id"], r["datetime"]) for r in
+            c.catalog.read("records").filter(F.col("id").isin(rec_ids)).collect()
+        ]
+        by_time = sorted(recs, key=lambda x: (x[1], x[0]))
+        first_rec = by_time[0][0]
+        src_ds = next(r for r in old if r["record_id"] == first_rec)
+        tiles = (
+            c.catalog.read("tiles")
+            .filter(F.col("container_uri") == src_ds["container_uri"])
+            .collect()
+        )
+        n = int(round(len(tiles[0]["px"]) ** 0.5))
+        bx1 = max(t["block_x"] for t in tiles); by1 = max(t["block_y"] for t in tiles)
+        want = np.full(((by1 + 1) * n, (bx1 + 1) * n), -32768.0)
+        for t in tiles:
+            want[t["block_y"] * n:(t["block_y"] + 1) * n,
+                 t["block_x"] * n:(t["block_x"] + 1) * n] = np.asarray(
+                t["px"]).reshape(n, n)
+        got = imgs[0].bands[0]
+        assert got.dtype == np.float64
+        assert got.shape == want.shape
+        # the fixture's nodata stripes carry NaN for float-nodata sources
+        assert np.array_equal(got, want, equal_nan=True)
+
+    def test_cancel_marker_aborts_before_publish(self, lc, tmp_path):
+        from geocube_spark.operators.consolidation import request_cancellation
+
+        c = lc
+        _, _, ds_ids, job = self._prepare(c, "lifecycle_cxl")
+        cancel_dir = str(tmp_path / "cancel")
+        request_cancellation(cancel_dir, job)
+        state, deletion = c.process_consolidation_job(job, cancel_dir=cancel_dir)
+        assert state == "ABORTED" and deletion is None
+        assert c.get_job(job)["state"] == "ABORTED"
+        # nothing published: no consolidated containers, old rows untouched
+        assert (
+            c.catalog.read("datasets")
+            .filter(F.col("container_uri").startswith("consolidated/"))
+            .count() == 0
+        )
+        assert {r["status"] for r in
+                c.catalog.read("datasets").filter(F.col("id").isin(ds_ids)).collect()
+                } == {"ACTIVE"}
+
+
+class TestDeletionJob:
+    """delete_datasets_job / process_deletion_job: the deletion state
+    machine end-to-end (service.go:380-392 delInit, operations.go:120-412
+    handlers) — including the job spawned by a finished consolidation."""
+
+    @pytest.fixture()
+    def dc(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "del_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        return c
+
+    def test_standalone_deletion_job(self, dc):
+        c = dc
+        # pick an instance; delete all its ACTIVE datasets via the job path
+        inst = (
+            c.catalog.read("datasets").filter(F.col("status") == "ACTIVE")
+            .groupBy("instance_id").count().orderBy(F.desc("count"), "instance_id")
+            .first()["instance_id"]
+        )
+        before = (
+            c.catalog.read("datasets")
+            .filter((F.col("status") == "ACTIVE") & (F.col("instance_id") == inst))
+        )
+        n_before = before.count()
+        doomed_uris = {r["container_uri"] for r in before.select("container_uri").collect()}
+        job = c.delete_datasets_job("del_job", instance_ids=[inst])
+        assert c.get_job(job)["state"] == "CREATED"
+        # locks held: a consolidation on the same datasets refuses
+        with pytest.raises(ValueError, match="locked by another job"):
+            c.delete_datasets_job("del_job_2", instance_ids=[inst])
+        assert c.process_deletion_job(job) == "DONE"
+        after = c.catalog.read("datasets").filter(F.col("instance_id") == inst)
+        assert after.filter(F.col("status") != "INACTIVE").count() == 0
+        assert n_before > 0
+        # emptied containers left the containers table; managed ones are
+        # in the storage-GC manifest
+        left = {r["uri"] for r in c.catalog.read("containers").collect()}
+        survivors_uris = {
+            r["container_uri"] for r in c.catalog.read("datasets").collect()
+        }
+        emptied = doomed_uris - survivors_uris
+        assert emptied and not (emptied & left)
+        manifest = {r["uri"] for r in c.catalog.read("pending_deletions").collect()}
+        assert manifest <= emptied and manifest  # managed subset
+        # tasks consumed, locks released
+        tstates = {r["state"] for r in
+                   c.catalog.read("tasks").filter(F.col("job_id") == job).collect()}
+        assert tstates == {"DONE"}
+        assert c.catalog.read("locked_datasets").filter(
+            F.col("job_id") == job).count() == 0
+
+    def test_deletion_no_match_raises(self, dc):
+        with pytest.raises(KeyError, match="No dataset found"):
+            dc.delete_datasets_job("del_none", record_ids=["nope"])
+
+    def test_consolidation_spawned_deletion_completes(self, dc, tmp_path):
+        """The full circle: consolidate -> process -> run the spawned
+        deletion job -> the OLD datasets and their emptied containers are
+        gone, the new consolidated ones serve reads."""
+        c = dc
+        helper = TestConsolidationLifecycle()
+        inst, rec_ids, ds_ids, job = helper._prepare(c, "circle")
+        state, deletion_id = c.process_consolidation_job(job)
+        assert state == "DONE"
+        old_uris = {
+            r["container_uri"] for r in
+            c.catalog.read("datasets").filter(F.col("id").isin(ds_ids)).collect()
+        }
+        assert c.process_deletion_job(deletion_id) == "DONE"
+        # old rows physically removed
+        assert c.catalog.read("datasets").filter(F.col("id").isin(ds_ids)).count() == 0
+        # their emptied containers dropped from the containers table
+        left = {r["uri"] for r in c.catalog.read("containers").collect()}
+        survivors_uris = {
+            r["container_uri"] for r in c.catalog.read("datasets").collect()
+        }
+        assert not ((old_uris - survivors_uris) & left)
+        # the records still serve — now exclusively from consolidated data
+        served = c.list_datasets(
+            DatasetFilters(status="ACTIVE", instance_ids=[inst],
+                           record_ids=rec_ids, order=False)
+        ).collect()
+        assert served
+        assert all(r["container_uri"].startswith("consolidated/") for r in served)
