@@ -5255,6 +5255,69 @@ def consolidate_e2e(spark, sf_dir):
     )
 
 
+# J1 over CO-BUCKETED catalog tables (sources/bucketed.py): the hottest
+# fact⋈fact join with the shuffle moved to write time — the plan carries
+# ZERO Exchange (asserted in tests/test_bucketed.py); here the RESULT is
+# hash-checked so the layout provably never changes answers.
+@q(
+    "bucketed_catalog_join",
+    f"""
+    SELECT d.record_id, r.name,
+           CAST(count(*) AS BIGINT) AS n_datasets,
+           min(d.id) AS first_dataset_id
+    FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+    JOIN read_parquet('{FIXTURE_DIR}/records.parquet') r ON d.record_id = r.id
+    GROUP BY d.record_id, r.name
+    """,
+)
+def bucketed_catalog_join(spark, sf_dir):
+    from geocube_spark.sources.bucketed import bucketed_join, ensure_bucketed_catalog
+
+    fd = ensure_fixtures()
+    dt, rt = ensure_bucketed_catalog(spark, fd, n_buckets=8)
+    return (
+        bucketed_join(spark, dt, rt)
+        .groupBy("record_id", "name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_datasets"),
+            F.min("id").alias("first_dataset_id"),
+        )
+    )
+
+
+# Deletion planning relational core (delRemoveDatasets,
+# operations.go:230-334): removing the TODELETE rows, which containers
+# become EMPTY — anti-join of doomed container URIs against the
+# survivors' — and of those, which are MANAGED (physical deletion tasks)
+# vs merely dropped from the index.  process_deletion_job runs exactly
+# this plan; here it is hash-checked row-for-row against DuckDB.
+@q(
+    "deletion_empties_containers",
+    f"""
+    WITH d AS (SELECT * FROM read_parquet('{FIXTURE_DIR}/datasets.parquet')),
+    doomed AS (SELECT DISTINCT container_uri FROM d WHERE status = 'TODELETE'),
+    survivors AS (SELECT DISTINCT container_uri FROM d WHERE status <> 'TODELETE'),
+    dead AS (
+        SELECT container_uri FROM doomed
+        WHERE container_uri NOT IN (SELECT container_uri FROM survivors)
+    )
+    SELECT c.uri, c.managed, c.storage_class
+    FROM read_parquet('{FIXTURE_DIR}/containers.parquet') c
+    JOIN dead ON c.uri = dead.container_uri
+    """,
+)
+def deletion_empties_containers(spark, sf_dir):
+    fd = ensure_fixtures()
+    d = spark.read.parquet(f"{fd}/datasets.parquet")
+    doomed = d.filter(F.col("status") == "TODELETE").select("container_uri").distinct()
+    survivors = d.filter(F.col("status") != "TODELETE").select("container_uri").distinct()
+    dead = doomed.join(survivors, "container_uri", "left_anti")
+    containers = spark.read.parquet(f"{fd}/containers.parquet")
+    return containers.join(
+        dead.withColumnRenamed("container_uri", "uri"), "uri", "left_semi"
+    ).select("uri", "managed", "storage_class")
+
+
 # L4 + R13: consolidation work-skipping — full-container exclusion and
 # COG-reuse short-circuit as planning filters.
 @q(
