@@ -534,18 +534,26 @@ class GeocubeClient:
             "compression": compression, "creation_params": normalized,
             "resampling_alg": resampling_alg, "storage_class": storage_class,
         }
-        df = self.spark.createDataFrame([row], self.catalog.read("consolidation_params").schema) \
-            if self.catalog.exists("consolidation_params") else None
-        if df is not None:
+        # explicit schema either way: a bootstrap row with empty
+        # creation_params cannot be type-inferred (empty map)
+        schema = (
+            self.catalog.read("consolidation_params").schema
+            if self.catalog.exists("consolidation_params")
+            else (
+                "variable_id string, "
+                "dformat struct<dtype:string,no_data:double,min_value:double,max_value:double>, "
+                "exponent double, compression string, resampling_alg string, "
+                "storage_class string, creation_params map<string,string>"
+            )
+        )
+        df = self.spark.createDataFrame([row], schema)
+        if self.catalog.exists("consolidation_params"):
             others = self.catalog.read("consolidation_params").filter(
                 F.col("variable_id") != variable_id
             )
             self.catalog.write("consolidation_params", others.unionByName(df))
         else:
-            self.catalog.write(
-                "consolidation_params",
-                self.spark.createDataFrame([row]),
-            )
+            self.catalog.write("consolidation_params", df)
         return row
 
     # --------------------------------------------- layout/grid/palette CRUD
@@ -697,8 +705,14 @@ class GeocubeClient:
         from_time: datetime | None = None,
         to_time: datetime | None = None,
         execution_level: int = 1,
+        collapse_on_record_id: str | None = None,
     ) -> str:
         """Consolidate RPC: create-job orchestration end-to-end.
+
+        ``collapse_on_record_id`` (operations.proto:177): every selected
+        dataset merges into THAT single record — originals are KEPT (no
+        swap-out of sources, data is duplicated); the worker pre-mosaics
+        latest-wins before writing one image per container.
 
         Composes the reference's csldInit (svc/consolidater.go:108-151 —
         list active datasets, read the variable's ConsolidationParams,
@@ -753,6 +767,10 @@ class GeocubeClient:
         params = self.get_consolidation_params(inst["variable_id"])
         if not self.catalog.read("layouts").filter(F.col("name") == layout_name).first():
             raise KeyError(f"unknown layout {layout_name!r}")
+        if collapse_on_record_id is not None:
+            # csldPrepareOrders reads the collapse record up front
+            # (consolidater.go:186-193 ReadRecords -> EntityNotFound)
+            self.get_records([collapse_on_record_id])
 
         # Create the job + lock flag-INIT (job.LockDatasets, job.go:886-897).
         # The lock column update is a JOIN against the selected-id set — the
@@ -763,7 +781,8 @@ class GeocubeClient:
             "state": "NEW",
             "payload": json.dumps(
                 {"instance_id": instance_id, "layout_name": layout_name,
-                 "params_id": inst["variable_id"]},
+                 "params_id": inst["variable_id"],
+                 "collapse_record_id": collapse_on_record_id},
                 sort_keys=True,
             ),
             "active_tasks": 0, "failed_tasks": 0,
@@ -1021,6 +1040,27 @@ class GeocubeClient:
             "container_uri",
         )
         dformat = params["dformat"]
+        collapse = payload.get("collapse_record_id")
+        if collapse:
+            # collapse mode (operations.proto:177, consolidater.go collapse
+            # branches): every source record merges into ONE image keyed by
+            # the collapse record — a latest-wins pre-mosaic per output
+            # container.  Tile rows are the engine's post-warp state
+            # (mosaic_blocks' aligned-grid precondition); mixed grids are
+            # rejected downstream by consolidate_to_mucog's transform check.
+            from geocube_spark.operators.mosaic import mosaic_blocks
+
+            crow = self.catalog.read("records").filter(F.col("id") == collapse).first()
+            tiles = (
+                mosaic_blocks(
+                    tiles,
+                    nodata=float(dformat["no_data"]),
+                    extra_keys=("out_container_uri",),
+                    carry_first=("crs_srid", "pix_to_crs"),
+                )
+                .withColumn("record_id", F.lit(collapse))
+                .withColumn("record_datetime", F.lit(crow["datetime"]))
+            )
         built = consolidate_to_mucog(
             tiles,
             container_col="out_container_uri",
@@ -1063,12 +1103,18 @@ class GeocubeClient:
         # above never left the executors.  Collected BEFORE the tasks
         # status write below — that write garbage-collects the tasks
         # snapshot this lazy plan reads.
+        annotated = src.join(
+            datasets.select(F.col("id").alias("dsid"), "bbox", "shape_srid"),
+            "dsid",
+        )
+        if collapse:
+            # one dataset per container, owned by the collapse record;
+            # its footprint is the union of every merged source
+            annotated = annotated.withColumn(
+                "record_id", F.lit(collapse)
+            ).withColumn("record_datetime", F.lit(crow["datetime"]))
         per_rec = (
-            src.join(
-                datasets.select(F.col("id").alias("dsid"), "bbox", "shape_srid"),
-                "dsid",
-            )
-            .groupBy("out_container_uri", "record_id")
+            annotated.groupBy("out_container_uri", "record_id")
             .agg(
                 F.min("bbox.xmin").alias("xmin"),
                 F.min("bbox.ymin").alias("ymin"),
@@ -1160,25 +1206,30 @@ class GeocubeClient:
         if _cancelled():  # last exit before anything becomes visible
             return _abort()
 
-        # ---- csldSwapDatasets: one column-wise flip over the lock set
+        # ---- csldSwapDatasets: one column-wise flip over the lock set.
+        # In collapse mode the SOURCES ARE KEPT (consolidater.go:648-655:
+        # the ACTIVE->TODELETE arm is skipped and the TODELETE locks are
+        # simply released) — only the new datasets activate.
         d = self.catalog.read("datasets")
         locked = F.col("locked_by_job_id") == job_id
-        self.catalog.write(
-            "datasets",
-            d.withColumn(
-                "status",
-                F.when(locked & (F.col("status") == "ACTIVE"), F.lit("TODELETE"))
-                .when(locked & (F.col("status") == "INACTIVE"), F.lit("ACTIVE"))
-                .otherwise(F.col("status")),
-            ),
+        swap = d.withColumn(
+            "status",
+            F.when(locked & (F.col("status") == "INACTIVE"), F.lit("ACTIVE"))
+            .when(
+                F.lit(collapse is None) & locked & (F.col("status") == "ACTIVE"),
+                F.lit("TODELETE"),
+            )
+            .otherwise(F.col("status")),
         )
-        # release the NEW locks (flag 2); old TODELETE locks stay put for
-        # the deletion job.  The datasets write runs FIRST: it consumes
-        # the current locked_datasets snapshot, which the locks write
-        # below garbage-collects.
+        self.catalog.write("datasets", swap)
+        # release the NEW locks (flag 2) — plus, in collapse mode, the
+        # TODELETE locks (no deletion follows).  The datasets write runs
+        # FIRST: it consumes the current locked_datasets snapshot, which
+        # the locks write below garbage-collects.
+        rel_flags = [1, 2] if collapse else [2]
         locks = self.catalog.read("locked_datasets")
         released = locks.filter(
-            (F.col("job_id") == job_id) & (F.col("flag") == 2)
+            (F.col("job_id") == job_id) & F.col("flag").isin(rel_flags)
         ).select("dataset_id")
         d = self.catalog.read("datasets")
         self.catalog.write(
@@ -1195,9 +1246,17 @@ class GeocubeClient:
         )
         self.catalog.write(
             "locked_datasets",
-            locks.filter(~((F.col("job_id") == job_id) & (F.col("flag") == 2))),
+            locks.filter(
+                ~((F.col("job_id") == job_id) & F.col("flag").isin(rel_flags))
+            ),
         )
         self._set_job_state(job_id, "CONSOLIDATIONEFFECTIVE", False)
+
+        if collapse:
+            # nothing marked TODELETE — csldDeleteDatasets finds no rows,
+            # so no deletion job spawns (operations.go:669-683)
+            self._set_job_state(job_id, "DONE", False)
+            return "DONE", None
 
         # ---- csldDeleteDatasets: spawn the deletion job for the old rows
         deletion_id = str(

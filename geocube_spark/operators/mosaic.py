@@ -35,6 +35,8 @@ def mosaic_blocks(
     tiles_with_time: DataFrame,
     nodata: float,
     out_prefix: str = "",
+    extra_keys: tuple[str, ...] = (),
+    carry_first: tuple[str, ...] = (),
 ) -> DataFrame:
     """A7 latest-wins mosaic.
 
@@ -47,9 +49,16 @@ def mosaic_blocks(
     (datetime, record_id) struct — W1/W2 tie-break), then a single
     ``aggregate``+``zip_with`` fold: acc[i] = first non-nodata from the top.
     All higher-order functions -> whole-stage codegen.
+
+    ``extra_keys`` prepend grouping keys (e.g. the output container of a
+    collapse consolidation); ``carry_first`` columns come through as
+    ``F.first`` (grid facts like ``pix_to_crs`` that are constant within
+    a group by the aligned-grid precondition).
     """
     nd = F.lit(float(nodata))
-    grouped = tiles_with_time.groupBy("band", "level", "block_x", "block_y").agg(
+    grouped = tiles_with_time.groupBy(
+        *extra_keys, "band", "level", "block_x", "block_y"
+    ).agg(
         F.reverse(
             F.array_sort(
                 F.collect_list(
@@ -60,7 +69,8 @@ def mosaic_blocks(
                     )
                 )
             )
-        ).alias("stack")
+        ).alias("stack"),
+        *[F.first(c).alias(c) for c in carry_first],
     )
 
     # newest-first fold: start from the newest block, fill nodata holes from
@@ -73,12 +83,14 @@ def mosaic_blocks(
         ),
     )
     out = grouped.select(
+        *extra_keys,
         "band",
         "level",
         "block_x",
         "block_y",
         merged_px.alias(f"{out_prefix}px"),
         F.size("stack").alias("n_inputs"),
+        *carry_first,
     )
     return out
 

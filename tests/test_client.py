@@ -868,3 +868,136 @@ class TestDeletionJob:
         ).collect()
         assert served
         assert all(r["container_uri"].startswith("consolidated/") for r in served)
+
+
+class TestCollapseConsolidation:
+    """collapse_on_record_id (operations.proto:177): every dataset merges
+    into ONE record's image per container, originals are KEPT, no
+    deletion job spawns — the reference's collapse branches of
+    csldPrepareOrders / csldSwapDatasets."""
+
+    def _aligned_catalog(self, spark, tmp_path):
+        """A from-scratch catalog built THROUGH the client APIs: three
+        records sharing one AOI/grid (the engine's post-warp alignment
+        precondition), one dataset+container each, deterministic pixels
+        with per-record nodata holes, plus a fourth record to collapse
+        onto."""
+        import numpy as np
+
+        from geocube_spark import schemas
+
+        c = GeocubeClient(spark, str(tmp_path / "collapse_catalog"))
+        aoi = c.create_aoi([rect_wkb(10.0, 40.0, 10.08, 40.08)])
+        rids = c.create_records(
+            [f"COLLAPSE_SRC_{i}" for i in range(3)] + ["COLLAPSE_TARGET"],
+            {"KIND": "TEST"},
+            [datetime(2021, 1, d + 1) for d in range(3)] + [datetime(2021, 2, 1)],
+            aoi * 4,
+        )
+        vid = c.create_variable(
+            "collapse_var", ["B1"],
+            {"dtype": "Float64", "no_data": -1.0,
+             "min_value": -1e6, "max_value": 1e6},
+        )
+        iid = c.instantiate_variable(vid, "default")
+        c.config_consolidation(
+            vid, {"dtype": "Float64", "no_data": -1.0,
+                  "min_value": -1e6, "max_value": 1e6},
+            compression="NO",
+        )
+        dm = {"dtype": "Float64", "no_data": -1.0, "min_value": -1e6,
+              "max_value": 1e6, "real_min_value": -1e6, "real_max_value": 1e6,
+              "exponent": 1.0}
+        n = 4
+        tile_rows, expected = [], {}
+        tr = {"a": 0.01, "b": 0.0, "c": 10.0, "d": 0.0, "e": -0.01, "f": 40.08}
+        for i, rid in enumerate(rids[:3]):
+            uri = f"file:///collapse/{i}.tif"
+            c.index_datasets([{
+                "record_id": rid, "instance_id": iid, "container_uri": uri,
+                "subdir": "", "bands": [1], "status": "ACTIVE", "dmapping": dm,
+                "geom_wkb": rect_wkb(10.0, 40.0, 10.08, 40.08),
+                "shape_srid": 4326, "overviews": False,
+                "locked_by_job_id": None,
+            }])
+            for by in range(2):
+                for bx in range(2):
+                    px = np.fromfunction(
+                        lambda r, q: 100.0 * i + 10 * by + bx + r * n + q,
+                        (n, n),
+                    )
+                    # record i punches nodata where (linear idx % 3) == i
+                    hole = (np.arange(n * n).reshape(n, n) % 3) == i
+                    px[hole] = -1.0
+                    tile_rows.append({
+                        "container_uri": uri, "band": 1, "level": 0,
+                        "block_x": bx, "block_y": by,
+                        "px": px.ravel().tolist(), "crs_srid": 4326,
+                        "pix_to_crs": tr,
+                    })
+                    key = (bx, by)
+                    cur = expected.get(key)
+                    # latest record wins where valid (ascending i = time)
+                    if cur is None:
+                        expected[key] = px.copy()
+                    else:
+                        cur[px != -1.0] = px[px != -1.0]
+        c.catalog.write(
+            "tiles", spark.createDataFrame(tile_rows, schemas.TILE)
+        )
+        c.create_layout(
+            "collapse_layout",
+            {"grid": "regular", "crs": "epsg:4326", "cell_size": "256",
+             "resolution": "1000", "ox": "0", "oy": "0"},
+            max_records=1024,
+        )
+        return c, rids, expected
+
+    def test_collapse_lifecycle(self, spark, tmp_path):
+        import numpy as np
+
+        from geocube_spark.sources.gtiff import read_tiff
+
+        c, rids, expected = self._aligned_catalog(spark, tmp_path)
+        target = rids[3]
+        inst = c.catalog.read("instances").first()["id"]
+        job = c.consolidate(
+            "collapse_job", inst, "collapse_layout",
+            record_ids=rids[:3], collapse_on_record_id=target,
+        )
+        state, deletion = c.process_consolidation_job(job)
+        assert state == "DONE" and deletion is None
+        # sources KEPT ACTIVE and unlocked (proto: data is duplicated)
+        srcs = c.catalog.read("datasets").filter(
+            F.col("container_uri").startswith("file:///collapse/")
+        ).collect()
+        assert len(srcs) == 3
+        assert {r["status"] for r in srcs} == {"ACTIVE"}
+        assert all(r["locked_by_job_id"] is None for r in srcs)
+        assert c.catalog.read("locked_datasets").filter(
+            F.col("job_id") == job).count() == 0
+        # ONE new dataset, owned by the collapse record, single image
+        new = c.catalog.read("datasets").filter(
+            F.col("container_uri").startswith("consolidated/")
+        ).collect()
+        assert len(new) == 1
+        assert new[0]["record_id"] == target
+        assert new[0]["status"] == "ACTIVE" and new[0]["subdir"] == ""
+        # byte-level: one image whose pixels are the latest-wins merge
+        path = f"{c.catalog.root}/consolidated_data/{new[0]['container_uri']}.tif"
+        imgs = read_tiff(open(path, "rb").read())
+        assert len(imgs) == 1
+        got = imgs[0].bands[0]
+        n = 4
+        want = np.full((2 * n, 2 * n), -1.0)
+        for (bx, by), blk in expected.items():
+            want[by * n:(by + 1) * n, bx * n:(bx + 1) * n] = blk
+        assert got.shape == want.shape
+        assert np.array_equal(got, want)
+
+    def test_collapse_unknown_record_rejected(self, spark, tmp_path):
+        c, rids, _ = self._aligned_catalog(spark, tmp_path)
+        inst = c.catalog.read("instances").first()["id"]
+        with pytest.raises(KeyError, match="nope"):
+            c.consolidate("collapse_bad", inst, "collapse_layout",
+                          record_ids=rids[:3], collapse_on_record_id="nope")
