@@ -428,6 +428,150 @@ class GeocubeClient:
     def update_datasets_dry_run(self, flt: DatasetFilters) -> DataFrame:
         return update_datasets_impact(self.catalog.read("datasets"), flt)
 
+    def update_datasets(
+        self,
+        instance_id: str,
+        record_ids: list[str],
+        dmapping: dict,
+        simulate: bool = False,
+    ) -> dict[str, int]:
+        """UpdateDatasets admin RPC (admin.go:72-96, pg_containers.go:
+        433-465): per-OLD-mapping impact counts keyed by the reference's
+        report string, then — unless ``simulate`` — a rewrite of
+        no_data / value range / real range / exponent on the selected
+        rows.  DTYPE IS NEVER TOUCHED (the reference's UPDATE list omits
+        it: changing the storage type requires reconsolidation)."""
+
+        def g(v: float) -> str:
+            return "%g" % float(v)
+
+        d = self.catalog.read("datasets")
+        sel = (F.col("instance_id") == instance_id) & F.col("record_id").isin(
+            list(record_ids)
+        )
+        results = {
+            (
+                f"({r['dtype']}, {g(r['min_value'])}, {g(r['max_value'])}, "
+                f"no_data={g(r['no_data'])}) currently maps to "
+                f"({g(r['real_min_value'])}, {g(r['real_max_value'])}) "
+                f"with exponent={g(r['exponent'])}"
+            ): r["n"]
+            for r in d.filter(sel)
+            .groupBy(
+                F.col("dmapping.dtype").alias("dtype"),
+                F.col("dmapping.no_data").alias("no_data"),
+                F.col("dmapping.min_value").alias("min_value"),
+                F.col("dmapping.max_value").alias("max_value"),
+                F.col("dmapping.real_min_value").alias("real_min_value"),
+                F.col("dmapping.real_max_value").alias("real_max_value"),
+                F.col("dmapping.exponent").alias("exponent"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if simulate:
+            return results
+        field_order = d.schema["dmapping"].dataType.fieldNames()
+        vals = {
+            k: F.lit(float(dmapping[k]))
+            for k in ("no_data", "min_value", "max_value",
+                      "real_min_value", "real_max_value", "exponent")
+        }
+        new_struct = F.struct(
+            *[
+                (vals[k] if k in vals else F.col(f"dmapping.{k}")).alias(k)
+                for k in field_order
+            ]
+        ).cast(d.schema["dmapping"].dataType)
+        self.catalog.write(
+            "datasets",
+            d.withColumn(
+                "dmapping",
+                F.when(sel, new_struct).otherwise(F.col("dmapping")),
+            ),
+        )
+        return results
+
+    def tidy(
+        self,
+        aois: bool = False,
+        records: bool = False,
+        variables: bool = False,
+        instances: bool = False,
+        containers: bool = False,
+        params: bool = False,
+        simulate: bool = False,
+    ) -> list[int]:
+        """TidyPending admin RPC (admin.go:16-70): delete DANGLING rows —
+        records with no datasets, AOIs with no records, instances with no
+        datasets, variables with no instances, UNMANAGED containers with
+        no datasets (pg_containers.go:100-104 — managed ones belong to
+        the storage-GC path), consolidation params with no variable.
+
+        Deletion order mirrors the reference's unit of work (records
+        before aois, instances before variables), so one call cascades
+        one level.  Returns counts in the reference's ``nbs`` order:
+        [aois, records, instances, variables, containers, params].
+        Everything is an anti-join — no driver-side id sets."""
+        nbs = [0] * 6
+
+        def pending(df: DataFrame, key: str, ref: DataFrame, ref_key: str):
+            kept = df.join(
+                ref.select(F.col(ref_key).alias(key)).distinct(), key, "left_semi"
+            )
+            return kept, df.count() - kept.count()
+
+        datasets = self.catalog.read("datasets")
+        recs = self.catalog.read("records")
+        if records:
+            kept, nbs[1] = pending(recs, "id", datasets, "record_id")
+            if not simulate:
+                self.catalog.write("records", kept)
+                # re-read: the write garbage-collected the snapshot the
+                # lazy `kept` plan reads
+                kept = self.catalog.read("records")
+            recs = kept
+        if aois:
+            kept, nbs[0] = pending(self.catalog.read("aoi"), "id", recs, "aoi_id")
+            if not simulate:
+                self.catalog.write("aoi", kept)
+        insts = self.catalog.read("instances")
+        if instances:
+            kept, nbs[2] = pending(insts, "id", datasets, "instance_id")
+            if not simulate:
+                self.catalog.write("instances", kept)
+                kept = self.catalog.read("instances")
+            insts = kept
+        if variables:
+            kept, nbs[3] = pending(
+                self.catalog.read("variables"), "id", insts, "variable_id"
+            )
+            if not simulate:
+                self.catalog.write("variables", kept)
+        if containers:
+            cont = self.catalog.read("containers")
+            unref = cont.join(
+                datasets.select(F.col("container_uri").alias("uri")).distinct(),
+                "uri",
+                "left_anti",
+            )
+            doomed = unref.filter(~F.col("managed"))
+            nbs[4] = doomed.count()
+            if not simulate:
+                self.catalog.write(
+                    "containers", cont.join(doomed.select("uri"), "uri", "left_anti")
+                )
+        if params:
+            kept, nbs[5] = pending(
+                self.catalog.read("consolidation_params"),
+                "variable_id",
+                self.catalog.read("variables"),
+                "id",
+            )
+            if not simulate:
+                self.catalog.write("consolidation_params", kept)
+        return nbs
+
     # ---------------------------------------------------------------- cube
 
     def get_cube_headers(

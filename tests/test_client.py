@@ -1001,3 +1001,77 @@ class TestCollapseConsolidation:
         with pytest.raises(KeyError, match="nope"):
             c.consolidate("collapse_bad", inst, "collapse_layout",
                           record_ids=rids[:3], collapse_on_record_id="nope")
+
+
+class TestAdminTwins:
+    """UpdateDatasets (apply side) and TidyPending — the last two admin
+    RPCs with real write behavior (admin.go:16-96)."""
+
+    @pytest.fixture()
+    def ac(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "admin_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "consolidation_params"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        return GeocubeClient(spark, str(root))
+
+    def test_update_datasets_apply_and_simulate(self, ac):
+        c = ac
+        row = c.catalog.read("datasets").first()
+        inst, rec = row["instance_id"], row["record_id"]
+        new = {"no_data": -9.0, "min_value": 0.0, "max_value": 50.0,
+               "real_min_value": 0.0, "real_max_value": 5.0, "exponent": 2.0}
+        sim = c.update_datasets(inst, [rec], new, simulate=True)
+        assert sim and all(isinstance(v, int) for v in sim.values())
+        # the report keys carry the reference's sentence shape
+        assert all("currently maps to" in k and "no_data=" in k for k in sim)
+        # simulate wrote nothing
+        same = c.catalog.read("datasets").filter(
+            (F.col("instance_id") == inst) & (F.col("record_id") == rec)
+        ).first()
+        assert same["dmapping"] == row["dmapping"]
+        got = c.update_datasets(inst, [rec], new)
+        assert got == sim
+        after = c.catalog.read("datasets").filter(
+            (F.col("instance_id") == inst) & (F.col("record_id") == rec)
+        ).collect()
+        assert after
+        for r in after:
+            dm = r["dmapping"]
+            # dtype untouched (the reference's UPDATE list omits it)
+            assert dm["dtype"] == row["dmapping"]["dtype"]
+            assert dm["no_data"] == -9.0 and dm["exponent"] == 2.0
+            assert dm["max_value"] == 50.0 and dm["real_max_value"] == 5.0
+
+    def test_tidy_pending_cascade(self, ac):
+        c = ac
+        # orphan one instance's datasets: delete them outright
+        inst = c.catalog.read("datasets").first()["instance_id"]
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").filter(F.col("instance_id") != inst),
+        )
+        sim = c.tidy(aois=True, records=True, variables=True, instances=True,
+                     containers=True, params=True, simulate=True)
+        assert sim[2] >= 1  # the orphaned instance is pending
+        n_inst_before = c.catalog.read("instances").count()
+        got = c.tidy(aois=True, records=True, variables=True, instances=True,
+                     containers=True, params=True)
+        assert got == sim
+        assert c.catalog.read("instances").count() == n_inst_before - got[2]
+        # every remaining entity is referenced: a second tidy is a no-op
+        again = c.tidy(aois=True, records=True, variables=True,
+                       instances=True, containers=True, params=True)
+        assert again == [0] * 6
+        # managed unreferenced containers are NOT tidied (storage-GC owns
+        # them): any deleted ones were unmanaged
+        assert got[4] >= 0
+        left = c.catalog.read("containers").join(
+            c.catalog.read("datasets").select(
+                F.col("container_uri").alias("uri")).distinct(),
+            "uri", "left_anti",
+        ).collect()
+        assert all(r["managed"] for r in left)
