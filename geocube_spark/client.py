@@ -934,6 +934,8 @@ class GeocubeClient:
             "creation_ts": now, "last_update_ts": now,
         }
         self._append("jobs", self.spark.createDataFrame([job_row], schemas.JOB))
+        # job.LogMsgf(DEBUG, "Init with %d datasets") — csldInit:109
+        self._log_job(job_id, [("DEBUG", f"Init with {stats['n']} datasets")])
         ids = sel.select("id")
         self._append(
             "locked_datasets",
@@ -1006,6 +1008,7 @@ class GeocubeClient:
 
         job = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
         payload = json.loads(job["payload"])
+        self._log_job(job_id, [("INFO", "Prepare consolidation orders...")])
         layout = (
             self.catalog.read("layouts")
             .filter(F.col("name") == payload["layout_name"])
@@ -1089,6 +1092,7 @@ class GeocubeClient:
             )
             .drop("_keep"),
         )
+        self._log_job(job_id, [("INFO", f"{n_tasks} tasks are created")])
         state, waiting = advance_job_state(
             "CREATED", "OrdersPrepared", job_type="consolidation",
             exec_level=int(job["execution_level"]), with_waiting=True,
@@ -1280,6 +1284,7 @@ class GeocubeClient:
             ),
         )
         self._set_job_state(job_id, "CONSOLIDATIONDONE", False)
+        self._log_job(job_id, [("INFO", "Indexing new datasets...")])
         n_bands = len(
             self.catalog.read("variables")
             .filter(F.col("id") == payload["params_id"])
@@ -1346,6 +1351,7 @@ class GeocubeClient:
             ),
         )
         self._set_job_state(job_id, "CONSOLIDATIONINDEXED", False)
+        self._log_job(job_id, [("INFO", "Swap datasets...")])
 
         if _cancelled():  # last exit before anything becomes visible
             return _abort()
@@ -1394,6 +1400,7 @@ class GeocubeClient:
                 ~((F.col("job_id") == job_id) & F.col("flag").isin(rel_flags))
             ),
         )
+        self._log_job(job_id, [("INFO", "Datasets swapped")])
         self._set_job_state(job_id, "CONSOLIDATIONEFFECTIVE", False)
 
         if collapse:
@@ -1441,6 +1448,11 @@ class GeocubeClient:
                     F.lit(deletion_id),
                 ).otherwise(F.col("locked_by_job_id")),
             ),
+        )
+        self._log_job(
+            job_id,
+            [("INFO", f"Create a deletion job to delete the old datasets: "
+                      f"{job['name']}_deletion")],
         )
         self._set_job_state(job_id, "DONE", False)
         return "DONE", deletion_id
@@ -1547,6 +1559,7 @@ class GeocubeClient:
             self._set_job_state(job_id, "CREATED", False)
             state = "CREATED"
         if state == "CREATED":
+            self._log_job(job_id, [("INFO", "Set datasets to delete...")])
             # delSetToDelete (operations.go:215-228): ACTIVE -> TODELETE
             d = self.catalog.read("datasets")
             locked = F.col("locked_by_job_id") == job_id
@@ -1561,6 +1574,7 @@ class GeocubeClient:
             self._set_job_state(job_id, "DELETIONINPROGRESS", False)
             state = "DELETIONINPROGRESS"
         if state == "DELETIONINPROGRESS":
+            self._log_job(job_id, [("INFO", "Remove datasets...")])
             # delRemoveDatasets (operations.go:230-334): drop the rows,
             # release locks, and emit one deletion task per container
             # that became EMPTY — managed ones get physically deleted
@@ -1608,6 +1622,7 @@ class GeocubeClient:
             self._set_job_state(job_id, "DELETIONEFFECTIVE", False)
             state = "DELETIONEFFECTIVE"
         if state == "DELETIONEFFECTIVE":
+            self._log_job(job_id, [("INFO", "Delete containers...")])
             # delDeleteContainers (operations.go:335-412): each task's URI
             # joins the storage-GC manifest; tasks flip to DONE
             pending = self.catalog.read("tasks").filter(
@@ -1758,8 +1773,57 @@ class GeocubeClient:
         """Retained commit history of a catalog table, newest first."""
         return self.catalog.history(name)
 
-    def list_jobs(self) -> DataFrame:
-        return self.catalog.read("jobs")
+    def _log_job(self, job_id: str, messages: list[tuple[str, str]], status: str = "") -> None:
+        """Append job log lines (job.LogMsg twin; persisted like the
+        reference's job_logs table, pg_jobs.go:15-26).  ``messages`` is a
+        batch of (severity, message) so one state handler costs one
+        commit."""
+        now = datetime.now()
+        self._append(
+            "job_logs",
+            self.spark.createDataFrame(
+                [
+                    {"job_id": job_id, "ts": now, "severity": sev,
+                     "status": status, "message": msg}
+                    for sev, msg in messages
+                ],
+                schemas.JOB_LOG,
+            ),
+        )
+
+    def job_logs(self, job_id: str, page: int = 0, limit: int | None = 10) -> list[dict]:
+        """The job's log lines NEWEST-FIRST, paginated — GetJobRequest's
+        log_page/log_limit (operations.proto:211-215; 'by default, the
+        latest')."""
+        if not self.catalog.exists("job_logs"):
+            return []
+        q = (
+            self.catalog.read("job_logs")
+            .filter(F.col("job_id") == job_id)
+            .orderBy(F.col("ts").desc(), F.col("message"))
+        )
+        if page and limit:
+            q = q.offset(page * limit)
+        if limit is not None:
+            q = q.limit(limit)
+        return [r.asDict() for r in q.collect()]
+
+    def list_jobs(self, name_like: str | None = None, page: int = 0,
+                  limit: int | None = None) -> DataFrame:
+        """ListJobs (operations.proto:195-199): optional name glob
+        (parseLike twin via functions/globs) + pagination."""
+        from geocube_spark.functions.globs import like_filter
+
+        jobs = self.catalog.read("jobs")
+        if name_like:
+            jobs = jobs.filter(like_filter(F.col("name"), name_like))
+        if page or limit:
+            jobs = jobs.orderBy("creation_ts", "id")
+            if page and limit:
+                jobs = jobs.offset(page * limit)
+            if limit is not None:
+                jobs = jobs.limit(limit)
+        return jobs
 
     def job_task_counters(self) -> DataFrame:
         return task_counters(self.catalog.read("tasks"))
@@ -1783,12 +1847,17 @@ class GeocubeClient:
         self.catalog.write("jobs", updated)
         return new_state
 
-    def get_job(self, job_id: str) -> dict:
-        """GetJob: the job row plus its task-state counters."""
+    def get_job(self, job_id: str, log_page: int = 0, log_limit: int | None = 10) -> dict:
+        """GetJob: the job row plus its task-state counters and the
+        newest-first log page (Job.logs, operations.proto:77)."""
         row = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
         if row is None:
             raise KeyError(f"unknown job {job_id!r}")
         out = row.asDict(recursive=True)
+        out["logs"] = [
+            f"[{r['severity']}] {r['message']}"
+            for r in self.job_logs(job_id, page=log_page, limit=log_limit)
+        ]
         if self.catalog.exists("tasks"):
             out["tasks"] = {
                 r["state"]: r["n"]

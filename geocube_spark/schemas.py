@@ -197,6 +197,18 @@ TASK = StructType(
     ]
 )
 
+# create.sql job_logs + pg_jobs.go:15-26 logsSubtable: (time, severity,
+# status, message) per job, served newest-first and paginated by the RPC.
+JOB_LOG = StructType(
+    [
+        StructField("job_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("severity", StringType(), False),
+        StructField("status", StringType(), False),
+        StructField("message", StringType(), False),
+    ]
+)
+
 LOCKED_DATASET = StructType(
     [
         StructField("dataset_id", StringType(), False),

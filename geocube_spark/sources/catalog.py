@@ -29,6 +29,7 @@ TABLES = {
     "tiles": schemas.TILE,
     "jobs": schemas.JOB,
     "tasks": schemas.TASK,
+    "job_logs": schemas.JOB_LOG,
     "locked_datasets": schemas.LOCKED_DATASET,
 }
 

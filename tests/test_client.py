@@ -1075,3 +1075,59 @@ class TestAdminTwins:
             "uri", "left_anti",
         ).collect()
         assert all(r["managed"] for r in left)
+
+
+class TestJobLogsAndListing:
+    """Job.logs (operations.proto:77), GetJob log paging, ListJobs
+    name_like + pagination — the log surface the reference persists in
+    job_logs (pg_jobs.go:15-26, newest-first)."""
+
+    @pytest.fixture()
+    def jc(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "log_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        return c
+
+    def test_lifecycle_writes_reference_log_lines(self, jc):
+        c = jc
+        helper = TestConsolidationLifecycle()
+        inst, rec_ids, ds_ids, job = helper._prepare(c, "logged")
+        c.process_consolidation_job(job)
+        msgs = [l["message"] for l in c.job_logs(job, limit=None)]
+        # newest-first ordering: the deletion-spawn line precedes Init
+        assert any(m.startswith("Init with ") for m in msgs)
+        assert "Prepare consolidation orders..." in msgs
+        assert any(m.endswith("tasks are created") for m in msgs)
+        assert "Datasets swapped" in msgs
+        assert msgs.index("Prepare consolidation orders...") > msgs.index(
+            "Datasets swapped"
+        )
+        # GetJob carries the newest page, formatted
+        got = c.get_job(job, log_limit=3)
+        assert len(got["logs"]) == 3 and all(l.startswith("[") for l in got["logs"])
+        # paging walks backward through history
+        p0 = c.job_logs(job, page=0, limit=2)
+        p1 = c.job_logs(job, page=1, limit=2)
+        assert p0 and p1 and p0[0]["ts"] >= p1[-1]["ts"]
+
+    def test_list_jobs_name_like_and_pagination(self, jc):
+        c = jc
+        out = c.list_jobs(name_like="consolidation-*")
+        names = [r["name"] for r in out.collect()]
+        assert names and all(n.startswith("consolidation-") for n in names)
+        all_jobs = c.list_jobs().orderBy("creation_ts", "id").collect()
+        page = c.list_jobs(page=1, limit=2).collect()
+        assert [r["id"] for r in page] == [r["id"] for r in all_jobs[2:4]]
