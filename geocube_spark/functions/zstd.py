@@ -458,6 +458,9 @@ def decompress(data: bytes) -> bytes:
         if magic != _MAGIC:
             raise ZstdError(f"bad magic {magic:#x}")
         view = _frame(view[4:], out)
+    if len(view):
+        # a truncated payload must not decode "successfully"
+        raise ZstdError(f"{len(view)} trailing byte(s) after the last frame")
     return bytes(out)
 
 

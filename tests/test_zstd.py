@@ -82,6 +82,17 @@ def test_bad_magic_rejected():
         decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
 
 
+def test_trailing_bytes_rejected(tmp_path):
+    """A truncated second frame (1-3 leftover bytes) must not decode
+    'successfully' — the frame loop's len>=4 guard alone would silently
+    drop the tail (ADVICE r10)."""
+    comp = _compress(b"hello zstd", tmp_path)
+    assert decompress(comp) == b"hello zstd"
+    for n in (1, 2, 3):
+        with pytest.raises(ZstdError, match="trailing"):
+            decompress(comp + b"\x28" * n)
+
+
 def test_reference_golden_strip_decodes():
     """The consumer that motivated the codec: one ZSTD strip of the
     reference's image_cast8.tif (GDAL-compressed, independent encoder)."""
