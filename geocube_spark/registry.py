@@ -5123,6 +5123,23 @@ def ensure_consolidate_job(spark: SparkSession) -> str:
 
     root = os.path.join(FIXTURE_DIR, "consolidate_job_catalog")
     marker = os.path.join(root, "_done")
+    # the marker is keyed to a hash of the code that PRODUCES the catalog,
+    # so a change to the planning path regenerates the fixture instead of
+    # hash-checking a stale frozen catalog (the oracle would otherwise keep
+    # passing against output the current code no longer emits)
+    import hashlib
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in ("client.py", "operators/consolidation.py",
+                "operators/cover.py", "streaming/jobs.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    code_hash = h.hexdigest()
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() != code_hash:
+                os.remove(marker)
     if not os.path.exists(marker):
         from geocube_spark.client import GeocubeClient
 
@@ -5155,7 +5172,8 @@ def ensure_consolidate_job(spark: SparkSession) -> str:
             max_records=8,
         )
         c.consolidate("e2e", _CSLD_INSTANCE_0, "e2e_fine")
-        open(marker, "w").close()
+        with open(marker, "w") as f:
+            f.write(code_hash)
     return root
 
 
