@@ -887,6 +887,7 @@ class GeocubeClient:
             self.catalog.read("datasets"), self.catalog.read("records"), flt
         ).select("id", "locked_by_job_id")
         job_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-spark/job/{job_name}"))
+        self._check_job_name_free(job_id, job_name)
         stats = sel.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_if(
@@ -983,6 +984,169 @@ class GeocubeClient:
         self._csld_prepare_orders(job_id)
         return "CONSOLIDATIONINPROGRESS"
 
+    def _tasks(self) -> DataFrame:
+        """The tasks table with ``try_count`` backfilled for catalogs
+        written before the column existed (the queue's delivery counter,
+        cmd/consolidater/main.go:131)."""
+        t = self.catalog.read("tasks")
+        if "try_count" not in t.columns:
+            t = t.withColumn("try_count", F.lit(0))
+        return t
+
+    def _append_tasks(self, df: DataFrame) -> None:
+        if self.catalog.exists("tasks"):
+            self.catalog.write("tasks", self._tasks().unionByName(df))
+        else:
+            self.catalog.write("tasks", df)
+
+    # map TaskStatus -> TaskState (job.go:676-688 taskStateFromStatus)
+    _TASK_STATUS_TO_STATE = {
+        "SENT": "PENDING",
+        "FAILED": "FAILED",
+        "IGNORED": "CANCELLED",
+        "CANCELLED": "CANCELLED",
+        "SUCCESSFUL": "DONE",
+    }
+
+    def handle_task_event(
+        self, job_id: str, task_id: str, status: str, error: str = ""
+    ) -> str:
+        """handleTaskEvt twin (svc/operations.go:69-117): apply one worker
+        task event to the job — task state transition, live
+        active_tasks/failed_tasks counters, DEBUG log line, and the
+        auto-advance when the last active task lands.  Returns the job's
+        state afterwards."""
+        return self.handle_task_events(job_id, [(task_id, status, error)])
+
+    def handle_task_events(
+        self, job_id: str, events: list[tuple[str, str, str]]
+    ) -> str:
+        """Batched :meth:`handle_task_event` — one tasks write + one jobs
+        write for a whole worker batch (each event still applies the
+        per-event transition rules of job.go:692-731 UpdateTask, in order).
+
+        Counter semantics (job.go:771-789 updateTaskCounters):
+        ``active_tasks`` = tasks in NEW or PENDING; ``failed_tasks`` =
+        tasks in FAILED — recomputed from the committed tasks table, so a
+        replayed event batch is idempotent.  When active_tasks reaches 0
+        (operations.go:100-115): CONSOLIDATIONCANCELLING -> CancellationDone;
+        failed_tasks > 0 -> ConsolidationFailed; else ConsolidationDone."""
+        job = self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+        if job is None:
+            raise KeyError(f"unknown job {job_id!r}")
+        # TaskCancelled events are acknowledged without a job update
+        # (operations.go:72-74), and a FAILED job ignores stragglers (:84-86)
+        events = [(t, s, e or "") for t, s, e in events if s != "CANCELLED"]
+        if not events or job["state"] == "FAILED":
+            return job["state"]
+        if job["state"] not in (
+            "CONSOLIDATIONINPROGRESS", "DELETIONEFFECTIVE",
+            "CONSOLIDATIONCANCELLING",
+        ):
+            # job.go:705-708 NewUnhandledEvent
+            raise ValidationError(
+                f"job {job_id!r} cannot handle task events in state "
+                f"{job['state']!r}"
+            )
+        ids = [t for t, _, _ in events]
+        cur = {
+            r["id"]: r["state"]
+            for r in self._tasks()
+            .filter((F.col("job_id") == job_id) & F.col("id").isin(ids))
+            .select("id", "state")
+            .collect()  # event-batch-sized: the events list is driver-side
+        }
+        missing = [t for t in ids if t not in cur]
+        if missing:
+            raise KeyError(f"unknown task(s) {missing} for job {job_id!r}")
+        updates: dict[str, str] = {}
+        logs: list[tuple[str, str]] = []
+        for t, s, e in events:
+            tgt = self._TASK_STATUS_TO_STATE[s]
+            c = cur[t]
+            if tgt == c:
+                continue
+            if c == "DONE":
+                # already reported successful (job.go:711-713)
+                raise ValidationError(
+                    f"unhandled event: job {job_id!r} task {t!r} status {s!r}"
+                )
+            if c in ("FAILED", "CANCELLED") and tgt != "DONE":
+                continue  # job.go:714-717: only a late success overrides
+            cur[t] = updates[t] = tgt
+            logs.append(
+                ("DEBUG", f"TaskEvt received with status {s} (id:{t}, err:{e})")
+            )
+            if tgt == "FAILED":
+                logs.append(("ERROR", f"Task {t} failed: {e}"))
+        state = job["state"]
+        if updates:
+            upd = self.spark.createDataFrame(
+                [{"id": t, "_new_state": st} for t, st in updates.items()],
+                "id string, _new_state string",
+            )
+            self.catalog.write(
+                "tasks",
+                self._tasks()
+                .join(F.broadcast(upd), "id", "left")
+                .withColumn(
+                    "state", F.coalesce(F.col("_new_state"), F.col("state"))
+                )
+                .drop("_new_state"),
+            )
+        # recount from the COMMITTED rows (never a pre-write lazy plan)
+        counts = (
+            self._tasks()
+            .filter(F.col("job_id") == job_id)
+            .agg(
+                F.count_if(F.col("state").isin("NEW", "PENDING")).alias("active"),
+                F.count_if(F.col("state") == "FAILED").alias("failed"),
+            )
+            .first()
+        )
+        jobs = self.catalog.read("jobs")
+        hit = F.col("id") == job_id
+        self.catalog.write(
+            "jobs",
+            jobs.withColumn(
+                "active_tasks",
+                F.when(hit, F.lit(int(counts["active"]))).otherwise(
+                    F.col("active_tasks")
+                ),
+            ).withColumn(
+                "failed_tasks",
+                F.when(hit, F.lit(int(counts["failed"]))).otherwise(
+                    F.col("failed_tasks")
+                ),
+            ),
+        )
+        if logs:
+            self._log_job(job_id, logs)
+        if counts["active"] == 0 and job["type"] == "consolidation":
+            if state == "CONSOLIDATIONCANCELLING":
+                self._log_job(job_id, [("INFO", "Job has been canceled")])
+                return self.advance_job(job_id, "CancellationDone")
+            if counts["failed"] > 0:
+                self._log_job(
+                    job_id,
+                    [("ERROR", f"Job failed: {counts['failed']} tasks failed")],
+                )
+                return self.advance_job(job_id, "ConsolidationFailed")
+            return self.advance_job(job_id, "ConsolidationDone")
+        return state
+
+    def _check_job_name_free(self, job_id: str, job_name: str) -> None:
+        """Reject a job whose deterministic id already exists — the twin of
+        the reference's jobs primary key firing inside SaveJob (pg_jobs.go
+        Create; job ids here are uuid5(name), so a name collision IS an id
+        collision and would otherwise append a duplicate row that get_job's
+        first() then reads arbitrarily)."""
+        if self.catalog.exists("jobs") and (
+            self.catalog.read("jobs").filter(F.col("id") == job_id).first()
+            is not None
+        ):
+            raise ValidationError(f"job {job_name!r} already exists")
+
     def _set_job_state(self, job_id: str, state: str, waiting: bool, active_tasks: int | None = None) -> None:
         jobs = self.catalog.read("jobs")
         hit = F.col("id") == job_id
@@ -1048,8 +1212,9 @@ class GeocubeClient:
                     "n_datasets",
                 )
             ).cast("binary").alias("payload"),
+            F.lit(0).alias("try_count"),
         )
-        self._append("tasks", tasks)
+        self._append_tasks(tasks)
 
         # locks: TODELETE for every dataset named by a task, INIT released
         # (consolidater.go:398-404).  Derived from the COMMITTED task rows —
@@ -1106,7 +1271,8 @@ class GeocubeClient:
     }
 
     def process_consolidation_job(
-        self, job_id: str, out_dir: str | None = None, cancel_dir: str | None = None
+        self, job_id: str, out_dir: str | None = None,
+        cancel_dir: str | None = None, max_tries: int = 1,
     ) -> tuple[str, str | None]:
         """The consolidation WORKER plus the coordinator's post-arcs: run
         every NEW task of an in-progress job, then index / swap / start
@@ -1127,6 +1293,19 @@ class GeocubeClient:
         A cancel marker (operators/consolidation.request_cancellation)
         checked before execution and again before the swap maps onto the
         CONSOLIDATIONCANCELLING arc, and nothing is published.
+
+        Per-task accounting (cmd/consolidater/main.go:117-170 + the
+        coordinator's handleTaskEvt): tasks are marked SENT before the
+        pass (live PENDING counters), each container's build failure is
+        captured per-task instead of failing the Spark job, a failed task
+        under the ``max_tries`` cap is REQUEUED (state back to NEW,
+        ``try_count`` + 1 — the message-redelivery twin; re-invoke to
+        retry), and one redelivered beyond the cap is dead-lettered as
+        FAILED("too many tries").  The job auto-advances through
+        :meth:`handle_task_events` when the last active task lands —
+        ConsolidationDone on success, ConsolidationFailed if any task
+        exhausted its retries — so the index/swap/delete arcs below run
+        only when every task is DONE.
         """
         import json
 
@@ -1155,9 +1334,34 @@ class GeocubeClient:
         if _cancelled():
             return _abort()
 
-        # ---- the worker: one distributed pass over every task's tiles
-        tasks = self.catalog.read("tasks").filter(
-            (F.col("job_id") == job_id) & (F.col("state") == "NEW")
+        # ---- queue consumption: dead-letter exhausted redeliveries, mark
+        # the rest SENT (csldSendOrders' TaskSent, consolidater.go:535) —
+        # live counters are visible mid-lifecycle from here on
+        new_rows = (
+            self._tasks()
+            .filter((F.col("job_id") == job_id) & (F.col("state") == "NEW"))
+            .select("id", "try_count")
+            .collect()  # task-sized: one row per output container
+        )
+        dead = [
+            (r["id"], "FAILED", "too many tries")
+            for r in new_rows if r["try_count"] > max_tries
+        ]
+        try_counts = {r["id"]: r["try_count"] for r in new_rows}
+        live_ids = [r["id"] for r in new_rows if r["try_count"] <= max_tries]
+        if dead:
+            state_now = self.handle_task_events(job_id, dead)
+            if not live_ids:
+                return state_now, None
+        if live_ids:
+            self.handle_task_events(
+                job_id, [(t, "SENT", "") for t in live_ids]
+            )
+
+        # ---- the worker: one distributed pass over every pending task's
+        # tiles (PENDING = just-SENT plus strays from a crashed pass)
+        tasks = self._tasks().filter(
+            (F.col("job_id") == job_id) & (F.col("state") == "PENDING")
         )
         orders = tasks.select(
             F.col("id").alias("task_id"),
@@ -1181,6 +1385,27 @@ class GeocubeClient:
             ),
             "record_id",
         )
+        # A source container holding SEVERAL datasets (a previously
+        # consolidated MuCOG with GTIFF_DIR subdirs) cannot be labelled: the
+        # TILE schema keys on container_uri alone, so the per-(container,
+        # out) dedup below would assign ONE arbitrary (record_id,
+        # record_datetime) to every tile of the container and corrupt the
+        # latest-wins order of the collapse pre-mosaic.  The reference never
+        # hits this (its worker re-reads each dataset through its subdir);
+        # here it is detected and rejected up front.  Task-sized aggregate.
+        multi = (
+            src.groupBy("container_uri", "out_container_uri")
+            .agg(F.count_distinct("dsid").alias("n"))
+            .filter(F.col("n") > 1)
+            .first()
+        )
+        if multi is not None:
+            raise ValidationError(
+                f"source container {multi['container_uri']!r} holds "
+                f"{multi['n']} datasets (a consolidated multi-image "
+                "container); re-consolidating multi-dataset containers is "
+                "not supported — delete or collapse them first"
+            )
         tiles = self.catalog.read("tiles").join(
             src.select(
                 "container_uri", "out_container_uri", "record_id", "record_datetime"
@@ -1215,6 +1440,7 @@ class GeocubeClient:
             dtype=self._NP_DTYPE[dformat["dtype"]],
             compression="none" if params["compression"] in ("NO", "NONE") else "deflate",
             nodata=float(dformat["no_data"]),
+            on_error="capture",  # per-task failure isolation
         )
 
         def _write(batches):
@@ -1225,6 +1451,9 @@ class GeocubeClient:
             for pdf in batches:
                 paths = []
                 for r in pdf.itertuples(index=False):
+                    if r.error is not None:  # failed build: nothing to put
+                        paths.append(None)
+                        continue
                     p = _os.path.join(out_dir, r.container_uri + ".tif")
                     _os.makedirs(_os.path.dirname(p), exist_ok=True)
                     with open(p, "wb") as f:
@@ -1236,24 +1465,104 @@ class GeocubeClient:
                         "n_images": pdf["n_images"],
                         "n_bytes": pdf["n_bytes"],
                         "path": paths,
+                        "error": pdf["error"],
                     }
                 )
 
+        # collected BEFORE the task-event writes below — those writes
+        # garbage-collect the tasks snapshot these lazy plans read
         facts = built.mapInPandas(
             _write,
-            "container_uri string, n_images long, n_bytes long, path string",
+            "container_uri string, n_images long, n_bytes long, "
+            "path string, error string",
         ).collect()  # one row per output container — task-sized, not data-sized
-        if not facts:
+        if not facts and not dead:
             raise ValueError(f"job {job_id!r} has no executable tasks")
+        task_by_container = {
+            r["out_container_uri"]: r["task_id"]
+            for r in orders.select("task_id", "out_container_uri")
+            .distinct()
+            .collect()
+        }
+
+        # ---- per-task outcomes (main.go:144-159): a captured failure
+        # under the cap is REQUEUED with try_count+1 (the queue's
+        # redelivery); beyond the cap it is a terminal TaskFailed
+        failed_facts = [r for r in facts if r["error"] is not None]
+        requeue: list[tuple[str, str]] = []
+        outcomes: list[tuple[str, str, str]] = []
+        for r in facts:
+            tid = task_by_container[r["container_uri"]]
+            if r["error"] is None:
+                outcomes.append((tid, "SUCCESSFUL", ""))
+            elif try_counts.get(tid, 0) < max_tries:
+                requeue.append((tid, r["error"]))
+            else:
+                outcomes.append((tid, "FAILED", r["error"]))
+        if requeue:
+            rq = self.spark.createDataFrame(
+                [{"id": t} for t, _ in requeue], "id string"
+            )
+            self.catalog.write(
+                "tasks",
+                self._tasks()
+                .join(F.broadcast(rq.withColumn("_rq", F.lit(True))), "id", "left")
+                .withColumn(
+                    "state",
+                    F.when(F.col("_rq"), F.lit("NEW")).otherwise(F.col("state")),
+                )
+                .withColumn(
+                    "try_count",
+                    F.when(F.col("_rq"), F.col("try_count") + 1).otherwise(
+                        F.col("try_count")
+                    ),
+                )
+                .drop("_rq"),
+            )
+            self._log_job(
+                job_id,
+                [("ERROR", f"temporary error: {e} (task {t} requeued)")
+                 for t, e in requeue],
+            )
+        state_now = self.handle_task_events(job_id, outcomes)
+        if requeue or failed_facts or state_now != "CONSOLIDATIONDONE":
+            # not every task landed DONE: no index/swap this pass.
+            # Requeued tasks retry on the next invocation; a job whose
+            # failures exhausted the cap has auto-advanced to
+            # CONSOLIDATIONFAILED (retry_job resets its FAILED tasks).
+            return state_now, None
+
         # ---- csldIndex inputs: per-(container, record) facts are
         # task-sized (the reference's coordinator loops tasks the same
         # way), so a driver build is the honest twin; the PIXEL volume
-        # above never left the executors.  Collected BEFORE the tasks
-        # status write below — that write garbage-collects the tasks
-        # snapshot this lazy plan reads.
-        annotated = src.join(
-            datasets.select(F.col("id").alias("dsid"), "bbox", "shape_srid"),
+        # above never left the executors.  Derived from the COMMITTED
+        # post-event tasks table — every DONE task of the job, so a pass
+        # that finished after an earlier partial one indexes everything.
+        done_orders = (
+            self._tasks()
+            .filter((F.col("job_id") == job_id) & (F.col("state") == "DONE"))
+            .select(
+                F.from_json(
+                    F.col("payload").cast("string"),
+                    "out_container_uri string, dataset_ids array<string>",
+                ).alias("o")
+            )
+            .select("o.out_container_uri", F.explode("o.dataset_ids").alias("dsid"))
+        )
+        datasets = self.catalog.read("datasets")
+        annotated = done_orders.join(
+            datasets.select(
+                F.col("id").alias("dsid"), "record_id", "bbox", "shape_srid"
+            ),
             "dsid",
+        ).join(
+            F.broadcast(
+                self.catalog.read("records").select(
+                    F.col("id").alias("record_id"),
+                    F.col("datetime").alias("record_datetime"),
+                )
+            ),
+            "record_id",
         )
         if collapse:
             # one dataset per container, owned by the collapse record;
@@ -1273,17 +1582,6 @@ class GeocubeClient:
             )
             .collect()
         )
-        self.catalog.write(
-            "tasks",
-            self.catalog.read("tasks").withColumn(
-                "state",
-                F.when(
-                    (F.col("job_id") == job_id) & (F.col("state") == "NEW"),
-                    F.lit("DONE"),
-                ).otherwise(F.col("state")),
-            ),
-        )
-        self._set_job_state(job_id, "CONSOLIDATIONDONE", False)
         self._log_job(job_id, [("INFO", "Indexing new datasets...")])
         n_bands = len(
             self.catalog.read("variables")
@@ -1483,6 +1781,7 @@ class GeocubeClient:
             "id", "locked_by_job_id"
         )
         job_id = str(uuid.uuid5(uuid.NAMESPACE_URL, f"geocube-spark/job/{job_name}"))
+        self._check_job_name_free(job_id, job_name)
         stats = sel.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_if(
@@ -1598,13 +1897,13 @@ class GeocubeClient:
             # snapshots, which each table's own write garbage-collects —
             # so consumers go first (tasks from containers+datasets, then
             # containers, then datasets, then locks)
-            self._append(
-                "tasks",
+            self._append_tasks(
                 dead.filter(F.col("managed")).select(
                     F.md5(F.concat(F.lit(job_id), F.lit("/"), F.col("uri"))).alias("id"),
                     F.lit(job_id).alias("job_id"),
                     F.lit("NEW").alias("state"),
                     F.col("uri").cast("binary").alias("payload"),
+                    F.lit(0).alias("try_count"),
                 ),
             )
             self.catalog.write(
@@ -1777,15 +2076,20 @@ class GeocubeClient:
         """Append job log lines (job.LogMsg twin; persisted like the
         reference's job_logs table, pg_jobs.go:15-26).  ``messages`` is a
         batch of (severity, message) so one state handler costs one
-        commit."""
+        commit.  Each message in the batch gets ``now + i µs`` so the
+        newest-first order of :meth:`job_logs` stays the emission order
+        within a batch (timestamps are the only order key, like the
+        reference's ``ORDER BY job_logs.time DESC``, pg_jobs.go:21)."""
+        from datetime import timedelta
+
         now = datetime.now()
         self._append(
             "job_logs",
             self.spark.createDataFrame(
                 [
-                    {"job_id": job_id, "ts": now, "severity": sev,
-                     "status": status, "message": msg}
-                    for sev, msg in messages
+                    {"job_id": job_id, "ts": now + timedelta(microseconds=i),
+                     "severity": sev, "status": status, "message": msg}
+                    for i, (sev, msg) in enumerate(messages)
                 ],
                 schemas.JOB_LOG,
             ),
@@ -1794,18 +2098,22 @@ class GeocubeClient:
     def job_logs(self, job_id: str, page: int = 0, limit: int | None = 10) -> list[dict]:
         """The job's log lines NEWEST-FIRST, paginated — GetJobRequest's
         log_page/log_limit (operations.proto:211-215; 'by default, the
-        latest')."""
+        latest').  Mirrors the reference's ``OFFSET page*limit LIMIT
+        limit`` (pg_jobs.go:22); ``limit=None`` returns everything, and a
+        page without a limit is rejected rather than silently ignored."""
         if not self.catalog.exists("job_logs"):
             return []
         q = (
             self.catalog.read("job_logs")
             .filter(F.col("job_id") == job_id)
-            .orderBy(F.col("ts").desc(), F.col("message"))
+            .orderBy(F.col("ts").desc())
         )
-        if page and limit:
-            q = q.offset(page * limit)
         if limit is not None:
+            if page:
+                q = q.offset(page * limit)
             q = q.limit(limit)
+        elif page:
+            raise ValidationError("job_logs: log_page requires log_limit")
         return [r.asDict() for r in q.collect()]
 
     def list_jobs(self, name_like: str | None = None, page: int = 0,
@@ -1870,8 +2178,60 @@ class GeocubeClient:
         return out
 
     def retry_job(self, job_id: str, force: bool = False) -> str:
-        """RetryJob: the Retried / RetryForced arc (job.go:395-420)."""
-        return self.advance_job(job_id, "RetryForced" if force else "Retried")
+        """RetryJob: the Retried / RetryForced arc (job.go:395-420).
+
+        Entering CONSOLIDATIONRETRYING runs the state's on-enter action
+        (csldConsolidationRetry, consolidater.go:797-808): FAILED tasks —
+        NEW/PENDING too on a force-retry (:810-823) — reset to NEW with a
+        fresh ``try_count``, counters recomputed, then OrdersPrepared
+        re-advances to CONSOLIDATIONINPROGRESS, so the next
+        :meth:`process_consolidation_job` re-runs exactly the reset tasks."""
+        state = self.advance_job(job_id, "RetryForced" if force else "Retried")
+        if state not in ("CONSOLIDATIONRETRYING", "CONSOLIDATIONFORCERETRYING"):
+            return state
+        self._log_job(job_id, [("INFO", "Retry consolidation...")])
+        reset_from = ["FAILED"] if state == "CONSOLIDATIONRETRYING" else [
+            "NEW", "PENDING", "FAILED"
+        ]
+        if self.catalog.exists("tasks"):
+            hit = (F.col("job_id") == job_id) & F.col("state").isin(reset_from)
+            self.catalog.write(
+                "tasks",
+                self._tasks()
+                .withColumn(
+                    "try_count",
+                    F.when(hit, F.lit(0)).otherwise(F.col("try_count")),
+                )
+                .withColumn(
+                    "state", F.when(hit, F.lit("NEW")).otherwise(F.col("state"))
+                ),
+            )
+            counts = (
+                self._tasks()
+                .filter(F.col("job_id") == job_id)
+                .agg(
+                    F.count_if(F.col("state").isin("NEW", "PENDING")).alias("a"),
+                    F.count_if(F.col("state") == "FAILED").alias("f"),
+                )
+                .first()
+            )
+            jobs = self.catalog.read("jobs")
+            sel = F.col("id") == job_id
+            self.catalog.write(
+                "jobs",
+                jobs.withColumn(
+                    "active_tasks",
+                    F.when(sel, F.lit(int(counts["a"]))).otherwise(
+                        F.col("active_tasks")
+                    ),
+                ).withColumn(
+                    "failed_tasks",
+                    F.when(sel, F.lit(int(counts["f"]))).otherwise(
+                        F.col("failed_tasks")
+                    ),
+                ),
+            )
+        return self.advance_job(job_id, "OrdersPrepared")
 
     def cancel_job(self, job_id: str, force: bool = False) -> str:
         """CancelJob: plain cancel only lands while the job is paused; a

@@ -320,6 +320,7 @@ def generate(out_dir: str | None = None, n_records: int = 200) -> str:
             "job_id": f"job-{i % 5}",
             "state": task_states[(i * 7) % 5],
             "payload": bytes([i % 256]),
+            "try_count": i % 3,  # deterministic, rng-free (byte-stability)
         }
         for i in range(20)
     ]

@@ -706,6 +706,7 @@ def consolidate_to_mucog(
     nodata: float | None = None,
     tile_order: str = "block",
     alpha_band: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """S5/S6 as REAL bytes: build one (Mu)COG GeoTIFF per output container
     from the tile table (``sources/gtiff.py`` — pure-stdlib TIFF 6.0 +
@@ -765,18 +766,23 @@ def consolidate_to_mucog(
         ]
     src = tiles_with_time.select(*sel)
 
-    out_schema = StructType(
-        [
-            StructField("container_uri", StringType(), False),
-            StructField("n_images", LongType(), False),
-            StructField("n_tiles", LongType(), False),
-            StructField("n_bytes", LongType(), False),
-            StructField("header_bytes", LongType(), False),
-            StructField("tiff", BinaryType(), False),
-        ]
-    )
+    fields = [
+        StructField("container_uri", StringType(), False),
+        StructField("n_images", LongType(), False),
+        StructField("n_tiles", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("header_bytes", LongType(), False),
+        StructField("tiff", BinaryType(), False),
+    ]
+    if on_error == "capture":
+        # per-TASK failure isolation (the queue consumer's contract,
+        # cmd/consolidater/main.go:149-159): a container whose build
+        # raises yields an error row instead of failing the whole Spark
+        # job, so one poisoned task cannot sink a thousand-task pass
+        fields.append(StructField("error", StringType(), True))
+    out_schema = StructType(fields)
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         if has_time:
             img_keys = sorted(set(zip(pdf["_t"], pdf["_rid"])))
             groups = {k: pdf[(pdf["_t"] == k[0]) & (pdf["_rid"] == k[1])] for k in img_keys}
@@ -919,6 +925,26 @@ def consolidate_to_mucog(
             ],
             columns=[f.name for f in out_schema.fields],
         )
+
+    if on_error == "capture":
+
+        def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            try:
+                out = _assemble(key, pdf)
+                out["error"] = None
+                return out
+            except Exception as exc:
+                return pd.DataFrame(
+                    [{
+                        "container_uri": key[0], "n_images": 0, "n_tiles": 0,
+                        "n_bytes": 0, "header_bytes": 0, "tiff": b"",
+                        "error": f"{type(exc).__name__}: {exc}",
+                    }],
+                    columns=[f.name for f in out_schema.fields],
+                )
+
+    else:
+        build = _assemble
 
     return src.groupBy("_container").applyInPandas(build, out_schema)
 

@@ -194,6 +194,10 @@ TASK = StructType(
         StructField("job_id", StringType(), False),
         StructField("state", StringType(), False),  # NEW PENDING DONE FAILED CANCELLED
         StructField("payload", BinaryType(), True),
+        # delivery-attempt counter (the message queue's TryCount,
+        # cmd/consolidater/main.go:131-137): a task redelivered more than
+        # the retry cap is dead-lettered as FAILED("too many tries")
+        StructField("try_count", IntegerType(), False),
     ]
 )
 

@@ -589,9 +589,17 @@ class TestConsolidateOrchestration:
         )
         job2 = c.consolidate("csld-retry", inst2, "regular_256")
         assert c.advance_job(job2, "ConsolidationFailed") == "CONSOLIDATIONFAILED"
-        assert c.retry_job(job2) == "CONSOLIDATIONRETRYING"
-        # the retry re-sends the orders and resumes consolidation
-        assert c.advance_job(job2, "OrdersPrepared") == "CONSOLIDATIONINPROGRESS"
+        # retry runs CONSOLIDATIONRETRYING's on-enter action
+        # (csldConsolidationRetry: FAILED tasks reset to NEW, then
+        # OrdersPrepared re-advances) and lands back in progress
+        assert c.retry_job(job2) == "CONSOLIDATIONINPROGRESS"
+        tstates = {
+            r["state"]
+            for r in c.catalog.read("tasks")
+            .filter(F.col("job_id") == job2)
+            .collect()
+        }
+        assert tstates == {"NEW"}
 
     def test_step_by_step_pauses_then_continues(self, csld_client):
         from geocube_spark.streaming.jobs import STEP_MAJOR
@@ -1131,3 +1139,320 @@ class TestJobLogsAndListing:
         all_jobs = c.list_jobs().orderBy("creation_ts", "id").collect()
         page = c.list_jobs(page=1, limit=2).collect()
         assert [r["id"] for r in page] == [r["id"] for r in all_jobs[2:4]]
+
+
+class TestJobGuards:
+    """Round-11 hardening: the jobs primary-key twin (duplicate names
+    rejected, pg_jobs.go Create), multi-dataset source containers
+    rejected by the worker, and the job-log pagination contract
+    (OFFSET page*limit LIMIT limit, pg_jobs.go:22)."""
+
+    @pytest.fixture()
+    def gc(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "guard_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        c.catalog.write(
+            "locked_datasets",
+            c.catalog.read("locked_datasets").filter(F.col("job_id") != "job-0"),
+        )
+        return c
+
+    def test_duplicate_consolidation_name_rejected(self, gc):
+        from geocube_spark.validation import ValidationError
+
+        c = gc
+        inst = c.catalog.read("instances").orderBy("name").first()["id"]
+        job_id = c.consolidate("dup-name", inst, "regular_256")
+        # identical name -> identical uuid5 id -> the jobs PK twin fires
+        # BEFORE any row is appended or lock taken
+        with pytest.raises(ValidationError, match="already exists"):
+            c.consolidate("dup-name", inst, "regular_256")
+        rows = c.catalog.read("jobs").filter(F.col("id") == job_id)
+        assert rows.count() == 1  # no duplicate row appended
+
+    def test_duplicate_deletion_name_rejected(self, gc):
+        from geocube_spark.validation import ValidationError
+
+        c = gc
+        job_id = c.delete_datasets_job("dup-del", dataset_patterns=["*"],
+                                       execution_level=4)
+        with pytest.raises(ValidationError, match="already exists"):
+            c.delete_datasets_job("dup-del", dataset_patterns=["*"],
+                                  execution_level=4)
+        assert (
+            c.catalog.read("jobs").filter(F.col("id") == job_id).count() == 1
+        )
+        # locks were not duplicated either
+        locks = c.catalog.read("locked_datasets").filter(
+            F.col("job_id") == job_id
+        )
+        assert locks.count() == locks.select("dataset_id").distinct().count()
+
+    def test_multi_dataset_source_container_rejected(self, gc):
+        """A source container holding several datasets (a consolidated
+        MuCOG with GTIFF_DIR subdirs) cannot be re-consolidated: the TILE
+        schema keys on container_uri alone, so record labelling would be
+        arbitrary (ADVICE r10)."""
+        from geocube_spark.validation import ValidationError
+
+        c = gc
+        helper = TestConsolidationLifecycle()
+        inst, rec_ids, ds_ids, job = helper._prepare(c, "multisrc")
+        # graft: make the first two job datasets share one container_uri,
+        # as if a prior consolidation had merged them into one MuCOG
+        a, b = ds_ids[0], ds_ids[1]
+        d = c.catalog.read("datasets")
+        shared = d.filter(F.col("id") == a).first()["container_uri"]
+        c.catalog.write(
+            "datasets",
+            d.withColumn(
+                "container_uri",
+                F.when(F.col("id") == b, F.lit(shared)).otherwise(
+                    F.col("container_uri")
+                ),
+            ).withColumn(
+                "subdir",
+                F.when(F.col("id") == a, F.lit("GTIFF_DIR:1"))
+                .when(F.col("id") == b, F.lit("GTIFF_DIR:2"))
+                .otherwise(F.col("subdir")),
+            ),
+        )
+        before = (
+            c.catalog.read("datasets").filter(F.col("status") == "INACTIVE").count()
+        )
+        with pytest.raises(ValidationError, match="multi-dataset"):
+            c.process_consolidation_job(job)
+        # the guard fired before any publish: no new INACTIVE datasets
+        assert (
+            c.catalog.read("datasets").filter(F.col("status") == "INACTIVE").count()
+            == before
+        )
+
+    def test_job_log_batch_order_and_paging(self, gc):
+        from geocube_spark.validation import ValidationError
+
+        c = gc
+        # one batch, three lines: newest-first must preserve reverse
+        # emission order even though all three share one wall-clock call
+        c._log_job("batch-job", [("INFO", "first"), ("INFO", "second"),
+                                 ("INFO", "third")])
+        msgs = [l["message"] for l in c.job_logs("batch-job", limit=None)]
+        assert msgs == ["third", "second", "first"]
+        # OFFSET page*limit LIMIT limit
+        assert [l["message"] for l in c.job_logs("batch-job", page=1, limit=1)] == [
+            "second"
+        ]
+        assert [l["message"] for l in c.job_logs("batch-job", page=1, limit=2)] == [
+            "first"
+        ]
+        # a page without a limit is an error, not a silent full read
+        with pytest.raises(ValidationError, match="log_page"):
+            c.job_logs("batch-job", page=2, limit=None)
+
+
+class TestTaskFailureAccounting:
+    """Per-task failure parity (job.go:772-800 UpdateTask counters +
+    cmd/consolidater/main.go:131-147 TryCount/temporary-error requeue):
+    a poisoned task fails ONCE, live active/failed counters track it
+    mid-lifecycle, and the RETRYING arc resets it back to DONE."""
+
+    @pytest.fixture()
+    def fc(self, spark, fixture_dir, tmp_path):
+        import shutil as _sh
+
+        root = tmp_path / "fail_catalog"
+        root.mkdir()
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            _sh.copy(f"{fixture_dir}/{t}.parquet", root / f"{t}.parquet")
+        c = GeocubeClient(spark, str(root))
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        return c
+
+    def _prepare_multi_task(self, c, name):
+        """Like TestConsolidationLifecycle._prepare but max_records=1, so
+        the single world cell chunks into one task per record."""
+        helper = TestConsolidationLifecycle()
+        inst, rec_ids, ds_ids = helper._tiled_selection(c)
+        var_id = (
+            c.catalog.read("instances").filter(F.col("id") == inst)
+            .first()["variable_id"]
+        )
+        c.config_consolidation(
+            var_id,
+            {"dtype": "Float64", "no_data": -32768.0,
+             "min_value": -1e12, "max_value": 1e12},
+            compression="NO",
+        )
+        c.create_layout(
+            name + "_layout",
+            {"grid": "regular", "crs": "epsg:4326", "cell_size": "256",
+             "resolution": "1000000", "ox": "0", "oy": "0"},
+            max_records=1,  # one record per task -> several tasks per cell
+        )
+        job = c.consolidate(name, inst, name + "_layout", record_ids=rec_ids)
+        return inst, rec_ids, ds_ids, job
+
+    def _poison(self, c, container_uri):
+        """Append a tile with a mismatched px length to one source
+        container — its output group's build raises 'mixed block pixel
+        counts', a real per-task failure (no injection hook)."""
+        tiles = c.catalog.read("tiles")
+        row = tiles.filter(F.col("container_uri") == container_uri).first()
+        bogus = c.spark.createDataFrame(
+            [{
+                "container_uri": container_uri, "band": row["band"],
+                "level": row["level"], "block_x": int(row["block_x"]) + 97,
+                "block_y": row["block_y"], "px": [0.0] * 16,
+                "crs_srid": row["crs_srid"],
+                "pix_to_crs": row["pix_to_crs"].asDict(),
+            }],
+            tiles.schema,
+        )
+        c.catalog.write("tiles", tiles.unionByName(bogus))
+
+    def _unpoison(self, c):
+        tiles = c.catalog.read("tiles")
+        c.catalog.write("tiles", tiles.filter(F.size("px") != 16))
+
+    def test_fail_once_retry_to_done(self, fc, tmp_path):
+        import json as _json
+
+        c = fc
+        inst, rec_ids, ds_ids, job = self._prepare_multi_task(c, "tfail")
+        n_tasks = c.catalog.read("tasks").filter(F.col("job_id") == job).count()
+        assert n_tasks >= 2, "need several tasks to watch partial failure"
+        assert c.get_job(job)["active_tasks"] == n_tasks
+
+        # poison the source container of the first task's first dataset
+        t0 = c.catalog.read("tasks").filter(F.col("job_id") == job).first()
+        victim_ds = _json.loads(bytes(t0["payload"]))["dataset_ids"][0]
+        victim_uri = (
+            c.catalog.read("datasets").filter(F.col("id") == victim_ds)
+            .first()["container_uri"]
+        )
+        self._poison(c, victim_uri)
+
+        # ---- delivery 1 (max_tries=1): TEMPORARY error -> requeue
+        state, deletion = c.process_consolidation_job(job)
+        assert state == "CONSOLIDATIONINPROGRESS" and deletion is None
+        tasks = c.catalog.read("tasks").filter(F.col("job_id") == job)
+        requeued = tasks.filter(F.col("state") == "NEW").collect()
+        assert len(requeued) == 1 and requeued[0]["try_count"] == 1
+        # live mid-lifecycle counters: the good tasks are DONE, one active
+        jrow = c.get_job(job)
+        assert jrow["active_tasks"] == 1 and jrow["failed_tasks"] == 0
+        assert jrow["tasks"] == {"DONE": n_tasks - 1, "NEW": 1}
+        assert any(
+            m["message"].startswith("temporary error")
+            for m in c.job_logs(job, limit=None)
+        )
+
+        # ---- delivery 2: try_count == max_tries -> terminal TaskFailed,
+        # last active task lands -> auto ConsolidationFailed
+        state, _ = c.process_consolidation_job(job)
+        assert state == "CONSOLIDATIONFAILED"
+        jrow = c.get_job(job)
+        assert jrow["active_tasks"] == 0 and jrow["failed_tasks"] == 1
+        msgs = [m["message"] for m in c.job_logs(job, limit=None)]
+        assert "Job failed: 1 tasks failed" in msgs
+        assert any(m.startswith("Task ") and "failed" in m for m in msgs)
+
+        # ---- retry arc: RETRYING's on-enter resets the FAILED task and
+        # re-enters progress; with the poison removed the job completes
+        self._unpoison(c)
+        assert c.retry_job(job) == "CONSOLIDATIONINPROGRESS"
+        jrow = c.get_job(job)
+        assert jrow["active_tasks"] == 1 and jrow["failed_tasks"] == 0
+        state, deletion_id = c.process_consolidation_job(job)
+        assert state == "DONE" and deletion_id
+        tstates = {r["state"] for r in
+                   c.catalog.read("tasks").filter(F.col("job_id") == job).collect()}
+        assert tstates == {"DONE"}
+        jrow = c.get_job(job)
+        assert jrow["active_tasks"] == 0 and jrow["failed_tasks"] == 0
+        # EVERY task's container got indexed, including the first pass's
+        # (the index phase reads all DONE tasks, not the last pass's)
+        new_ds = c.catalog.read("datasets").filter(
+            F.col("container_uri").startswith("consolidated/")
+        )
+        assert new_ds.select("container_uri").distinct().count() == n_tasks
+
+    def test_dead_letter_on_exhausted_redelivery(self, fc):
+        """A NEW task already delivered more than max_tries times is
+        dead-lettered as FAILED('too many tries') without running
+        (main.go:131-137)."""
+        c = fc
+        inst, rec_ids, ds_ids, job = self._prepare_multi_task(c, "tdead")
+        tasks = c.catalog.read("tasks")
+        t0 = tasks.filter(F.col("job_id") == job).first()
+        c.catalog.write(
+            "tasks",
+            tasks.withColumn(
+                "try_count",
+                F.when(F.col("id") == t0["id"], F.lit(9)).otherwise(
+                    F.col("try_count")
+                ),
+            ),
+        )
+        state, _ = c.process_consolidation_job(job)
+        assert state == "CONSOLIDATIONFAILED"
+        row = (
+            c.catalog.read("tasks").filter(F.col("id") == t0["id"]).first()
+        )
+        assert row["state"] == "FAILED"
+        msgs = [m["message"] for m in c.job_logs(job, limit=None)]
+        assert any("too many tries" in m for m in msgs)
+
+    def test_handle_task_event_guards(self, fc):
+        from geocube_spark.validation import ValidationError
+
+        c = fc
+        inst, rec_ids, ds_ids, job = self._prepare_multi_task(c, "tguard")
+        tid, tid2 = sorted(
+            r["id"]
+            for r in c.catalog.read("tasks")
+            .filter(F.col("job_id") == job)
+            .collect()
+        )
+        # SENT -> PENDING shows in the pivot counters (live visibility)
+        assert c.handle_task_event(job, tid, "SENT") == "CONSOLIDATIONINPROGRESS"
+        assert c.get_job(job)["tasks"]["PENDING"] == 1
+        # unknown task -> EntityNotFound twin
+        with pytest.raises(KeyError, match="unknown task"):
+            c.handle_task_event(job, "no-such-task", "SENT")
+        # a FAILED task may still be promoted by a late success
+        # (job.go:714-718) while another task keeps the job active
+        c.handle_task_event(job, tid2, "FAILED", "boom")
+        assert c.get_job(job)["failed_tasks"] == 1
+        assert c.handle_task_event(job, tid2, "SUCCESSFUL") == (
+            "CONSOLIDATIONINPROGRESS"
+        )
+        assert c.get_job(job)["failed_tasks"] == 0
+        # DONE tasks reject demotion (job.go:711-713)
+        with pytest.raises(ValidationError, match="unhandled event"):
+            c.handle_task_event(job, tid2, "FAILED", "late failure")
+        # the last active task landing auto-advances the job, after which
+        # further events are rejected wholesale (job.go:705-708)
+        assert c.handle_task_event(job, tid, "SUCCESSFUL") == "CONSOLIDATIONDONE"
+        with pytest.raises(ValidationError, match="cannot handle task events"):
+            c.handle_task_event(job, tid, "FAILED", "straggler")
