@@ -461,6 +461,105 @@ def run_task_queue_stream(
     )
 
 
+def run_task_queue_with_retry(
+    spark: SparkSession,
+    tasks_path: str,
+    per_task: Callable,
+    checkpoint: str,
+    max_tries: int = 1,
+    dead_letter_path: str | None = None,
+):
+    """The temporary-error requeue arc of the queue consumer
+    (cmd/consolidater/main.go:131-147) as an explicit
+    dead-letter-after-N policy over the micro-batch stream.
+
+    Per delivered task row: one already redelivered more than
+    ``max_tries`` times is DEAD-LETTERED without running ("too many
+    tries", main.go:131-137); ``per_task`` raising with tries left
+    REQUEUES the row — appended back to the landing zone with
+    ``try_count`` + 1, exactly the broker's redelivery (main.go:144-147);
+    raising with tries exhausted dead-letters it with the error.  The
+    ``availableNow`` trigger only sees files present at start, so each
+    invocation is one delivery round — re-invoke with the same checkpoint
+    until a round requeues nothing (the test loop and a production cron
+    share this shape).  Task rows are queue MESSAGES (one per output
+    container), so the driver-side loop is the reference consumer's own
+    cardinality, not a data-sized collect.
+
+    :func:`drain_task_queue_batch` is the batch twin; the stream==batch
+    convergence test holds the two to identical outcomes."""
+    schema = spark.read.parquet(tasks_path).schema
+
+    def _handler(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.collect()
+        requeue: list[dict] = []
+        dead: list[dict] = []
+        for r in rows:
+            d = r.asDict()
+            tc = int(d.get("try_count") or 0)
+            if tc > max_tries:
+                dead.append({**d, "error": "too many tries"})
+                continue
+            try:
+                per_task(r)
+            except Exception as exc:
+                if tc < max_tries:
+                    requeue.append({**d, "try_count": tc + 1})
+                else:
+                    dead.append(
+                        {**d, "error": f"{type(exc).__name__}: {exc}"}
+                    )
+        if requeue:
+            spark.createDataFrame(requeue, schema).write.mode("append").parquet(
+                tasks_path
+            )
+        if dead and dead_letter_path:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            dl_schema = StructType(
+                list(schema.fields) + [StructField("error", StringType(), True)]
+            )
+            spark.createDataFrame(dead, dl_schema).write.mode("append").parquet(
+                dead_letter_path
+            )
+
+    stream = spark.readStream.schema(schema).parquet(tasks_path)
+    return (
+        stream.writeStream.foreachBatch(_handler)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def drain_task_queue_batch(
+    rows: list, per_task: Callable, max_tries: int = 1
+) -> tuple[list, list]:
+    """Batch twin of :func:`run_task_queue_with_retry`: apply the same
+    redelivery policy with in-memory requeues until the queue drains.
+    Returns ``(succeeded, dead)`` where ``dead`` rows carry ``error``."""
+    pending = [dict(r.asDict() if hasattr(r, "asDict") else r) for r in rows]
+    done: list[dict] = []
+    dead: list[dict] = []
+    while pending:
+        nxt: list[dict] = []
+        for d in pending:
+            tc = int(d.get("try_count") or 0)
+            if tc > max_tries:
+                dead.append({**d, "error": "too many tries"})
+                continue
+            try:
+                per_task(d)
+                done.append(d)
+            except Exception as exc:
+                if tc < max_tries:
+                    nxt.append({**d, "try_count": tc + 1})
+                else:
+                    dead.append({**d, "error": f"{type(exc).__name__}: {exc}"})
+        pending = nxt
+    return done, dead
+
+
 def trending_topk_batch(
     events: DataFrame, window: str = "1 hour", k: int = 3
 ) -> DataFrame:

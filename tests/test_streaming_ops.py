@@ -777,3 +777,101 @@ class TestStreamingPyramidRefresh:
             for r in cat.read("pyr").collect()
         }
         assert before == after
+
+
+class TestTaskQueueRetry:
+    """The temporary-error requeue arc (main.go:131-147) as an explicit
+    dead-letter-after-N policy: stream and batch twins converge to the
+    same succeeded/dead sets."""
+
+    def _rows(self, spark, fixture_dir, queue_dir):
+        spark.read.parquet(f"{fixture_dir}/tasks.parquet").write.parquet(
+            queue_dir
+        )
+        return spark.read.parquet(queue_dir).collect()
+
+    @staticmethod
+    def _flaky(fail_first, permanent):
+        """A per-task handler failing deterministically: ids in
+        ``fail_first`` raise on their first delivery only; ids in
+        ``permanent`` always raise."""
+        attempts = {}
+
+        def per_task(row):
+            d = row if isinstance(row, dict) else row.asDict()
+            tid = d["id"]
+            n = attempts[tid] = attempts.get(tid, 0) + 1
+            if tid in permanent:
+                raise RuntimeError("permanent failure")
+            if tid in fail_first and n == 1:
+                raise RuntimeError("transient failure")
+
+        return per_task, attempts
+
+    def test_stream_batch_convergence(self, spark, fixture_dir, tmp_path):
+        from geocube_spark.streaming.jobs import (
+            drain_task_queue_batch,
+            run_task_queue_with_retry,
+        )
+
+        queue_dir = str(tmp_path / "rq")
+        dl_dir = str(tmp_path / "dead")
+        rows = self._rows(spark, fixture_dir, queue_dir)
+        ids = sorted(r["id"] for r in rows)
+        fail_first = set(ids[:3])
+        permanent = set(ids[3:5])
+
+        # ---- batch twin
+        per_task_b, attempts_b = self._flaky(fail_first, permanent)
+        # the fixture's try_count values are nonzero; zero them so both
+        # twins start from fresh deliveries
+        zeroed = [dict(r.asDict(), try_count=0) for r in rows]
+        done_b, dead_b = drain_task_queue_batch(
+            zeroed, per_task_b, max_tries=1
+        )
+        assert {d["id"] for d in done_b} == set(ids) - permanent
+        assert {d["id"] for d in dead_b} == permanent
+        assert all(d["error"].endswith("permanent failure") for d in dead_b)
+        # transient tasks were delivered twice, permanent ones twice (cap 1)
+        assert all(attempts_b[t] == 2 for t in fail_first | permanent)
+
+        # ---- streaming twin over the same policy: one delivery round per
+        # invocation; loop until the queue drains (no new requeue files)
+        import shutil
+
+        shutil.rmtree(queue_dir)
+        spark.createDataFrame(
+            zeroed, spark.read.parquet(f"{fixture_dir}/tasks.parquet").schema
+        ).write.parquet(queue_dir)
+        per_task_s, attempts_s = self._flaky(fail_first, permanent)
+        handled = set()
+
+        def per_task_stream(row):
+            handled.add(row["id"])
+            per_task_s(row)
+
+        for _ in range(3):  # initial + 1 redelivery + settle round
+            q = run_task_queue_with_retry(
+                spark, queue_dir, per_task_stream,
+                checkpoint=str(tmp_path / "ckpt"),
+                max_tries=1, dead_letter_path=dl_dir,
+            )
+            q.awaitTermination(120)
+        dead_s = spark.read.parquet(dl_dir).collect()
+        assert {d["id"] for d in dead_s} == permanent
+        assert attempts_s == attempts_b  # identical delivery counts
+        assert handled == set(ids)
+
+    def test_exhausted_redelivery_dead_letters_without_running(
+        self, spark, fixture_dir, tmp_path
+    ):
+        from geocube_spark.streaming.jobs import drain_task_queue_batch
+
+        rows = self._rows(spark, fixture_dir, str(tmp_path / "q2"))
+        poisoned = [dict(r.asDict(), try_count=9) for r in rows[:2]]
+        ran = []
+        done, dead = drain_task_queue_batch(
+            poisoned, lambda d: ran.append(d["id"]), max_tries=1
+        )
+        assert not ran and not done
+        assert all(d["error"] == "too many tries" for d in dead)
