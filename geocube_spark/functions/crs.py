@@ -1570,6 +1570,48 @@ def _maybe_build_transform(src: int, dst: int) -> Transform | None:
     return fn
 
 
+def _pyproj_transform(src: int, dst: int) -> Transform | None:
+    """Optional-import pyproj adapter — the structural close of the one
+    reference behavior the closed-form kernels don't cover: PROJ accepts
+    ANY EPSG pair (internal/utils/proj/proj.go:47-73 via godal), while the
+    built-in kernels cover the families real satellite products ship in.
+    When pyproj is importable, any remaining (src, dst) pair resolves
+    through it on demand; when absent (this container), returns None and
+    resolve_transform keeps raising CRSError as documented.
+
+    The returned closure carries only the two EPSG ints and builds its
+    ``Transformer`` lazily per process: pyproj Transformers are not
+    reliably picklable, so the executor re-imports pyproj (installed
+    cluster-wide whenever it is on the driver) instead of shipping the
+    object by value."""
+    try:
+        import pyproj  # noqa: F401
+    except ImportError:
+        return None
+
+    def fn(xs, ys, _cache: list = []):  # noqa: B006 - per-process memo
+        if not _cache:
+            from pyproj import Transformer
+
+            _cache.append(
+                Transformer.from_crs(
+                    f"EPSG:{src}", f"EPSG:{dst}", always_xy=True
+                )
+            )
+        x2, y2 = _cache[0].transform(xs, ys)
+        return (
+            np.asarray(x2, dtype=np.float64),
+            np.asarray(y2, dtype=np.float64),
+        )
+
+    # fail fast on the driver for an EPSG code PROJ doesn't know either
+    try:
+        fn(np.array([0.0]), np.array([0.0]))
+    except Exception as exc:
+        raise CRSError(f"pyproj cannot transform {src} -> {dst}: {exc}") from exc
+    return fn
+
+
 def resolve_transform(src: int, dst: int) -> Transform:
     """Resolve a transform ON THE DRIVER and return the callable itself.
 
@@ -1579,12 +1621,20 @@ def resolve_transform(src: int, dst: int) -> Transform:
     travel with the task — whereas a registry lookup inside the closure
     would consult the executor's freshly-imported (built-ins-only) module
     registry and fail for any register_transform() addition.  Also fails
-    fast on the driver instead of at task runtime."""
+    fast on the driver instead of at task runtime.
+
+    Resolution order: explicit register_transform() entries, the
+    closed-form kernel families, then — if pyproj is importable — the
+    on-demand pyproj adapter (cached in the registry like any plugin)."""
     if src == dst:
         return lambda xs, ys: (xs, ys)
     fn = _REGISTRY.get((src, dst))
     if fn is None:
         fn = _maybe_build_transform(src, dst)
+    if fn is None:
+        fn = _pyproj_transform(src, dst)
+        if fn is not None:
+            _REGISTRY[(src, dst)] = fn
     if fn is None:
         raise CRSError(f"no transform registered for {src} -> {dst}")
     return fn

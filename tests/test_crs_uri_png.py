@@ -1214,3 +1214,77 @@ class TestGridShiftTransforms:
         # accuracy; the fixed-point contraction rate is the shift gradient
         assert np.max(np.abs(ix - lon)) < 1e-9
         assert np.max(np.abs(iy - lat)) < 1e-9
+
+
+class TestPyprojAdapter:
+    """The optional-import pyproj bridge (crs._pyproj_transform): when
+    pyproj is importable, any EPSG pair with no closed-form kernel
+    resolves through it on demand; absent, CRSError stands."""
+
+    @pytest.fixture()
+    def fake_pyproj(self):
+        """A minimal pyproj stand-in: EPSG:99901 is a pure shift of
+        lon/lat (x+1000, y+2000), so expected outputs are analytic."""
+        import sys
+        import types
+
+        import numpy as _np
+
+        from geocube_spark.functions import crs as crs_mod
+
+        class _FakeTransformer:
+            def __init__(self, s, d):
+                self.sign = 1 if d == "EPSG:4326" else -1
+                if "99901" not in (s + d):
+                    raise ValueError(f"unknown CRS pair {s} {d}")
+
+            @classmethod
+            def from_crs(cls, s, d, always_xy=False):
+                assert always_xy
+                return cls(s, d)
+
+            def transform(self, xs, ys):
+                xs = _np.asarray(xs, dtype=float)
+                ys = _np.asarray(ys, dtype=float)
+                return xs + 1000.0 * self.sign, ys + 2000.0 * self.sign
+
+        mod = types.ModuleType("pyproj")
+        mod.Transformer = _FakeTransformer
+        sys.modules["pyproj"] = mod
+        try:
+            yield mod
+        finally:
+            del sys.modules["pyproj"]
+            crs_mod._REGISTRY.pop((99901, 4326), None)
+            crs_mod._REGISTRY.pop((4326, 99901), None)
+
+    def test_unknown_pair_raises_without_pyproj(self):
+        from geocube_spark.functions.crs import CRSError, resolve_transform
+
+        with pytest.raises(CRSError, match="no transform registered"):
+            resolve_transform(99901, 4326)
+
+    def test_adapter_resolves_and_caches(self, fake_pyproj):
+        import numpy as np
+
+        from geocube_spark.functions import crs as crs_mod
+        from geocube_spark.functions.crs import transform_points
+
+        xs, ys = transform_points(99901, 4326, np.array([1.0]), np.array([2.0]))
+        assert xs[0] == 1001.0 and ys[0] == 2002.0
+        # registered like any plugin: second resolution is a cache hit
+        assert (99901, 4326) in crs_mod._REGISTRY
+
+    def test_warp_path_uses_adapter(self, fake_pyproj):
+        """The cover/warp entry point (warped_extent -> transform_points)
+        picks the adapter up with no further wiring."""
+        from geocube_spark.functions.crs import warped_extent
+
+        ext = warped_extent(99901, 4326, 0.0, 0.0, 1.0, 1.0)
+        assert ext == (1000.0, 2000.0, 1001.0, 2001.0)
+
+    def test_unknown_to_pyproj_too_raises(self, fake_pyproj):
+        from geocube_spark.functions.crs import CRSError, resolve_transform
+
+        with pytest.raises(CRSError, match="pyproj cannot transform"):
+            resolve_transform(88888, 77777)
