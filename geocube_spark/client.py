@@ -1923,7 +1923,16 @@ class GeocubeClient:
         if state == "DELETIONEFFECTIVE":
             self._log_job(job_id, [("INFO", "Delete containers...")])
             # delDeleteContainers (operations.go:335-412): each task's URI
-            # joins the storage-GC manifest; tasks flip to DONE
+            # joins the storage-GC manifest; every consumed task completes
+            # through the event path (per-task DEBUG line + live counters,
+            # the same UpdateTask plumbing the consolidation worker uses)
+            pending_ids = [
+                r["id"]
+                for r in self.catalog.read("tasks")
+                .filter((F.col("job_id") == job_id) & (F.col("state") == "NEW"))
+                .select("id")
+                .collect()  # task-sized: one row per doomed container
+            ]
             pending = self.catalog.read("tasks").filter(
                 (F.col("job_id") == job_id) & (F.col("state") == "NEW")
             )
@@ -1934,16 +1943,8 @@ class GeocubeClient:
                     .unionByName(manifest).distinct()
                 )
             self.catalog.write("pending_deletions", manifest)
-            tasks = self.catalog.read("tasks")
-            self.catalog.write(
-                "tasks",
-                tasks.withColumn(
-                    "state",
-                    F.when(
-                        (F.col("job_id") == job_id) & (F.col("state") == "NEW"),
-                        F.lit("DONE"),
-                    ).otherwise(F.col("state")),
-                ),
+            self.handle_task_events(
+                job_id, [(t, "SUCCESSFUL", "") for t in pending_ids]
             )
             self._set_job_state(job_id, "DONE", False)
             return "DONE"
