@@ -1085,15 +1085,19 @@ class GeocubeClient:
                 [{"id": t, "_new_state": st} for t, st in updates.items()],
                 "id string, _new_state string",
             )
-            self.catalog.write(
-                "tasks",
-                self._tasks()
-                .join(F.broadcast(upd), "id", "left")
-                .withColumn(
-                    "state", F.coalesce(F.col("_new_state"), F.col("state"))
+
+            def transform_tasks(tasks: DataFrame) -> DataFrame:
+                if "try_count" not in tasks.columns:
+                    tasks = tasks.withColumn("try_count", F.lit(0))
+                return (
+                    tasks.join(F.broadcast(upd), "id", "left")
+                    .withColumn(
+                        "state", F.coalesce(F.col("_new_state"), F.col("state"))
+                    )
+                    .drop("_new_state")
                 )
-                .drop("_new_state"),
-            )
+
+            self._rmw("tasks", transform_tasks)
         # recount from the COMMITTED rows (never a pre-write lazy plan)
         counts = (
             self._tasks()
@@ -1104,19 +1108,25 @@ class GeocubeClient:
             )
             .first()
         )
-        jobs = self.catalog.read("jobs")
         hit = F.col("id") == job_id
-        self.catalog.write(
+        self._rmw(
             "jobs",
-            jobs.withColumn(
+            lambda jobs: jobs.withColumn(
                 "active_tasks",
                 F.when(hit, F.lit(int(counts["active"]))).otherwise(
                     F.col("active_tasks")
                 ),
-            ).withColumn(
+            )
+            .withColumn(
                 "failed_tasks",
                 F.when(hit, F.lit(int(counts["failed"]))).otherwise(
                     F.col("failed_tasks")
+                ),
+            )
+            .withColumn(
+                "last_update_ts",
+                F.when(hit, F.lit(datetime.now())).otherwise(
+                    F.col("last_update_ts")
                 ),
             ),
         )
@@ -1147,19 +1157,57 @@ class GeocubeClient:
         ):
             raise ValidationError(f"job {job_name!r} already exists")
 
-    def _set_job_state(self, job_id: str, state: str, waiting: bool, active_tasks: int | None = None) -> None:
-        jobs = self.catalog.read("jobs")
-        hit = F.col("id") == job_id
-        updated = (
-            jobs.withColumn("state", F.when(hit, F.lit(state)).otherwise(F.col("state")))
-            .withColumn("waiting", F.when(hit, F.lit(waiting)).otherwise(F.col("waiting")))
+    def _rmw(self, table: str, transform, retries: int = 8) -> None:
+        """Read-modify-write a catalog table under compare-and-swap: the
+        write commits only if the table is still at the version the
+        transform read, else re-reads and re-derives (the unitOfWork
+        optimistic-concurrency loop, svc/service.go:651-672).  Without
+        this, two concurrent state-machine writers would each overwrite
+        the whole table from their own stale read and silently drop the
+        other's committed rows (the lost-update anomaly)."""
+        from geocube_spark.sources.catalog import CommitConflict
+
+        for _ in range(retries):
+            v = self.catalog.version(table)
+            try:
+                self.catalog.write(
+                    table, transform(self.catalog.read(table)), expect_version=v
+                )
+                return
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"table {table!r}: {retries} straight lost commit races"
         )
-        if active_tasks is not None:
-            updated = updated.withColumn(
-                "active_tasks",
-                F.when(hit, F.lit(int(active_tasks))).otherwise(F.col("active_tasks")),
+
+    def _set_job_state(self, job_id: str, state: str, waiting: bool, active_tasks: int | None = None) -> None:
+        hit = F.col("id") == job_id
+
+        def transform(jobs: DataFrame) -> DataFrame:
+            updated = (
+                jobs.withColumn(
+                    "state", F.when(hit, F.lit(state)).otherwise(F.col("state"))
+                )
+                .withColumn(
+                    "waiting", F.when(hit, F.lit(waiting)).otherwise(F.col("waiting"))
+                )
+                .withColumn(
+                    "last_update_ts",
+                    F.when(hit, F.lit(datetime.now())).otherwise(
+                        F.col("last_update_ts")
+                    ),
+                )
             )
-        self.catalog.write("jobs", updated)
+            if active_tasks is not None:
+                updated = updated.withColumn(
+                    "active_tasks",
+                    F.when(hit, F.lit(int(active_tasks))).otherwise(
+                        F.col("active_tasks")
+                    ),
+                )
+            return updated
+
+        self._rmw("jobs", transform)
 
     def _csld_prepare_orders(self, job_id: str) -> None:
         """csldPrepareOrders (consolidater.go:166-407): plan one task per
@@ -2147,13 +2195,7 @@ class GeocubeClient:
             job_type=row["type"], exec_level=row["execution_level"],
             waiting=row["waiting"], with_waiting=True,
         )
-        hit = F.col("id") == job_id
-        updated = jobs.withColumn(
-            "state", F.when(hit, F.lit(new_state)).otherwise(F.col("state"))
-        ).withColumn(
-            "waiting", F.when(hit, F.lit(new_waiting)).otherwise(F.col("waiting"))
-        )
-        self.catalog.write("jobs", updated)
+        self._set_job_state(job_id, new_state, new_waiting)
         return new_state
 
     def get_job(self, job_id: str, log_page: int = 0, log_limit: int | None = 10) -> dict:
@@ -2196,17 +2238,18 @@ class GeocubeClient:
         ]
         if self.catalog.exists("tasks"):
             hit = (F.col("job_id") == job_id) & F.col("state").isin(reset_from)
-            self.catalog.write(
-                "tasks",
-                self._tasks()
-                .withColumn(
+
+            def transform_tasks(tasks: DataFrame) -> DataFrame:
+                if "try_count" not in tasks.columns:
+                    tasks = tasks.withColumn("try_count", F.lit(0))
+                return tasks.withColumn(
                     "try_count",
                     F.when(hit, F.lit(0)).otherwise(F.col("try_count")),
-                )
-                .withColumn(
+                ).withColumn(
                     "state", F.when(hit, F.lit("NEW")).otherwise(F.col("state"))
-                ),
-            )
+                )
+
+            self._rmw("tasks", transform_tasks)
             counts = (
                 self._tasks()
                 .filter(F.col("job_id") == job_id)
@@ -2216,11 +2259,10 @@ class GeocubeClient:
                 )
                 .first()
             )
-            jobs = self.catalog.read("jobs")
             sel = F.col("id") == job_id
-            self.catalog.write(
+            self._rmw(
                 "jobs",
-                jobs.withColumn(
+                lambda jobs: jobs.withColumn(
                     "active_tasks",
                     F.when(sel, F.lit(int(counts["a"]))).otherwise(
                         F.col("active_tasks")

@@ -34,6 +34,14 @@ TABLES = {
 }
 
 
+class CommitConflict(RuntimeError):
+    """Raised by :meth:`Catalog.write` with ``expect_version`` when another
+    writer committed first — the optimistic-concurrency conflict signal
+    (the reference's unitOfWork transaction failing on a concurrent
+    update, svc/service.go:651-672).  The caller re-reads and re-derives;
+    nothing was published."""
+
+
 class Catalog:
     """A directory of parquet tables, one per entity, made visible through a
     minimal Delta-style COMMIT LOG.
@@ -172,6 +180,12 @@ class Catalog:
     def exists(self, name: str) -> bool:
         return self._current(name) is not None
 
+    def version(self, name: str) -> int:
+        """Current committed version (0 = legacy/bootstrap-only or absent)
+        — the token a read-modify-write passes back as ``expect_version``."""
+        cur = self._current(name)
+        return cur[0] if cur else 0
+
     def compact(
         self,
         name: str,
@@ -223,6 +237,7 @@ class Catalog:
         df: DataFrame,
         mode: str = "overwrite",
         commit_meta: dict | None = None,
+        expect_version: int | None = None,
     ) -> None:
         """Commit a new table version: materialize the snapshot to a fresh
         immutable dir (safe while a lazy plan still reads the current
@@ -230,7 +245,17 @@ class Catalog:
         single atomic put-if-absent of the commit file.  After the commit
         succeeds, superseded versions and crash orphans are garbage-
         collected; a crash before GC leaves only invisible garbage that the
-        next write sweeps."""
+        next write sweeps.
+
+        ``expect_version`` makes the write a COMPARE-AND-SWAP: it commits
+        only if the table is still at that version, else raises
+        :class:`CommitConflict` (snapshot discarded, nothing published).
+        Blind overwrites (no ``expect_version``) keep last-writer-wins
+        semantics — correct for full-table replaces; any READ-MODIFY-WRITE
+        derived from the current version must pass the version it read, or
+        a concurrent writer's committed rows would silently vanish into
+        the loser's retry (the lost-update anomaly the reference's
+        unitOfWork transaction rejects, svc/service.go:651-672)."""
         import json
         import shutil
         import time
@@ -246,6 +271,12 @@ class Catalog:
 
         for _ in range(16):  # bounded optimistic-concurrency retries
             cur = self._current(name)
+            if expect_version is not None and (cur[0] if cur else 0) != expect_version:
+                shutil.rmtree(f"{data_dir}/{snap}", ignore_errors=True)
+                raise CommitConflict(
+                    f"table {name!r} moved to v{cur[0] if cur else 0} "
+                    f"(expected v{expect_version}); re-read and re-derive"
+                )
             version = (cur[0] if cur else 0) + 1
             tmp = f"{log_dir}/.tmp_commit_{name}_{_uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:

@@ -212,3 +212,61 @@ class TestReaderVsGC:
             cat.read("t", version=1)
         # history shows exactly the retained window
         assert [r["version"] for r in cat.history("t").collect()] == [3, 2]
+
+
+class TestCompareAndSwap:
+    """expect_version CAS (the unitOfWork optimistic-concurrency twin,
+    svc/service.go:651-672): a read-modify-write that lost the race must
+    raise — not silently republish its stale derivation — and the client's
+    _rmw loop must make concurrent state-machine writers serializable."""
+
+    def test_stale_version_rejected_and_nothing_published(self, spark, cat):
+        from geocube_spark.sources.catalog import CommitConflict
+
+        cat.write("t", _df(spark, 1))
+        v = cat.version("t")
+        cat.write("t", _df(spark, 2))  # rival commits first
+        derived = cat.read("t")  # stale RMW derivation
+        with pytest.raises(CommitConflict, match="moved to v2"):
+            cat.write("t", derived.withColumn("w", F.lit(9)), expect_version=v)
+        # the winner's data is intact and the loser's snapshot is not live
+        assert [r["w"] for r in cat.read("t").select("w").distinct().collect()] == [2]
+        live = {
+            json.load(open(p))["dir"] for _, p in cat._commits("t")
+        }
+        assert set(os.listdir(cat._data_dir("t"))) <= live | set()
+
+    def test_concurrent_rmw_state_writers_lose_no_update(
+        self, spark, fixture_dir, tmp_path
+    ):
+        """Two threads flipping DIFFERENT job rows through _set_job_state:
+        without CAS one whole-table overwrite would swallow the other's
+        committed row; with the _rmw loop both land every time."""
+        import shutil as _sh
+
+        from geocube_spark.client import GeocubeClient
+
+        root = tmp_path / "cas_catalog"
+        root.mkdir()
+        _sh.copy(f"{fixture_dir}/jobs.parquet", root / "jobs.parquet")
+        c = GeocubeClient(spark, str(root))
+        errs: list[Exception] = []
+
+        def flip(job_id: str, state: str):
+            try:
+                for _ in range(3):
+                    c._set_job_state(job_id, state, False)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        t1 = threading.Thread(target=flip, args=("job-1", "DONE"))
+        t2 = threading.Thread(target=flip, args=("job-2", "FAILED"))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs
+        rows = {
+            r["id"]: r["state"]
+            for r in c.catalog.read("jobs")
+            .filter(F.col("id").isin("job-1", "job-2"))
+            .collect()
+        }
+        assert rows == {"job-1": "DONE", "job-2": "FAILED"}
