@@ -1456,3 +1456,26 @@ class TestTaskFailureAccounting:
         assert c.handle_task_event(job, tid, "SUCCESSFUL") == "CONSOLIDATIONDONE"
         with pytest.raises(ValidationError, match="cannot handle task events"):
             c.handle_task_event(job, tid, "FAILED", "straggler")
+
+    def test_crashed_pass_recovery_picks_up_pending(self, fc):
+        """A worker that crashed between SENT and the outcome events
+        leaves tasks PENDING; the next process_consolidation_job run
+        picks them up (no task is stranded, the job still lands DONE)."""
+        c = fc
+        inst, rec_ids, ds_ids, job = self._prepare_multi_task(c, "tcrash")
+        tids = [
+            r["id"]
+            for r in c.catalog.read("tasks")
+            .filter(F.col("job_id") == job)
+            .collect()
+        ]
+        # simulate the crash: SENT delivered, worker died before outcomes
+        c.handle_task_events(job, [(t, "SENT", "") for t in tids])
+        assert c.get_job(job)["tasks"] == {"PENDING": len(tids)}
+        state, deletion_id = c.process_consolidation_job(job)
+        assert state == "DONE" and deletion_id
+        tstates = {
+            r["state"]
+            for r in c.catalog.read("tasks").filter(F.col("job_id") == job).collect()
+        }
+        assert tstates == {"DONE"}
