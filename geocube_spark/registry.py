@@ -9788,3 +9788,224 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# --------------------------------------------------------- round-11 e2e
+
+
+def ensure_task_retry_job(spark: SparkSession) -> str:
+    """Materialize ONCE the per-task failure-accounting scenario over a
+    copy of the fixture catalog (keyed to a hash of the code that drives
+    it, so any change to the accounting path regenerates the fixture):
+
+      1. consolidate() a one-task-per-record job (max_records=1 world-cell
+         layout) on the instance with the most tiled datasets;
+      2. poison ONE source container with a mismatched-px tile — a real
+         build failure, no injection hook;
+      3. process: the poisoned task fails as a TEMPORARY error and is
+         requeued (try_count 1, main.go:144-147);
+      4. process again: the redelivery exhausts max_tries -> terminal
+         TaskFailed -> the last active task landing auto-advances to
+         CONSOLIDATIONFAILED ("Job failed: 1 tasks failed");
+      5. retry_job: CONSOLIDATIONRETRYING's on-enter resets the FAILED
+         task (csldConsolidationRetry, consolidater.go:797-808);
+      6. unpoison + process: the job completes DONE.
+
+    The catalog left behind holds the full accounting trail the
+    ``task_retry_e2e`` query hash-checks."""
+    import json as _json
+    import shutil
+
+    root = os.path.join(FIXTURE_DIR, "task_retry_catalog")
+    marker = os.path.join(root, "_done")
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for rel in ("client.py", "operators/consolidation.py", "streaming/jobs.py"):
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    code_hash = h.hexdigest()
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() != code_hash:
+                os.remove(marker)
+    if not os.path.exists(marker):
+        from geocube_spark.client import GeocubeClient
+
+        fd = ensure_fixtures()
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root)
+        for t in ("aoi", "records", "variables", "instances", "containers",
+                  "datasets", "tiles", "layouts", "consolidation_params",
+                  "jobs", "tasks", "locked_datasets"):
+            shutil.copy(os.path.join(fd, f"{t}.parquet"),
+                        os.path.join(root, f"{t}.parquet"))
+        c = GeocubeClient(spark, root)
+        c.catalog.write(
+            "datasets",
+            c.catalog.read("datasets").withColumn(
+                "locked_by_job_id", F.lit(None).cast("string")
+            ),
+        )
+        c.catalog.write(
+            "locked_datasets",
+            c.catalog.read("locked_datasets").filter(F.col("job_id") != "job-0"),
+        )
+        # deterministic instance pick: most tiled datasets, id ascending —
+        # the oracle replays this argmax in SQL
+        tiled = (
+            c.catalog.read("tiles").select("container_uri").distinct()
+            .join(c.catalog.read("datasets"), "container_uri")
+        )
+        pick = (
+            tiled.groupBy("instance_id")
+            .agg(F.count_distinct("id").alias("n"))
+            .orderBy(F.col("n").desc(), "instance_id")
+            .first()
+        )
+        inst = pick["instance_id"]
+        sel = tiled.filter(F.col("instance_id") == inst)
+        rec_ids = sorted({r["record_id"] for r in sel.select("record_id").collect()})
+        var_id = (
+            c.catalog.read("instances").filter(F.col("id") == inst)
+            .first()["variable_id"]
+        )
+        c.config_consolidation(
+            var_id,
+            {"dtype": "Float64", "no_data": -32768.0,
+             "min_value": -1e12, "max_value": 1e12},
+            compression="NO",
+        )
+        c.create_layout(
+            "retry_e2e_layout",
+            {"grid": "regular", "crs": "epsg:4326", "cell_size": "256",
+             "resolution": "1000000", "ox": "0", "oy": "0"},
+            max_records=1,  # one task per record
+        )
+        job = c.consolidate("retry-e2e", inst, "retry_e2e_layout",
+                            record_ids=rec_ids)
+        # poison the lexicographically-first task's first dataset
+        t0 = (
+            c.catalog.read("tasks").filter(F.col("job_id") == job)
+            .orderBy("id").first()
+        )
+        victim_ds = _json.loads(bytes(t0["payload"]))["dataset_ids"][0]
+        victim_uri = (
+            c.catalog.read("datasets").filter(F.col("id") == victim_ds)
+            .first()["container_uri"]
+        )
+        tiles = c.catalog.read("tiles")
+        row = tiles.filter(F.col("container_uri") == victim_uri).first()
+        bogus = spark.createDataFrame(
+            [{
+                "container_uri": victim_uri, "band": row["band"],
+                "level": row["level"], "block_x": int(row["block_x"]) + 97,
+                "block_y": row["block_y"], "px": [0.0] * 16,
+                "crs_srid": row["crs_srid"],
+                "pix_to_crs": row["pix_to_crs"].asDict(),
+            }],
+            tiles.schema,
+        )
+        c.catalog.write("tiles", tiles.unionByName(bogus))
+        state, _ = c.process_consolidation_job(job)  # temporary -> requeue
+        assert state == "CONSOLIDATIONINPROGRESS", state
+        state, _ = c.process_consolidation_job(job)  # exhausts -> FAILED
+        assert state == "CONSOLIDATIONFAILED", state
+        assert c.retry_job(job) == "CONSOLIDATIONINPROGRESS"
+        c.catalog.write(
+            "tiles", c.catalog.read("tiles").filter(F.size("px") != 16)
+        )
+        state, deletion_id = c.process_consolidation_job(job)
+        assert state == "DONE" and deletion_id, state
+        with open(marker, "w") as f:
+            f.write(code_hash)
+    return root
+
+
+# Per-task failure accounting end-to-end (job.go:676-800 UpdateTask /
+# updateTaskCounters + svc/operations.go:69-117 handleTaskEvt +
+# cmd/consolidater/main.go:117-170 TryCount): the fixture job above fails
+# one task ONCE, requeues it, exhausts the cap, retries, and completes.
+# The Spark side reads the accounting trail the machine actually wrote
+# (task states/try_counts, job counters, log-line classes); the oracle
+# re-derives the expectations from FIRST PRINCIPLES on the base fixture
+# parquet — the task count is the distinct tiled records of the argmax
+# instance (the recipe's selection replayed in SQL), and the log-line
+# counts follow arithmetically from the scenario (one poisoned task,
+# max_tries=1: exactly one temporary-error requeue, one terminal
+# "Job failed: 1 tasks failed", one retry reset, zero dead-letters).
+@q(
+    "task_retry_e2e",
+    f"""
+    WITH tiled AS (
+        SELECT d.instance_id, d.record_id, d.id
+        FROM read_parquet('{FIXTURE_DIR}/datasets.parquet') d
+        JOIN (SELECT DISTINCT container_uri
+              FROM read_parquet('{FIXTURE_DIR}/tiles.parquet')) t
+          ON d.container_uri = t.container_uri
+    ),
+    pick AS (
+        SELECT instance_id FROM tiled
+        GROUP BY instance_id
+        ORDER BY count(DISTINCT id) DESC, instance_id ASC
+        LIMIT 1
+    ),
+    n_tasks AS (
+        SELECT CAST(count(DISTINCT record_id) AS BIGINT) AS n FROM tiled
+        WHERE instance_id = (SELECT instance_id FROM pick)
+    )
+    SELECT 'active_tasks' AS kind, CAST(0 AS BIGINT) AS n
+    UNION ALL SELECT 'failed_tasks', 0
+    UNION ALL SELECT 'job_failed_lines', 1
+    UNION ALL SELECT 'retry_lines', 1
+    UNION ALL SELECT 'tasks_done', (SELECT n FROM n_tasks)
+    UNION ALL SELECT 'tasks_not_done', 0
+    UNION ALL SELECT 'temporary_error_lines', 1
+    UNION ALL SELECT 'too_many_tries_lines', 0
+    UNION ALL SELECT 'try_count_nonzero', 0
+    ORDER BY kind
+    """,
+)
+def task_retry_e2e(spark, sf_dir):
+    import uuid as _uuid_mod
+
+    from geocube_spark.sources.catalog import Catalog
+
+    root = ensure_task_retry_job(spark)
+    cat = Catalog(spark, root)
+    job_id = str(
+        _uuid_mod.uuid5(_uuid_mod.NAMESPACE_URL, "geocube-spark/job/retry-e2e")
+    )
+    tasks = cat.read("tasks").filter(F.col("job_id") == job_id)
+    logs = cat.read("job_logs").filter(F.col("job_id") == job_id)
+    jrow = cat.read("jobs").filter(F.col("id") == job_id)
+
+    def one(df, kind, expr):
+        return df.agg(expr.cast("long").alias("n")).select(
+            F.lit(kind).alias("kind"), "n"
+        )
+
+    parts = [
+        jrow.select(
+            F.lit("active_tasks").alias("kind"),
+            F.col("active_tasks").cast("long").alias("n"),
+        ),
+        jrow.select(
+            F.lit("failed_tasks").alias("kind"),
+            F.col("failed_tasks").cast("long").alias("n"),
+        ),
+        one(logs, "job_failed_lines",
+            F.count_if(F.col("message").startswith("Job failed:"))),
+        one(logs, "retry_lines",
+            F.count_if(F.col("message") == "Retry consolidation...")),
+        one(tasks, "tasks_done", F.count_if(F.col("state") == "DONE")),
+        one(tasks, "tasks_not_done", F.count_if(F.col("state") != "DONE")),
+        one(logs, "temporary_error_lines",
+            F.count_if(F.col("message").startswith("temporary error"))),
+        one(logs, "too_many_tries_lines",
+            F.count_if(F.col("message").contains("too many tries"))),
+        one(tasks, "try_count_nonzero", F.count_if(F.col("try_count") != 0)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("kind")
