@@ -1157,17 +1157,22 @@ class GeocubeClient:
         ):
             raise ValidationError(f"job {job_name!r} already exists")
 
-    def _rmw(self, table: str, transform, retries: int = 8) -> None:
+    def _rmw(self, table: str, transform, retries: int = 24) -> None:
         """Read-modify-write a catalog table under compare-and-swap: the
         write commits only if the table is still at the version the
         transform read, else re-reads and re-derives (the unitOfWork
         optimistic-concurrency loop, svc/service.go:651-672).  Without
         this, two concurrent state-machine writers would each overwrite
         the whole table from their own stale read and silently drop the
-        other's committed rows (the lost-update anomaly)."""
+        other's committed rows (the lost-update anomaly).  Linear backoff
+        between lost races keeps two continuously-writing peers from
+        starving each other (each attempt is a full snapshot write, so a
+        loser re-colliding instantly is otherwise likely)."""
+        import time as _time
+
         from geocube_spark.sources.catalog import CommitConflict
 
-        for _ in range(retries):
+        for attempt in range(retries):
             v = self.catalog.version(table)
             try:
                 self.catalog.write(
@@ -1175,6 +1180,7 @@ class GeocubeClient:
                 )
                 return
             except CommitConflict:
+                _time.sleep(0.02 * attempt)
                 continue
         raise CommitConflict(
             f"table {table!r}: {retries} straight lost commit races"
