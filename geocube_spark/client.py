@@ -1167,7 +1167,16 @@ class GeocubeClient:
         other's committed rows (the lost-update anomaly).  Linear backoff
         between lost races keeps two continuously-writing peers from
         starving each other (each attempt is a full snapshot write, so a
-        loser re-colliding instantly is otherwise likely)."""
+        loser re-colliding instantly is otherwise likely).
+
+        A lost race can surface through a SECOND channel: under
+        ``retain_versions=1`` the winner's post-commit GC deletes the very
+        version the loser's in-flight snapshot materialization is still
+        scanning, so the loser dies with FAILED_READ_FILE *before* ever
+        reaching the CAS check.  That is the same event — the input
+        version is gone because someone else committed — so it retries
+        identically (found by the threaded-writers fault test flaking
+        ~1-in-3 under full-suite load)."""
         import time as _time
 
         from geocube_spark.sources.catalog import CommitConflict
@@ -1182,6 +1191,14 @@ class GeocubeClient:
             except CommitConflict:
                 _time.sleep(0.02 * attempt)
                 continue
+            except Exception as exc:  # noqa: BLE001 - filtered re-raise below
+                msg = str(exc)
+                if (
+                    "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
+                ) and self.catalog.version(table) != v:
+                    _time.sleep(0.02 * attempt)
+                    continue
+                raise
         raise CommitConflict(
             f"table {table!r}: {retries} straight lost commit races"
         )
