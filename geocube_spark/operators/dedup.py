@@ -360,6 +360,7 @@ def simhash_all_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     num_blocks: int = 8,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT all-pairs SimHash Hamming join — the brute-force oracle twin of
     ``simhash_near_duplicates`` (quadratic BY DESIGN, like
@@ -378,7 +379,14 @@ def simhash_all_pairs(
     from pyspark.sql.types import IntegerType, LongType, StructField as SF, StructType as ST
 
     nb = int(num_blocks)
-    fp = simhash_fingerprints(documents, text_col)
+    # callers comparing the LSH and exact paths over the SAME corpus pass a
+    # shared fingerprint frame so the text is scanned/hashed once, not once
+    # per path (guide §1.2: don't compute things twice)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(documents, text_col)
+    )
     base = fp.select(
         F.col("doc_id").cast("long").alias("id"),
         F.col("simhash").alias("h"),
@@ -436,6 +444,7 @@ def simhash_near_duplicates(
     max_hamming: int = 3,
     prefix_bits: int = 16,
     rotations: int = 4,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-dups via ROTATED prefix buckets (the standard Charikar
     permuted-table approach): bucket r = top ``prefix_bits`` bits of
@@ -470,7 +479,11 @@ def simhash_near_duplicates(
             f"need rotations | 64 and rotations*prefix_bits <= 64, got "
             f"{rotations}x{prefix_bits}"
         )
-    fp = simhash_fingerprints(documents, text_col)
+    fp = (
+        fingerprints
+        if fingerprints is not None
+        else simhash_fingerprints(documents, text_col)
+    )
     step = 64 // rotations
     h = F.col("simhash")
     rots = F.array(

@@ -67,11 +67,19 @@ def kcenter_sample(
     radius."""
     first = emb.orderBy(id_col).limit(1).collect()[0]
     chosen = [(0, int(first[id_col]), 0.0)]
+    # LAZY localCheckpoint: each round has exactly one consumer action (the
+    # TakeOrdered(1) argmax), which materializes — and checkpoints — the
+    # folded frame as a side effect.  An eager checkpoint here would spend
+    # a SECOND full pass per round just to persist what the argmax is
+    # about to compute anyway: 2k jobs for k rounds instead of k (guide
+    # §1.2: remove passes before tuning anything else).  Lineage stays cut
+    # per round exactly as before — the checkpoint still happens, only its
+    # materialization is fused into the argmax job.
     cur = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
         (1 - cosine_expr(F.col(vec_col), _vec_lit(first[vec_col]))).alias("mind"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for r in range(1, k):
         far = cur.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
         chosen.append((r, int(far["vec_id"]), _round_half_up6(far["mind"])))
@@ -81,7 +89,7 @@ def kcenter_sample(
             F.least(
                 F.col("mind"), 1 - cosine_expr(F.col("v"), _vec_lit(far["v"]))
             ).alias("mind"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(chosen, _RESULT_SCHEMA)
 
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geocube_spark.functions.joinpick import maybe_broadcast as _maybe_broadcast
+
 
 def pagerank(
     edges: DataFrame,
@@ -51,26 +53,40 @@ def pagerank(
     n_nodes = nodes.count()  # a scalar the plan needs as a literal anyway
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # out-degree per node (0 for dangling), checkpointed once: every round
-    # joins against it
+    # unions it back in as the per-node base row
     nd = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
         .localCheckpoint()
     )
     ranks = nd.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    # rank row ~ node string + long + double; 64 bytes covers it with slack
     for _ in range(iterations):
         ranks = ranks.localCheckpoint()
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
+        # One grouped pass replaces the old groupBy(dst) + nd-left-join
+        # pair: union the per-edge contributions with one base row per
+        # node (null contribution, carries deg) and aggregate by node —
+        # sum ignores the null base contribution (inflow unchanged),
+        # max(deg) recovers deg from the base row.  Saves a full shuffle
+        # of the node frame per round and shortens the per-round plan by
+        # a join (guide §2.3/§2.4: aggregate instead of re-joining).
+        # The rank frame is broadcast when its measured size fits (the
+        # checkpoint erased its stats, so the planner alone would SMJ and
+        # re-shuffle the edge side every round) — see _maybe_broadcast.
+        r = _maybe_broadcast(ranks, n_nodes, 64)
+        contrib = e.join(r, e["src"] == r["node"]).select(
+            F.col("dst").alias("node"),
+            F.lit(None).cast("long").alias("deg"),
+            (F.col("rank") / F.col("deg")).alias("c"),
         )
+        base = nd.select("node", F.col("deg").cast("long"), F.lit(None).cast("double").alias("c"))
         ranks = (
-            nd.join(contrib, nd["node"] == contrib["dst"], "left")
+            base.unionByName(contrib)
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"), F.max("deg").alias("deg"))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
@@ -160,11 +176,15 @@ def label_propagation(
         .localCheckpoint()
     )
     nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    # the per-round label frame is O(nodes); its measured count drives the
+    # broadcast-vs-shuffle join choice exactly as in pagerank
+    n_nodes = nodes.count()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
         labels = labels.localCheckpoint()
+        lab = _maybe_broadcast(labels, n_nodes, 64)
         counts = (
-            e.join(labels, e["b"] == labels["node"])
+            e.join(lab, e["b"] == lab["node"])
             .select(F.col("a").alias("nd"), "label")
             .groupBy("nd", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
@@ -174,9 +194,22 @@ def label_propagation(
                 "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
             ).alias("new_label")
         )
+        # keep-old fallback as a grouped union instead of a left join:
+        # the old-label row rides priority 0, the adopted label priority 1;
+        # max_by picks the adopted label when one exists.  One exchange of
+        # O(nodes) rows replaces the join's shuffle + join operator
+        # (guide §2.3/§2.4).
         labels = (
-            labels.join(best, labels["node"] == best["nd"], "left")
-            .select("node", F.coalesce("new_label", "label").alias("label"))
+            labels.select("node", "label", F.lit(0).alias("pri"))
+            .unionByName(
+                best.select(
+                    F.col("nd").alias("node"),
+                    F.col("new_label").alias("label"),
+                    F.lit(1).alias("pri"),
+                )
+            )
+            .groupBy("node")
+            .agg(F.max_by("label", "pri").alias("label"))
         )
     return labels
 

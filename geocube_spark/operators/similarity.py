@@ -285,10 +285,10 @@ def _deterministic_sample_matrix(
             .orderBy("_h", "v")
             .drop("_h")
         )
-    return np.array(
-        [r["v"] for r in df.limit(int(max_sample_rows)).collect()],
-        dtype=np.float64,
-    )
+    # Arrow transfer (guide §6: toPandas over row collect for anything
+    # non-trivial) — same rows, same order, columnar instead of pickled
+    rows = df.limit(int(max_sample_rows)).toPandas()["v"]
+    return np.array([np.asarray(v, dtype=np.float64) for v in rows], dtype=np.float64)
 
 
 def _lloyd(mat: np.ndarray, k: int, iterations: int, seed: int) -> np.ndarray:
@@ -686,7 +686,12 @@ def kmeans_centroids(
                 .orderBy("_h", "v")
                 .drop("_h")
             )
-    mat = np.array([r["v"] for r in df.limit(int(max_sample_rows)).collect()], dtype=np.float64)
+    # Arrow transfer instead of pickled rows (guide §6), rows/order unchanged
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64)
+         for v in df.limit(int(max_sample_rows)).toPandas()["v"]],
+        dtype=np.float64,
+    )
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(iterations):

@@ -2381,8 +2381,16 @@ def simhash_near_duplicates(spark, sf_dir):
     always exist).  All checked columns are scale-parametric — no seeded
     pair count is pinned; sweep-verified at sf0.001/0.01/0.1."""
     docs = _docs(spark, sf_dir)
-    lsh = dd.simhash_near_duplicates(docs, max_hamming=3).select("doc_a", "doc_b")
-    exact = dd.simhash_all_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    # both paths consume the SAME fingerprints: hash the corpus once and
+    # checkpoint (lazily — the first consumer materializes it), instead of
+    # tokenizing + simhashing the text twice (one corpus scan saved)
+    fp = dd.simhash_fingerprints(docs).localCheckpoint(eager=False)
+    lsh = dd.simhash_near_duplicates(
+        docs, max_hamming=3, fingerprints=fp
+    ).select("doc_a", "doc_b")
+    exact = dd.simhash_all_pairs(docs, max_hamming=3, fingerprints=fp).select(
+        "doc_a", "doc_b"
+    )
     flags = _pair_flags(exact, lsh, ["doc_a", "doc_b"]).select(
         F.lit(0).alias("n_docs"),
         F.coalesce("_a", F.lit(0)).alias("n_lsh"),
