@@ -326,21 +326,35 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A|+|B|-|A∩B|).  Shuffles (doc_id, shingle-hash) pairs; for
     100 TB use minhash_lsh first and this only on candidates.
     """
-    sh = _parallelize(documents).select(
-        "doc_id",
-        F.explode(word_shingles_expr(F.col(text_col), shingle_k)).alias("shingle"),
+    # the per-doc shingle-set size rides ALONG the exploded rows as
+    # size(arr) — word_shingles_expr is array_distinct'ed, so size(arr)
+    # equals the old count-of-exploded-rows exactly.  This deletes the
+    # separate sizes aggregation AND the two joins that re-attached it
+    # (guide §2.3/§2.4: the pair groupBy recovers inter and both sizes,
+    # n_a/n_b being constant within a group), and the shingle subtree is
+    # referenced twice instead of three times (the self-join's identical
+    # exchange is runtime-reused).
+    sh = (
+        _parallelize(documents)
+        .select(
+            "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.size("arr").alias("n"),
+            F.explode("arr").alias("shingle"),
+        )
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    shared = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    return (
-        shared.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max(F.col("a.n")).alias("n_a"),
+            F.max(F.col("b.n")).alias("n_b"),
+        )
         .select(
             "doc_a",
             "doc_b",

@@ -300,6 +300,11 @@ def winnow_pairs(
         a.join(b, "fp")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("fp").cast("long").alias("n_shared"))
+        # fps is .distinct() on (doc_id, fp) above, so every (doc_a,
+        # doc_b, fp) triple out of the equi-join is unique and a plain
+        # count equals countDistinct — without the distinct-aggregate
+        # expand/two-phase machinery (guide §2.3: cheaper aggregate,
+        # same bytes shuffled, same result)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

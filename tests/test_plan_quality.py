@@ -200,21 +200,28 @@ class TestSimilarityPlans:
         assert "BroadcastNestedLoopJoin" not in plan
 
     def test_kmeans_collect_is_bounded(self, emb, monkeypatch):
-        # the quantizer's driver collect must carry a GlobalLimit, whatever
-        # the table size (round-1 default collected the full corpus)
+        # the quantizer's driver transfer must carry a GlobalLimit, whatever
+        # the table size (round-1 default collected the full corpus).  The
+        # sample now rides the Arrow path (toPandas, guide §6), so the spy
+        # covers BOTH driver-transfer methods — whichever fires must be
+        # limit-bounded.
         from geocube_spark.operators import similarity as sim
 
         cls = type(emb)
         seen = []
-        orig = cls.collect
 
-        def spying(self, *a, **kw):
-            # analyzed plan: the optimizer elides the limit when the table
-            # is statically smaller than the cap, but it must be DECLARED
-            seen.append(self._jdf.queryExecution().analyzed().toString())
-            return orig(self, *a, **kw)
+        def make_spy(orig):
+            def spying(self, *a, **kw):
+                # analyzed plan: the optimizer elides the limit when the
+                # table is statically smaller than the cap, but it must be
+                # DECLARED
+                seen.append(self._jdf.queryExecution().analyzed().toString())
+                return orig(self, *a, **kw)
 
-        monkeypatch.setattr(cls, "collect", spying)
+            return spying
+
+        monkeypatch.setattr(cls, "collect", make_spy(cls.collect))
+        monkeypatch.setattr(cls, "toPandas", make_spy(cls.toPandas))
         sim.kmeans_centroids(emb, k=4)
         monkeypatch.undo()
         assert seen and all("GlobalLimit" in p for p in seen)
