@@ -313,16 +313,25 @@ def pq_train(
     max_sample_rows: int = 100_000,
     iterations: int = 10,
     seed: int = 42,
+    sample_matrix: "np.ndarray | None" = None,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (each ks x d/m) from ONE bounded
     deterministic sample.  Codebooks are tiny (m*ks*d/m = ks*d doubles)
-    and ship to executors by closure, exactly like the IVF centroids."""
+    and ship to executors by closure, exactly like the IVF centroids.
+    ``sample_matrix`` lets a caller that already holds the deterministic
+    sample (ivfpq_topk trains two quantizers) skip the second corpus
+    pass — it must be the _deterministic_sample_matrix result for the
+    same (corpus, vec_col, max_sample_rows, seed)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     if ks > 128:
         raise ValueError("ks > 128 does not fit a signed tinyint code")
     dsub = dim // m
-    mat = _deterministic_sample_matrix(embeddings, vec_col, max_sample_rows, seed)
+    mat = (
+        sample_matrix
+        if sample_matrix is not None
+        else _deterministic_sample_matrix(embeddings, vec_col, max_sample_rows, seed)
+    )
     return [
         _lloyd(mat[:, j * dsub : (j + 1) * dsub], ks, iterations, seed + j).tolist()
         for j in range(m)
@@ -426,6 +435,50 @@ def pq_adc_cosine_udf(query_vec: list[float], codebooks: list[list[list[float]]]
     return score
 
 
+def pq_adc_fused_udf(query_vec: list[float], codebooks: list[list[list[float]]]):
+    """Encode + ADC score in ONE Arrow pass (vector in, double out).
+
+    When the codebooks are too big for the literal-LUT expression, BOTH
+    the encoder and the scorer are Python — running them as two separate
+    pandas UDFs ships the corpus through the JVM↔Python boundary twice
+    (vectors out, codes back in, codes out again; guide §4.1: you control
+    how many columns cross and HOW OFTEN).  This closure performs the
+    identical arithmetic back-to-back per batch: argmax-encode (same
+    ``sub @ mats[j] - halves[j]`` as pq_encode_udf, first-occurrence
+    ties), then the same IP/N2 gathers as pq_adc_cosine_udf — the int8
+    JVM round-trip of the code column carries the same values the local
+    int64 array holds, so scores are bit-identical to the two-step path
+    (asserted in tests).  Use only where the code column itself is not
+    needed downstream (the candidate-selection scan)."""
+    from pyspark.sql.types import DoubleType
+
+    mats = [np.ascontiguousarray(np.asarray(b, dtype=np.float64).T) for b in codebooks]
+    halves = [0.5 * (C * C).sum(axis=0) for C in mats]
+    dsub = mats[0].shape[0]
+    m = len(mats)
+    q = np.asarray(query_vec, dtype=np.float64)
+    B = np.asarray(codebooks, dtype=np.float64)  # (m, ks, dsub)
+    IP = np.einsum("mkd,md->mk", B, q.reshape(m, dsub))
+    N2 = (B * B).sum(axis=2)
+    qnorm = float(np.sqrt((q * q).sum()))
+    rows = np.arange(m)
+
+    @F.pandas_udf(DoubleType())
+    def score(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="float64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        C = np.empty((len(mat), m), dtype=np.int64)
+        for j in range(m):
+            sub = mat[:, j * dsub : (j + 1) * dsub]
+            C[:, j] = (sub @ mats[j] - halves[j]).argmax(axis=1)
+        ip = IP[rows[None, :], C].sum(axis=1)
+        n2 = np.maximum(N2[rows[None, :], C].sum(axis=1), 1e-300)
+        return pd.Series(ip / (qnorm * np.sqrt(n2)))
+
+    return score
+
+
 # above this many LUT entries the literal fold bloats the plan; ship the
 # tables by closure instead (both paths are tested equal to 1e-9)
 _PQ_LITERAL_LUT_MAX = 512
@@ -457,14 +510,28 @@ def pq_topk(
         codebooks = pq_train(
             embeddings, len(query_vec), m=m, ks=ks, vec_col=vec_col, seed=seed
         )
-    coded = embeddings.withColumn("_codes", pq_encode_udf(codebooks)(F.col(vec_col)))
     if m * ks > _PQ_LITERAL_LUT_MAX:
-        approx = pq_adc_cosine_udf(query_vec, codebooks)(F.col("_codes"))
+        # both encode and ADC are Python at this codebook size: fuse them
+        # into one Arrow pass (guide §4.1) — same argmax + LUT arithmetic,
+        # one boundary crossing instead of two
+        scored = embeddings.select(
+            F.col(id_col),
+            pq_adc_fused_udf(query_vec, codebooks)(F.col(vec_col)).alias(
+                "approx_score"
+            ),
+        )
     else:
-        approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
+        coded = embeddings.withColumn(
+            "_codes", pq_encode_udf(codebooks)(F.col(vec_col))
+        )
+        scored = coded.select(
+            F.col(id_col),
+            pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks).alias(
+                "approx_score"
+            ),
+        )
     candidates = (
-        coded.select(F.col(id_col), approx.alias("approx_score"))
-        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        scored.orderBy(F.col("approx_score").desc(), F.col(id_col))
         .limit(expand * k)
         .select(id_col)
     )
@@ -501,12 +568,26 @@ def ivfpq_topk(
     train from bounded deterministic samples and ship by closure; at
     deployment both the cluster id and the code column are persisted so
     query time reads m bytes/row over nprobe partitions."""
-    if centroids is None:
-        centroids = kmeans_centroids(embeddings, n_clusters, vec_col, seed=seed)
-    if codebooks is None:
-        codebooks = pq_train(
-            embeddings, len(query_vec), m=m, ks=ks, vec_col=vec_col, seed=seed
-        )
+    if centroids is None or codebooks is None:
+        # BOTH quantizers train from the identical deterministic sample:
+        # collect it once and share (one count + one Arrow transfer
+        # instead of two of each; guide §1.2) — values unchanged, the
+        # matrix is exactly what each trainer would have sampled itself
+        mat = _deterministic_sample_matrix(embeddings, vec_col, 100_000, seed)
+        if centroids is None:
+            centroids = kmeans_centroids(
+                embeddings, n_clusters, vec_col, seed=seed, sample_matrix=mat
+            )
+        if codebooks is None:
+            codebooks = pq_train(
+                embeddings,
+                len(query_vec),
+                m=m,
+                ks=ks,
+                vec_col=vec_col,
+                seed=seed,
+                sample_matrix=mat,
+            )
     q = np.asarray(query_vec, dtype=np.float64)
     d2 = ((np.asarray(centroids) - q[None, :]) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
@@ -514,14 +595,27 @@ def ivfpq_topk(
     probed = embeddings.withColumn(
         "_cluster", ivf_assign_udf(centroids)(F.col(vec_col))
     ).filter(F.col("_cluster").isin(probe))
-    coded = probed.withColumn("_codes", pq_encode_udf(codebooks)(F.col(vec_col)))
     if m * ks > _PQ_LITERAL_LUT_MAX:
-        approx = pq_adc_cosine_udf(query_vec, codebooks)(F.col("_codes"))
+        # encode + ADC fused into one Arrow pass over the probed rows
+        # (guide §4.1) — see pq_topk
+        scored = probed.select(
+            F.col(id_col),
+            pq_adc_fused_udf(query_vec, codebooks)(F.col(vec_col)).alias(
+                "approx_score"
+            ),
+        )
     else:
-        approx = pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks)
+        coded = probed.withColumn(
+            "_codes", pq_encode_udf(codebooks)(F.col(vec_col))
+        )
+        scored = coded.select(
+            F.col(id_col),
+            pq_adc_cosine_expr(F.col("_codes"), query_vec, codebooks).alias(
+                "approx_score"
+            ),
+        )
     candidates = (
-        coded.select(F.col(id_col), approx.alias("approx_score"))
-        .orderBy(F.col("approx_score").desc(), F.col(id_col))
+        scored.orderBy(F.col("approx_score").desc(), F.col(id_col))
         .limit(expand * k)
         .select(id_col)
     )
@@ -653,6 +747,7 @@ def kmeans_centroids(
     max_sample_rows: int = 100_000,
     iterations: int = 10,
     seed: int = 42,
+    sample_matrix: "np.ndarray | None" = None,
 ) -> list[list[float]]:
     """Coarse quantizer for IVF: Lloyd's k-means on a BOUNDED driver-side
     sample (deterministic seed).  The collect is capped at
@@ -669,29 +764,29 @@ def kmeans_centroids(
     limit) — so the collected sample is a pure function of row CONTENT,
     independent of partition layout or task arrival order.  Centroids are
     tiny and broadcast into codegen."""
-    df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-    if sample_fraction is not None and sample_fraction < 1.0:
+    if sample_matrix is not None and sample_fraction is None:
+        # a caller training several quantizers from the same corpus (e.g.
+        # ivfpq_topk: coarse centroids + PQ codebooks) samples ONCE and
+        # shares the matrix — the count + collect pass is paid once, not
+        # per quantizer (guide §1.2).  The matrix is exactly what
+        # _deterministic_sample_matrix(embeddings, vec_col,
+        # max_sample_rows, seed) returns, so values are unchanged.
+        mat = sample_matrix
+    elif sample_fraction is not None and sample_fraction < 1.0:
+        df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
         df = df.sample(fraction=sample_fraction, seed=seed)
+        # Arrow transfer instead of pickled rows (guide §6)
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64)
+             for v in df.limit(int(max_sample_rows)).toPandas()["v"]],
+            dtype=np.float64,
+        )
     else:
-        n = df.count()
-        if n > max_sample_rows:
-            denom = 1_000_003  # prime — decorrelates from power-of-two patterns
-            # ~10% overshoot so the hash filter rarely undershoots; the
-            # orderBy-hash trim below makes the final cut deterministic
-            thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
-            h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
-            df = (
-                df.withColumn("_h", h)
-                .filter(F.col("_h") < F.lit(thresh))
-                .orderBy("_h", "v")
-                .drop("_h")
-            )
-    # Arrow transfer instead of pickled rows (guide §6), rows/order unchanged
-    mat = np.array(
-        [np.asarray(v, dtype=np.float64)
-         for v in df.limit(int(max_sample_rows)).toPandas()["v"]],
-        dtype=np.float64,
-    )
+        # identical sampling logic, factored: one definition of the
+        # content-deterministic hash filter for every quantizer
+        mat = _deterministic_sample_matrix(
+            embeddings, vec_col, max_sample_rows, seed
+        )
     rng = np.random.RandomState(seed)
     centroids = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)]
     for _ in range(iterations):

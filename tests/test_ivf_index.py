@@ -255,6 +255,40 @@ class TestProductQuantization:
         }
         assert all(abs(lit[v] - udf[v]) < 1e-9 for v in lit)
 
+    def test_fused_adc_matches_two_step_path(self, spark, emb, books):
+        """The single-pass encode+ADC scorer (pq_adc_fused_udf, used by the
+        big-codebook candidate scan) must score bit-identically to the
+        two-step encode-then-ADC pipeline it replaces."""
+        q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+        coded = emb.withColumn("codes", sim.pq_encode_udf(books)(F.col("embedding")))
+        two_step = {
+            r["vec_id"]: r["a"]
+            for r in coded.select(
+                "vec_id", sim.pq_adc_cosine_udf(q, books)(F.col("codes")).alias("a")
+            ).collect()
+        }
+        fused = {
+            r["vec_id"]: r["a"]
+            for r in emb.select(
+                "vec_id",
+                sim.pq_adc_fused_udf(q, books)(F.col("embedding")).alias("a"),
+            ).collect()
+        }
+        assert set(fused) == set(two_step)
+        assert all(fused[v] == two_step[v] for v in fused)  # bit-identical
+
+    def test_shared_sample_matrix_matches_self_sampling(self, emb):
+        """Training from a caller-provided _deterministic_sample_matrix
+        (the ivfpq_topk one-sample path) must produce exactly the
+        centroids/codebooks each trainer derives by sampling itself."""
+        mat = sim._deterministic_sample_matrix(emb, "embedding", 100_000, 42)
+        assert sim.kmeans_centroids(emb, 4) == sim.kmeans_centroids(
+            emb, 4, sample_matrix=mat
+        )
+        assert sim.pq_train(emb, 64, m=8, ks=16) == sim.pq_train(
+            emb, 64, m=8, ks=16, sample_matrix=mat
+        )
+
     def test_big_codebook_plan_stays_small(self, emb):
         q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
         out = sim.pq_topk(emb, q, k=10, m=32, ks=64, expand=8)
