@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE demote sort-merge to shuffled-hash at RUNTIME when every
+        # post-shuffle partition of the build side is measured under the
+        # threshold (guide §3.1): the sort on both sides disappears, and
+        # the decision is made from observed partition sizes — on a 100 TB
+        # shuffle whose partitions exceed 64 MB the SMJ (graceful spill)
+        # is kept automatically, so this is scale-adaptive by construction
+        # (default 0 = never; value matches autoBroadcastJoinThreshold)
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
