@@ -76,12 +76,36 @@ def dedup_exact(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.join(keep, "doc_id", "left_semi")
 
 
+def shingle_sets(
+    documents: DataFrame, text_col: str = "text", shingle_k: int = 3
+) -> DataFrame:
+    """Per-doc DISTINCT word-shingle set ``(doc_id, shingles)`` — the shared
+    text kernel of the whole jaccard/minhash family.
+
+    The exact-Jaccard self-join and the minhash signature both derive from
+    this one frame, so a caller that needs several of them computes the
+    tokenize+shingle kernel ONCE (guide §1.2: remove duplicate passes) by
+    lazily ``localCheckpoint``-ing this frame and passing it via the
+    ``shingles=`` parameter the consumers below accept.  Value equivalence
+    is exact: minhash's running min is idempotent, so hashing the DISTINCT
+    set gives bit-identical signatures to hashing every k-gram occurrence.
+
+    100 TB note: materializing the checkpoint costs O(corpus tokens) local
+    executor disk — the same order as the shuffle the Jaccard self-join
+    already pays — and buys back full text scans + shingle kernels (the
+    dominant compute in every profile of this family)."""
+    return _parallelize(documents).select(
+        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+    )
+
+
 def minhash_signatures(
     documents: DataFrame,
     text_col: str = "text",
     num_hashes: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """doc_id -> minhash signature.
 
@@ -90,22 +114,42 @@ def minhash_signatures(
     need dedup).  Projection steps keep each intermediate (toks, hs)
     evaluated once per row — Catalyst's CollapseProject leaves multi-
     referenced non-cheap expressions in their own projection.
+
+    ``shingles`` (a ``shingle_sets`` frame, usually checkpointed) replaces
+    the internal tokenize+hash pass: the signature is then one aggregate
+    over the precomputed set — bit-identical output (min is idempotent
+    over the duplicate k-grams the internal path hashes).
     """
     params = minhash_params(num_hashes, seed)
-    documents = _parallelize(documents)
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    base = documents.select("doc_id", toks.alias("toks"))
-    n = F.greatest(F.size("toks") - F.lit(shingle_k - 1), F.lit(1))
-    hashed = base.select(
-        "doc_id",
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.pmod(
-                F.xxhash64(F.concat_ws(" ", F.slice("toks", i, shingle_k))),
-                F.lit(_MERSENNE_P),
-            ),
-        ).alias("hs"),
-    )
+    if shingles is not None:
+        # hash each DISTINCT shingle once (hs), then run the same fold as
+        # the internal path below.  NOT vectors.minhash_signature_expr,
+        # whose zip_with lambda re-evaluates xxhash64(s) once per (a,b)
+        # param — num_hashes× the hashing work.
+        hashed = shingles.select(
+            "doc_id",
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+            ).alias("hs"),
+        )
+    else:
+        documents = _parallelize(documents)
+        toks = F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        )
+        base = documents.select("doc_id", toks.alias("toks"))
+        n = F.greatest(F.size("toks") - F.lit(shingle_k - 1), F.lit(1))
+        hashed = base.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.pmod(
+                    F.xxhash64(F.concat_ws(" ", F.slice("toks", i, shingle_k))),
+                    F.lit(_MERSENNE_P),
+                ),
+            ).alias("hs"),
+        )
     # SINGLE pass over the shingle hashes: fold hs once, keeping a running
     # 32-long elementwise min (zip_with against the LITERAL (a,b) param
     # array).  vs the unrolled form (32 array_min terms = 32 traversals of
@@ -134,6 +178,7 @@ def minhash_lsh_candidates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding.
 
@@ -142,12 +187,20 @@ def minhash_lsh_candidates(
     join) -> distinct pairs.  Bucket skew is bounded because band keys are
     64-bit hashes; AQE skew-join covers pathological buckets.
     """
-    sigs = minhash_signatures(documents, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        documents, text_col, num_hashes, shingle_k, seed, shingles=shingles
+    )
     rows_per_band = num_hashes // bands
     buckets = sigs.select(
         "doc_id",
         F.explode(band_keys_expr(F.col("signature"), bands, rows_per_band)).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # the self-join references the bucket frame twice, and one side becomes
+    # a BroadcastExchange — which reuses NOTHING of the other side's plan —
+    # so without this the tokenize+shingle+signature kernel runs once per
+    # side.  A lazy localCheckpoint makes the first side's materialization
+    # feed both (guide §1.2); bucket rows are 3 narrow columns, ~24 B/row.
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -170,6 +223,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard on the shingle sets.
     Returns (doc_a, doc_b, jaccard >= threshold)."""
@@ -178,9 +232,13 @@ def minhash_near_duplicates(
     # projections through the semi-join), and Spark re-plans — and would
     # re-run the signature + banding self-join — per reference (same
     # idiom as incremental_dedup; also keeps the final plan O(1) in the
-    # candidate subtree instead of reprinting it five times).
+    # candidate subtree instead of reprinting it five times).  The bucket
+    # checkpoint inside minhash_lsh_candidates already dedups the signature
+    # kernel; checkpointing a FULL corpus shingle frame here costs more
+    # than it saves (measured: the verify side below touches only the tiny
+    # candidate subset), so one is built only when the caller passes it.
     cands = minhash_lsh_candidates(
-        documents, text_col, num_hashes, bands, shingle_k, seed
+        documents, text_col, num_hashes, bands, shingle_k, seed, shingles=shingles
     ).localCheckpoint()
     # exact-verify shingles are computed ONLY for docs that appear in a
     # candidate pair (a tiny fraction of the corpus): semi-join first
@@ -189,8 +247,12 @@ def minhash_near_duplicates(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = documents.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+    sh = (
+        shingles.join(cand_ids, "doc_id", "left_semi")
+        if shingles is not None
+        else documents.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+        )
     )
     joined = (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
@@ -215,6 +277,7 @@ def build_minhash_index(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH bucket rows ``(doc_id, band, key)`` for a frozen corpus.
 
@@ -224,7 +287,9 @@ def build_minhash_index(
     smaller) bucket rows against it WITHOUT re-reading corpus text.  Index
     size is ``bands`` longs per document — ~64 bytes/doc — so the 100 TB
     corpus's index is a few hundred GB, an ordinary shuffle-join side."""
-    sigs = minhash_signatures(corpus, text_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        corpus, text_col, num_hashes, shingle_k, seed, shingles=shingles
+    )
     rows_per_band = num_hashes // bands
     return sigs.select(
         "doc_id",
@@ -242,6 +307,8 @@ def incremental_dedup(
     bands: int = 8,
     shingle_k: int = 3,
     seed: int = 42,
+    all_shingles: DataFrame | None = None,
+    delta_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a frozen corpus index plus itself.
 
@@ -256,8 +323,23 @@ def incremental_dedup(
 
     Scale shape: both joins are equi-joins on 64-bit keys (hash shuffle,
     AQE skew-split covers hot boilerplate buckets); corpus text is touched
-    only for the candidate ids, a point-lookup semi-join."""
-    delta_idx = build_minhash_index(delta, text_col, num_hashes, bands, shingle_k, seed)
+    only for the candidate ids, a point-lookup semi-join.
+
+    ``all_shingles``: a (lazily checkpointed) ``shingle_sets`` frame over
+    ``all_docs`` — shares the text kernel with the delta signatures AND the
+    verify step, so delta text is shingled once for the whole operator.
+    ``delta_shingles``: the delta's slice of that frame when the caller can
+    derive it with a cheap predicate (avoids the semi-join fallback)."""
+    if delta_shingles is None and all_shingles is not None:
+        delta_shingles = all_shingles.join(
+            delta.select("doc_id"), "doc_id", "left_semi"
+        )
+    delta_idx = build_minhash_index(
+        delta, text_col, num_hashes, bands, shingle_k, seed, shingles=delta_shingles
+    )
+    # referenced three times below (corpus join + both sides of the delta
+    # self-join): one materialization instead of three signature kernels
+    delta_idx = delta_idx.localCheckpoint(eager=False)
     d = delta_idx.alias("d")
     c = corpus_index.alias("c")
     vs_corpus = (
@@ -295,8 +377,12 @@ def incremental_dedup(
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = all_docs.join(cand_ids, "doc_id", "left_semi").select(
-        "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+    sh = (
+        all_shingles.join(cand_ids, "doc_id", "left_semi")
+        if all_shingles is not None
+        else all_docs.join(cand_ids, "doc_id", "left_semi").select(
+            "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("shingles")
+        )
     )
     joined = cands.join(
         sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"),
@@ -319,6 +405,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity join (the oracle-checkable dedup).
 
@@ -331,19 +418,20 @@ def ngram_jaccard_pairs(
     # equals the old count-of-exploded-rows exactly.  This deletes the
     # separate sizes aggregation AND the two joins that re-attached it
     # (guide §2.3/§2.4: the pair groupBy recovers inter and both sizes,
-    # n_a/n_b being constant within a group), and the shingle subtree is
-    # referenced twice instead of three times (the self-join's identical
-    # exchange is runtime-reused).
-    sh = (
-        _parallelize(documents)
-        .select(
-            "doc_id", word_shingles_expr(F.col(text_col), shingle_k).alias("arr")
-        )
-        .select(
-            "doc_id",
-            F.size("arr").alias("n"),
-            F.explode("arr").alias("shingle"),
-        )
+    # n_a/n_b being constant within a group).  The shingle-set frame is
+    # lazily checkpointed (or passed in, already checkpointed, via
+    # ``shingles``): the self-join references it once per side, and the
+    # planner broadcasts one side — a BroadcastExchange reuses nothing —
+    # so without the checkpoint the text kernel would run twice.
+    arr = (
+        shingles
+        if shingles is not None
+        else shingle_sets(documents, text_col, shingle_k).localCheckpoint(eager=False)
+    )
+    sh = arr.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1969,10 +1969,13 @@ def minhash_lsh_candidates(spark, sf_dir):
     contract is scale-parametric: no seeded count is pinned and the check
     passes identically at sf0.001/0.01/0.1 (sweep-verified)."""
     docs = _docs(spark, sf_dir)
-    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    true_pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    # ONE tokenize+shingle kernel for both sides (LSH signatures + exact
+    # verify): lazily checkpoint the shared shingle-set frame (guide §1.2)
+    sh = dd.shingle_sets(docs).localCheckpoint(eager=False)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingles=sh)
+    true_pairs = dd.ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, shingles=sh
+    ).select("doc_a", "doc_b")
     flags = _pair_flags(true_pairs, cands, ["doc_a", "doc_b"])
     return flags.agg(
         F.coalesce(F.sum("_e"), F.lit(0)).cast("long").alias("n_true_pairs"),
@@ -2048,10 +2051,11 @@ def minhash_lsh_skew(spark, sf_dir):
             ),
         ).otherwise(F.col("text")),
     )
-    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8)
-    true_pairs = dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    sh = dd.shingle_sets(docs).localCheckpoint(eager=False)
+    cands = dd.minhash_lsh_candidates(docs, num_hashes=32, bands=8, shingles=sh)
+    true_pairs = dd.ngram_jaccard_pairs(
+        docs, shingle_k=3, threshold=0.5, shingles=sh
+    ).select("doc_a", "doc_b")
     flags = _pair_flags(true_pairs, cands, ["doc_a", "doc_b"])
     hot = docs.filter(F.col("doc_id") % 20 == 0).select(
         F.lit(None).cast("int").alias("_e"),
@@ -2339,11 +2343,21 @@ def incremental_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     idx = spark.read.parquet(ensure_minhash_index(spark, sf_dir))
-    verified = dd.incremental_dedup(idx, delta, docs, threshold=0.5).select(
-        "doc_a", "doc_b"
-    )
+    # the delta signatures, the candidate verify and the exact twin all
+    # read ONE lazily-checkpointed shingle frame (delta ⊂ docs)
+    sh = dd.shingle_sets(docs).localCheckpoint(eager=False)
+    verified = dd.incremental_dedup(
+        idx,
+        delta,
+        docs,
+        threshold=0.5,
+        all_shingles=sh,
+        # the delta is a predicate slice of docs, so its shingle frame is
+        # the same filter on the shared checkpoint — no semi-join needed
+        delta_shingles=sh.filter(F.col("doc_id") % 5 == 0),
+    ).select("doc_a", "doc_b")
     true_pairs = (
-        dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5)
+        dd.ngram_jaccard_pairs(docs, shingle_k=3, threshold=0.5, shingles=sh)
         .filter((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
         .select("doc_a", "doc_b")
     )

@@ -192,3 +192,39 @@ def test_randomized_property_vs_full_run(spark, seed):
         if r.doc_a in delta_ids or r.doc_b in delta_ids
     }
     assert inc == full
+
+
+def test_shared_shingle_frame_is_bit_identical(spark):
+    """The shingles= fast path (signature from the DISTINCT shingle set,
+    exact jaccard from the shared frame) must be BIT-identical to the
+    internal tokenize-per-call path — min over duplicate k-grams equals
+    min over the distinct set, and the band keys follow."""
+    docs = _corpus(spark, BASE)
+    sh = dd.shingle_sets(docs).localCheckpoint(eager=False)
+
+    sig_a = {r["doc_id"]: r["signature"] for r in dd.minhash_signatures(docs).collect()}
+    sig_b = {
+        r["doc_id"]: r["signature"]
+        for r in dd.minhash_signatures(docs, shingles=sh).collect()
+    }
+    assert sig_a == sig_b
+
+    pairs_a = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    )
+    pairs_b = sorted(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh).collect()
+    )
+    assert pairs_a == pairs_b
+
+    cands_a = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(docs).collect()
+    )
+    cands_b = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_lsh_candidates(docs, shingles=sh).collect()
+    )
+    assert cands_a == cands_b
