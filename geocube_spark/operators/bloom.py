@@ -82,6 +82,25 @@ def bloom_words(eval_grams: DataFrame, k: int = BLOOM_K, m: int = BLOOM_M_BITS) 
     )
 
 
+def bloom_filter_row(
+    eval_grams: DataFrame, k: int = BLOOM_K, m: int = BLOOM_M_BITS
+) -> DataFrame:
+    """The whole filter as ONE row: a dense ``m/32``-long array<long> of
+    bit words (0 where no word row exists).  At the default m=4096 that is
+    128 longs — a scalar-sized broadcast that lets the probe side test
+    bits with array indexing instead of a join."""
+    words = bloom_words(eval_grams, k, m)
+    wm = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("wm")
+    )
+    return wm.select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(m // 32 - 1).cast("long")),
+            lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long")),
+        ).alias("fwords")
+    )
+
+
 def bloom_decontamination_report(
     docs: DataFrame,
     eval_pred: Column,
@@ -94,41 +113,62 @@ def bloom_decontamination_report(
     Bloom prefilter vs by the exact gram join, and the false-positive gap.
 
     Columns: source, n_train, n_bloom, n_exact, n_false_pos.
-    """
-    g = _grams(docs.withColumn("is_eval", eval_pred), n, text_col)
-    eval_g = g.filter("is_eval").select("g").distinct()
-    train_g = g.filter(~F.col("is_eval")).select("doc_id", "source", "g")
 
-    words = bloom_words(eval_g, k, m)
+    Plan shape (the map-side promise of the module docstring, literally):
+    the gram kernel runs ONCE (lazily checkpointed per-doc distinct gram
+    arrays feed every consumer); the filter is collapsed to a 1-row dense
+    word array and the Bloom verdict is a nested higher-order function —
+    exists(grams, forall(seeds, bit set)) — over the UN-exploded gram
+    array.  The previous shape exploded every train gram ×k seeds and
+    paid two groupBy shuffles of (doc_id, gram-string) rows — at n=8 the
+    gram strings are ~10× the document bytes, so that shuffle dominated
+    the whole query.  Bit positions and the verdict are value-identical
+    (min over k probe bits == forall; max over grams == exists; docs with
+    fewer than ``n`` tokens have empty gram arrays and stay excluded from
+    n_train exactly as the explode dropped them)."""
+    base = (
+        docs.withColumn("is_eval", eval_pred)
+        .select(
+            "doc_id", "source", "is_eval", tokens_expr(F.col(text_col)).alias("t")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_eval",
+            F.array_distinct(ngrams_expr(F.col("t"), n)).alias("grams"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    eval_g = base.filter("is_eval").select(F.explode("grams").alias("g")).distinct()
+    train = base.filter(~F.col("is_eval") & (F.size("grams") > 0))
 
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    probes = train_g.select("doc_id", "source", "g", seeds)
-    probes = probes.select(
+    filt = bloom_filter_row(eval_g, k, m)
+    seed_arr = F.array(*[F.lit(i) for i in range(k)])
+
+    def _bit_set(fw: Column, g: Column, s: Column) -> Column:
+        pos = _pos_expr(g, s, m)
+        # call_function: the PySpark shiftright/shiftrightunsigned wrappers
+        # only take a literal shift amount, but the SQL functions shift by
+        # a column just fine
+        word = F.call_function("shiftrightunsigned", pos, F.lit(5)).cast("int")
+        bit = pos.bitwiseAND(F.lit(31)).cast("int")  # pos % 32
+        return (
+            F.call_function("shiftright", F.element_at(fw, word + 1), bit)
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    doc_bloom = train.crossJoin(F.broadcast(filt)).select(
         "doc_id",
         "source",
-        "g",
-        _pos_expr(F.col("g"), F.col("seed"), m).alias("pos"),
-    ).select(
-        "doc_id",
-        "source",
-        "g",
-        F.expr("pos DIV 32").alias("word"),
-        (F.col("pos") % 32).cast("int").alias("bit"),
+        F.exists(
+            "grams",
+            lambda g: F.forall(seed_arr, lambda s: _bit_set(F.col("fwords"), g, s)),
+        )
+        .cast("int")
+        .alias("bloom_flag"),
     )
-    # left join: a probe whose word was never set is a definite miss
-    hit = F.when(
-        F.col("bits").isNotNull(),
-        F.expr("CAST(shiftright(bits, bit) & 1 AS INT)"),
-    ).otherwise(F.lit(0))
-    per_gram = (
-        probes.join(F.broadcast(words), "word", "left")
-        .select("doc_id", "source", "g", hit.alias("hit"))
-        .groupBy("doc_id", "source", "g")
-        .agg(F.min("hit").alias("all_hit"))
-    )
-    doc_bloom = per_gram.groupBy("doc_id", "source").agg(
-        F.max("all_hit").alias("bloom_flag")
-    )
+    train_g = train.select("doc_id", F.explode("grams").alias("g"))
     doc_exact = (
         train_g.join(F.broadcast(eval_g), "g", "left_semi")
         .select("doc_id")

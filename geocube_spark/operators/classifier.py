@@ -68,12 +68,22 @@ def train_quality_classifier(
     label: Column,
     rounds: int = ROUNDS,
     lr: float = LR,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Returns a 1-row weights frame (w_bias, w_chars, w_toks, w_mwl)
-    after ``rounds`` of batch GD from w = 0.  The whole recursion is one
-    lazy plan: round r's weights are an aggregate over the feature frame
-    cross-joined with round r-1's 1-row weights."""
-    feats = _feature_frame(docs, label)
+    after ``rounds`` of batch GD from w = 0.
+
+    Round r's weights are an aggregate over the feature frame cross-joined
+    with round r-1's 1-row weights.  Left fully lazy, that recursion
+    re-executes rounds 1..r-1 inside every round-r broadcast build — the
+    text-feature kernel ran O(rounds²) times.  Two checkpoints make each
+    round run exactly once (guide §1.2): the feature frame is materialized
+    lazily on first use (``feats=`` lets the caller share it with the
+    scoring pass), and each round's 1-row weights are checkpointed eagerly
+    — one tiny job per round, the distributed-GD barrier the algorithm has
+    anyway — which truncates the recursive plan.  Weight VALUES are
+    untouched (10-dp rounding happens before the checkpoint)."""
+    feats = _feature_frame(docs, label).localCheckpoint(eager=False) if feats is None else feats
     names = [f[0] for f in FEATS]
     w = feats.sparkSession.range(1).select(
         *[F.lit(0.0).alias(f"w_{n}") for n in names]
@@ -93,7 +103,7 @@ def train_quality_classifier(
                 for n in names
             ]
         )
-        w = grads
+        w = grads.localCheckpoint(eager=True)
     return w
 
 
@@ -104,8 +114,8 @@ def classifier_report(
     0.5 threshold plus the (shared) final weights — the quality-filter
     acceptance report.  Integer counts + 6-dp weights keep the contract
     robust."""
-    w = train_quality_classifier(docs, label, rounds, lr)
-    feats = _feature_frame(docs, label)
+    feats = _feature_frame(docs, label).localCheckpoint(eager=False)
+    w = train_quality_classifier(docs, label, rounds, lr, feats=feats)
     names = [f[0] for f in FEATS]
     z = sum(
         (F.col(f"w_{n}") * F.col(f"x_{n}") for n in names[1:]),
