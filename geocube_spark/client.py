@@ -1172,11 +1172,18 @@ class GeocubeClient:
         A lost race can surface through a SECOND channel: under
         ``retain_versions=1`` the winner's post-commit GC deletes the very
         version the loser's in-flight snapshot materialization is still
-        scanning, so the loser dies with FAILED_READ_FILE *before* ever
-        reaching the CAS check.  That is the same event — the input
-        version is gone because someone else committed — so it retries
-        identically (found by the threaded-writers fault test flaking
-        ~1-in-3 under full-suite load)."""
+        scanning, so the loser dies *before* ever reaching the CAS check.
+        How that death is SPELLED depends on where the scan sat in the
+        loser's plan: a plain scan raises FAILED_READ_FILE, but the same
+        vanished file under a broadcast/subquery arrives as an opaque
+        "Exception thrown in awaitResult" whose message carries neither
+        marker (observed under load by the threaded-writers fault test).
+        So the retry condition is the SEMANTIC one, not a string match:
+        any failure while ``version(table)`` has moved past the version we
+        read is a lost race — the derivation is stale and the CAS would
+        have rejected it anyway — and is retried; a failure with the
+        version unchanged is a genuine error and re-raises (it would only
+        recur on a retry, since the inputs cannot have changed)."""
         import time as _time
 
         from geocube_spark.sources.catalog import CommitConflict
@@ -1191,11 +1198,8 @@ class GeocubeClient:
             except CommitConflict:
                 _time.sleep(0.02 * attempt)
                 continue
-            except Exception as exc:  # noqa: BLE001 - filtered re-raise below
-                msg = str(exc)
-                if (
-                    "FAILED_READ_FILE" in msg or "FILE_NOT_EXIST" in msg
-                ) and self.catalog.version(table) != v:
+            except Exception:  # noqa: BLE001 - filtered re-raise below
+                if self.catalog.version(table) != v:
                     _time.sleep(0.02 * attempt)
                     continue
                 raise
