@@ -44,25 +44,33 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
+    # LAZY checkpoints from here down (the kcenter fusion): each frame's
+    # first consumer action materializes — and persists — it as a side
+    # effect, so the dedicated per-frame materialization job disappears.
+    # nodes is materialized by its own count() (a scalar the plan needs as
+    # a literal anyway), nd by round 1's first job, and each round's rank
+    # frame by that round's dangling-mass broadcast build.  Lineage is cut
+    # exactly as before — only the extra pass per frame is gone (guide
+    # §1.2: remove passes first).
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_nodes = nodes.count()  # a scalar the plan needs as a literal anyway
+    n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # out-degree per node (0 for dangling), checkpointed once: every round
     # unions it back in as the per-node base row
     nd = (
         nodes.join(deg, nodes["node"] == deg["src"], "left")
         .select("node", F.coalesce("deg", F.lit(0)).alias("deg"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ranks = nd.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
     # rank row ~ node string + long + double; 64 bytes covers it with slack
     for _ in range(iterations):
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eager=False)
         dangling = ranks.filter(F.col("deg") == 0).agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
@@ -170,18 +178,23 @@ def label_propagation(
     lazy chaining would re-execute the whole prefix 2^R times.
     """
     fwd = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    # LAZY checkpoints (the kcenter fusion, as in pagerank): e and nodes
+    # are both single-consumer-at-a-time frames, so the first action —
+    # nodes.count() — materializes the whole chain in ONE job instead of
+    # three; each round's label frame is materialized by that round's
+    # broadcast build.  Lineage cuts are unchanged.
     e = (
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    nodes = e.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     # the per-round label frame is O(nodes); its measured count drives the
     # broadcast-vs-shuffle join choice exactly as in pagerank
     n_nodes = nodes.count()
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
-        labels = labels.localCheckpoint()
+        labels = labels.localCheckpoint(eager=False)
         lab = _maybe_broadcast(labels, n_nodes, 64)
         counts = (
             e.join(lab, e["b"] == lab["node"])
