@@ -76,7 +76,13 @@ def duplicated_passage_spans(
     """Per-document duplicated spans: (doc_id, span_start, span_end,
     n_grams) where every k-gram starting in [span_start, span_end - k + 1]
     occurs >= min_count times corpus-wide."""
-    grams = positional_kgram_hashes(docs, k, text_col, id_col)
+    # two consumers (the corpus-wide gram counts and the semi-join probe
+    # side): tokenize+hash once via a lazy checkpoint — rows are three
+    # longs, so the cache is far smaller than re-running the kernel (the
+    # LM-family sharing pattern)
+    grams = positional_kgram_hashes(docs, k, text_col, id_col).localCheckpoint(
+        eager=False
+    )
     dup_hashes = (
         grams.groupBy("gram_hash")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -245,7 +245,10 @@ def dsir_importance(
     doc_b = stream.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("c_doc"),
         F.first("is_target").alias("is_target"),
-    ).localCheckpoint()  # 4 consumers; Catalyst does not reuse the exchange
+    ).localCheckpoint(eager=False)  # 4 consumers; Catalyst does not reuse
+    # the exchange.  LAZY: the first consumer (the totals broadcast build)
+    # materializes it, so the dedicated checkpoint pass disappears (the
+    # kcenter fusion).
     src_b = doc_b.groupBy("bucket").agg(F.sum("c_doc").alias("c_s"))
     tgt_b = (
         doc_b.filter("is_target")

@@ -114,9 +114,15 @@ def bm25_scores(
     terms = sorted(set(query_terms))
     if not terms:
         raise ValueError("query_terms must be non-empty")
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
-    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    # two consumers (corpus stats and the postings explode) — tokenize
+    # once, not per subtree (see _bigram_streams)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("toks")
+        )
+        .select("doc_id", "toks", F.size("toks").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
 
     stats = toks.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -404,9 +410,13 @@ def unigram_logprob(
     broadcasts at any corpus size; laplace-free MLE is exact because every
     scored token was observed (it came from the same corpus).
     """
+    # two consumers (the tf aggregate and the scoring join) — tokenize
+    # once, not per subtree (see _bigram_streams).  The checkpoint sits on
+    # the per-doc token ARRAYS, not the exploded stream: caching the
+    # explode output is bigger than the corpus and measured slower.
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
-    )
+    ).localCheckpoint(eager=False)
     terms = toks.select("doc_id", F.explode("t").alias("term"))
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
     total = tf.agg(F.sum("tf").alias("total"))
@@ -655,11 +665,23 @@ def nb_lang_confusion(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(label_col).alias("actual"),
-        tokens_expr(F.col(text_col)).alias("t"),
-    ).filter(F.size("t") > 0)
+    # toks feeds the class priors AND the term stream, which itself feeds
+    # FOUR distinct aggregates (ctc, ctot, vocab) plus the scoring stream.
+    # A lazy checkpoint on the per-doc token ARRAYS tokenizes ONCE — the
+    # first broadcast build materializes it — instead of once per consumer
+    # subtree (exchange reuse only covers identical subplans).  The cheap
+    # explode re-runs per consumer over the cache; caching the exploded
+    # stream instead measured slower (it is bigger than the corpus).  All
+    # shared tables are integer counts, so the model is value-identical.
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(label_col).alias("actual"),
+            tokens_expr(F.col(text_col)).alias("t"),
+        )
+        .filter(F.size("t") > 0)
+        .localCheckpoint(eager=False)
+    )
     terms = toks.select("doc_id", "actual", F.explode("t").alias("term"))
 
     n_docs = toks.groupBy("actual").agg(F.count(F.lit(1)).alias("n_c"))
@@ -776,10 +798,22 @@ def _bigram_streams(docs, id_col: str, text_col: str):
     """Shared LM-prep: (toks, uni, total, bi_stream, bi, first) — the
     tokenized docs, unigram/bigram count tables, the positional bigram
     stream, and the unigram-scored first-token rows.  ONE definition keeps
-    the JM and Kneser-Ney scorers training on the identical streams."""
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
-    ).filter(F.size("t") > 0)
+    the JM and Kneser-Ney scorers training on the identical streams.
+
+    The token frame feeds THREE distinct subtrees (unigram counts, the
+    bigram stream, the first-token scorer), and Catalyst's exchange reuse
+    only dedupes identical subplans — so un-checkpointed, the tokenizer
+    kernel ran once per subtree.  A lazy localCheckpoint (the shingle-set
+    sharing pattern from the jaccard/minhash family) tokenizes once; the
+    first consumer materializes it and the rest read the cache.  Count
+    tables stay exact integers, so the model is value-identical."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens_expr(F.col(text_col)).alias("t")
+        )
+        .filter(F.size("t") > 0)
+        .localCheckpoint(eager=False)
+    )
     pos = toks.select("doc_id", F.posexplode("t").alias("i", "term"))
     uni = pos.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     total = uni.agg(F.sum("c1").cast("double").alias("n_total"))

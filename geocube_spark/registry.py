@@ -9342,9 +9342,13 @@ def heavy_hitters(spark, sf_dir):
     from geocube_spark.operators.sketches import heavy_hitter_candidates
 
     k = 50
-    terms = _docs(spark, sf_dir).select(
-        F.explode(tokens_expr(F.col("text"))).alias("term")
-    )
+    # the term stream has THREE consumers (sketch, exact counts, total);
+    # tokenize once via a lazy array-level checkpoint (the LM-family
+    # pattern — the explode re-runs cheaply per consumer over the cache)
+    toks = _docs(spark, sf_dir).select(
+        tokens_expr(F.col("text")).alias("t")
+    ).localCheckpoint(eager=False)
+    terms = toks.select(F.explode("t").alias("term"))
     cands = heavy_hitter_candidates(terms, k=k)
     exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     tot = terms.agg(F.count(F.lit(1)).alias("n"))
@@ -9398,9 +9402,12 @@ def countmin_accuracy_q(spark, sf_dir):
     from geocube_spark.operators.retrieval import tokens_expr
     from geocube_spark.operators.sketches import countmin_accuracy
 
-    terms = _docs(spark, sf_dir).select(
-        F.explode(tokens_expr(F.col("text"))).alias("term")
-    )
+    # two consumers (sketch cells + exact truth): tokenize once via a lazy
+    # array-level checkpoint (the LM-family pattern)
+    toks = _docs(spark, sf_dir).select(
+        tokens_expr(F.col("text")).alias("t")
+    ).localCheckpoint(eager=False)
+    terms = toks.select(F.explode("t").alias("term"))
     return countmin_accuracy(terms, top=20)
 
 

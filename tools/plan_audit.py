@@ -60,6 +60,9 @@ HARD_RULES_EXEMPT_BNLJ = {
     # (perplexity_buckets' corpus-total BNLJ sits above distributed_rank's
     # localCheckpoint cut, so its audited plan shows no BNLJ at all)
     "heavy_hitters",           # 1-row stream-total broadcast + 1-row x 1-row result assembly
+    "bloom_decontamination",   # 1-row dense filter-word-array broadcast (the
+                               # whole Bloom filter as one array<long> row —
+                               # the map-side probe design)
     "graph_pagerank",          # 1-row dangling-mass broadcast (final round)
     "quality_classifier_train",  # 1-row weights broadcast per GD round (R+1 total)
     # bbox interval joins against a SMALL broadcast cell/AOI list — the
