@@ -18,6 +18,7 @@ never touches row data.  At 100 TB the LSH path shuffles only
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -150,25 +151,45 @@ def minhash_signatures(
                 ),
             ).alias("hs"),
         )
-    # SINGLE pass over the shingle hashes: fold hs once, keeping a running
-    # 32-long elementwise min (zip_with against the LITERAL (a,b) param
-    # array).  vs the unrolled form (32 array_min terms = 32 traversals of
-    # hs + ~13 KB of plan reprinted at every join-tree reuse) this is ~2×
-    # faster and O(1) plan bytes in num_hashes.  Init sentinel is p itself:
-    # every pmod result is < p, and hs is never empty (n >= 1 above).
-    pab = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    # The (a*h+b) mod p running-min fold over the shingle hashes is the
+    # family's dominant compute, and Catalyst evaluates higher-order-
+    # function lambda bodies interpreted, allocating a num_hashes-long
+    # array per shingle (profiled at ~29 s executor CPU for the LSH query
+    # at sf0.1 — 3 µs per multiply-mod).  The fold is instead one
+    # vectorized numpy expression per Arrow batch (guide §4.2): exact
+    # int64 arithmetic, since a, b, h < p = 2^31 - 1 keeps a*h + b under
+    # 2^62, and % on non-negatives == pmod — bit-identical signatures
+    # (pinned by test_incremental_dedup.py::test_numpy_minhash_fold_
+    # matches_jvm_fold, empty-set sentinel included).
+    # Empty shingle sets keep the p-sentinel row the old fold's init gave.
+    return hashed.select(
+        "doc_id", _minhash_fold_udf(params)(F.col("hs")).alias("signature")
     )
-    sig = F.aggregate(
-        F.col("hs"),
-        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), len(params)),
-        lambda acc, h: F.zip_with(
-            acc,
-            pab,
-            lambda m, p: F.least(m, F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE_P))),
-        ),
-    )
-    return hashed.select("doc_id", sig.alias("signature"))
+
+
+def _minhash_fold_udf(params: list[tuple[int, int]]):
+    """Vectorized minhash fold: hs (array<long> of shingle hashes, each
+    < p) -> num_hashes-long signature min_h((a*h+b) mod p), as one numpy
+    broadcast per document.  Ships the (a, b) matrix by closure."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.asarray([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.asarray([b for _, b in params], dtype=np.int64)[:, None]
+    P = _MERSENNE_P
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def fold(hs: pd.Series) -> pd.Series:
+        sentinel = np.full(A.shape[0], P, dtype=np.int64)
+        out = []
+        for h in hs:
+            arr = np.asarray(h, dtype=np.int64)
+            if arr.size == 0:
+                out.append(sentinel)
+            else:
+                out.append(((A * arr[None, :] + B) % P).min(axis=1))
+        return pd.Series(out)
+
+    return fold
 
 
 def minhash_lsh_candidates(
@@ -453,8 +474,50 @@ def ngram_jaccard_pairs(
 
 
 def simhash_fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash): tokenize + xxhash64 in the JVM, then the per-bit
+    majority vote and packing as one numpy broadcast per Arrow batch.
+
+    The JVM ``simhash_expr`` form evaluated its zip_with lambda bodies
+    interpreted — a 64-long counter array allocated per token — and its
+    packing lambda referenced size(hashes) as an outer expression, which
+    re-ran the whole hash transform once per bit (CSE does not reach into
+    HOF lambdas).  Profiled at ~14 s executor CPU for the sf0.1 LSH query;
+    the numpy vote is exact int64 with JVM two's-complement shift
+    semantics, so fingerprints are bit-identical (pinned by
+    test_incremental_dedup.py::test_numpy_simhash_matches_jvm_expr)."""
     toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    return _parallelize(documents).select("doc_id", simhash_expr(toks).alias("simhash"))
+    hashed = _parallelize(documents).select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+    )
+    return hashed.select("doc_id", _simhash_pack_udf()(F.col("hs")).alias("simhash"))
+
+
+def _simhash_pack_udf(bits: int = 64):
+    """Per-bit majority vote over token hashes -> packed long, vectorized:
+    counts = sum over tokens of each hash's unpacked bits (arithmetic >>
+    and & 1, matching Spark's shiftright), majority where count*2 > n,
+    packed with wrapping int64 shifts (bit 63 wraps negative in numpy and
+    the JVM alike).  Empty token arrays pack to 0, as the JVM fold's
+    zero-init did."""
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf(LongType())
+    def pack(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        one = np.int64(1)
+        for j, h in enumerate(hs):
+            arr = np.asarray(h, dtype=np.int64)
+            n = arr.size
+            if n == 0:
+                continue
+            cnt = ((arr[:, None] >> shifts[None, :]) & one).sum(axis=0)
+            packed_bits = np.where(cnt * 2 > n, one << shifts, np.int64(0))
+            out[j] = np.bitwise_or.reduce(packed_bits)
+        return pd.Series(out)
+
+    return pack
 
 
 def simhash_all_pairs(

@@ -228,3 +228,83 @@ def test_shared_shingle_frame_is_bit_identical(spark):
         for r in dd.minhash_lsh_candidates(docs, shingles=sh).collect()
     )
     assert cands_a == cands_b
+
+
+def test_numpy_minhash_fold_matches_jvm_fold(spark):
+    """The vectorized numpy fold must be BIT-identical to the JVM
+    higher-order fold it replaced: a, b, h < p = 2^31 - 1 keeps a*h + b
+    under 2^62 (exact int64, no overflow), and % on non-negatives equals
+    pmod.  Includes the empty-shingle-set sentinel row."""
+    from pyspark.sql import functions as F
+
+    from geocube_spark.functions.vectors import _MERSENNE_P, minhash_params
+    from geocube_spark.operators.dedup import _minhash_fold_udf
+
+    params = minhash_params(32)
+    docs = _corpus(spark, BASE)
+    hashed = dd.shingle_sets(docs).select(
+        "doc_id",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)),
+        ).alias("hs"),
+    )
+    # plus one synthetic empty-set row to pin the sentinel behavior.  The
+    # union is checkpointed: PushProjectionThroughUnion would otherwise
+    # push the pandas UDF into the LocalRelation branch, where Spark tries
+    # to evaluate it interpreted and fails (product code never projects a
+    # Python UDF over a union of a LocalRelation).
+    empty = spark.sql(
+        "SELECT CAST(-1 AS LONG) AS doc_id, CAST(array() AS array<bigint>) AS hs"
+    )
+    hashed = hashed.unionByName(empty).localCheckpoint(eager=False)
+
+    pab = F.array(
+        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in params]
+    )
+    jvm_sig = F.aggregate(
+        F.col("hs"),
+        F.array_repeat(F.lit(_MERSENNE_P).cast("long"), len(params)),
+        lambda acc, h: F.zip_with(
+            acc,
+            pab,
+            lambda m, p: F.least(
+                m, F.pmod(p["a"] * h + p["b"], F.lit(_MERSENNE_P))
+            ),
+        ),
+    )
+    want = {r["doc_id"]: r["s"] for r in hashed.select("doc_id", jvm_sig.alias("s")).collect()}
+    got = {
+        r["doc_id"]: r["s"]
+        for r in hashed.select(
+            "doc_id", _minhash_fold_udf(params)(F.col("hs")).alias("s")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_numpy_simhash_matches_jvm_expr(spark):
+    """The vectorized simhash vote/pack must be BIT-identical to the JVM
+    simhash_expr it replaced: arithmetic >> and & unpack the same bits,
+    the majority threshold is the same integer compare, and packing with
+    int64 shifts wraps bit 63 negative in numpy exactly as in the JVM."""
+    from pyspark.sql import functions as F
+
+    from geocube_spark.functions.vectors import simhash_expr
+
+    docs = _corpus(spark, BASE)
+    # include an empty-text row to pin the zero fingerprint
+    empty = spark.sql("SELECT CAST(-1 AS LONG) AS doc_id, '' AS text")
+    docs = docs.select("doc_id", "text").unionByName(empty)
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", simhash_expr(toks).alias("s")).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dd.simhash_fingerprints(docs).collect()
+    }
+    assert got == want
