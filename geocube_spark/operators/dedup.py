@@ -887,7 +887,11 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["chk"]
 
-    edges = edges.localCheckpoint(eager=True)
+    # LAZY checkpoint (the kcenter/pagerank fusion): the signature action
+    # right below is a full-scan aggregate, so it materializes — and
+    # persists — the frame as a side effect; the dedicated checkpoint job
+    # disappears (one job per round instead of two)
+    edges = edges.localCheckpoint(eager=False)
     prev = signature(edges)
 
     # Size-adaptive fast path (the CC sibling of the size-adaptive spatial
@@ -911,7 +915,7 @@ def connected_components(
         )
 
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
         cur = signature(edges)
         if cur == prev:
             break

@@ -73,12 +73,17 @@ def main() -> int:
                     and s["status"] != "SKIPPED"]
             n_tasks = sum(s["numCompleteTasks"] for s in mine)
             ttime = sum(s.get("executorRunTime", 0) for s in mine) / 1000.0
+            # executorCpuTime is ns of ON-CPU time (thread CPU clock): unlike
+            # wall/taskTime it is not inflated by host-side steal, so it is
+            # the comparison metric of record on this noisy host
+            ctime = sum(s.get("executorCpuTime", 0) for s in mine) / 1e9
             sread = sum(s.get("shuffleReadBytes", 0) for s in mine)
             swrite = sum(s.get("shuffleWriteBytes", 0) for s in mine)
             inbytes = sum(s.get("inputBytes", 0) for s in mine)
             print(
                 f"{name} run{r}: wall={wall:.2f}s jobs={len(jobs)} "
                 f"stages={len(mine)} tasks={n_tasks} taskTime={ttime:.1f}s "
+                f"cpu={ctime:.2f}s "
                 f"shufR={sread/1e6:.2f}MB shufW={swrite/1e6:.2f}MB "
                 f"input={inbytes/1e6:.2f}MB rows={nrows}"
             )
