@@ -79,10 +79,12 @@ def train_quality_classifier(
     text-feature kernel ran O(rounds²) times.  Two checkpoints make each
     round run exactly once (guide §1.2): the feature frame is materialized
     lazily on first use (``feats=`` lets the caller share it with the
-    scoring pass), and each round's 1-row weights are checkpointed eagerly
-    — one tiny job per round, the distributed-GD barrier the algorithm has
-    anyway — which truncates the recursive plan.  Weight VALUES are
-    untouched (10-dp rounding happens before the checkpoint)."""
+    scoring pass), and each round's 1-row weights are checkpointed LAZILY
+    — the next round's (or the scorer's) broadcast build is the action
+    that materializes them, the distributed-GD barrier the algorithm has
+    anyway — which truncates the recursive plan without a dedicated job
+    per round (the pagerank-round fusion).  Weight VALUES are untouched
+    (10-dp rounding happens before the checkpoint)."""
     feats = _feature_frame(docs, label).localCheckpoint(eager=False) if feats is None else feats
     names = [f[0] for f in FEATS]
     w = feats.sparkSession.range(1).select(
@@ -103,7 +105,7 @@ def train_quality_classifier(
                 for n in names
             ]
         )
-        w = grads.localCheckpoint(eager=True)
+        w = grads.localCheckpoint(eager=False)
     return w
 
 
