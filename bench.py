@@ -119,9 +119,43 @@ def main() -> None:
 # the JSON line out of that tail.  With 80+ queries the naive dump exceeds
 # the buffer and the whole round's bench is recorded as unparseable (this
 # happened in round 3).  Emit a compact line and, if it would still overflow,
-# drop the *fastest* queries from the per-query detail (keeping the slowest,
-# which are the informative ones); `value` always covers every query.
+# drop queries from the per-query detail; `value` always covers every query.
+#
+# WHICH queries survive the trim was slowest-first through round 11, which
+# made the reported subset rotate with timing noise: round 11's PERF diff
+# fabricated 10 "dropped_from_bench" + 10 "new_in_bench" entries for queries
+# that all ran fine (VERDICT r11 item 3).  The kept set is now PINNED by
+# name to the round-11 reported set (so the round-over-round common set is
+# stable), with any remaining budget filled slowest-first — additions-only:
+# nothing that round 11 reported can silently vanish from the line while it
+# exists in the registry.  Trimmed values carry 2 significant digits (enough
+# for a speedup ratio; buys ~3 extra entries of budget).
 TAIL_BUDGET = 1900
+
+PINNED_SUMMARY_QUERIES = frozenset({
+    "bap_cloudfree_composite", "bigram_logprob", "bloom_decontamination",
+    "bpe_merges", "bpe_tokenized_counts", "change_detection",
+    "contour_extraction", "countmin_accuracy", "decontamination_overlap",
+    "dedup_canonical", "dedup_components", "dedup_components_skew",
+    "dsir_importance", "duplicated_passages", "embedding_ivf_append",
+    "embedding_ivf_indexed", "embedding_ivf_topk", "embedding_ivfpq_topk",
+    "embedding_lsh_topk", "embedding_matryoshka_recall",
+    "embedding_near_dup_exact", "embedding_near_dup_lsh", "embedding_pq_topk",
+    "embedding_sq8_topk", "find_datasets_core", "flow_accumulation",
+    "focal_gaussian_blocks", "focal_morphology_open", "focal_terrain_indices",
+    "graph_label_propagation", "graph_pagerank", "histogram_matching",
+    "hybrid_search_rrf", "idw_interpolation", "incremental_dedup",
+    "kcenter_diversity_sample", "kneser_ney_logprob", "leakage_safe_split",
+    "materialized_view_lifecycle", "minhash_lsh_candidates",
+    "minhash_lsh_skew", "minhash_near_duplicates", "mixture_resample",
+    "mosaic_rank_latest", "nb_lang_confusion", "ngram_jaccard_pairs",
+    "pyramid_incremental_refresh", "quality_classifier_train",
+    "raster_point_sample", "raster_proximity", "raster_proximity_dense",
+    "raster_region_labeling", "rasterize_polygons", "region_polygonize",
+    "simhash_near_duplicates", "task_retry_e2e", "temporal_trend_mk",
+    "tpch_q21", "tpch_q8", "warp_cross_crs_bng", "winnow_plagiarism_pairs",
+    "zarr_block_read",
+})
 
 
 def summary_line(
@@ -145,12 +179,23 @@ def summary_line(
         return json.dumps(payload, separators=(",", ":"))
 
     by_cost = sorted(timings, key=lambda k: -timings[k])
-    keep = len(by_cost)
     line = dump(timings, 0)
-    while len(line) > TAIL_BUDGET and keep > 1:
+    if len(line) <= TAIL_BUDGET:
+        return line
+    # Trim: values at 2 significant digits; survivors ordered pinned-first
+    # (then slowest-first within each class), so the pinned set only loses
+    # members after every unpinned query is gone.
+    sig2 = {k: float(f"{timings[k]:.2g}") for k in timings}
+    priority = [k for k in by_cost if k in PINNED_SUMMARY_QUERIES] + [
+        k for k in by_cost if k not in PINNED_SUMMARY_QUERIES
+    ]
+    keep = len(priority)
+    while keep > 1:
+        kept_names = sorted(priority[:keep], key=lambda k: -timings[k])
+        line = dump({k: sig2[k] for k in kept_names}, len(timings) - keep)
+        if len(line) <= TAIL_BUDGET:
+            return line
         keep -= 1
-        kept = {k: timings[k] for k in by_cost[:keep]}
-        line = dump(kept, len(timings) - keep)
     return line
 
 

@@ -35,3 +35,18 @@ def test_summary_line_small_suite_untrimmed():
     parsed = json.loads(line)
     assert parsed["queries"] == timings
     assert "queries_omitted" not in parsed
+
+
+def test_summary_line_pins_round11_set():
+    # a slow unpinned mob must not evict the pinned (round-over-round
+    # comparable) queries from a trimmed line
+    pinned = sorted(bench.PINNED_SUMMARY_QUERIES)
+    timings = {name: 0.5 for name in pinned}
+    timings.update(
+        {f"unpinned_very_long_query_name_{i:03d}": 99.0 for i in range(200)}
+    )
+    line = bench.summary_line(round(sum(timings.values()), 3), timings, 0.1)
+    assert len(line) <= bench.TAIL_BUDGET
+    parsed = json.loads(line)
+    assert parsed.get("queries_omitted", 0) > 0  # trim definitely happened
+    assert set(pinned) <= set(parsed["queries"])  # every pinned query kept

@@ -1,4 +1,5 @@
-"""Capture `.explain("formatted")` for registered queries into plans/r11/.
+"""Capture `.explain("formatted")` for registered queries into plans/<round>/
+(round from $SPARK_GRAFT_PLANS_ROUND, default r12).
 
 Usage: python tools/capture_plans.py <suffix> [sf_dir] [query ...]
 
@@ -20,7 +21,7 @@ from geocube_spark import registry  # noqa: E402
 from geocube_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "plans", "r11")
+                       "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"))
 
 
 def main() -> int:
