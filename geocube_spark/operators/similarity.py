@@ -274,20 +274,28 @@ def _deterministic_sample_matrix(
     across partition layouts/AQE), collected ONCE so PQ can train all m
     subspace codebooks from a single corpus scan instead of m."""
     df = embeddings.select(F.col(vec_col).cast("array<double>").alias("v"))
-    n = df.count()
-    if n > max_sample_rows:
-        denom = 1_000_003
-        thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
-        h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
-        df = (
-            df.withColumn("_h", h)
-            .filter(F.col("_h") < F.lit(thresh))
-            .orderBy("_h", "v")
-            .drop("_h")
-        )
-    # Arrow transfer (guide §6: toPandas over row collect for anything
-    # non-trivial) — same rows, same order, columnar instead of pickled
+    # Collect-first probe: the bounded limit IS the whole corpus whenever
+    # the corpus fits the cap, so the small case (every quantizer train in
+    # the bench) pays ONE job instead of count + collect.  A corpus above
+    # the cap falls through to the count + content-deterministic hash
+    # filter exactly as before — the probe there reads only the leading
+    # partitions (CollectLimit fetches incrementally), not a full pass.
+    # Rows and order are identical to the old count-then-limit path in
+    # both cases (same limit over the same frame).
     rows = df.limit(int(max_sample_rows)).toPandas()["v"]
+    if len(rows) >= max_sample_rows:
+        n = df.count()
+        if n > max_sample_rows:
+            denom = 1_000_003
+            thresh = min(denom, int(denom * max_sample_rows * 1.1 / n) + 1)
+            h = F.pmod(F.xxhash64(F.col("v"), F.lit(seed)), F.lit(denom))
+            df = (
+                df.withColumn("_h", h)
+                .filter(F.col("_h") < F.lit(thresh))
+                .orderBy("_h", "v")
+                .drop("_h")
+            )
+            rows = df.limit(int(max_sample_rows)).toPandas()["v"]
     return np.array([np.asarray(v, dtype=np.float64) for v in rows], dtype=np.float64)
 
 
@@ -336,6 +344,7 @@ def pq_train(
     iterations: int = 10,
     seed: int = 42,
     sample_matrix: "np.ndarray | None" = None,
+    distribute: bool | None = None,
 ) -> list[list[list[float]]]:
     """Train the m per-subspace codebooks (each ks x d/m) from ONE bounded
     deterministic sample.  Codebooks are tiny (m*ks*d/m = ks*d doubles)
@@ -354,10 +363,62 @@ def pq_train(
         if sample_matrix is not None
         else _deterministic_sample_matrix(embeddings, vec_col, max_sample_rows, seed)
     )
+    if distribute is None:
+        # The m trainings are independent and each is a serial numpy loop,
+        # so a big training runs as m single-subspace executor tasks (one
+        # Spark job) instead of m sequential driver loops — the whole
+        # query was driver-bound on this (measured 2.4 s of driver numpy
+        # for m=32, ks=64, n=2000 vs ~75 ms per distributed task).  The
+        # work estimate gates it so tiny trainings (unit tests, m<=2) skip
+        # the job+broadcast overhead.  Same mat slices, same seeds, same
+        # _lloyd ops => bit-identical codebooks either way (pinned by
+        # tests/test_ivf_index.py::test_pq_train_distributed_bit_identical).
+        distribute = (
+            m >= 4 and len(mat) * ks * iterations * dim >= 16_000_000
+        )
+    if distribute:
+        return _pq_train_distributed(
+            embeddings.sparkSession, mat, m, ks, dsub, iterations, seed
+        )
     return [
         _lloyd(mat[:, j * dsub : (j + 1) * dsub], ks, iterations, seed + j).tolist()
         for j in range(m)
     ]
+
+
+def _pq_train_distributed(
+    spark, mat: np.ndarray, m: int, ks: int, dsub: int, iterations: int, seed: int
+) -> list[list[list[float]]]:
+    """One executor task per subspace: the sample matrix ships once as a
+    broadcast variable (it is already driver-resident), each task slices
+    its own dsub columns and runs the identical `_lloyd`.  float64 values
+    round-trip Arrow exactly, so the assembled codebooks are bit-identical
+    to the driver loop's."""
+    bc = spark.sparkContext.broadcast(mat)
+
+    def train(batches):
+        full = bc.value
+        for pdf in batches:
+            out = []
+            for j in pdf["j"]:
+                j = int(j)
+                cb = _lloyd(
+                    full[:, j * dsub : (j + 1) * dsub], ks, iterations, seed + j
+                )
+                out.append([list(map(float, row)) for row in cb])
+            yield pd.DataFrame({"j": pdf["j"], "cb": out})
+
+    # range(..., numPartitions=m): exactly one subspace id per partition —
+    # a keyed repartition would hash-collide some subspaces onto one task
+    # and idle others (guide §2.5, synthetic-key skew)
+    idx = spark.range(0, m, 1, m).select(F.col("id").cast("int").alias("j"))
+    rows = idx.mapInPandas(train, "j int, cb array<array<double>>").collect()
+    books: list[list[list[float]] | None] = [None] * m
+    for r in rows:
+        books[r["j"]] = [list(sub) for sub in r["cb"]]
+    bc.unpersist()
+    assert all(b is not None for b in books)
+    return books  # type: ignore[return-value]
 
 
 def pq_encode_udf(codebooks: list[list[list[float]]]):

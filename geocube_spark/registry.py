@@ -1004,10 +1004,16 @@ def materialized_view_lifecycle_q(spark, sf_dir):
     root = tempfile.mkdtemp(prefix="mvcat_")
     try:
         cat = Catalog(spark, root, retain_versions=4)
-        cat.write("base", spark.createDataFrame([(10,), (12,)], "v int"))
+        # values_df: a JVM LocalRelation whose size estimate is accurate,
+        # so Catalog.write's small-write coalesce fires (a pickled-RDD
+        # createDataFrame reports unknown size and 32 empty-ish write
+        # tasks); same rows, same schema
+        from geocube_spark.functions.localdf import values_df
+
+        cat.write("base", values_df(spark, [(10,), (12,)], ["v"]))
         mv_v1 = create_materialized_view(cat, "mv", builder, ["base"])
         fresh1 = int(view_staleness(cat, "mv")["fresh"])
-        cat.write("base", spark.createDataFrame([(100,), (22,)], "v int"))
+        cat.write("base", values_df(spark, [(100,), (22,)], ["v"]))
         fresh2 = int(view_staleness(cat, "mv")["fresh"])
         cached = read_materialized_view(cat, "mv").collect()[0]["total"]
         auto = read_materialized_view(cat, "mv", builder, mode="auto").collect()[0][

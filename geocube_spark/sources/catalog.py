@@ -34,6 +34,41 @@ TABLES = {
 }
 
 
+# Snapshot writes whose optimizer size ESTIMATE is at or below this are
+# coalesced to ONE part file before the write (guide §6: small files hurt
+# twice — here each catalog commit of a kilobyte-scale entity table was
+# paying a task + file-commit per input partition, dozens of empty-file
+# tasks for a 2-row frame).  The bound is an estimate read off the
+# optimized plan (no job), so the decision is scale-adaptive: production
+# tables estimated above it keep their write parallelism, and a wrong
+# estimate only costs write-task fan-in, never correctness.  32 MB keeps
+# the single output file well inside the guide's 128 MB–1 GB target.
+_SMALL_WRITE_EST_BYTES = 32 << 20
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes estimate for the optimized plan, or None when
+    the JVM surface is unavailable (never raises: this gates a performance
+    choice only)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:  # pragma: no cover - defensive against API drift
+        return None
+
+
+def _caller_pinned_layout(df: DataFrame) -> bool:
+    """True when the caller's outermost operation is an explicit
+    repartition/coalesce — a deliberately chosen file layout (e.g.
+    :meth:`Catalog.compact`'s target part count, or a test constructing a
+    fragmented snapshot) that the small-write coalesce must not override."""
+    try:
+        name = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        return name in ("Repartition", "RepartitionByExpression")
+    except Exception:  # pragma: no cover - defensive against API drift
+        return False
+
+
 class CommitConflict(RuntimeError):
     """Raised by :meth:`Catalog.write` with ``expect_version`` when another
     writer committed first — the optimistic-concurrency conflict signal
@@ -267,6 +302,13 @@ class Catalog:
         log_dir = self._log_dir(name)
         os.makedirs(data_dir, exist_ok=True)
         os.makedirs(log_dir, exist_ok=True)
+        est = _estimated_plan_bytes(df)
+        if (
+            est is not None
+            and 0 <= est <= _SMALL_WRITE_EST_BYTES
+            and not _caller_pinned_layout(df)
+        ):
+            df = df.coalesce(1)
         df.write.mode("overwrite").parquet(f"{data_dir}/{snap}")
 
         for _ in range(16):  # bounded optimistic-concurrency retries

@@ -329,3 +329,34 @@ class TestTimeTravel:
         with pytest.raises(FileNotFoundError):
             cat.read("t", version=1)
         assert cat.read("t").count() == 2
+
+
+class TestSmallWriteCoalesce:
+    """Provably-small snapshot writes land as ONE part file (guide §6);
+    explicit caller layouts are never overridden."""
+
+    def _parts(self, cat, name):
+        import os
+
+        path = cat._current(name)[1]
+        return sum(
+            f.endswith(".parquet")
+            for _dp, _dn, fns in os.walk(path)
+            for f in fns
+        )
+
+    def test_small_estimable_write_is_one_file(self, spark, tmp_path):
+        from geocube_spark.functions.localdf import values_df
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("small", values_df(spark, [(1,), (2,), (3,)], ["v"]))
+        assert self._parts(cat, "small") == 1
+        assert {r["v"] for r in cat.read("small").collect()} == {1, 2, 3}
+
+    def test_explicit_repartition_layout_is_kept(self, spark, tmp_path):
+        from geocube_spark.sources.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path))
+        cat.write("pinned", spark.range(64).repartition(4))
+        assert self._parts(cat, "pinned") == 4

@@ -294,3 +294,17 @@ class TestProductQuantization:
         out = sim.pq_topk(emb, q, k=10, m=32, ks=64, expand=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert len(plan.encode()) < 40_000  # LUTs shipped by closure, not literals
+
+
+def test_pq_train_distributed_bit_identical(spark):
+    # the executor-distributed per-subspace training must reproduce the
+    # driver loop's codebooks EXACTLY (same slices, seeds, numpy ops;
+    # float64 round-trips Arrow unchanged)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    mat = rng.rand(300, 16)
+    anchor = spark.range(1)  # session carrier; sample_matrix supplies data
+    a = sim.pq_train(anchor, 16, m=4, ks=8, sample_matrix=mat, distribute=False)
+    b = sim.pq_train(anchor, 16, m=4, ks=8, sample_matrix=mat, distribute=True)
+    assert a == b
