@@ -93,33 +93,71 @@ def flow_accumulation(
     """(i, j, acc): number of cells draining through (i, j), itself
     included.  Exact once ``rounds`` >= the longest flow-path length.
 
-    Each round's ``acc`` feeds exactly ONE consumer (the next round), so
-    the recursion stays a lazy plan between checkpoints — the
-    ``localCheckpoint`` every ``checkpoint_every`` rounds caps lineage at
-    a FIXED depth, so the final (audited) plan size is independent of the
-    total round count: a 10 000-round continental DEM compiles the same
-    4-round plan as the fixture.  Cadence choice measured on the fixture:
-    per-round checkpoints 5.2 s, every-4 3.0 s, fully lazy 2.8 s — the
-    ~0.2 s is the price of a bounded plan (the fully-lazy 8-round chain
-    compiled to ~31.5 KB and grew with ``rounds``).  ``edges`` is
-    checkpointed once: it IS re-read every round."""
+    Computed by POINTER DOUBLING over the flow DAG (guide §2: round count
+    is the lever once each round is a tiny join): the truncated recursion
+    acc_r = 1 + sum(acc_{r-1} over inflow edges) counts, for each cell v,
+    the walks of length <= rounds ending at v (out-degree <= 1 makes the
+    walk from any start cell unique per length, so walk count = upstream
+    cell count within ``rounds`` hops).  The walk relation
+    W_m = {(start, end, t): 1 <= t <= m} doubles per iteration:
+
+        W_1 = X_1 = edges                        (t = 1)
+        W_2m = W_m  UNION ALL  (X_m compose W_m) (t in m+1 .. 2m)
+        X_2m = the t == 2m slice of the composed part
+
+    — each walk of length t in (m, 2m] splits uniquely into its exactly-m
+    prefix (an X row) and its <= m suffix (a W row), so the union is
+    disjoint and exact bag semantics match the unrolled recursion, round
+    for round (rounds=7 under-counts exactly like 7 unrolled rounds —
+    pinned by tests/test_hydrology_interp.py).  acc = 1 + count of W rows
+    ending at each cell: ceil(log2 rounds) joins + one groupBy replace
+    ``rounds`` sequential join+groupBy+join rounds (38 jobs -> ~10 on the
+    fixture).  State is O(cells * rounds) walk rows — the documented
+    O(n·depth) trade of the jump-pointer form; the per-iteration lazy
+    checkpoint keeps the audited plan size independent of ``rounds``
+    (``checkpoint_every`` is retained for API compatibility; the doubling
+    loop checkpoints each of its log2(rounds) iterations)."""
     base = cells.select("i", "j")
-    acc = base.withColumn("acc", F.lit(1).cast("long"))
-    e = edges.localCheckpoint()
-    for r in range(1, rounds + 1):
-        inflow = (
-            e.join(acc, ["i", "j"])
-            .groupBy(F.col("to_i").alias("i"), F.col("to_j").alias("j"))
-            .agg(F.sum("acc").alias("inflow"))
+    if rounds < 1:
+        return base.withColumn("acc", F.lit(1).cast("long"))
+    # lazy checkpoints throughout (the kcenter/pagerank fusion): each
+    # frame's first consumer stage materializes it; X_m needs no frame of
+    # its own — it is the t == m slice of W_m
+    w = edges.select(
+        "i", "j", "to_i", "to_j", F.lit(1).alias("t")
+    ).localCheckpoint(eager=False)
+    m = 1
+    while m < rounds:
+        comp = (
+            w.filter(F.col("t") == m)
+            .select(
+                F.col("i").alias("si"),
+                F.col("j").alias("sj"),
+                F.col("to_i").alias("i"),
+                F.col("to_j").alias("j"),
+                F.col("t").alias("tp"),
+            )
+            .join(w, ["i", "j"])
+            .select(
+                F.col("si").alias("i"),
+                F.col("sj").alias("j"),
+                "to_i",
+                "to_j",
+                (F.col("tp") + F.col("t")).alias("t"),
+            )
         )
-        acc = base.join(inflow, ["i", "j"], "left").select(
-            "i",
-            "j",
-            (1 + F.coalesce(F.col("inflow"), F.lit(0))).cast("long").alias("acc"),
-        )
-        if r % checkpoint_every == 0 and r < rounds:
-            acc = acc.localCheckpoint()
-    return acc
+        w = w.unionByName(comp.filter(F.col("t") <= rounds))
+        m *= 2
+        if m < rounds:
+            w = w.localCheckpoint(eager=False)
+    inflow = w.groupBy(F.col("to_i").alias("i"), F.col("to_j").alias("j")).agg(
+        F.count(F.lit(1)).alias("inflow")
+    )
+    return base.join(inflow, ["i", "j"], "left").select(
+        "i",
+        "j",
+        (1 + F.coalesce(F.col("inflow"), F.lit(0))).cast("long").alias("acc"),
+    )
 
 
 def flow_summary(cells: DataFrame, tile: int = 8, rounds: int = 8) -> DataFrame:

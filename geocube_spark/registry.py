@@ -7105,7 +7105,13 @@ def _flow_oracle() -> str:
 def flow_accumulation_q(spark, sf_dir):
     from geocube_spark.operators.hydrology import flow_summary
 
-    cells = spark.range(4096).select(
+    # partition the synthetic DEM by a cells-per-task target (a 256² tile),
+    # not by core count: range() otherwise spreads 4096 cells over
+    # defaultParallelism partitions and every downstream stage pays one
+    # task per (mostly empty) partition — scale-adaptive, a continental
+    # DEM still fans out (guide §2.2: fewer, larger map tasks)
+    n_cells, cells_per_task = 4096, 1 << 16
+    cells = spark.range(0, n_cells, 1, max(1, n_cells // cells_per_task)).select(
         (F.col("id") % 64).cast("int").alias("i"),
         (F.col("id") / 64).cast("int").alias("j"),
         ((F.col("id") % 64) % 8 + F.floor(F.col("id") / 64) % 8)
