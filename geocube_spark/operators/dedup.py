@@ -11,9 +11,12 @@ Five strategies, scale-ordered:
   (the verification oracle for the sketch-based paths)
 - embedding near-dup: cosine > threshold via the similarity module
 
-All heavy math is JVM-side (xxhash64, higher-order array functions); Python
-never touches row data.  At 100 TB the LSH path shuffles only
-(doc_id, band_key) pairs — the documents' text stays columnar and pruned.
+Shingling and hashing are JVM-side (xxhash64, higher-order array
+functions); the minhash/simhash signature FOLDS run as vectorized Arrow
+pandas UDFs — one numpy broadcast per batch, bit-identical to the JVM
+fold (pinned by tests), never row-at-a-time Python.  At 100 TB the LSH
+path shuffles only (doc_id, band_key) pairs — the documents' text stays
+columnar and pruned.
 """
 
 from __future__ import annotations
@@ -879,20 +882,24 @@ def connected_components(
         centers = mins.select(F.col("u"), F.col("m").alias("v"))
         return leaves.union(centers).where(F.col("u") != F.col("v")).distinct()
 
-    def signature(e: DataFrame):
-        # bit_xor (not sum): order-insensitive and cannot overflow ANSI longs
+    def _checkpoint_and_sign(e: DataFrame):
+        """LAZY checkpoint fused with the convergence signature (the
+        kcenter/pagerank fusion): the signature's full-scan aggregate is
+        the action that materializes — and persists — the checkpointed
+        frame, so the dedicated checkpoint job disappears (one job per
+        round instead of two).  The fusion is only sound because the
+        signature runs IMMEDIATELY on the lazy frame, before any
+        multi-scan consumer — this helper couples the two structurally so
+        a future edit cannot separate them (bit_xor, not sum: order-
+        insensitive and cannot overflow ANSI longs)."""
+        e = e.localCheckpoint(eager=False)
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("chk"),
         ).collect()[0]
-        return row["n"], row["chk"]
+        return e, (row["n"], row["chk"])
 
-    # LAZY checkpoint (the kcenter/pagerank fusion): the signature action
-    # right below is a full-scan aggregate, so it materializes — and
-    # persists — the frame as a side effect; the dedicated checkpoint job
-    # disappears (one job per round instead of two)
-    edges = edges.localCheckpoint(eager=False)
-    prev = signature(edges)
+    edges, prev = _checkpoint_and_sign(edges)
 
     # Size-adaptive fast path (the CC sibling of the size-adaptive spatial
     # join): below the threshold the O(log n) star rounds are pure fixed
@@ -915,8 +922,7 @@ def connected_components(
         )
 
     for _ in range(max_iter):
-        edges = small_star(large_star(edges)).localCheckpoint(eager=False)
-        cur = signature(edges)
+        edges, cur = _checkpoint_and_sign(small_star(large_star(edges)))
         if cur == prev:
             break
         prev = cur

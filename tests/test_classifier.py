@@ -48,3 +48,20 @@ class TestClassifier:
         a = classifier_report(separable, F.col("lang") == "en").collect()
         b = classifier_report(separable, F.col("lang") == "en").collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_non_aqe_session_falls_back_to_eager_and_matches(self, spark, separable):
+        # ADVICE r11: on a non-AQE session the lazy per-round checkpoint
+        # would materialize corpus scans inside broadcast futures (300 s
+        # timeout risk); the guard flips to eager checkpoints there, and
+        # the weights must be bit-identical either way
+        lazy = train_quality_classifier(
+            separable, F.col("lang") == "en", rounds=5
+        ).collect()[0]
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            eager = train_quality_classifier(
+                separable, F.col("lang") == "en", rounds=5
+            ).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        assert tuple(lazy) == tuple(eager)
