@@ -1029,7 +1029,7 @@ def materialized_view_lifecycle_q(spark, sf_dir):
         "mv_v1 long, fresh_after_create int, fresh_after_dep_write int, "
         "cached_total long, auto_total long, fresh_after_refresh int, "
         "time_travel_total long",
-    )
+    ).coalesce(1)  # 1 row; without this the collect pays 32 empty tasks
 
 
 # Catalog time travel (Delta-style read-as-of over the commit log):
@@ -5885,9 +5885,15 @@ def raster_region_labeling(spark, sf_dir):
     from geocube_spark.operators.regions import region_stats
 
     b = 64
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    # values_df: LocalRelation (1 partition) — a pickled-RDD createDataFrame
+    # spreads 4 parameter rows over defaultParallelism partitions and every
+    # downstream stage pays ~32 mostly-empty tasks (guide §2.2)
+    blocks = values_df(
+        spark,
         [(bx, by) for bx in range(2) for by in range(2)],
-        "block_x int, block_y int",
+        ["block_x", "block_y"],
     )
     mask = blocks.withColumn(
         "px",
@@ -5938,9 +5944,12 @@ def change_detection(spark, sf_dir):
     from geocube_spark.operators.regions import region_stats
 
     b = 24
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    blocks = values_df(
+        spark,
         [(bx, by) for bx in range(2) for by in range(2)],
-        "block_x int, block_y int",
+        ["block_x", "block_y"],
     )
 
     def _gi(k):
@@ -6010,9 +6019,12 @@ def contour_extraction(spark, sf_dir):
     from geocube_spark.operators.contours import contour_report
 
     b = 24
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    blocks = values_df(
+        spark,
         [(bx, by) for bx in range(2) for by in range(2)],
-        "block_x int, block_y int",
+        ["block_x", "block_y"],
     )
     tiles = blocks.withColumn(
         "px",
@@ -6080,9 +6092,12 @@ def region_polygonize(spark, sf_dir):
     from geocube_spark.operators.regions import polygonize_report
 
     b = 24
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    blocks = values_df(
+        spark,
         [(bx, by) for bx in range(2) for by in range(2)],
-        "block_x int, block_y int",
+        ["block_x", "block_y"],
     )
 
     def _val(k):
@@ -6608,9 +6623,12 @@ def bap_cloudfree_composite(spark, sf_dir):
     from geocube_spark.operators.proximity import proximity_map
 
     scores = {0: 0.25, 1: 0.5, 2: 0.375}
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    blocks = values_df(
+        spark,
         [(t, bx, by) for t in scores for bx in range(2) for by in range(2)],
-        "t int, block_x int, block_y int",
+        ["t", "block_x", "block_y"],
     )
     def _v(k):
         gi = (F.col("block_x") * 64 + k % 64).cast("long")
@@ -6824,9 +6842,12 @@ def pyramid_incremental_refresh(spark, sf_dir):
 def temporal_trend_mk(spark, sf_dir):
     from geocube_spark.operators.mosaic import temporal_trend
 
-    blocks = spark.createDataFrame(
+    from geocube_spark.functions.localdf import values_df
+
+    blocks = values_df(
+        spark,
         [(bx, by, t) for bx in range(2) for by in range(2) for t in range(5)],
-        "block_x int, block_y int, t int",
+        ["block_x", "block_y", "t"],
     )
     gi = (F.col("block_x") * 64 + F.col("k") % 64).cast("long")
     gj = (F.col("block_y") * 64 + (F.col("k") / 64).cast("int")).cast("long")
@@ -8554,7 +8575,8 @@ def geodesic_ring_dateline(spark, sf_dir):
         (i, round(float(lo), 8), round(float(la), 8))
         for i, (lo, la) in enumerate(zip(lons, lats))
     ]
-    return spark.createDataFrame(rows, "pt LONG, lon DOUBLE, lat DOUBLE")
+    # 5 rows; coalesce(1) so the collect doesn't pay 32 empty tasks
+    return spark.createDataFrame(rows, "pt LONG, lon DOUBLE, lat DOUBLE").coalesce(1)
 
 
 # Antimeridian cover (F14): a dateline-crossing WebMercator AOI becomes an
