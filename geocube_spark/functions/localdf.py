@@ -26,6 +26,8 @@ def _sql_literal(v) -> str:
         return repr(v)
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (bytes, bytearray)):
+        return "X'" + bytes(v).hex().upper() + "'"
     raise TypeError(f"unsupported literal type {type(v)}")
 
 

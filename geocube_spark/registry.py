@@ -6383,7 +6383,7 @@ def raster_point_sample(spark, sf_dir):
     fd = ensure_fixtures()
     tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
     res = 0.015625
-    points = spark.range(16).select(
+    points = spark.range(0, 16, 1, 1).select(
         F.col("id").alias("point_id"),
         ((5 + 7 * F.col("id") + 0.5) * res).alias("x"),
         (50.0 - (3 + 6 * F.col("id") + 0.5) * res).alias("y"),
@@ -6431,7 +6431,7 @@ def zonal_statistics(spark, sf_dir):
     fd = ensure_fixtures()
     tiles = spark.read.parquet(f"{fd}/warp_src.parquet")
     res = 0.015625
-    zones = spark.range(9).select(
+    zones = spark.range(0, 9, 1, 1).select(
         F.col("id").cast("int").alias("zone_id"),
         ((F.col("id") % 3) * 40 + 2).alias("x0p"),
         ((F.col("id") / 3).cast("int") * 40 + 3).alias("y0p"),
@@ -7083,9 +7083,14 @@ def rasterize_polygons_q(spark, sf_dir):
     square = polygon_wkb(
         [(24.0, 24.0), (30.0, 24.0), (30.0, 30.0), (24.0, 30.0)]
     )
-    polys = spark.createDataFrame(
-        [(1, bytearray(lshape), 5.0), (2, bytearray(square), 9.0)],
-        "poly_id int, wkb binary, burn_val double",
+    from geocube_spark.functions.localdf import values_df
+
+    # LocalRelation (X'..' hex literals): one partition instead of 32
+    # near-empty ones for a 2-polygon parameter table (guide §2.2)
+    polys = values_df(
+        spark,
+        [(1, bytes(lshape), 5.0), (2, bytes(square), 9.0)],
+        ["poly_id", "wkb", "burn_val"],
     )
     out = rasterize_polygons(polys, nx=32, ny=32)
     return (
@@ -7166,12 +7171,12 @@ _IDW_CELLS_SQL = """
 
 @q("idw_interpolation", idw_grid_sql(_IDW_PTS_SQL, _IDW_CELLS_SQL, radius=32.0))
 def idw_interpolation_q(spark, sf_dir):
-    pts = spark.range(24).select(
+    pts = spark.range(0, 24, 1, 1).select(
         ((37 * F.col("id") + 11) % 128).cast("double").alias("x"),
         ((53 * F.col("id") + 29) % 128).cast("double").alias("y"),
         ((17 * F.col("id")) % 61).cast("double").alias("val"),
     )
-    cells = spark.range(256).select(
+    cells = spark.range(0, 256, 1, 1).select(
         (F.col("id") % 16).cast("int").alias("ci"),
         (F.col("id") / 16).cast("int").alias("cj"),
         (4 + 8 * (F.col("id") % 16)).cast("double").alias("cx"),
@@ -8618,7 +8623,7 @@ def cover_antimeridian(spark, sf_dir):
         3857,
     )
     pieces = split_unwrapped_ring(np.asarray(lons), np.asarray(lats))
-    cells = spark.range(36 * 18).select(
+    cells = spark.range(0, 36 * 18, 1, 1).select(
         (F.col("id") / 18).cast("long").alias("ci"),
         F.pmod(F.col("id"), F.lit(18)).cast("long").alias("cj"),
     ).select(
