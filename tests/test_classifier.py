@@ -54,13 +54,15 @@ class TestClassifier:
         # would materialize corpus scans inside broadcast futures (300 s
         # timeout risk); the guard flips to eager checkpoints there, and
         # the weights must be bit-identical either way
+        # rounds=2 exercises the recursion + both checkpoint modes at a
+        # fraction of the wall (bit-identity is round-count independent)
         lazy = train_quality_classifier(
-            separable, F.col("lang") == "en", rounds=5
+            separable, F.col("lang") == "en", rounds=2
         ).collect()[0]
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             eager = train_quality_classifier(
-                separable, F.col("lang") == "en", rounds=5
+                separable, F.col("lang") == "en", rounds=2
             ).collect()[0]
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -56,9 +56,13 @@ class TestLZWCodec:
         assert len(enc) < len(raw) // 3  # actually compresses
 
     def test_table_reset_path(self):
-        # > 4094 distinct phrases forces the encoder's ClearCode reset
+        # > 4094 distinct phrases forces the encoder's ClearCode reset;
+        # random bytes mint a phrase roughly every other byte, so 48k
+        # bytes still crosses the reset several times (was 300k / 36 s of
+        # pure-Python codec time — the reset path needs crossings, not
+        # volume)
         rng = np.random.default_rng(11)
-        raw = rng.integers(0, 256, 300_000).astype("uint8").tobytes()
+        raw = rng.integers(0, 256, 48_000).astype("uint8").tobytes()
         assert lzw_decode(lzw_encode(raw)) == raw
 
     def test_missing_leading_clear_tolerated(self):

@@ -470,10 +470,31 @@ class TestMalformedStreams:
                 pass  # clean decode error
             # any other exception type fails the test
 
-    def test_bitflip_never_raises_indexerror(self):
+    def _bitflip_sweep(self, step):
         # flipping ANY byte anywhere (markers, tables, entropy data) may
         # decode to garbage (acceptable) or raise ValueError (acceptable)
         # — but never IndexError/KeyError/OverflowError/ZeroDivisionError
+        from geocube_spark.sources.jpeg import decode_jpeg
+
+        data, _ = self._valid_jpeg()
+        blob = bytearray(data)
+        for i in range(2, len(blob), step):
+            for bit in (0, 7):
+                mutated = bytearray(blob)
+                mutated[i] ^= 1 << bit
+                try:
+                    decode_jpeg(bytes(mutated))
+                except ValueError:
+                    pass  # clean decode error
+                # any other exception type fails the test
+
+    def test_bitflip_never_raises_indexerror_strided(self):
+        # per-verify smoke: a prime stride still hits every stream region
+        self._bitflip_sweep(13)
+
+    @pytest.mark.weekly
+    def test_bitflip_never_raises_indexerror(self):
+        # the exhaustive every-byte sweep (weekly cadence)
         from geocube_spark.sources.jpeg import decode_jpeg
 
         data, _ = self._valid_jpeg()

@@ -49,10 +49,19 @@ class TestRasterize:
         assert burns[(0, 0)] == 3.0
         assert burns[(5, 5)] == 7.0
 
-    def test_polygonize_rasterize_round_trip(self, spark):
+    @pytest.mark.parametrize(
+        "seeds",
+        [
+            pytest.param((9,), id="seed9"),
+            # second random speckle: same assertion, weekly cadence (the
+            # full polygonize pipeline costs ~30 s/seed in the suite)
+            pytest.param((31,), id="seed31", marks=pytest.mark.weekly),
+        ],
+    )
+    def test_polygonize_rasterize_round_trip(self, spark, seeds):
         from geocube_spark.operators.regions import polygonize_wkb
 
-        for seed in (9, 31):
+        for seed in seeds:
             rng = np.random.RandomState(seed)
             g = (rng.rand(16, 16) > 0.5).astype(float)
             vec = polygonize_wkb(_tiles(spark, g, 8), block=8).collect()

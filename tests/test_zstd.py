@@ -65,6 +65,7 @@ def test_multi_frame_and_skippable(tmp_path):
 
 
 @needs_cli
+@pytest.mark.weekly
 def test_huge_offset_ultra_long_mode(tmp_path):
     """Offsets past 2^24 exercise the offset-code tail (the OF table's
     less-than-one-probability cells): a 17 MB-apart duplicate found only
