@@ -116,6 +116,10 @@ class Catalog:
         self.spark = spark
         self.root = root.rstrip("/")
         self.retain_versions = int(retain_versions)
+        # (version, snapshot path) -> DataFrame; snapshots are immutable,
+        # see _read_snapshot.  Bounded: GC'd versions stop being requested
+        # and entries are plan objects, not data.
+        self._df_cache: dict[tuple[int, str], DataFrame] = {}
 
     def path(self, name: str) -> str:
         """Legacy/bootstrap location (version 0): a bare parquet dataset laid
@@ -169,6 +173,21 @@ class Catalog:
         if os.path.exists(backup) and not os.path.exists(target):
             os.rename(backup, target)
 
+    def _read_snapshot(self, version: int, path: str) -> DataFrame:
+        """Version-addressed snapshot dirs are immutable once committed, so
+        the DataFrame (schema inference + scan plan) is a pure function of
+        (version, path) — memoize it.  Only COMMITTED versions are cached;
+        the legacy/bootstrap path (version 0) is re-read every time because
+        callers may replace that file in place.  Saves a driver footer read
+        and plan re-build per read — the read-modify-write lifecycles call
+        read() hundreds of times per job."""
+        key = (version, path)
+        df = self._df_cache.get(key)
+        if df is None:
+            df = self.spark.read.parquet(path)
+            self._df_cache[key] = df
+        return df
+
     def read(self, name: str, version: int | None = None) -> DataFrame:
         """Read the current table, or — with ``version`` — a RETAINED past
         version (time travel).  A version the GC already swept (older than
@@ -179,13 +198,15 @@ class Catalog:
             cur = self._current(name)
             if cur is None:
                 raise FileNotFoundError(f"catalog table {name!r} does not exist")
-            return self.spark.read.parquet(cur[1])
+            if cur[0] == 0:
+                return self.spark.read.parquet(cur[1])
+            return self._read_snapshot(cur[0], cur[1])
         for v, cpath in self._commits(name):
             if v == version:
                 with open(cpath) as fh:
                     rec = json.load(fh)
-                return self.spark.read.parquet(
-                    f"{self._data_dir(name)}/{rec['dir']}"
+                return self._read_snapshot(
+                    v, f"{self._data_dir(name)}/{rec['dir']}"
                 )
         if version == 0 and os.path.exists(self.path(name)):
             return self.spark.read.parquet(self.path(name))
